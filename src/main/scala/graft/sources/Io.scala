@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY.md §2.1 S1-S6).
+  *
+  * Strict reads mirror the reference's enforced-dtype CSV reads
+  * (reference: src/finance_etl/io_utils.py:8-11 raises on a missing file;
+  * dtype forcing at call sites pipeline.py:69-101); tolerant reads mirror the
+  * export scripts' empty-DataFrame fallback
+  * (reference: scripts/export_bi_datasets.py:11-16).
+  *
+  * Scale notes: every read takes an explicit `StructType` so the vectorized
+  * Parquet/CSV readers never run schema inference (an extra full pass at
+  * 100 TB). CSV sinks coalesce to one file only because the reference emits
+  * single CSV artifacts for BI handoff — the parquet sinks, which carry the
+  * actual data volume, keep their natural partitioning.
+  */
+object Io {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S1: schema-enforced CSV scan; fails fast on a missing file like the
+    * reference's `read_csv` (io_utils.py:8-11).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    if (!exists(spark, path)) throw new java.io.FileNotFoundException(s"Missing file: $path")
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE") // junk cells become null; DQ layer reports them
+      .csv(path)
+  }
+
+  /** Raw all-string CSV scan used by the DQ layer to detect unparseable cells
+    * (dtype violations) before the typed read is trusted.
+    */
+  def readCsvRaw(spark: SparkSession, path: String): DataFrame = {
+    if (!exists(spark, path)) throw new java.io.FileNotFoundException(s"Missing file: $path")
+    spark.read.option("header", "true").csv(path)
+  }
+
+  /** S2: tolerant parquet scan — empty DataFrame with the given schema when the
+    * path is absent (reference: scripts/export_bi_datasets.py:11-12).
+    */
+  def readParquetOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    if (exists(spark, path)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** S3: tolerant CSV scan (reference: scripts/export_bi_datasets.py:15-16). */
+  def readCsvOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    if (exists(spark, path)) spark.read.schema(schema).option("header", "true").csv(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** S4: parquet sink (reference: io_utils.py:14-17). Partition-preserving. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S5: single-file CSV sink with header — the reference writes one CSV per
+    * artifact for BI tools (io_utils.py:19-21). Only for dim/KPI-scale outputs.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S6: driver-side text artifact (data dictionaries, model notes, HTML). */
+  def writeText(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** `_pick_col` schema tolerance: first candidate present in the frame
+    * (reference: scripts/export_powerbi_star_schema.py:18-23).
+    */
+  def pickCol(df: DataFrame, candidates: Seq[String]): Option[String] =
+    candidates.find(df.columns.contains)
+}
