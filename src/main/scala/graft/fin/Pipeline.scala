@@ -1,0 +1,116 @@
+package graft.fin
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Io
+
+/** The monthly-close pipeline — `runMonth`
+  * (reference: src/finance_etl/pipeline.py:50-191; lifecycle SURVEY.md §3.1).
+  *
+  * Steps 2-10 of the reference DAG become lazy Catalyst plans with exactly two
+  * deliberate barriers: the DQ gate (exceptions must materialize before the
+  * pipeline may proceed — pipeline.py:129-162) and the final writes. The gate
+  * aggregates severity counts on the executors and collects only two longs.
+  */
+object Pipeline {
+
+  final case class RunResult(
+      dqExceptions: String,
+      dqSummary: String,
+      fact: String,
+      dimAccounts: String,
+      kpi: String,
+      status: String)
+
+  final class DataQualityException(msg: String) extends RuntimeException(msg)
+
+  val FailOnModes = Set("ERROR", "WARN", "NEVER")
+
+  def runMonth(
+      spark: SparkSession,
+      settings: Settings,
+      month: String,
+      rawDir: String,
+      curatedDir: String,
+      referenceDir: String,
+      failOn: String = "ERROR"): RunResult = {
+
+    // fail_on validated early (pipeline.py:59-61)
+    val mode = Option(failOn).getOrElse("ERROR").toUpperCase.trim
+    require(FailOnModes.contains(mode), "fail_on must be one of: ERROR, WARN, NEVER")
+
+    // reference dim + key set as a DataFrame (never a driver-side set — J3)
+    val coa = Io.readCsv(spark, s"$referenceDir/chart_of_accounts.csv", Schemas.chartOfAccounts)
+    val dimAccounts = Transform.buildDimAccounts(coa)
+    val coaCodes = dimAccounts.select("account_code").distinct()
+
+    // typed + raw reads per dataset (S1; pipeline.py:78-101)
+    def reads(name: String) = {
+      val path = s"$rawDir/$name.csv"
+      (Io.readCsv(spark, path, Schemas.rawContracts(name)), Io.readCsvRaw(spark, path))
+    }
+    val (sales, salesRaw) = reads("sales")
+    val (expenses, expensesRaw) = reads("expenses")
+    val (payroll, payrollRaw) = reads("payroll")
+    val (inventory, inventoryRaw) = reads("inventory_movements")
+    val (fxRates, fxRaw) = reads("fx_rates")
+
+    // validate + collect exceptions (pipeline.py:104-127)
+    val validations = Seq(
+      ("sales", sales, salesRaw),
+      ("expenses", expenses, expensesRaw),
+      ("payroll", payroll, payrollRaw),
+      ("inventory_movements", inventory, inventoryRaw),
+      ("fx_rates", fxRates, fxRaw))
+    val schemaIssues = validations.map { case (name, typed, raw) =>
+      Quality.validateDataset(spark, typed, raw, name, Schemas.rawContracts(name), settings)
+    }
+    val coaIssues = Seq(
+      Quality.accountInCoaExceptions(sales, "sales", coaCodes),
+      Quality.accountInCoaExceptions(expenses, "expenses", coaCodes))
+
+    val exceptions = Quality.addSeverity(
+      (schemaIssues ++ coaIssues).reduce(_.unionByName(_)))
+
+    // ---- DQ gate: the one mid-pipeline barrier (pipeline.py:129-162) ----
+    exceptions.persist()
+    val sevCounts = exceptions.groupBy("severity").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val errorCount = sevCounts.getOrElse("ERROR", 0L)
+    val totalCount = sevCounts.values.sum
+    val overall = Quality.overallStatus(errorCount, totalCount, mode)
+
+    val summary = Quality.summaryTable(spark, exceptions, mode)
+    val dqExceptionsPath = s"$curatedDir/dq_exceptions.csv"
+    val dqSummaryPath = s"$curatedDir/dq_summary.csv"
+    Io.writeCsv(exceptions.orderBy("dataset", "column", "check", "failure_case"), dqExceptionsPath)
+    Io.writeCsv(summary, dqSummaryPath)
+
+    if (overall == "FAIL" && mode != "NEVER") {
+      exceptions.unpersist()
+      throw new DataQualityException(
+        s"Data quality checks failed. See $dqExceptionsPath and $dqSummaryPath")
+    }
+    exceptions.unpersist()
+
+    // month window (P2/P3; pipeline.py:164-170)
+    val salesM = sales.filter(Transform.monthWindow(col("date"), month))
+    val expensesM = expenses.filter(Transform.monthWindow(col("date"), month))
+    val inventoryM = inventory.filter(Transform.monthWindow(col("date"), month))
+    val payrollM = payroll.filter(col("month") === lit(month))
+
+    val fx = Transform.fxToBase(fxRates, settings.baseCurrency)
+    val fact = Transform.toFactTransactions(
+      salesM, expensesM, payrollM, inventoryM, fx, settings.baseCurrency)
+    val kpi = Transform.kpiMonthly(fact, dimAccounts)
+
+    val factPath = s"$curatedDir/fact_transactions.parquet"
+    val dimPath = s"$curatedDir/dim_accounts.parquet"
+    val kpiPath = s"$curatedDir/kpi_monthly.parquet"
+    Io.writeParquet(fact, factPath)
+    Io.writeParquet(dimAccounts, dimPath)
+    Io.writeParquet(kpi, kpiPath)
+
+    RunResult(dqExceptionsPath, dqSummaryPath, factPath, dimPath, kpiPath, overall)
+  }
+}

@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-contract queries: each SURVEY.md §2 operator expressed as a generic
+  * query over the shared `/root/testdata` TPC-H-ish parquet tables, paired
+  * with ANSI SQL the driver runs in DuckDB (SURVEY.md §7.2 mapping).
+  *
+  * Determinism rules (so Spark parquet output hash-matches the DuckDB oracle):
+  *   - every query ends in a total-order `orderBy` mirrored by the oracle's
+  *     ORDER BY (Catalyst's EliminateSorts drops the sort under the bench's
+  *     `count()` action, so correctness-only cost);
+  *   - double SUMs go through DECIMAL casts (`sum(cast(x as decimal)).cast
+  *     ("double")`) — exact, order-independent arithmetic on both engines,
+  *     since float summation order differs between Spark partials and DuckDB
+  *     (SURVEY.md §7.4(1)); row-level double arithmetic is IEEE-identical and
+  *     needs no such guard; sums of integral doubles (quantities) are exact
+  *     in double and left bare;
+  *   - Spark `row_number` (int) is cast to long to match DuckDB BIGINT.
+  *
+  * Scale notes: the only join whose right side grows with SF is fx_join's
+  * orders side — hinted broadcast (orders ≈ 1/4 of lineitem rows but ~40B/row;
+  * at true 100 TB it exceeds broadcast and Catalyst/AQE falls back to
+  * sort-merge on the hint's failure, which is the correct plan there). All
+  * aggregations are partial-agg friendly (sum/count/min), pivots carry pinned
+  * values so no extra distinct job runs, and no query collects to the driver.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def decSum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P2 — half-open month-window filter (reference: pipeline.py:23-27)
+    "month_window" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // P5 — month filter via date formatting (reference: export_bi_datasets.py:37-42)
+    "month_str_filter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // J1 — FX-style left lookup join + derived column (reference: transform.py:19-46)
+    "fx_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"), "left")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_discount"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("amount_net"),
+          col("o_orderdate"), col("o_totalprice"))
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+        // sort by enough columns that any remaining ties are identical rows
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    }),
+
+    // A1+A2+A3 — grouped-sum pivot, pinned values (reference: transform.py:113-128)
+    "kpi_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("l_quantity"))
+        .na.fill(0.0, Seq("A", "N", "R"))
+        .orderBy("l_linestatus")
+    }),
+
+    // A6 — duplicate-key check (reference: quality.py:8-13)
+    "dup_check" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy("l_orderkey", "l_suppkey")
+    }),
+
+    // J3 — referential-integrity anti-join (reference: pipeline.py:30-47)
+    "anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select("l_orderkey")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // Srt3 — top-k by grouped revenue (reference: build_dashboard.py:100)
+    "top_k" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("o_custkey"))
+        .limit(8)
+    }),
+
+    // U1 — union of heterogeneous sources normalized to one contract
+    // (reference: transform.py:49-95)
+    "union_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        lit("lineitem").as("source"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("document_id"),
+        col("l_extendedprice").as("amount"))
+      val o = t(s, dir, "orders").select(
+        lit("orders").as("source"),
+        col("o_orderkey").cast("string").as("document_id"),
+        col("o_totalprice").as("amount"))
+      li.unionByName(o).orderBy("source", "document_id", "amount")
+    }),
+
+    // W1 — surrogate keys via row_number (reference: export_powerbi_star_schema.py:83-84)
+    "surrogate_keys" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          row_number().over(Window.orderBy("c_custkey")).cast("long").as("entity_key"),
+          col("c_custkey"), col("c_name"))
+        .orderBy("entity_key")
+    }),
+
+    // A5+J5 — DQ severity count summary with PASS/FAIL status
+    // (reference: quality.py:205-249)
+    "dq_summary" -> ((s, dir) => {
+      val sev = t(s, dir, "lineitem").withColumn("severity",
+        when(col("l_discount") > 0.08, "ERROR")
+          .when(col("l_tax") > 0.05, "WARN")
+          .otherwise("OK"))
+      sev.groupBy("l_returnflag")
+        .agg(
+          count(when(col("severity") === "ERROR", 1)).as("error_count"),
+          count(when(col("severity") === "WARN", 1)).as("warn_count"),
+          count(when(col("severity") =!= "OK", 1)).as("issue_count"))
+        .withColumn("status", when(col("error_count") > 0, "FAIL").otherwise("PASS"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A8 — grouped FIRST, made deterministic as min_by
+    // (reference: export_powerbi_star_schema.py:86-92)
+    "grouped_first" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          expr("min_by(c_name, c_custkey)").as("first_name"),
+          min("c_acctbal").as("min_bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // A9+F2+F4 — month dim: grouped MIN over date keys
+    // (reference: export_powerbi_star_schema.py:159-170)
+    "grouped_min" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_key"))
+        .groupBy("month")
+        .agg(min("date_key").as("month_start_date_key"), count(lit(1)).as("n_orders"))
+        .orderBy("month")
+    }),
+
+    // A10 — DISTINCT dedup (reference: transform.py:41 et al.)
+    "distinct_dedup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Srt4+F7 — top-15 by summed absolute spend (reference: build_dashboard.py:162-164)
+    "top_expense" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(decSum(abs(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_spend"))
+        .orderBy(desc("total_spend"), col("l_partkey"))
+        .limit(15)
+    }),
+
+    // A4 — margin ratios over exact sums (reference: export_bi_datasets.py:45-55)
+    "margin_ratio" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          decSum(col("l_extendedprice"), 2).as("gross"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+        .withColumn("margin_pct", col("net") / col("gross") * 100)
+        .orderBy("l_returnflag")
+    }),
+
+    // F5 — month arithmetic: last_day + next-month start (reference: transform.py:70, pipeline.py:26)
+    "month_arith" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(trunc(col("o_orderdate"), "MM"), 1).as("next_month_start"))
+        .distinct()
+        .orderBy("month")
+    }),
+
+    // P6 — set-membership predicates (reference: quality.py:23,76)
+    "isin_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && !col("l_linestatus").isin("O"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P8+F3 — case-insensitive filters (reference: build_dashboard.py:153-155, quality.py:174-181)
+    "ci_filter" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(lower(col("c_mktsegment")) === "building" && lower(col("c_name")).contains("1"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Streaming-shaped batch analog: tumbling 1h event-time window aggregation
+    // over the events table (SURVEY.md §2.9 stretch; batch windowing here,
+    // Structured Streaming variant in graft.streaming). The events table
+    // carries TIMESTAMP(NANOS) parquet, which Spark only reads as long via
+    // the legacy conf; integer-divide to micros (double division would lose
+    // precision above 2^53).
+    "event_window_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 6).as("total_value"))
+        .select(
+          col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("hour_start", "event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "month_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "month_str_filter" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fx_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |       l_extendedprice * (1 - l_discount) AS amount_net,
+        |       o_orderdate, o_totalprice
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount""".stripMargin,
+
+    "kpi_pivot" ->
+      """SELECT l_linestatus,
+        |       SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS A,
+        |       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) AS N,
+        |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS R
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "dup_check" ->
+      """SELECT l_orderkey, l_suppkey, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_orderkey, l_suppkey
+        |HAVING COUNT(*) > 1
+        |ORDER BY l_orderkey, l_suppkey""".stripMargin,
+
+    "anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "top_k" ->
+      """SELECT o_custkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey
+        |LIMIT 8""".stripMargin,
+
+    "union_all" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem' AS source,
+        |         l_orderkey || '-' || l_linenumber AS document_id,
+        |         l_extendedprice AS amount
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', CAST(o_orderkey AS VARCHAR), o_totalprice FROM orders
+        |)
+        |ORDER BY source, document_id, amount""".stripMargin,
+
+    "surrogate_keys" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) AS entity_key, c_custkey, c_name
+        |FROM customer
+        |ORDER BY entity_key""".stripMargin,
+
+    "dq_summary" ->
+      """WITH sev AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_discount > 0.08 THEN 'ERROR'
+        |              WHEN l_tax > 0.05 THEN 'WARN'
+        |              ELSE 'OK' END AS severity
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       COUNT(CASE WHEN severity = 'ERROR' THEN 1 END) AS error_count,
+        |       COUNT(CASE WHEN severity = 'WARN' THEN 1 END) AS warn_count,
+        |       COUNT(CASE WHEN severity <> 'OK' THEN 1 END) AS issue_count,
+        |       CASE WHEN COUNT(CASE WHEN severity = 'ERROR' THEN 1 END) > 0
+        |            THEN 'FAIL' ELSE 'PASS' END AS status
+        |FROM sev
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "grouped_first" ->
+      """SELECT c_nationkey, min_by(c_name, c_custkey) AS first_name, MIN(c_acctbal) AS min_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "grouped_min" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       MIN(CAST(strftime(o_orderdate, '%Y%m%d') AS INT)) AS month_start_date_key,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+
+    "distinct_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "top_expense" ->
+      """SELECT l_partkey,
+        |       CAST(SUM(CAST(ABS(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |ORDER BY total_spend DESC, l_partkey
+        |LIMIT 15""".stripMargin,
+
+    "margin_ratio" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS net,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100 AS margin_pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "month_arith" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+        |       last_day(o_orderdate) AS month_end,
+        |       CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS DATE) AS next_month_start
+        |FROM orders
+        |ORDER BY month""".stripMargin,
+
+    "isin_filter" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_linestatus NOT IN ('O')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "ci_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE lower(c_mktsegment) = 'building' AND contains(lower(c_name), '1')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "event_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin
+  )
+}
