@@ -121,7 +121,8 @@ object Quality {
 
     val cellExceptions: Seq[DataFrame] = present.toSeq.flatMap { f =>
       val rc = raw(f.name)
-      val tc = rc.cast(f.dataType)
+      // try_cast: lenient P10 coercion (null on junk) even under ANSI mode
+      val tc = rc.try_cast(f.dataType)
       val dtypeViolations = exceptionRows(
         raw.filter(tc.isNull && rc.isNotNull), dataset, f.name,
         s"dtype('${f.dataType.simpleString}')", rc)

@@ -198,8 +198,9 @@ object Transform {
   }
 
   /** Margin ratios (reference: scripts/export_bi_datasets.py:45-55).
-    * Division by zero yields null here (Spark) where pandas yields ±inf —
-    * documented deviation, SURVEY.md §7.4(2).
+    * Division by zero yields null here (pandas yields ±inf — documented
+    * deviation, SURVEY.md §7.4(2)); `try_divide` keeps that semantic under
+    * Spark 4's default ANSI mode.
     */
   def addMarginCols(kpi: DataFrame): DataFrame = {
     val cols = kpi.columns.toSet
@@ -207,10 +208,10 @@ object Transform {
     else {
       val withGm =
         if (cols.contains("gross_profit"))
-          kpi.withColumn("gross_margin_pct", col("gross_profit") / col("Revenue") * 100)
+          kpi.withColumn("gross_margin_pct", try_divide(col("gross_profit"), col("Revenue")) * 100)
         else kpi
       if (cols.contains("operating_profit"))
-        withGm.withColumn("operating_margin_pct", col("operating_profit") / col("Revenue") * 100)
+        withGm.withColumn("operating_margin_pct", try_divide(col("operating_profit"), col("Revenue")) * 100)
       else withGm
     }
   }

@@ -1,0 +1,48 @@
+package graft.fin
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** End-to-end smoke mirroring the reference's
+  * tests/test_pipeline_smoke.py:13-48: generate a synthetic month, run the
+  * close, assert outputs exist, DQ passes, KPI is populated.
+  */
+class PipelineSmokeSpec extends SparkSpec {
+
+  test("generate -> runMonth -> outputs exist, DQ PASS, KPI populated") {
+    val work = Files.createTempDirectory("graft-smoke").toString
+    SampleData.writeChartOfAccounts(s"$work/reference")
+    SampleData.generateSyntheticRaw(s"$work/raw", "2025-12", seed = 42L)
+
+    val res = Pipeline.runMonth(
+      spark, Settings.default, "2025-12",
+      s"$work/raw", s"$work/curated", s"$work/reference", "ERROR")
+
+    assert(res.status === "PASS")
+    Seq(res.fact, res.dimAccounts, res.kpi).foreach { p =>
+      assert(Files.exists(java.nio.file.Paths.get(p)), p)
+    }
+
+    val summary = spark.read.option("header", "true").csv(res.dqSummary)
+    import spark.implicits._
+    assert(summary.select("status").as[String].collect().forall(_ == "PASS"))
+
+    val kpi = spark.read.parquet(res.kpi)
+    assert(kpi.columns.contains("operating_profit"))
+    assert(kpi.count() > 0)
+
+    val fact = spark.read.parquet(res.fact)
+    assert(fact.columns.toSeq === Schemas.factColumns)
+    assert(fact.count() > 0)
+    // union preserves counts: every raw row inside the month lands in the fact
+    val sales = spark.read.schema(Schemas.sales).option("header", "true").csv(s"$work/raw/sales.csv")
+    assert(fact.filter($"source" === "sales").count() === sales.count())
+  }
+
+  test("invalid fail_on is rejected early") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runMonth(spark, Settings.default, "2025-12", "x", "y", "z", "BOGUS")
+    }
+    assert(e.getMessage.contains("fail_on"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.fin
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Severity rule table, summary pivot, status logic and the per-dataset
+  * checks (reference: src/finance_etl/quality.py:123-249).
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ex(dataset: String, column: String, check: String) =
+    Seq((dataset, column, check, "x", "Column"))
+      .toDF("dataset", "column", "check", "failure_case", "schema_context")
+      .withColumn("index", lit(null).cast("long"))
+      .withColumn("check_number", lit(null).cast("int"))
+
+  test("severity rules: critical column / fx dataset / check-name keywords -> ERROR, else WARN") {
+    val cases = Seq(
+      ("sales", "amount", "greater_than(0)", "WARN"),       // default
+      ("sales", "currency", "isin(...)", "ERROR"),          // critical column
+      ("fx_rates", "anything", "whatever", "ERROR"),        // fx dataset
+      ("payroll", "gross", "column_REQUIRED", "ERROR"),     // contains required (ci)
+      ("payroll", "gross", "dtype('double')", "ERROR"),     // contains dtype
+      ("sales", "account_x", "account_in_coa", "ERROR"))    // coa membership
+    cases.foreach { case (d, c, chk, want) =>
+      val got = Quality.addSeverity(ex(d, c, chk)).select("severity").as[String].head()
+      assert(got === want, s"($d, $c, $chk)")
+    }
+  }
+
+  test("overall status matrix") {
+    assert(Quality.overallStatus(0, 0, "ERROR") === "PASS")
+    assert(Quality.overallStatus(0, 5, "ERROR") === "PASS")  // WARNs only
+    assert(Quality.overallStatus(1, 5, "ERROR") === "FAIL")
+    assert(Quality.overallStatus(0, 1, "WARN") === "FAIL")
+    assert(Quality.overallStatus(9, 9, "NEVER") === "PASS")
+  }
+
+  test("summary table: all 5 datasets zero-filled, counts pivoted, fixed order") {
+    val dq = Quality.addSeverity(
+      ex("sales", "currency", "isin").unionByName(ex("sales", "amount", "greater_than(0)")))
+    val sum = Quality.summaryTable(spark, dq, "ERROR").collect()
+    assert(sum.map(_.getString(0)).toSeq === Quality.Datasets)
+    val sales = sum.head
+    assert(sales.getAs[Long]("error_count") === 1L)
+    assert(sales.getAs[Long]("warn_count") === 1L)
+    assert(sales.getAs[Long]("issue_count") === 2L)
+    assert(sales.getAs[String]("status") === "FAIL")
+    assert(sum.drop(1).forall(_.getAs[String]("status") == "PASS"))
+  }
+
+  test("validateDataset: dup keys, value violations, dtype coercion, payroll identity") {
+    val typed = Seq(
+      ("2025-12", "E1", "EMP-1", "USD", 100.0, 10.0, 90.0),
+      ("2025-12", "E1", "EMP-1", "USD", 100.0, 10.0, 90.0),    // not a dup check dataset
+      ("2025-12", "E1", "EMP-2", "XXX", -5.0, 10.0, 80.0))     // bad ccy, gross<0, identity broken
+      .toDF("month", "entity", "employee_id", "currency", "gross", "deductions", "net")
+    val raw = typed.select(typed.columns.map(c => col(c).cast("string").as(c)): _*)
+    val exs = Quality.validateDataset(
+      spark, typed, raw, "payroll", Schemas.payroll, Settings.default)
+      .select("check").as[String].collect().toSeq
+    assert(exs.count(_.startsWith("isin")) === 1)
+    assert(exs.count(_ == "greater_than_or_equal_to(0)") === 1)
+    assert(exs.count(_ == "payroll_identity") === 1)
+
+    val sales = Seq(
+      ("2025-12-01", "E1", "I1", "40000001", "USD", "100.0", "d"),
+      ("2025-12-01", "E1", "I1", "40000001", "USD", "100.0", "d"),  // dup (entity, invoice_id)
+      ("not-a-date", "E1", "I2", "40000001", "USD", "junk", "d"))   // dtype x2
+      .toDF("date", "entity", "invoice_id", "account_code", "currency", "amount", "description")
+    val salesTyped = sales.select(
+      col("date").try_cast("date"), col("entity"), col("invoice_id"), col("account_code"),
+      col("currency"), col("amount").try_cast("double"), col("description"))
+    val sexs = Quality.validateDataset(
+      spark, salesTyped, sales, "sales", Schemas.sales, Settings.default)
+      .select("check").as[String].collect().toSeq
+    assert(sexs.count(_.startsWith("duplicate_key")) === 1)
+    assert(sexs.count(_.startsWith("dtype")) === 2)
+  }
+
+  test("strict schema shape: missing column -> column_required, extra -> column_in_schema") {
+    val raw = Seq(("2025-12-01", "E1", "oops")).toDF("date", "entity", "bogus")
+    val typed = raw.select(col("date").cast("date"), col("entity"))
+    val exs = Quality.validateDataset(
+      spark, typed, raw, "sales", Schemas.sales, Settings.default)
+    val byCheck = exs.groupBy("check").count().as[(String, Long)].collect().toMap
+    assert(byCheck("column_required") === 5L)   // invoice_id, account_code, currency, amount, description
+    assert(byCheck("column_in_schema") === 1L)  // bogus
+    // missing-column severity must classify ERROR via "required"
+    val sev = Quality.addSeverity(exs)
+      .filter(col("check") === "column_required")
+      .select("severity").distinct().as[String].collect()
+    assert(sev.toSeq === Seq("ERROR"))
+  }
+
+  test("accountInCoa anti-join emits exceptions only for unknown codes") {
+    val df = Seq(("40000001", 1), ("99999999", 2)).toDF("account_code", "v")
+    val coa = Seq("40000001").toDF("account_code")
+    val exs = Quality.accountInCoaExceptions(df, "sales", coa).collect()
+    assert(exs.length === 1)
+    assert(exs.head.getAs[String]("failure_case") === "99999999")
+    assert(exs.head.getAs[String]("check") === "account_in_coa")
+  }
+}
