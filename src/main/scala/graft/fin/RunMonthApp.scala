@@ -44,6 +44,15 @@ object RunMonthApp {
       println(s"[close] fact=${result.fact}")
       println(s"[close] kpi=${result.kpi}")
       spark.read.parquet(result.kpi).show(truncate = false)
+
+      if (args.contains("--exports")) {
+        val bi = BiExport.export(spark, curatedDir, s"$workDir/bi", Some(month))
+        println(s"[close] bi=${bi.outDir}")
+        val star = StarExport.export(spark, curatedDir, s"$workDir/bi_star", Some(month))
+        println(s"[close] star=${star.outDir}")
+        val dash = Dashboard.build(spark, curatedDir, s"$workDir/dashboard.html", Some(month))
+        println(s"[close] dashboard=${dash.outHtml}")
+      }
     } finally spark.stop()
   }
 }
