@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpora.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is a single hash-aggregate on the dedup key (map-side
+  *     partial aggregation applies; no sort);
+  *   - near-dup never enumerates all pairs — candidates come either from
+  *     LSH band buckets ([[lshCandidates]]: shuffle keyed on
+  *     (band, h1, h2), pairs only within a bucket) or from a shared-shingle
+  *     inverted index ([[invertedIndexPairs]]: shuffle keyed on shingle
+  *     hash, with a document-frequency cap to bound hot-key blowup);
+  *   - the exact-jaccard confirmation join only touches the candidate set.
+  *
+  * [[bruteForcePairs]] (quadratic) exists as the exactness baseline used
+  * by tests and the small-SF oracle query — it broadcasts the smaller
+  * projection, but do not point it at a 100 TB corpus.
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact dedup: one survivor per key (lowest `idCol`), plus the group
+    * size. Single shuffle on the key; partial-agg friendly.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(idCol).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Per-document MinHash signature frame:
+    * (id, sh = distinct shingle hashes, mh0..mh7).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSh = df.select(col(idCol), shingleHashes(col(textCol)).as("sh"))
+    minhashSignature(col("sh")).foldLeft(withSh) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+  }
+
+  /** LSH candidate pairs: signature rows are chunked into bands of
+    * [[TextOps.BandRows]] hashes; docs agreeing on ALL hashes of any band
+    * land in the same bucket; pairs are emitted only within buckets.
+    * One explode (rows × nBands) + one shuffle on (band, h0, h1) — never
+    * quadratic in the corpus.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val nBands = MinhashParams.size / BandRows
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        col(s"mh${b * BandRows}").as("h0"),
+        col(s"mh${b * BandRows + 1}").as("h1"))
+    }: _*)
+    val bands = sigs
+      .select(col(idCol), explode(bandStructs).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.h0"), col("bk.h1"))
+    val a = bands.select(col("band"), col("h0"), col("h1"), col(idCol).as("a_id"))
+    val b = bands.select(col("band"), col("h0"), col("h1"), col(idCol).as("b_id"))
+    a.join(b, Seq("band", "h0", "h1"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Exact jaccard over the shingle-hash sets of the given candidate
+    * pairs. `sigs` must carry (idCol, sh). Joins are keyed on ids —
+    * candidate-set sized, not corpus², and broadcastable when the
+    * candidate set is small.
+    */
+  def confirmJaccard(candidates: DataFrame, sigs: DataFrame, idCol: String,
+                     threshold: Double): DataFrame = {
+    val sa = sigs.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
+    val sb = sigs.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    candidates
+      .join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-jaccard confirmation. Deterministic: same integer hash family
+    * on any engine yields the same candidate set.
+    */
+  def lshNearDups(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol)
+    confirmJaccard(lshCandidates(sigs, idCol), sigs, idCol, threshold)
+  }
+
+  /** Inverted-index candidate pairs: explode (id, shingle hash), drop
+    * shingles with document frequency above `dfCap` (hot shingles carry
+    * no dedup signal and explode quadratically), self-join on the shingle.
+    * The standard exact-recall candidate generator when shingle space
+    * grows with the corpus.
+    */
+  def invertedIndexPairs(df: DataFrame, idCol: String, textCol: String,
+                         dfCap: Int): DataFrame = {
+    val posting = df
+      .select(col(idCol), explode(shingleHashes(col(textCol))).as("shingle"))
+    val kept = posting
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val a = kept.select(col("shingle"), col(idCol).as("a_id"))
+    val b = kept.select(col("shingle"), col(idCol).as("b_id"))
+    a.join(b, "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** All-pairs jaccard ≥ threshold — exactness baseline for tests and
+    * small-SF oracles ONLY (quadratic: collects + broadcasts the shingle
+    * sets, so the corpus must fit on the driver; the scale path is
+    * [[lshNearDups]]). Pairwise work runs in a tight sorted-merge loop
+    * per partition rather than interpreted array-intersect expressions.
+    * jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct sets — identical
+    * integers, hence identical doubles, to the oracle's
+    * list_intersect/list_distinct(list_concat) form.
+    */
+  def bruteForcePairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast("long"), shingleHashes(col(textCol)).as("sh"))
+      .as[(Long, Seq[Long])]
+    val all = sh.collect().map { case (id, s) => (id, s.sorted.toArray) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    sh.flatMap { case (aId, aSeq) =>
+      val aSh = aSeq.sorted.toArray
+      bc.value.iterator
+        .filter(_._1 > aId)
+        .flatMap { case (bId, bSh) =>
+          val inter = sortedIntersectCount(aSh, bSh)
+          val j = inter.toDouble / (aSh.length + bSh.length - inter)
+          if (j >= threshold) Some((aId, bId, j)) else None
+        }
+    }.toDF("a_id", "b_id", "jaccard")
+  }
+
+  /** Count of common elements of two sorted distinct arrays (merge scan). */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Per-document 16-bit SimHash frame (id, simhash). Near-dups are docs
+    * at small Hamming distance; with 16 bits the bucket key is the hash
+    * itself plus single-bit probes.
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash16(tokenHashes(col(textCol))).as("simhash"))
+}

@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All vector math is built from codegen'd higher-order functions
+  * (`zip_with` + `aggregate` left-fold in double) — no UDFs. Elements are
+  * cast float→double (exact) before any arithmetic, and the dot-product
+  * fold is strictly left-to-right, so an external engine evaluating the
+  * same fold reproduces the doubles bit-for-bit.
+  *
+  * Scale design: [[bruteForceTopK]] broadcasts the (small) query set and
+  * scans the corpus once — linear, the right plan for "k queries vs 100 TB
+  * corpus". The quadratic all-pairs form exists only as [[nearDupPairs]]
+  * for small-SF oracles/tests. The sub-linear path is [[lshBuckets]] /
+  * [[annTopK]]: sign-of-projection buckets against a fixed pseudo-random
+  * hyperplane set, with Hamming-radius multiprobe; candidates come from a
+  * bucket-equi-join, never a cross join.
+  */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> (exact widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Strict left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the query set,
+    * one corpus scan, per-query row_number on (similarity desc, id asc).
+    * Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
+    * Quadratic: small-SF oracle/test baseline only (collects + broadcasts
+    * the vectors); the scale path is LSH-bucketed candidates + exact
+    * confirmation on the candidate set. The tight loop reproduces the
+    * declarative form's arithmetic exactly: float→double cast, strict
+    * left-fold dot/norm accumulation, cos = dot/(normA*normB).
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+    val all = v.collect().map { case (id, e) =>
+      val arr = e.toArray; (id, arr, normOf(arr))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    v.flatMap { case (aId, aSeq) =>
+      val a = aSeq.toArray
+      val na = normOf(a)
+      bc.value.iterator
+        .filter(_._1 > aId)
+        .flatMap { case (bId, b, nb) =>
+          val cos = dotOf(a, b) / (na * nb)
+          if (cos >= threshold) Some((aId, bId, cos)) else None
+        }
+    }.toDF("a_id", "b_id", "cos")
+  }
+
+  /** Strict left-fold dot product (same op order as [[dot]]). */
+  private def dotOf(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Euclidean norm via the same fold as [[norm]]. */
+  private def normOf(a: Array[Double]): Double = math.sqrt(dotOf(a, a))
+
+  /** Deterministic pseudo-random hyperplane matrix: `planes` rows ×
+    * `dim` cols, weights in [-10, 10] from integer arithmetic (no RNG —
+    * reproducible across engines and runs).
+    */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((i, j) => ((i * 131 + j * 37) % 21 - 10).toDouble)
+
+  /** Sign-of-projection LSH bucket id (one bit per hyperplane) as a
+    * per-row expression over an array<double> vector column.
+    */
+  def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, i) =>
+      val proj = dot(vec, array(w.map(lit): _*))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus with LSH bucket ids attached (map-side only; partition/bucket
+    * the output by `bucket` to co-locate candidates).
+    */
+  def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(nPlanes, dim)
+    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", bucketId(col("v"), hp))
+  }
+
+  /** Approximate top-k: candidates are corpus vectors whose bucket is
+    * within Hamming distance `probeRadius` of the query's bucket
+    * (multiprobe); exact cosine + row_number within candidates. The join
+    * is bucket-equi (query side exploded ×(1+nPlanes choose ≤radius)) —
+    * sub-linear per query when buckets are balanced.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 4, dim: Int = 64,
+              probeRadius: Int = 1): DataFrame = {
+    val hp = hyperplanes(nPlanes, dim)
+    val c = lshBuckets(corpus, idCol, vecCol, nPlanes, dim)
+      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("bucket"))
+    // enumerate probe buckets: the query bucket plus all buckets within
+    // the Hamming radius (bit flips enumerated at plan time)
+    val flips: Seq[Long] = {
+      def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
+        if (r == 0) Seq(Seq.empty)
+        else bits.combinations(r).toSeq ++ combos(bits, r - 1)
+      combos(0 until nPlanes, probeRadius).map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
+    }
+    val q = lshBuckets(queries, idCol, vecCol, nPlanes, dim)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("bucket"))
+      .withColumn("bucket", explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

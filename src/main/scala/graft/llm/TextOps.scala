@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, token hashing, shingling, MinHash signatures, SimHash,
+  * rolling-hash fingerprints, stopword/quality heuristics.
+  *
+  * Everything here is a pure per-row Column expression built from Spark's
+  * codegen'd higher-order functions (`transform`/`aggregate`/`filter`/
+  * `zip_with`) — no UDFs, no shuffles, fully whole-stage-codegen friendly.
+  * At 100 TB these run map-side inside the scan stage; the only shuffles
+  * in the derived dedup queries are the groupBy/join on hash keys.
+  *
+  * All hashing is integer arithmetic mod a fixed prime so that an external
+  * oracle (DuckDB) evaluating the same formulas reproduces values exactly —
+  * this is what makes MinHash/LSH results hash-verifiable across engines
+  * (floating point would not survive the round trip).
+  */
+object TextOps {
+
+  /** Modulus for the per-token/char polynomial rolling hash. */
+  val HashP = 1000000007L
+
+  /** Modulus for MinHash permutation hashes h(x) = (a*x + b) mod P. */
+  val MinhashP = 999999937L
+
+  /** Fixed (a, b) parameters for the MinHash permutation family.
+    * 8 hashes → 4 LSH bands of 2 rows each (see [[Dedup]]).
+    */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (379L, 91L), (1031L, 167L), (1543L, 271L), (2039L, 443L),
+    (2689L, 613L), (3181L, 787L), (3673L, 911L), (4219L, 1063L))
+
+  /** Rows per LSH band (signature is chunked into bands of this size). */
+  val BandRows = 2
+
+  /** English stopwords used by the language-ID / quality heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in")
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Left-fold without an initial value (first element seeds the fold),
+    * matching DuckDB's `list_reduce` semantics exactly.
+    */
+  def reduceNoInit(arr: Column, f: (Column, Column) => Column): Column =
+    aggregate(
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      element_at(arr, 1), f)
+
+  /** Polynomial char hash of one token: fold (acc*131 + ascii(c)) % HashP.
+    * Spark's `split(tok, "")` emits a trailing "" (Java split, limit -1)
+    * that DuckDB's `string_split` does not — filtered out for parity.
+    */
+  def tokenHash(tok: Column): Column = {
+    val chars = filter(split(tok, ""), c => c =!= lit(""))
+    val ints = transform(chars, c => ascii(c).cast("long"))
+    reduceNoInit(ints, (a, b) => (a * 131 + b) % HashP)
+  }
+
+  /** All token hashes of a text, in order (duplicates kept — used as
+    * SimHash weights).
+    */
+  def tokenHashes(text: Column): Column = transform(tokens(text), tokenHash(_))
+
+  /** Word n-gram shingles of a text as "w1 w2 …" strings, de-duplicated. */
+  def shingles(text: Column, n: Int = 2): Column = {
+    require(n >= 2, "use tokens() for n=1")
+    val ts = tokens(text)
+    val grams = (1 until n).foldLeft(slice(ts, lit(1), greatest(size(ts) - (n - 1), lit(0)))) {
+      (acc, i) =>
+        zip_with(acc, slice(ts, lit(1 + i), greatest(size(ts) - (n - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(grams)
+  }
+
+  /** Distinct hashes of the n-gram shingle set — the MinHash input. */
+  def shingleHashes(text: Column, n: Int = 2): Column =
+    array_distinct(transform(shingles(text, n), tokenHash(_)))
+
+  /** One MinHash value: min over the set of (a*x + b) % MinhashP. */
+  def minhash(hashSet: Column, a: Long, b: Long): Column =
+    array_min(transform(hashSet, x => (x * a + b) % MinhashP))
+
+  /** Full MinHash signature as one column per hash (mh0, mh1, …). */
+  def minhashSignature(hashSet: Column): Seq[(String, Column)] =
+    MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"mh$i" -> minhash(hashSet, a, b)
+    }
+
+  /** 16-bit SimHash over the (weighted) token-hash list: bit i is set when
+    * the sum of ±1 votes from each token's i-th hash bit is positive.
+    * Pure per-row expression — bit index is a Scala-level constant so
+    * `shiftright` stays codegen'd.
+    */
+  def simhash16(tokenHashList: Column): Column =
+    (0 until 16).map { i =>
+      val votes = aggregate(tokenHashList, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Order-sensitive rolling-hash fingerprint of the whole document:
+    * fold (acc*31 + tokenHash) % HashP over tokens in order. Two docs get
+    * equal fingerprints iff their token sequences hash identically —
+    * an exact-dup candidate key that ignores inter-token whitespace.
+    */
+  def fingerprint(text: Column): Column =
+    reduceNoInit(tokenHashes(text), (a, b) => (a * 31 + b) % HashP)
+
+  /** Number of stopword occurrences among the tokens. */
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap proxy for subword tokenizer counts.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+
+  // ---- DuckDB oracle SQL fragments (same formulas, same constants) ----
+
+  /** SQL: whitespace tokens of trim(text). */
+  val sqlTokens = raw"string_split_regex(trim(text), '\s+')"
+
+  /** SQL: polynomial char hash of token expression `t`. */
+  def sqlTokenHash(t: String): String =
+    s"list_reduce(list_transform(string_split($t, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"(a, b) -> (a*131 + b) % $HashP)"
+
+  /** SQL: ordered token-hash list of the document. */
+  val sqlTokenHashes: String =
+    s"list_transform($sqlTokens, t -> ${sqlTokenHash("t")})"
+
+  /** SQL: distinct bigram-shingle hash set of the document. */
+  val sqlShingleHashes: String = {
+    val ts = sqlTokens
+    val grams = s"list_transform(list_zip($ts[1:len($ts)-1], $ts[2:len($ts)]), s -> s[1] || ' ' || s[2])"
+    s"list_distinct(list_transform($grams, t -> ${sqlTokenHash("t")}))"
+  }
+
+  /** SQL: one MinHash value over hash-set expression `hs`. */
+  def sqlMinhash(hs: String, a: Long, b: Long): String =
+    s"list_min(list_transform($hs, x -> (x*$a + $b) % $MinhashP))"
+
+  /** SQL: 16-bit SimHash over token-hash-list expression `th`. */
+  def sqlSimhash16(th: String): String =
+    (0 until 16).map { i =>
+      s"(CASE WHEN list_sum(list_transform($th, h -> ((h >> $i) & 1)*2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** SQL: rolling-hash fingerprint over token-hash-list expression `th`. */
+  def sqlFingerprint(th: String): String =
+    s"list_reduce($th, (a, b) -> (a*31 + b) % $HashP)"
+
+  /** SQL: stopword hit count. */
+  val sqlStopwordHits: String =
+    s"len(list_filter($sqlTokens, t -> t IN (${Stopwords.map(s => s"'$s'").mkString(", ")})))"
+
+  /** SQL: BPE-ish token count. */
+  val sqlBpeTokenCount = raw"len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))"
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.TextOps._
+
+/** LLM-training-data-pipeline queries over the shared `documents` /
+  * `embeddings` tables, each paired with DuckDB oracle SQL built from the
+  * SAME hash constants/formulas as the Spark expressions (single source of
+  * truth in [[graft.llm.TextOps]]), so integer hashes match bit-for-bit
+  * and double arithmetic (strict left folds on both engines) reproduces.
+  *
+  * Scale notes: text/hash ops are per-row map-side expressions; dedup
+  * candidates come from LSH band buckets (shuffle on band keys, never
+  * all-pairs) — `ngram_jaccard`/`cosine_near_dup` are the quadratic
+  * exactness baselines kept for the small-SF oracle, with the linear/
+  * bucketed variants (`lsh_near_dup`, `cosine_topk` broadcast-query scan,
+  * `ann_lsh_topk`) as the 100 TB paths.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: token counting (whitespace + BPE-ish regex)
+    "token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"),
+        array_max(transform(tokens(col("text")), t => length(t).cast("long"))).as("max_tok_len"),
+        bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        stopwordHits(col("text")).cast("long").as("stop_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: stopword evidence vs the labeled lang column
+    "lang_id" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        when(stopwordHits(col("text")) > 0, "en").otherwise("unk").as("pred_lang"),
+        col("lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: integer-weighted length/stopword/diversity signals
+    "quality_score" -> ((s, dir) => {
+      val ts = tokens(col("text"))
+      val nTok = size(ts)
+      val score =
+        when(nTok >= 40 && nTok <= 1000, 1L).otherwise(0L) +
+          when(stopwordHits(col("text")) > 0, 1L).otherwise(0L) +
+          when(array_max(transform(ts, t => length(t))) <= 10, 1L).otherwise(0L) +
+          when(size(array_distinct(ts)) * 3 >= nTok, 1L).otherwise(0L)
+      docs(s, dir).select(col("doc_id"), col("n_chars"), score.as("score"))
+        .withColumn("bucket",
+          when(col("score") >= 4, "high").when(col("score") >= 2, "medium").otherwise("low"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: order-sensitive rolling hash over tokens
+    "doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: survivor id + group size per identical text
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), Seq("text"), "doc_id")
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (8 permutation hashes over bigram shingles)
+    "minhash_signature" -> ((s, dir) => {
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+        .drop("sh")
+        .orderBy("doc_id")
+    }),
+
+    // 16-bit SimHash per document
+    "simhash" -> ((s, dir) => {
+      Dedup.simhashes(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup: banded candidates + exact-jaccard confirm
+    "lsh_near_dup" -> ((s, dir) => {
+      Dedup.lshNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // n-gram jaccard all-pairs baseline (small-SF oracle for the LSH path)
+    "ngram_jaccard" -> ((s, dir) => {
+      Dedup.bruteForcePairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Exact cosine top-k: broadcast query set, one corpus scan
+    "cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding near-dup pairs above a cosine threshold
+    "cosine_near_dup" -> ((s, dir) => {
+      Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // LSH-bucketed ANN (multiprobe) — approximate, no SQL oracle;
+    // recall is asserted against bruteForceTopK in ScalaTest.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nPlanes = 4, dim = 64, probeRadius = 1)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ---- DuckDB oracle SQL (same constants via TextOps.sql* builders) ----
+
+  private val sqlCos =
+    "list_sum(list_transform(list_zip(q.e, c.e), s -> s[1]*s[2])) / " +
+      "(sqrt(list_sum(list_transform(q.e, x -> x*x))) * sqrt(list_sum(list_transform(c.e, x -> x*x))))"
+
+  private val sqlSigs: String = {
+    val mhCols = MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"${sqlMinhash("sh", a, b)} AS mh$i" }
+      .mkString(",\n         ")
+    s"""sigs AS (
+       |  SELECT doc_id, sh,
+       |         $mhCols
+       |  FROM (SELECT doc_id, $sqlShingleHashes AS sh FROM documents))""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "token_stats" ->
+      s"""SELECT doc_id,
+         |       len($sqlTokens) AS n_tokens,
+         |       len(list_distinct($sqlTokens)) AS n_uniq,
+         |       list_max(list_transform($sqlTokens, t -> CAST(len(t) AS BIGINT))) AS max_tok_len,
+         |       $sqlBpeTokenCount AS bpe_tokens,
+         |       $sqlStopwordHits AS stop_hits
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN $sqlStopwordHits > 0 THEN 'en' ELSE 'unk' END AS pred_lang,
+         |       lang,
+         |       (CASE WHEN $sqlStopwordHits > 0 THEN 'en' ELSE 'unk' END) = lang AS is_match
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""SELECT doc_id, n_chars,
+         |       (CASE WHEN len($sqlTokens) BETWEEN 40 AND 1000 THEN 1 ELSE 0 END
+         |        + CASE WHEN $sqlStopwordHits > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN list_max(list_transform($sqlTokens, t -> len(t))) <= 10 THEN 1 ELSE 0 END
+         |        + CASE WHEN len(list_distinct($sqlTokens)) * 3 >= len($sqlTokens) THEN 1 ELSE 0 END)
+         |         AS score,
+         |       CASE WHEN score >= 4 THEN 'high' WHEN score >= 2 THEN 'medium' ELSE 'low' END AS bucket
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, ${sqlFingerprint(sqlTokenHashes)} AS fp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+
+    "minhash_signature" ->
+      s"""WITH $sqlSigs
+         |SELECT doc_id, ${MinhashParams.indices.map(i => s"mh$i").mkString(", ")}
+         |FROM sigs
+         |ORDER BY doc_id""".stripMargin,
+
+    "simhash" ->
+      s"""SELECT doc_id, ${sqlSimhash16("th")} AS simhash
+         |FROM (SELECT doc_id, $sqlTokenHashes AS th FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "lsh_near_dup" ->
+      s"""WITH $sqlSigs,
+         |bands AS (
+         |${(0 until MinhashParams.size / BandRows).map(b =>
+             s"  SELECT doc_id, $b AS band, mh${b * BandRows} AS h0, mh${b * BandRows + 1} AS h1 FROM sigs")
+             .mkString("\n  UNION ALL\n")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT a_id, b_id,
+         |         len(list_intersect(sa.sh, sb.sh))
+         |           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.sh, b.sh))
+         |           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $sqlCos AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "cosine_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, $sqlCos AS cos
+         |  FROM v q JOIN v c ON q.vec_id < c.vec_id)
+         |WHERE cos >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val base = "spark scan filter join group agg sort window merge batch stream table"
+    Seq(
+      (0L, base),
+      (1L, base),                                 // exact dup of 0
+      (2L, base + " extra"),                      // near dup of 0 (one token appended)
+      (3L, "totally different words live in this document nothing shared at all"),
+      (4L, "another unrelated text with its own private vocabulary entirely")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id and counts the group") {
+    val out = Dedup.exact(corpus, Seq("text"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length === 4)
+    val dupRow = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(dupRow.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("brute-force pairs finds exact and near dups above threshold") {
+    val pairs = Dedup.bruteForcePairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))  // identical → jaccard 1.0
+    assert(pairs.contains((0L, 2L)))  // 11/12 shingles shared
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH near-dups equals brute force on high-similarity pairs") {
+    val lsh = Dedup.lshNearDups(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs always agree on every band
+    assert(lsh.contains((0L, 1L)))
+    // LSH is a subset of the exact answer (no false positives post-confirm)
+    val brute = Dedup.bruteForcePairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("LSH recall on the sf0.001 planted near-dups is high") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val brute = Dedup.bruteForcePairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDups(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty)
+      assert(lsh.size.toDouble / brute.size >= 0.8,
+        s"LSH recall ${lsh.size}/${brute.size} below 0.8")
+  }
+
+  test("inverted-index candidates cover all true near-dup pairs when uncapped") {
+    val cand = Dedup.invertedIndexPairs(corpus, "doc_id", "text", dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForcePairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(cand), "a pair with jaccard ≥ 0.5 must share a shingle")
+  }
+
+  test("df cap drops hot-shingle candidates") {
+    // cap 1 → no shingle is shared by ≤1 docs → no candidates at all
+    val cand = Dedup.invertedIndexPairs(corpus, "doc_id", "text", dfCap = 1)
+    assert(cand.count() === 0L)
+  }
+
+  test("simhash of near-dups is close in Hamming distance") {
+    val sh = Dedup.simhashes(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L)) // identical text → identical simhash
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) <= 4, "near-dup should be Hamming-close")
+    assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)),
+      "unrelated doc should be farther than the near-dup")
+  }
+}

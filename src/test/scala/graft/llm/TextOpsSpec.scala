@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import TextOps._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("v")).head().get(0)
+  }
+
+  /** Reference implementation of the char-polynomial hash. */
+  private def refTokenHash(tok: String): Long =
+    tok.map(_.toLong).reduce((a, b) => (a * 131 + b) % HashP)
+
+  test("tokenHash matches the reference polynomial fold") {
+    for (tok <- Seq("spark", "a", "merge", "query1"))
+      assert(one(tok, tokenHash(col("text"))) === refTokenHash(tok))
+  }
+
+  test("tokens splits on runs of whitespace after trim") {
+    assert(one("  a  b\tc ", tokens(col("text"))) ===
+      Seq("a", "b", "c"))
+  }
+
+  test("bigram shingles are consecutive pairs, de-duplicated") {
+    assert(one("a b c a b", shingles(col("text"))) ===
+      Seq("a b", "b c", "c a"))
+  }
+
+  test("trigram shingles") {
+    assert(one("a b c d", shingles(col("text"), 3)) ===
+      Seq("a b c", "b c d"))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp1 = one("alpha beta", fingerprint(col("text")))
+    val fp2 = one("beta alpha", fingerprint(col("text")))
+    assert(fp1 !== fp2)
+    val expected = {
+      val h = Seq("alpha", "beta").map(refTokenHash)
+      h.reduce((a, b) => (a * 31 + b) % HashP)
+    }
+    assert(fp1 === expected)
+  }
+
+  test("minhash is the min of the permuted hash set") {
+    // doc "x y z": tokens x y z → bigram shingles "x y", "y z"
+    val shHashes = Seq("x y", "y z").map(refTokenHash)
+    val (a, b) = MinhashParams.head
+    val expected = shHashes.map(x => (x * a + b) % MinhashP).min
+    assert(one("x y z", minhash(shingleHashes(col("text")), a, b)) === expected)
+  }
+
+  test("simhash16 stays within 16 bits and shifts with content") {
+    val s1 = one("spark table join", simhash16(tokenHashes(col("text")))).asInstanceOf[Long]
+    val s2 = one("completely different words here", simhash16(tokenHashes(col("text")))).asInstanceOf[Long]
+    assert(s1 >= 0L && s1 < (1L << 16))
+    assert(s2 >= 0L && s2 < (1L << 16))
+    assert(s1 !== s2)
+  }
+
+  test("stopword hits counts occurrences, not distinct") {
+    assert(one("the cat the dog a fish", stopwordHits(col("text"))) === 3)
+  }
+
+  test("bpe-ish token count splits letter runs, digit runs, symbols") {
+    assert(one("abc123 de-f", bpeTokenCount(col("text"))) === 5)
+  }
+}

@@ -9,8 +9,9 @@ class CoreQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("every query has an oracle and every oracle has a query") {
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  test("every oracle has a query; only declared-approximate ops lack one") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set("ann_lsh_topk"))
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
@@ -19,7 +20,8 @@ class CoreQueriesSpec extends SparkSpec {
       val n = df.count()
       assert(n >= 0)
       // queries that must be non-empty at any SF
-      if (!Set("dup_check", "anti_join", "ci_filter").contains(name))
+      if (!Set("dup_check", "anti_join", "ci_filter",
+          "lsh_near_dup", "ngram_jaccard", "cosine_near_dup").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
