@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * All transforms are source-agnostic: they accept any DataFrame —
+  * `readStream` (kafka/file) in production, MemoryStream in tests, or a
+  * batch frame for backfill — and the same code runs in both modes
+  * (Spark's unified batch/streaming semantics).
+  *
+  * Scale notes: watermarks bound state (late data beyond the watermark is
+  * dropped, window state is evicted); the windowed aggregations are
+  * partial-agg friendly and shuffle on (window, key); sessionization
+  * state lives per user_id in the state store, keyed shuffle only.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, session_start: Timestamp,
+                            session_end: Timestamp, n_events: Long,
+                            total_value: Double)
+
+  /** Internal session accumulator — public because the state encoder's
+    * generated code must access its accessors (and `sum` as a field name
+    * would shadow the inherited Product method in that codegen).
+    */
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Tumbling event-time window counts/sums per event_type, watermarked.
+    * Append-mode capable: results finalize when the watermark passes the
+    * window end.
+    */
+  def windowedAgg(events: DataFrame, watermark: String = "1 hour",
+                  window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Declarative sessionization via the built-in session_window (gap
+    * closes a session; watermark finalizes and evicts it).
+    */
+  def sessionWindowAgg(events: DataFrame, watermark: String = "1 hour",
+                       gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState with
+    * event-time timeout: sessions are held open in the state store while
+    * events keep arriving within `gapMs`, and emitted (Append mode) once
+    * the watermark passes the session end + gap. Demonstrates arbitrary
+    * stateful processing beyond what session_window expresses (e.g.
+    * per-session running aggregates with custom merge rules).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            // merge the micro-batch into open sessions; emit any session
+            // closed by a gap WITHIN the batch immediately, keep the last
+            // one open in state until the watermark passes its gap
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionSummary(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Read an events parquet path as a file stream (schema pinned — a
+    * streaming source never infers; TIMESTAMP(NANOS) surfaces as long
+    * under the legacy conf, converted to micros with integer division).
+    * File-stream sources require a directory, so a single-file path is
+    * streamed via its parent + pathGlobFilter.
+    */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(path)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamSpec extends SparkSpec {
+  import EventStream._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-06-01 10:$minute%02d:00")
+
+  private def hourTs(h: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-06-01 $h%02d:$minute%02d:00")
+
+  test("windowedAgg on a batch frame groups by tumbling hour") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, hourTs(10, 5), 1, "click", 1.0),
+      Event(2, hourTs(10, 55), 1, "click", 2.0),
+      Event(3, hourTs(11, 5), 2, "view", 5.0)).toDF()
+    val out = windowedAgg(batch).collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toSet
+    assert(out === Set(
+      (hourTs(10, 0), "click", 2L, 3.0),
+      (hourTs(11, 0), "view", 1L, 5.0)))
+  }
+
+  test("windowedAgg streams with watermark in update mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedAgg(mem.toDF()).writeStream
+      .format("memory").queryName("win_agg").outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Event(1, hourTs(10, 5), 1, "click", 1.0),
+        Event(2, hourTs(10, 20), 2, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+      assert(rows.exists(r => r.getAs[Long]("n") == 2L &&
+        r.getAs[String]("event_type") == "click"))
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg merges events within the gap on batch input") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),   // same session (gap 30m)
+      Event(3, ts(55), 1, "click", 4.0),   // new session (45m gap)
+      Event(4, ts(5), 2, "view", 8.0)).toDF()
+    val out = sessionWindowAgg(batch).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    assert(out === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("sessionize emits sessions closed within a batch and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      // two sessions for user 1 in one batch: the first closes by in-batch gap
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(50), 1, "click", 4.0))
+      q.processAllAvailable()
+      val afterBatch = spark.table("sessions").as[SessionSummary].collect()
+      assert(afterBatch.toSeq === Seq(SessionSummary(1L, ts(0), ts(5), 2L, 3.0)))
+
+      // advance the watermark far past user 1's open session → timeout fires
+      mem.addData(Event(9, Timestamp.valueOf("2025-06-01 14:00:00"), 2, "view", 0.5))
+      q.processAllAvailable()
+      // one more batch so the state-store timeout is evaluated
+      mem.addData(Event(10, Timestamp.valueOf("2025-06-01 14:01:00"), 2, "view", 0.5))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[SessionSummary].collect()
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1L && s.total_value == 4.0),
+        s"open session should close via event-time timeout; got ${all.toSeq}")
+    } finally q.stop()
+  }
+
+  test("readEventStream processes the sf0.001 events directory end-to-end") {
+    val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(stream.isStreaming)
+    val q = windowedAgg(stream, watermark = "1 hour").writeStream
+      .format("memory").queryName("file_stream_agg").outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_stream_agg").count()
+      assert(n > 0, "file stream should produce windowed aggregates")
+    } finally q.stop()
+  }
+}
