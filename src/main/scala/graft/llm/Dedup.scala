@@ -87,7 +87,10 @@ object Dedup {
     */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol)
+    // sigs feeds the band explode AND both sides of the confirm join —
+    // cache so shingle+minhash expressions run once per doc, not three
+    // times (at larger scale this is where you'd checkpoint signatures)
+    val sigs = minhashSignatures(df, idCol, textCol).cache()
     confirmJaccard(lshCandidates(sigs, idCol), sigs, idCol, threshold)
   }
 
@@ -127,7 +130,10 @@ object Dedup {
                       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = df.select(col(idCol).cast("long"), shingleHashes(col(textCol)).as("sh"))
+    // a small parquet file arrives as 1-2 input splits; spread the O(n²)
+    // pair loop across all cores
+    val sh = df.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long"), shingleHashes(col(textCol)).as("sh"))
       .as[(Long, Seq[Long])]
     val all = sh.collect().map { case (id, s) => (id, s.sorted.toArray) }
       .sortBy(_._1)

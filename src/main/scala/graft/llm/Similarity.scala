@@ -63,7 +63,8 @@ object Similarity {
                    threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val v = corpus.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+    val v = corpus.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .as[(Long, Seq[Double])]
     val all = v.collect().map { case (id, e) =>
       val arr = e.toArray; (id, arr, normOf(arr))
