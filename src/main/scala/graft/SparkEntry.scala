@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{CoreQueries, LlmQueries}
+import graft.operators.{CoreQueries, EventQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,12 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ LlmQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
     * driver then records a weaker rows-only check — currently only
     * ann_lsh_topk, whose recall is asserted in ScalaTest instead). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ LlmQueries.oracleSql
+    CoreQueries.oracleSql ++ LlmQueries.oracleSql ++ EventQueries.oracleSql
 }

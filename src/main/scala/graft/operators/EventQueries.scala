@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-analytics queries over the `events` table: JSON prop extraction,
+  * as-of/lag sequencing, and batch session-window analysis — the
+  * clickstream-shaped operations a training-data pipeline runs next to
+  * document processing.
+  *
+  * Timestamps: events.parquet carries TIMESTAMP(NANOS), which Spark only
+  * reads as long under the legacy conf; `ts div 1000` truncates to micros
+  * exactly as DuckDB's native nanos→micros conversion does (verified
+  * empirically — both truncate, neither rounds), so micros-long outputs
+  * compare bit-for-bit. All windows order by (ts_us, event_id) for a
+  * total order under timestamp ties.
+  *
+  * Scale notes: the lag/session windows shuffle once on user_id (the
+  * natural key); session analysis uses Spark's native session_window
+  * aggregation (state-free in batch, partial-agg capable), not a
+  * collect-based gaps-and-islands pass.
+  */
+object EventQueries {
+
+  private val GapUs = 1800000000L // 30 minutes in microseconds
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  private def decSum(c: org.apache.spark.sql.Column, scale: Int = 6) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON prop extraction + grouped stats over the extracted value
+    "event_props_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // As-of self-sequencing: each event joined to the user's previous
+    // event via lag — one shuffle on user_id
+    "user_prev_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_event_id", lag("event_id", 1).over(w))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Batch sessionization via native session_window (30-minute gap):
+    // session spans [min ts, max ts + gap)
+    "event_sessions" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("ts_m", timestamp_micros(col("ts_us")))
+        .groupBy(session_window(col("ts_m"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+        .select(
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("user_id"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_us")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "event_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "user_prev_event" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       lag(event_id) OVER w AS prev_event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "event_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         |m AS (
+         |  SELECT user_id, us, value,
+         |         CASE WHEN lag(us) OVER w IS NULL
+         |                OR us - lag(us) OVER w >= $GapUs THEN 1 ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         |s AS (
+         |  SELECT user_id, us, value,
+         |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+         |                             ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT MIN(us) AS session_start_us, MAX(us) + $GapUs AS session_end_us,
+         |       user_id, COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM s
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin
+  )
+}

@@ -116,6 +116,36 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Deterministic hash-mod sampling: the way you actually sample a
+    // 100 TB corpus — reproducible, no RNG state, pushes down to the scan
+    "hash_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .filter((col("doc_id") * lit(2654435761L)) % 100 < 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus token-frequency top-k (explode → count → top-k)
+    "token_freq" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(20)
+    }),
+
+    // Per-source document-length quantiles (exact percentile)
+    "doc_len_quantiles" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"))
+        .orderBy("source")
+    }),
+
     // LSH-bucketed ANN (multiprobe) — approximate, no SQL oracle;
     // recall is asserted against bruteForceTopK in ScalaTest.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -243,6 +273,28 @@ object LlmQueries {
          |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, $sqlCos AS cos
          |  FROM v q JOIN v c ON q.vec_id < c.vec_id)
          |WHERE cos >= 0.4
-         |ORDER BY a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "hash_sample" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_freq" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest($sqlTokens) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 20""".stripMargin,
+
+    "doc_len_quantiles" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       quantile_cont(n_chars, 0.25) AS p25,
+        |       quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }
