@@ -146,6 +146,38 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the canonical cleanup pass before tokenization
+    "text_normalize" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top terms per document (smooth idf, rounded for cross-engine
+    // float stability; rank ties broken on the rounded value + term)
+    "tfidf_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df_), "token")
+        .withColumn("tfidf",
+          bround(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    }),
+
     // LSH-bucketed ANN (multiprobe) — approximate, no SQL oracle;
     // recall is asserted against bruteForceTopK in ScalaTest.
     "ann_lsh_topk" -> ((s, dir) => {
@@ -295,6 +327,30 @@ object LlmQueries {
         |       quantile_cont(n_chars, 0.75) AS p75
         |FROM documents
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |         round(tf.tf * (ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+         |  FROM tf JOIN df USING (token))
+         |SELECT doc_id, rank, token, tf, df, tfidf FROM (
+         |  SELECT doc_id, token, tf, df, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
   )
 }
