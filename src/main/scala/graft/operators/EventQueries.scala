@@ -58,6 +58,22 @@ object EventQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // As-of join: each error event picks the user's latest prior
+    // purchase (union+running-window implementation; DuckDB oracles it
+    // with its native ASOF JOIN)
+    "asof_prev_purchase" -> ((s, dir) => {
+      val e = events(s, dir)
+      val errs = e.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "ts_us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      AsofJoin.asofBackward(errs, purchases, Seq("user_id"), "ts_us", "ts_us")
+        .withColumnRenamed("asof_ts", "prev_purchase_ts_us")
+        .withColumn("gap_us", col("ts_us") - col("prev_purchase_ts_us"))
+        .select("user_id", "event_id", "ts_us", "prev_purchase_ts_us", "gap_us")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -90,6 +106,14 @@ object EventQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "asof_prev_purchase" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, l.us AS ts_us, r.us AS prev_purchase_ts_us,
+        |       l.us - r.us AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.user_id, ts_us, event_id""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

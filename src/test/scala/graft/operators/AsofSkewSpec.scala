@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class AsofSkewSpec extends SparkSpec {
+
+  test("asofBackward picks the greatest right ts <= left ts, inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 20L), (1L, 102L, 25L), (2L, 200L, 5L))
+      .toDF("k", "id", "t")
+    val right = Seq((1L, 10L), (1L, 15L), (1L, 22L), (2L, 50L)).toDF("k", "rt")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "rt")
+      .select("id", "asof_ts").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(100L) === Some(10L))  // equal ts is inclusive
+    assert(out(101L) === Some(15L))  // 15 < 20 < 22
+    assert(out(102L) === Some(22L))
+    assert(out(200L) === None)       // right ts all after left
+  }
+
+  test("asof query implementation matches a per-row reference on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("asof_prev_purchase")(spark, dir).collect()
+    assert(out.length > 0)
+    // reference: collect purchases, resolve each error event by scan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "us").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    out.foreach { r =>
+      val (u, t) = (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"))
+      val expected = purchases.get(u).flatMap(ts => ts.takeWhile(_ <= t).lastOption)
+      val got = if (r.isNullAt(r.fieldIndex("prev_purchase_ts_us"))) None
+      else Some(r.getAs[Long]("prev_purchase_ts_us"))
+      assert(got === expected, s"user $u ts $t")
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, Seq("l_orderkey"),
+      saltFrom = Seq("l_linenumber", "l_partkey"), n = 8)
+    assert(salted.count() === plain.count())
+    val pSum = plain.agg(sum("l_extendedprice")).head().getDouble(0)
+    val sSum = salted.agg(sum("l_extendedprice")).head().getDouble(0)
+    assert(math.abs(pSum - sSum) < 1e-6)
+  }
+
+  test("salted two-phase sum equals the direct grouped sum") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"), "l_quantity",
+      saltFrom = Seq("l_orderkey"), n = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet === direct.keySet)
+    // integral quantities: sums are exact in double regardless of order
+    salted.foreach { case (k, v) => assert(v === direct(k)) }
+  }
+}
