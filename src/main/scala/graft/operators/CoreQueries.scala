@@ -228,6 +228,23 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // SQL entry point: the same engine drives ANSI SQL text via
+    // spark.sql over registered views (TPC-H Q1-shaped pricing summary);
+    // decimal-routed sums keep the hash cross-engine stable
+    "sql_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          |       COUNT(*) AS count_order
+          |FROM v_lineitem
+          |WHERE l_shipdate <= DATE '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Streaming-shaped batch analog: tumbling 1h event-time window aggregation
     // over the events table (SURVEY.md §2.9 stretch; batch windowing here,
     // Structured Streaming variant in graft.streaming). The events table
@@ -386,6 +403,17 @@ object CoreQueries {
         |FROM customer
         |WHERE lower(c_mktsegment) = 'building' AND contains(lower(c_name), '1')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "event_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -111,6 +111,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream join: each purchase joined to error events of the
+    * same user occurring within `windowExpr` after it. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so state for both streams is evictable — the required shape for an
+    * unbounded stream-stream join (state would grow forever otherwise).
+    * Works identically on batch frames.
+    */
+  def purchaseErrorJoin(events: DataFrame,
+                        windowExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(errors,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr(windowExpr))
+      .select("user_id", "purchase_id", "p_ts", "error_id", "e_ts")
+  }
+
   /** Read an events parquet path as a file stream (schema pinned — a
     * streaming source never infers; TIMESTAMP(NANOS) surfaces as long
     * under the legacy conf, converted to micros with integer division).

@@ -86,6 +86,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseErrorJoin matches errors within the window, streaming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = purchaseErrorJoin(mem.toDF()).writeStream
+      .format("memory").queryName("pe_join").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "purchase", 10.0),
+        Event(2, ts(30), 1, "error", 0.0),   // within 1h of purchase 1
+        Event(3, ts(5), 2, "error", 0.0),    // other user: no purchase
+        Event(4, hourTs(13, 0), 1, "error", 0.0)) // 3h later: outside window
+      q.processAllAvailable()
+      val rows = spark.table("pe_join").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("error_id"))).toSet
+      assert(rows === Set((1L, 1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("purchaseErrorJoin gives the same pairs on a batch frame") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(0), 1, "purchase", 10.0),
+      Event(2, ts(30), 1, "error", 0.0),
+      Event(4, hourTs(13, 0), 1, "error", 0.0)).toDF()
+    val rows = purchaseErrorJoin(batch).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    assert(rows === Set((1L, 2L)))
+  }
+
   test("readEventStream processes the sf0.001 events directory end-to-end") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
     assert(stream.isStreaming)
