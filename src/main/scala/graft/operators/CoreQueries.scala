@@ -228,6 +228,41 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // Q5-shaped 6-table star join: fact (lineitem) against five dims,
+    // every dim side broadcast (region→nation→supplier/customer chains
+    // collapse into broadcast hash joins; only the fact scans at scale)
+    "region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      // orders is fact-sized: no broadcast hint — Catalyst broadcasts it
+      // at small SF and shuffles (or uses bucketed layout) at scale
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su),
+          li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Dim-enrich rollup over the part table (broadcast dictionary join)
+    "brand_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          sum("l_quantity").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // SQL entry point: the same engine drives ANSI SQL text via
     // spark.sql over registered views (TPC-H Q1-shaped pricing summary);
     // decimal-routed sums keep the hash cross-engine stable
@@ -403,6 +438,28 @@ object CoreQueries {
         |FROM customer
         |WHERE lower(c_mktsegment) = 'building' AND contains(lower(c_name), '1')
         |ORDER BY c_custkey""".stripMargin,
+
+    "region_revenue" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "brand_revenue" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "sql_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
