@@ -29,11 +29,46 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(idCol).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Typed fast path: per-doc distinct bigram-shingle hash sets computed
+    * in a tight JVM loop. Arithmetic is IDENTICAL to the declarative
+    * [[TextOps.shingleHashes]] (verified by spec): trim of spaces, Java
+    * `\s+` split (the same regex Spark's `split` uses), per-shingle char
+    * fold (acc*131 + char) % HashP. ASCII-equivalent to `ascii()` per
+    * char; documents are ASCII.
+    */
+  private[llm] def shingleHashSets(df: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          .split("\\s+")
+        val seen = new java.util.LinkedHashSet[Long]()
+        var i = 0
+        while (i < toks.length - 1) {
+          var h = 0L
+          val a = toks(i); val b = toks(i + 1)
+          var j = 0
+          while (j < a.length) { h = (h * 131 + a.charAt(j)) % TextOps.HashP; j += 1 }
+          h = (h * 131 + ' ') % TextOps.HashP
+          j = 0
+          while (j < b.length) { h = (h * 131 + b.charAt(j)) % TextOps.HashP; j += 1 }
+          seen.add(h)
+          i += 1
+        }
+        (id, seen.toArray(Array.empty[java.lang.Long]).map(_.longValue))
+      })
+      .toDF(idCol, "sh")
+  }
+
   /** Per-document MinHash signature frame:
     * (id, sh = distinct shingle hashes, mh0..mh7).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSh = df.select(col(idCol), shingleHashes(col(textCol)).as("sh"))
+    val withSh = shingleHashSets(df, idCol, textCol)
     minhashSignature(col("sh")).foldLeft(withSh) {
       case (acc, (name, c)) => acc.withColumn(name, c)
     }
@@ -130,10 +165,7 @@ object Dedup {
                       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // a small parquet file arrives as 1-2 input splits; spread the O(n²)
-    // pair loop across all cores
-    val sh = df.repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol).cast("long"), shingleHashes(col(textCol)).as("sh"))
+    val sh = shingleHashSets(df, idCol, textCol)
       .as[(Long, Seq[Long])]
     val all = sh.collect().map { case (id, s) => (id, s.sorted.toArray) }
       .sortBy(_._1)

@@ -71,6 +71,17 @@ class DedupSpec extends SparkSpec {
     assert(cand.count() === 0L)
   }
 
+  test("typed shingle-hash fast path equals the declarative HOF form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val declarative = docs
+      .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val typed = Dedup.shingleHashSets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(typed === declarative)
+  }
+
   test("simhash of near-dups is close in Hamming distance") {
     val sh = Dedup.simhashes(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
