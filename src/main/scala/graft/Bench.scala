@@ -7,13 +7,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // match Verify's plans
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up the JVM (codegen, parquet readers) and the file indexes so
+    // events.parquet is TIMESTAMP(NANOS) — unreadable without this conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // warm up the JVM (codegen, parquet readers) and ALL file indexes so
     // per-query timings measure the queries, not first-touch session cost
-    Seq("lineitem", "orders", "customer", "documents", "embeddings")
+    Seq("lineitem", "orders", "customer", "documents", "embeddings",
+      "events", "part", "supplier", "nation", "region")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

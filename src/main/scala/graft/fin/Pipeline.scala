@@ -102,13 +102,16 @@ object Pipeline {
     val fx = Transform.fxToBase(fxRates, settings.baseCurrency)
     val fact = Transform.toFactTransactions(
       salesM, expensesM, payrollM, inventoryM, fx, settings.baseCurrency)
-    val kpi = Transform.kpiMonthly(fact, dimAccounts)
 
     val factPath = s"$curatedDir/fact_transactions.parquet"
     val dimPath = s"$curatedDir/dim_accounts.parquet"
     val kpiPath = s"$curatedDir/kpi_monthly.parquet"
     Io.writeParquet(fact, factPath)
     Io.writeParquet(dimAccounts, dimPath)
+    // build the KPI from the just-written fact (column-pruned parquet
+    // scan) rather than the lazy raw→union→FX plan — otherwise the whole
+    // fact pipeline would execute a second time for the KPI write
+    val kpi = Transform.kpiMonthly(spark.read.parquet(factPath), dimAccounts)
     Io.writeParquet(kpi, kpiPath)
 
     RunResult(dqExceptionsPath, dqSummaryPath, factPath, dimPath, kpiPath, overall)

@@ -63,14 +63,18 @@ object SampleData {
       if (r < 0.5) "USD" else if (r < 0.9) "TZS" else "EUR"
     }
     def uniform(lo: Double, hi: Double): Double = lo + rng.nextDouble() * (hi - lo)
-    def money(lo: Double, hi: Double): String = f"${uniform(lo, hi)}%.2f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal locales would write "1234,56" into a comma CSV
+    def dec(v: Double, scale: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(v))
+    def money(lo: Double, hi: Double): String = dec(uniform(lo, hi), 2)
 
     // FX: each day quotes USD/EUR/TZS into USD (sample_data.py:23-29)
     val fxRows = dates.flatMap { d =>
       Seq(
         s"$d,USD,USD,1.0",
-        f"$d,EUR,USD,${uniform(1.05, 1.15)}%.6f",
-        f"$d,TZS,USD,${uniform(0.00038, 0.00045)}%.8f")
+        s"$d,EUR,USD,${dec(uniform(1.05, 1.15), 6)}",
+        s"$d,TZS,USD,${dec(uniform(0.00038, 0.00045), 8)}")
     }
     writeCsv(outDir, "fx_rates.csv", "date,from_currency,to_currency,rate", fxRows)
 
@@ -121,7 +125,7 @@ object SampleData {
           val r = rng.nextDouble()
           if (r < 0.45) "receipt" else if (r < 0.9) "issue" else "adjustment"
         }
-        f"${pick(dates)},$entity,${pick(skus)},$move,${uniform(1, 50)}%.2f,${uniform(2, 80)}%.2f,${weightedCcy()}"
+        s"${pick(dates)},$entity,${pick(skus)},$move,${dec(uniform(1, 50), 2)},${dec(uniform(2, 80), 2)},${weightedCcy()}"
       }
     }
     writeCsv(outDir, "inventory_movements.csv",

@@ -141,12 +141,16 @@ object Transform {
 
     val withFx = addFxAmountBase(unioned, fx, baseCurrency)
 
-    // Deterministic total order (transform.py:94-95): reference sort key plus
-    // txn_id as tiebreak so partitioned execution can't permute equal keys.
+    // Deterministic order (transform.py:94-95): the reference sort key,
+    // extended with the remaining value columns because document_id is
+    // NOT unique (inventory reuses sku_date for same-day movements) —
+    // without them, partitioned execution could permute rows that share
+    // the business key but differ in amount/description.
     withFx
       .withColumn("txn_id",
         concat_ws("|", col("entity").cast("string"), col("source"), col("document_id").cast("string")))
-      .orderBy(col("date"), col("entity"), col("source"), col("document_id"), col("txn_id"))
+      .orderBy(col("date"), col("entity"), col("source"), col("document_id"),
+        col("account_code"), col("amount"), col("description"))
       .select(Schemas.factColumns.map(col): _*)
   }
 

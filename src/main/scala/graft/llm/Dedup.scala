@@ -45,7 +45,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-          .split("\\s+")
+          .split("\\s+").filter(_.nonEmpty)
         val seen = new java.util.LinkedHashSet[Long]()
         var i = 0
         while (i < toks.length - 1) {
@@ -122,10 +122,12 @@ object Dedup {
     */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
-    // sigs feeds the band explode AND both sides of the confirm join —
-    // cache so shingle+minhash expressions run once per doc, not three
-    // times (at larger scale this is where you'd checkpoint signatures)
-    val sigs = minhashSignatures(df, idCol, textCol).cache()
+    // sigs feeds the band explode AND both sides of the confirm join.
+    // Recomputation is cheap (typed tight-loop path), so no cache here —
+    // a cache inside a function that returns a lazy frame could never be
+    // unpersisted and would pin storage memory per call. At real scale,
+    // checkpoint the signatures table once and reuse it.
+    val sigs = minhashSignatures(df, idCol, textCol)
     confirmJaccard(lshCandidates(sigs, idCol), sigs, idCol, threshold)
   }
 

@@ -113,6 +113,12 @@ object Similarity {
     */
   def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
                  nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    // a dim mismatch would null every projection (zip_with pads with
+    // null) and silently send ALL vectors to bucket 0 — the exact
+    // quadratic blowup LSH exists to avoid; fail loudly instead
+    val actual = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(actual == dim,
+      s"lshBuckets: dim=$dim but $vecCol has $actual elements")
     val hp = hyperplanes(nPlanes, dim)
     corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", bucketId(col("v"), hp))

@@ -39,8 +39,14 @@ object TextOps {
   /** English stopwords used by the language-ID / quality heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in")
 
-  /** Whitespace tokens of a trimmed text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of a trimmed text column. Empty tokens (from
+    * leading non-space whitespace or empty text) are dropped — they would
+    * hash to null and propagate differently across engines (Spark's fold
+    * nulls the whole sum; DuckDB's list_sum skips nulls, and list_reduce
+    * on an empty char list errors outright).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   /** Left-fold without an initial value (first element seeds the fold),
     * matching DuckDB's `list_reduce` semantics exactly.
@@ -123,8 +129,9 @@ object TextOps {
 
   // ---- DuckDB oracle SQL fragments (same formulas, same constants) ----
 
-  /** SQL: whitespace tokens of trim(text). */
-  val sqlTokens = raw"string_split_regex(trim(text), '\s+')"
+  /** SQL: whitespace tokens of trim(text), empty tokens dropped (same
+    * robustness rule as [[tokens]]). */
+  val sqlTokens = raw"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
 
   /** SQL: polynomial char hash of token expression `t`. */
   def sqlTokenHash(t: String): String =

@@ -21,10 +21,10 @@ import org.apache.spark.sql.types.DecimalType
   *     in double and left bare;
   *   - Spark `row_number` (int) is cast to long to match DuckDB BIGINT.
   *
-  * Scale notes: the only join whose right side grows with SF is fx_join's
-  * orders side — hinted broadcast (orders ≈ 1/4 of lineitem rows but ~40B/row;
-  * at true 100 TB it exceeds broadcast and Catalyst/AQE falls back to
-  * sort-merge on the hint's failure, which is the correct plan there). All
+  * Scale notes: joins whose right side grows with SF (fx_join's and
+  * region_revenue's orders side) carry NO broadcast hint — Catalyst
+  * broadcasts them while they fit the threshold and shuffles beyond it
+  * (an explicit hint would instead force the broadcast and fail). All
   * aggregations are partial-agg friendly (sum/count/min), pivots carry pinned
   * values so no extra distinct job runs, and no query collects to the driver.
   */
@@ -60,7 +60,10 @@ object CoreQueries {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
         .select("o_orderkey", "o_orderdate", "o_totalprice")
-      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"), "left")
+      // orders scales with the fact: no broadcast hint (an explicit hint
+      // would force — and fail — the broadcast past the 8GB hard limit;
+      // Catalyst broadcasts it automatically while it fits the threshold)
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           col("l_discount"),

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"vector_dot requires exactly 2 arguments (array<double>, array<double>), got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
   }
 }
