@@ -266,6 +266,42 @@ object CoreQueries {
         .orderBy("p_brand")
     }),
 
+    // Hierarchical ROLLUP with grouping_id — subtotals + grand total in
+    // one pass (explicit NULLS FIRST ordering aligned across engines)
+    "rollup_qty" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Analytic frame: trailing-3-row rolling revenue per customer over
+    // their order history (rowsBetween frame, decimal-routed for parity)
+    "rolling_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("rolling_3"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Ranking analytics: dense_rank within nation by account balance
+    "rank_in_nation" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          dense_rank().over(w).cast("long").as("bal_rank"))
+        .filter(col("bal_rank") <= 3)
+        .orderBy("c_nationkey", "bal_rank", "c_custkey")
+    }),
+
     // SQL entry point: the same engine drives ANSI SQL text via
     // spark.sql over registered views (TPC-H Q1-shaped pricing summary);
     // decimal-routed sums keep the hash cross-engine stable
@@ -463,6 +499,31 @@ object CoreQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "rollup_qty" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "rolling_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_3
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "rank_in_nation" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         dense_rank() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+        |  FROM customer)
+        |WHERE bal_rank <= 3
+        |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin,
 
     "sql_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
