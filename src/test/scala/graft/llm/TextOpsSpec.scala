@@ -25,6 +25,15 @@ class TextOpsSpec extends SparkSpec {
       Seq("a", "b", "c"))
   }
 
+  test("tokens drops empty tokens from leading non-space whitespace") {
+    // trim() removes only spaces; a leading tab would otherwise produce
+    // a "" token whose null hash poisons fingerprints/simhash
+    assert(one("\ta b", tokens(col("text"))) === Seq("a", "b"))
+    assert(one("", tokens(col("text"))) === Seq())
+    val fp = one("\tx y", fingerprint(col("text")))
+    assert(fp === one("x y", fingerprint(col("text"))), "fingerprint must ignore leading whitespace")
+  }
+
   test("bigram shingles are consecutive pairs, de-duplicated") {
     assert(one("a b c a b", shingles(col("text"))) ===
       Seq("a b", "b c", "c a"))
