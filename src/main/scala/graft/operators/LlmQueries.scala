@@ -146,6 +146,13 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Per-source corpus statistics (exact tier; the HLL approx tier is
+    // spec-bounded against these — see CorpusStatsSpec)
+    "corpus_stats" -> ((s, dir) => {
+      graft.llm.CorpusStats.exact(docs(s, dir), "source", "text")
+        .orderBy("source")
+    }),
+
     // Text normalization: lowercase, strip non-alphanumerics, collapse
     // whitespace — the canonical cleanup pass before tokenization
     "text_normalize" -> ((s, dir) => {
@@ -328,6 +335,13 @@ object LlmQueries {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "corpus_stats" ->
+      s"""SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+         |       COUNT(DISTINCT token) AS n_distinct_tokens
+         |FROM (SELECT source, doc_id, unnest($sqlTokens) AS token FROM documents)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,
