@@ -266,6 +266,18 @@ object CoreQueries {
         .orderBy("p_brand")
     }),
 
+    // Set operations: INTERSECT / EXCEPT over key sets, tagged into one
+    // result (distinct-set semantics on both engines)
+    "set_ops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")).distinct()
+      withOrders.intersect(building).withColumn("tag", lit("both"))
+        .unionByName(withOrders.except(building).withColumn("tag", lit("only_orders")))
+        .select("tag", "custkey")
+        .orderBy("tag", "custkey")
+    }),
+
     // Hierarchical ROLLUP with grouping_id — subtotals + grand total in
     // one pass (explicit NULLS FIRST ordering aligned across engines)
     "rollup_qty" -> ((s, dir) => {
@@ -499,6 +511,14 @@ object CoreQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "set_ops" ->
+      """WITH w AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM w INTERSECT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_orders', custkey FROM (SELECT custkey FROM w EXCEPT SELECT custkey FROM b)
+        |ORDER BY tag, custkey""".stripMargin,
 
     "rollup_qty" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
