@@ -105,15 +105,25 @@ object Dedup {
     */
   def confirmJaccard(candidates: DataFrame, sigs: DataFrame, idCol: String,
                      threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val sa = sigs.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val sb = sigs.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    // jaccard in a typed sorted-merge loop (same integers as the
+    // interpreted array_intersect/array_union form, ~an order of
+    // magnitude faster per pair)
     candidates
       .join(sa, "a_id").join(sb, "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+      .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions(_.flatMap { case (a, b, shA, shB) =>
+        val x = shA.toArray; java.util.Arrays.sort(x)
+        val y = shB.toArray; java.util.Arrays.sort(y)
+        val inter = sortedIntersectCount(x, y)
+        val j = inter.toDouble / (x.length + y.length - inter)
+        if (j >= threshold) Some((a, b, j)) else None
+      })
+      .toDF("a_id", "b_id", "jaccard")
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
