@@ -16,7 +16,7 @@ object BiExport {
 
   final case class BiResult(outDir: String, month: String)
 
-  def export(
+  def `export`(
       spark: SparkSession,
       curatedDir: String,
       outDirBase: String,

@@ -46,9 +46,9 @@ object RunMonthApp {
       spark.read.parquet(result.kpi).show(truncate = false)
 
       if (args.contains("--exports")) {
-        val bi = BiExport.export(spark, curatedDir, s"$workDir/bi", Some(month))
+        val bi = BiExport.`export`(spark, curatedDir, s"$workDir/bi", Some(month))
         println(s"[close] bi=${bi.outDir}")
-        val star = StarExport.export(spark, curatedDir, s"$workDir/bi_star", Some(month))
+        val star = StarExport.`export`(spark, curatedDir, s"$workDir/bi_star", Some(month))
         println(s"[close] star=${star.outDir}")
         val dash = Dashboard.build(spark, curatedDir, s"$workDir/dashboard.html", Some(month))
         println(s"[close] dashboard=${dash.outHtml}")

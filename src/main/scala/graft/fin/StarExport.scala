@@ -29,7 +29,7 @@ object StarExport {
     */
   def inferMonth(kpi: DataFrame): Option[String] =
     if (kpi.isEmpty || !kpi.columns.contains("month")) None
-    else Option(kpi.agg(max(col("month"))).head.getString(0))
+    else Option(kpi.agg(max(col("month"))).head().getString(0))
 
   /** Candidate date columns, in pick order (reference: `:348`). */
   val DateColCandidates: Seq[String] =
@@ -205,7 +205,7 @@ object StarExport {
   /** Full export: read curated, build 4 dims + 2 facts, write CSVs + model
     * notes (reference: `:323-416`).
     */
-  def export(
+  def `export`(
       spark: SparkSession,
       curatedDir: String,
       outDirBase: String,

@@ -104,7 +104,7 @@ object Similarity {
     */
   def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, i) =>
-      val proj = dot(vec, array(w.map(lit): _*))
+      val proj = dot(vec, array(w.toIndexedSeq.map(lit): _*))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -31,7 +31,7 @@ object AsofJoin {
     val r = right.select(keyCols :+ col(rightTs).as("__ts"): _*)
       .withColumn("__side", lit(0))
       .withColumn("__rts", col("__ts"))
-    val unioned = l.unionByName(r.select(l.columns.map(c =>
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(c =>
       if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)): _*))
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ts"), col("__side"))

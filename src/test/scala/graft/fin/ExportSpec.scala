@@ -20,7 +20,7 @@ class ExportSpec extends SparkSpec {
   }
 
   test("star export: 6 CSVs + notes; surrogate keys contiguous; fact keys resolve") {
-    val res = StarExport.export(spark, s"$work/curated", s"$work/bi_star", Some("2025-12"))
+    val res = StarExport.`export`(spark, s"$work/curated", s"$work/bi_star", Some("2025-12"))
     val files = Seq("dim_date.csv", "dim_month.csv", "dim_entity.csv", "dim_account.csv",
       "fact_gl.csv", "fact_kpi_monthly.csv", "POWERBI_MODEL_NOTES.txt")
     files.foreach(f => assert(Files.exists(Paths.get(res.outDir, f)), f))
@@ -56,7 +56,7 @@ class ExportSpec extends SparkSpec {
   }
 
   test("bi export: 5 CSVs + data dictionary with month and stable KPI columns") {
-    val res = BiExport.export(spark, s"$work/curated", s"$work/bi", Some("2025-12"))
+    val res = BiExport.`export`(spark, s"$work/curated", s"$work/bi", Some("2025-12"))
     Seq("fact_transactions.csv", "dim_accounts.csv", "kpi_monthly.csv",
       "dq_summary.csv", "dq_exceptions.csv", "data_dictionary.txt")
       .foreach(f => assert(Files.exists(Paths.get(res.outDir, f)), f))
