@@ -141,6 +141,53 @@ object Dedup {
     confirmJaccard(lshCandidates(sigs, idCol), sigs, idCol, threshold)
   }
 
+  /** Prefix-filtering candidate pairs (AllPairs/PPJoin-style) — the
+    * EXACT-recall distributed candidate generator for jaccard ≥ t.
+    *
+    * Shingles get a global total order (document frequency asc, hash asc);
+    * each document emits postings only for its prefix — the first
+    * `|s| − ceil(t·|s|) + 1` shingles in that order. Any pair with
+    * jaccard ≥ t has overlap ≥ ceil(t·|s|) on each side, so the
+    * order-smallest common shingle has at least ceil(t·|s|)−1 common
+    * shingles after it in BOTH documents and therefore sits inside both
+    * prefixes — the equi-join on prefix shingles cannot miss a qualifying
+    * pair. Unlike a df-cap inverted index this loses no recall, and the
+    * frequency-ascending order keeps hot shingles out of almost every
+    * prefix, so bucket sizes stay bounded.
+    *
+    * Shuffles: explode + df-count on shingle, one window on the doc id,
+    * self-equi-join on prefix shingle — all keyed, never all-pairs.
+    * `sets` must carry (idCol, sh) as produced by [[shingleHashSets]].
+    */
+  def prefixFilterPairs(sets: DataFrame, idCol: String,
+                        threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = sets
+      .select(col(idCol), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val dfCounts = posting.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val prefix = posting.join(dfCounts, "shingle")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("sdf"), col("shingle"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val a = prefix.select(col("shingle"), col(idCol).as("a_id"))
+    val b = prefix.select(col("shingle"), col(idCol).as("b_id"))
+    a.join(b, "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** All pairs with jaccard ≥ threshold via prefix-filtering candidates +
+    * exact-jaccard confirmation: row-identical to [[bruteForcePairs]] by
+    * the exact-recall guarantee of [[prefixFilterPairs]], with no driver
+    * collect and no quadratic stage — the registered scale path.
+    */
+  def prefixNearDups(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double): DataFrame = {
+    val sets = shingleHashSets(df, idCol, textCol)
+    confirmJaccard(prefixFilterPairs(sets, idCol, threshold), sets, idCol, threshold)
+  }
+
   /** Inverted-index candidate pairs: explode (id, shingle hash), drop
     * shingles with document frequency above `dfCap` (hot shingles carry
     * no dedup signal and explode quadratically), self-join on the shingle.

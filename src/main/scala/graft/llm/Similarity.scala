@@ -82,6 +82,57 @@ object Similarity {
     }.toDF("a_id", "b_id", "cos")
   }
 
+  /** All pairs (a < b) with cosine ≥ threshold, computed as a distributed
+    * block self-join — the registered exact path (no driver collect, no
+    * broadcast of the corpus):
+    *
+    *   - each vector gets a block id `pmod(xxhash64(id), nBlocks)` and a
+    *     precomputed norm (one map-side pass);
+    *   - a tiny literal frame of the `nBlocks·(nBlocks+1)/2` unordered
+    *     block pairs `(bi ≤ bj)` is broadcast onto the corpus, replicating
+    *     each vector ~nBlocks/2 times (shuffle volume `O(n·nBlocks)` vector
+    *     rows — NOT n²);
+    *   - the equi-join on the second block key streams the n²/2 candidate
+    *     pairs through the codegen'd [[graft.functions.DotProduct]] kernel
+    *     and the threshold filter inside the join stage — pairs are never
+    *     materialized to shuffle or driver.
+    *
+    * Per-task memory is one block of vectors (n/nBlocks rows): size
+    * nBlocks to the cluster, not the data. The n²/2 dot products are
+    * inherent to EXACT all-pairs similarity (use [[annTopK]]'s LSH buckets
+    * when approximate recall is acceptable); this shape just distributes
+    * them evenly. Arithmetic is identical to [[nearDupPairs]] / the HOF
+    * form: float→double cast, strict left-fold dot and norms,
+    * cos = dot/(normA·normB) — bit-for-bit reproducible on any engine.
+    */
+  def blockNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nBlocks: Int = 32): DataFrame = {
+    import graft.functions.VectorExpressions.vectorDot
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(vectorDot(col("v"), col("v"))))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
+    val blockPairs = (0 until nBlocks)
+      .flatMap(i => (i until nBlocks).map(j => (i.toLong, j.toLong)))
+      .toDF("bi", "bj")
+    val left = v.select(col("id").as("l_id"), col("v").as("lv"),
+        col("nrm").as("ln"), col("blk").as("lb"))
+      .join(broadcast(blockPairs), col("lb") === col("bi"))
+    val joined = left.join(
+      v.select(col("id").as("r_id"), col("v").as("rv"),
+        col("nrm").as("rn"), col("blk").as("rb")),
+      col("bj") === col("rb"))
+    joined
+      // cross-block pairs appear once (smaller block on the left); same-
+      // block pairs appear in both orientations — keep one by id order
+      .filter(col("lb") < col("rb") || col("l_id") < col("r_id"))
+      .withColumn("cos", vectorDot(col("lv"), col("rv")) / (col("ln") * col("rn")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"), col("cos"))
+  }
+
   /** Strict left-fold dot product (same op order as [[dot]]). */
   private def dotOf(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
@@ -115,12 +166,18 @@ object Similarity {
                  nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     // a dim mismatch would null every projection (zip_with pads with
     // null) and silently send ALL vectors to bucket 0 — the exact
-    // quadratic blowup LSH exists to avoid; fail loudly instead
-    val actual = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(actual == dim,
-      s"lshBuckets: dim=$dim but $vecCol has $actual elements")
+    // quadratic blowup LSH exists to avoid; fail loudly instead. The
+    // guard is per-row IN the plan (raise_error in the non-matching
+    // branch): no extra driver action/job, catches a ragged vector
+    // anywhere in the corpus (not just row 0), and an empty corpus
+    // passes trivially.
+    val vec = col(vecCol)
+    val checked = when(size(vec) === dim, toDouble(vec))
+      .otherwise(raise_error(concat(
+        lit(s"lshBuckets: expected dim=$dim but $vecCol has "),
+        size(vec).cast("string"), lit(" elements"))))
     val hp = hyperplanes(nPlanes, dim)
-    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    corpus.select(col(idCol), checked.as("v"))
       .withColumn("bucket", bucketId(col("v"), hp))
   }
 

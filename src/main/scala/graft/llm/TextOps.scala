@@ -113,9 +113,17 @@ object TextOps {
     * fold (acc*31 + tokenHash) % HashP over tokens in order. Two docs get
     * equal fingerprints iff their token sequences hash identically —
     * an exact-dup candidate key that ignores inter-token whitespace.
+    * Zero-token documents (empty / whitespace-only text) fingerprint to
+    * null: the seedless fold has no seed element, and under ANSI mode
+    * `element_at(arr, 1)` on an empty array would throw (DuckDB's
+    * `list_reduce` errors on empty lists too — both engines must take the
+    * guarded branch).
     */
-  def fingerprint(text: Column): Column =
-    reduceNoInit(tokenHashes(text), (a, b) => (a * 31 + b) % HashP)
+  def fingerprint(text: Column): Column = {
+    val th = tokenHashes(text)
+    when(size(th) === 0, lit(null).cast("long"))
+      .otherwise(reduceNoInit(th, (a, b) => (a * 31 + b) % HashP))
+  }
 
   /** Number of stopword occurrences among the tokens. */
   def stopwordHits(text: Column): Column =
@@ -159,9 +167,12 @@ object TextOps {
       s"(CASE WHEN list_sum(list_transform($th, h -> ((h >> $i) & 1)*2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** SQL: rolling-hash fingerprint over token-hash-list expression `th`. */
+  /** SQL: rolling-hash fingerprint over token-hash-list expression `th`
+    * (empty token list → NULL, mirroring [[fingerprint]]'s guard —
+    * DuckDB's `list_reduce` errors on empty lists).
+    */
   def sqlFingerprint(th: String): String =
-    s"list_reduce($th, (a, b) -> (a*31 + b) % $HashP)"
+    s"CASE WHEN len($th) = 0 THEN NULL ELSE list_reduce($th, (a, b) -> (a*31 + b) % $HashP) END"
 
   /** SQL: stopword hit count. */
   val sqlStopwordHits: String =

@@ -11,12 +11,15 @@ import graft.llm.TextOps._
   * truth in [[graft.llm.TextOps]]), so integer hashes match bit-for-bit
   * and double arithmetic (strict left folds on both engines) reproduces.
   *
-  * Scale notes: text/hash ops are per-row map-side expressions; dedup
-  * candidates come from LSH band buckets (shuffle on band keys, never
-  * all-pairs) — `ngram_jaccard`/`cosine_near_dup` are the quadratic
-  * exactness baselines kept for the small-SF oracle, with the linear/
-  * bucketed variants (`lsh_near_dup`, `cosine_topk` broadcast-query scan,
-  * `ann_lsh_topk`) as the 100 TB paths.
+  * Scale notes: text/hash ops are per-row map-side expressions; no
+  * registered query collects the corpus to the driver or force-broadcasts
+  * an unbounded side. Dedup candidates come from LSH band buckets
+  * (`lsh_near_dup`) or exact-recall prefix filtering (`ngram_jaccard`);
+  * `cosine_near_dup` distributes its inherently-quadratic exact semantics
+  * via a block self-join with the codegen'd dot kernel; `cosine_topk` is a
+  * broadcast-query linear scan and `ann_lsh_topk` the sub-linear
+  * approximate path. The driver-collect brute-force forms survive only in
+  * ScalaTest as equivalence baselines.
   */
 object LlmQueries {
 
@@ -97,9 +100,10 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // n-gram jaccard all-pairs baseline (small-SF oracle for the LSH path)
+    // n-gram jaccard all-pairs: exact-recall prefix-filtering candidates
+    // + sorted-merge confirm (row-identical to brute force, distributed)
     "ngram_jaccard" -> ((s, dir) => {
-      Dedup.bruteForcePairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.prefixNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
 
@@ -110,17 +114,22 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding near-dup pairs above a cosine threshold
+    // Embedding near-dup pairs above a cosine threshold: exact semantics,
+    // distributed block self-join (codegen'd dot kernel, no driver collect)
     "cosine_near_dup" -> ((s, dir) => {
-      Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
+      Similarity.blockNearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .orderBy("a_id", "b_id")
     }),
 
     // Deterministic hash-mod sampling: the way you actually sample a
-    // 100 TB corpus — reproducible, no RNG state, pushes down to the scan
+    // 100 TB corpus — reproducible, no RNG state, pushes down to the scan.
+    // The id is mod-reduced BEFORE the Knuth multiplier so the product
+    // stays < 2^58 at any id magnitude (a bare doc_id * 2654435761 throws
+    // ARITHMETIC_OVERFLOW under ANSI once ids pass ~3.47e9, and DuckDB
+    // would silently promote to HUGEINT instead — see LlmQueriesSpec).
     "hash_sample" -> ((s, dir) => {
       docs(s, dir)
-        .filter((col("doc_id") * lit(2654435761L)) % 100 < 10)
+        .filter(((col("doc_id") % lit(100000007L)) * lit(2654435761L)) % 100 < 10)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
@@ -173,8 +182,11 @@ object LlmQueries {
       val nDocs = d.count()
       val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // no broadcast hint on df_: it is vocabulary-sized (grows with the
+      // corpus), and a forced broadcast past the limit FAILS rather than
+      // degrading — leave the side choice to Catalyst/AQE
       val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df_), "token")
+      val scored = tf.join(df_, "token")
         .withColumn("tfidf",
           bround(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
       scored
@@ -317,7 +329,7 @@ object LlmQueries {
     "hash_sample" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 < 10
+        |WHERE ((doc_id % 100000007) * 2654435761) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
     "token_freq" ->

@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
         s"LSH recall ${lsh.size}/${brute.size} below 0.8")
   }
 
+  test("prefix-filtering candidates cover all true near-dup pairs") {
+    val cand = Dedup.prefixFilterPairs(
+      Dedup.shingleHashSets(corpus, "doc_id", "text"), "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForcePairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(cand),
+      "exact-recall guarantee: every jaccard ≥ t pair shares a prefix shingle")
+  }
+
+  test("prefix near-dups are row-identical to brute force") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(triples(Dedup.prefixNearDups(corpus, "doc_id", "text", 0.5)) ===
+      triples(Dedup.bruteForcePairs(corpus, "doc_id", "text", 0.5)))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(triples(Dedup.prefixNearDups(docs, "doc_id", "text", 0.5)) ===
+      triples(Dedup.bruteForcePairs(docs, "doc_id", "text", 0.5)))
+  }
+
   test("inverted-index candidates cover all true near-dup pairs when uncapped") {
     val cand = Dedup.invertedIndexPairs(corpus, "doc_id", "text", dfCap = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

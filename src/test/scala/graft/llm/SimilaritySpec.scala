@@ -59,6 +59,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!ann.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("block near-dup pairs are row-identical to the brute-force baseline") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // same pairs AND bit-identical cosines (same fold order, commutative
+    // IEEE multiply) — the distributed block join changes the plan shape,
+    // never the arithmetic
+    assert(triples(Similarity.blockNearDupPairs(e, "vec_id", "embedding", 0.4)) ===
+      triples(Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)))
+    assert(triples(Similarity.blockNearDupPairs(vecs, "vec_id", "embedding", 0.3, nBlocks = 3)) ===
+      triples(Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.3)))
+  }
+
+  test("lshBuckets fails loudly on a ragged vector, passes an empty corpus") {
+    import spark.implicits._
+    val ragged = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.5f, 0.5f))  // wrong dim, NOT in row 0
+    ).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.lshBuckets(ragged, "vec_id", "embedding", nPlanes = 4, dim = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("lshBuckets")), s"got: $err")
+    val empty = Similarity.lshBuckets(vecs.filter(col("vec_id") < 0L),
+      "vec_id", "embedding", nPlanes = 4, dim = 4)
+    assert(empty.count() === 0L)
+  }
+
   test("ann recall vs brute force on sf0.001 embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

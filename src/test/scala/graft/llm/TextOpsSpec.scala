@@ -55,6 +55,14 @@ class TextOpsSpec extends SparkSpec {
     assert(fp1 === expected)
   }
 
+  test("fingerprint of zero-token text is null, not an ANSI crash") {
+    // element_at(arr, 1) on an empty array throws INVALID_ARRAY_INDEX
+    // under ANSI — the guard must take the null branch instead
+    assert(one("", fingerprint(col("text"))) === null)
+    assert(one("   ", fingerprint(col("text"))) === null)
+    assert(one(" \t\n ", fingerprint(col("text"))) === null)
+  }
+
   test("minhash is the min of the permuted hash set") {
     // doc "x y z": tokens x y z → bigram shingles "x y", "y z"
     val shHashes = Seq("x y", "y z").map(refTokenHash)
