@@ -68,7 +68,7 @@ object Dashboard {
     s"<table><thead><tr>$head</tr></thead><tbody>\n$body\n</tbody></table>"
   }
 
-  final case class DashResult(outHtml: String, month: String)
+  final case class DashResult(outHtml: String, seriesDir: String, month: String)
 
   def build(
       spark: SparkSession,
@@ -120,6 +120,18 @@ object Dashboard {
          |</body></html>""".stripMargin
 
     Io.writeText(spark, outHtml, html)
-    DashResult(outHtml, month)
+
+    // chart data contract: the series feeding each chart also ship as
+    // standalone CSVs next to the HTML, so the artifact carries the same
+    // information as the reference's plotly line/bar charts
+    // (reference: scripts/build_dashboard.py:96-122, 162-166)
+    val seriesDir = outHtml.stripSuffix(".html") + "_series"
+    val trendCols = Seq("entity", "month") ++
+      Seq("Revenue", "gross_profit", "operating_profit").filter(kpi.columns.contains)
+    Io.writeCsv(kpiTrend(kpi).select(trendCols.map(col): _*),
+      s"$seriesDir/revenue_trend.csv")
+    Io.writeCsv(topExpenseAccounts(factM, dim), s"$seriesDir/top_expense.csv")
+
+    DashResult(outHtml, seriesDir, month)
   }
 }

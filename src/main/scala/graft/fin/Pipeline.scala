@@ -44,10 +44,12 @@ object Pipeline {
     val dimAccounts = Transform.buildDimAccounts(coa)
     val coaCodes = dimAccounts.select("account_code").distinct()
 
-    // typed + raw reads per dataset (S1; pipeline.py:78-101)
+    // one all-string read per dataset; the typed frame is DERIVED from it
+    // via try_cast (S1; pipeline.py:78-101) so the DQ dtype check and the
+    // pipeline see the exact same coercion — see Io.typedFromRaw
     def reads(name: String) = {
-      val path = s"$rawDir/$name.csv"
-      (Io.readCsv(spark, path, Schemas.rawContracts(name)), Io.readCsvRaw(spark, path))
+      val raw = Io.readCsvRaw(spark, s"$rawDir/$name.csv")
+      (Io.typedFromRaw(raw, Schemas.rawContracts(name)), raw)
     }
     val (sales, salesRaw) = reads("sales")
     val (expenses, expensesRaw) = reads("expenses")
@@ -106,7 +108,12 @@ object Pipeline {
     val factPath = s"$curatedDir/fact_transactions.parquet"
     val dimPath = s"$curatedDir/dim_accounts.parquet"
     val kpiPath = s"$curatedDir/kpi_monthly.parquet"
-    Io.writeParquet(fact, factPath)
+    // month-partitioned curated layout (SURVEY §1.1): this run lands in
+    // month=YYYY-MM/ only (dynamic overwrite leaves other months intact),
+    // and downstream month filters prune to that one directory
+    Io.writeParquetPartitioned(
+      fact.withColumn("month", date_format(col("date"), "yyyy-MM")),
+      factPath, Seq("month"))
     Io.writeParquet(dimAccounts, dimPath)
     // build the KPI from the just-written fact (column-pruned parquet
     // scan) rather than the lazy raw→union→FX plan — otherwise the whole

@@ -86,12 +86,15 @@ object Quality {
     * value checks, dup-key and table-level identity checks. Returns the
     * exceptions DataFrame (possibly empty; severity added later).
     *
-    * `raw` is the all-string read of the same file. Typed values are derived
-    * by casting raw cells with the contract types (the same coercion the
-    * PERMISSIVE typed read applies), so dtype checks need no raw↔typed row
-    * alignment: a cell non-null raw but null after cast failed coercion
-    * (pandera `coerce=True` dtype error); null raw in a non-nullable column
-    * violates nullability. One scan, no joins, no row ids.
+    * `raw` is the all-string read of the file; `typed` should be the
+    * `Io.typedFromRaw` view of that SAME raw frame (as the pipeline
+    * passes). The dtype check is then exact by construction — a cell is
+    * null in the typed frame iff the very try_cast applied here failed —
+    * so no cell can pass the dtype check yet silently skip the
+    * isNotNull-guarded value checks. A cell non-null raw but null after
+    * cast is a dtype error (pandera `coerce=True`); null raw in a
+    * non-nullable column violates nullability. One scan, no joins, no
+    * row ids.
     */
   def validateDataset(
       spark: SparkSession,

@@ -20,26 +20,42 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** Attach `asof_ts` (greatest right ts ≤ left ts, null if none) to the
-    * left frame. `leftTs`/`rightTs` must be the same comparable type
-    * (use epoch micros longs for cross-engine determinism).
+    * left frame. `leftTs`/`rightTs` must be the same orderable type —
+    * timestamp/date columns work as-is; epoch-micros longs are
+    * recommended when cross-engine determinism matters. Internal working
+    * columns are generated to avoid colliding with caller columns; the
+    * `asof_ts` output name is the one reserved piece of the contract.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String): DataFrame = {
+    val lType = left.schema(leftTs).dataType
+    val rType = right.schema(rightTs).dataType
+    require(lType == rType,
+      s"asofBackward: $leftTs is ${lType.simpleString} but $rightTs is " +
+        s"${rType.simpleString} — cast one side first")
+    require(!left.columns.contains("asof_ts"),
+      "asofBackward: left already has an asof_ts column — rename it first")
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i").find(!taken(_)).get
+    val tsC = fresh("__ts")
+    val sideC = fresh("__side")
+    val rtsC = fresh("__rts")
     val keyCols = keys.map(col)
-    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-      .withColumn("__rts", lit(null).cast("long"))
-    val r = right.select(keyCols :+ col(rightTs).as("__ts"): _*)
-      .withColumn("__side", lit(0))
-      .withColumn("__rts", col("__ts"))
+    val l = left.withColumn(tsC, col(leftTs)).withColumn(sideC, lit(1))
+      .withColumn(rtsC, lit(null).cast(rType))
+    val r = right.select(keyCols :+ col(rightTs).as(tsC): _*)
+      .withColumn(sideC, lit(0))
+      .withColumn(rtsC, col(tsC))
     val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(c =>
       if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)): _*))
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col(tsC), col(sideC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__ts", "__side", "__rts")
+      .withColumn("asof_ts", last(col(rtsC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .drop(tsC, sideC, rtsC)
   }
 }
 

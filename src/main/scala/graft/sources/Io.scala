@@ -44,6 +44,27 @@ object Io {
     spark.read.option("header", "true").csv(path)
   }
 
+  /** Typed view derived from the all-string raw frame: every contract
+    * column comes from `try_cast` of its raw cell; columns missing from
+    * the file become typed nulls (the DQ layer reports them as
+    * `column_required`, and the pipeline proceeds on what is present —
+    * the reference's validation-fallback semantics).
+    *
+    * The close pipeline reads each raw CSV ONCE as strings and derives
+    * the typed frame here, so the DQ dtype check is exact by
+    * construction: a cell is null in the typed frame iff the very
+    * try_cast the check applies failed. A separate schema'd CSV read
+    * would consult the CSV parser's own coercion (dateFormat fallbacks,
+    * special double spellings), which can disagree with the cast — a cell
+    * null in the typed frame yet passing try_cast would then silently
+    * skip both the dtype check and the isNotNull-guarded value checks.
+    */
+  def typedFromRaw(raw: DataFrame, contract: StructType): DataFrame =
+    raw.select(contract.fields.toSeq.map { f =>
+      (if (raw.columns.contains(f.name)) raw(f.name).try_cast(f.dataType)
+       else org.apache.spark.sql.functions.lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+
   /** S2: tolerant parquet scan — empty DataFrame with the given schema when the
     * path is absent (reference: scripts/export_bi_datasets.py:11-12).
     */
@@ -59,6 +80,19 @@ object Io {
   /** S4: parquet sink (reference: io_utils.py:14-17). Partition-preserving. */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** S4 variant: hive-style partitioned parquet sink with DYNAMIC
+    * partition overwrite — re-running one month replaces only that
+    * month's directory (the incremental behavior a monthly close wants),
+    * and month-filtered scans prune to one partition (PartitionFilters
+    * in the plan) instead of reading the whole history.
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 
   /** S5: single-file CSV sink with header — the reference writes one CSV per
     * artifact for BI tools (io_utils.py:19-21). Only for dim/KPI-scale outputs.

@@ -55,6 +55,25 @@ class ExportSpec extends SparkSpec {
     assert(factKpi.count() === dimEntity.count())
   }
 
+  test("golden parity: dim_account from the committed COA matches the reference export") {
+    // /root/reference/data/bi_star/2025-12/dim_account.csv is the one
+    // committed output reproducible without the (uncommitted) seeded raw
+    // data — it derives purely from the committed chart of accounts
+    val coa = graft.sources.Io.readCsv(spark,
+      "/root/reference/data/reference/chart_of_accounts.csv", Schemas.chartOfAccounts)
+    val ours = StarExport.buildDimAccount(Transform.buildDimAccounts(coa))
+    assert(ours.columns.toSeq ===
+      Seq("account_key", "account_code", "account_name", "account_type"))
+    val got = ours.collect().map(r =>
+      (r.getAs[Int]("account_key"), r.getAs[String]("account_code"),
+        r.getAs[String]("account_name"), r.getAs[String]("account_type")))
+    val golden = spark.read.option("header", "true")
+      .csv("/root/reference/data/bi_star/2025-12/dim_account.csv")
+      .collect().map(r => (r.getString(0).toInt, r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === golden.toSeq,
+      "field-for-field parity incl. key assignment order (1..12 by account_code)")
+  }
+
   test("bi export: 5 CSVs + data dictionary with month and stable KPI columns") {
     val res = BiExport.`export`(spark, s"$work/curated", s"$work/bi", Some("2025-12"))
     Seq("fact_transactions.csv", "dim_accounts.csv", "kpi_monthly.csv",
@@ -89,5 +108,14 @@ class ExportSpec extends SparkSpec {
       java.nio.charset.StandardCharsets.UTF_8)
     assert(html.contains("Monthly Close Dashboard — 2025-12"))
     assert(html.contains("Top expense accounts"))
+
+    // chart-series data contract: the series behind each chart ship as CSVs
+    val trend = spark.read.option("header", "true").csv(s"${res.seriesDir}/revenue_trend.csv")
+    assert(trend.columns.toSeq ===
+      Seq("entity", "month", "Revenue", "gross_profit", "operating_profit"))
+    assert(trend.count() > 0)
+    val bars = spark.read.option("header", "true").csv(s"${res.seriesDir}/top_expense.csv")
+    assert(bars.columns.toSeq === Seq("label", "total_abs_amount"))
+    assert(bars.count() > 0 && bars.count() <= 15)
   }
 }

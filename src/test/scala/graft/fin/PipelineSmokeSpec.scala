@@ -32,11 +32,20 @@ class PipelineSmokeSpec extends SparkSpec {
     assert(kpi.count() > 0)
 
     val fact = spark.read.parquet(res.fact)
-    assert(fact.columns.toSeq === Schemas.factColumns)
+    // curated fact is month-partitioned: contract columns + the partition col
+    assert(fact.columns.toSeq === Schemas.factColumns :+ "month")
     assert(fact.count() > 0)
     // union preserves counts: every raw row inside the month lands in the fact
     val sales = spark.read.schema(Schemas.sales).option("header", "true").csv(s"$work/raw/sales.csv")
     assert(fact.filter($"source" === "sales").count() === sales.count())
+
+    // a month filter must prune to the partition directory, not scan-and-filter
+    val pruned = fact.filter($"month" === "2025-12")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("month#"),
+      s"expected partition pruning in:\n$scan")
+    assert(Files.exists(java.nio.file.Paths.get(res.fact, "month=2025-12")),
+      "hive-style month partition directory")
   }
 
   test("invalid fail_on is rejected early") {

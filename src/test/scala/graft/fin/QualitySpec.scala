@@ -79,6 +79,19 @@ class QualitySpec extends SparkSpec {
     assert(sexs.count(_.startsWith("dtype")) === 2)
   }
 
+  test("typedFromRaw casts per contract and nulls missing columns") {
+    val raw = Seq(("2025-12-01", "E1", "junk"), ("not-a-date", "E2", "7.5"))
+      .toDF("date", "entity", "amount")
+    val typed = graft.sources.Io.typedFromRaw(raw, Schemas.sales)
+    assert(typed.columns.toSeq === Schemas.sales.fields.map(_.name).toSeq)
+    assert(typed.schema("date").dataType.typeName === "date")
+    assert(typed.schema("amount").dataType.typeName === "double")
+    val rows = typed.select("date", "amount", "invoice_id").collect()
+    assert(!rows(0).isNullAt(0) && rows(0).isNullAt(1))  // junk amount → null
+    assert(rows(1).isNullAt(0) && rows(1).getDouble(1) === 7.5)
+    assert(rows.forall(_.isNullAt(2)), "missing contract column is typed null")
+  }
+
   test("strict schema shape: missing column -> column_required, extra -> column_in_schema") {
     val raw = Seq(("2025-12-01", "E1", "oops")).toDF("date", "entity", "bogus")
     val typed = raw.select(col("date").cast("date"), col("entity"))

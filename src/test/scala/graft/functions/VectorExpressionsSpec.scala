@@ -78,6 +78,23 @@ class VectorExpressionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rewrite fires inside every registered cosine query plan") {
+    // Verify/Bench sessions install GraftExtensions, so these are the
+    // plans the driver actually runs — the HOF cosine in each must land
+    // on the codegen'd kernel, not the interpreted lambda machinery
+    spark.experimental.extraOptimizations = Seq(RewriteHofDotProduct)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      for (q <- Seq("cosine_topk", "ann_lsh_topk", "cosine_near_dup")) {
+        val plan = graft.SparkEntry.queries(q)(spark, dir)
+          .queryExecution.optimizedPlan.toString
+        assert(plan.contains("vector_dot"), s"$q plan lacks vector_dot")
+        assert(!plan.contains("aggregate(zipwith"),
+          s"$q plan still carries an un-rewritten HOF dot product")
+      }
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("cosine via the kernel matches Similarity.cosine on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))

@@ -18,6 +18,33 @@ class AsofSkewSpec extends SparkSpec {
     assert(out(200L) === None)       // right ts all after left
   }
 
+  test("asofBackward works on timestamp-typed columns and colliding names") {
+    import spark.implicits._
+    // timestamp ts columns (the generic API, not just epoch-micros longs)
+    val left = Seq((1L, 10L, "2025-01-02 00:00:00"), (1L, 11L, "2025-01-05 00:00:00"))
+      .toDF("k", "id", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, "2025-01-01 00:00:00"), (1L, "2025-01-04 00:00:00"))
+      .toDF("k", "rt").withColumn("rt", col("rt").cast("timestamp"))
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "rt")
+    assert(out.schema("asof_ts").dataType.typeName === "timestamp")
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[java.sql.Timestamp]("asof_ts").toString).toMap
+    assert(byId(10L).startsWith("2025-01-01"))
+    assert(byId(11L).startsWith("2025-01-04"))
+    // caller columns named like the old internal placeholders must survive
+    val collide = left.withColumn("__ts", lit("keep")).withColumn("__side", lit(9))
+    val out2 = AsofJoin.asofBackward(collide, right, Seq("k"), "t", "rt")
+    assert(out2.columns.count(_ == "__ts") === 1)
+    assert(out2.select("__ts").collect().forall(_.getString(0) == "keep"))
+    assert(out2.select("__side").collect().forall(_.getInt(0) == 9))
+    // mismatched ts types fail fast with a clear message
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right.withColumn("rt", col("rt").cast("long")),
+        Seq("k"), "t", "rt")
+    }
+    assert(err.getMessage.contains("cast one side first"))
+  }
+
   test("asof query implementation matches a per-row reference on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("asof_prev_purchase")(spark, dir).collect()
