@@ -188,6 +188,77 @@ object Dedup {
     confirmJaccard(prefixFilterPairs(sets, idCol, threshold), sets, idCol, threshold)
   }
 
+  /** All pairs with jaccard ≥ threshold via a distributed block self-join —
+    * the registered exact path. Exact all-pairs similarity is inherently
+    * O(n²) COMPUTE; what must never be O(n²) is memory or a driver
+    * round-trip. Each doc's sorted shingle array is shuffled into every
+    * block pair containing its block (`O(n·nBlocks)` rows — not n²), and
+    * each of the `nBlocks·(nBlocks+1)/2` groups runs the pairwise
+    * sorted-merge jaccard in a tight JVM loop over its two bounded
+    * (~n/nBlocks-doc) sides. Size nBlocks to the cluster, not the data.
+    *
+    * Row-identical to [[bruteForcePairs]] (same integers → same doubles),
+    * with no collect/broadcast of the corpus. [[prefixNearDups]] is the
+    * sub-quadratic exact path when the shingle vocabulary grows with the
+    * corpus (real text); on a fixed small vocabulary its prefix index
+    * degenerates to ~all-pairs with per-candidate join overhead, which is
+    * exactly when this block form wins. For approximate semantics use
+    * [[lshNearDups]].
+    */
+  def blockNearDups(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, nBlocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = shingleHashSets(df, idCol, textCol)
+      .as[(Long, Seq[Long])]
+      .map { case (id, sh) =>
+        val a = sh.toArray; java.util.Arrays.sort(a); (id, a)
+      }
+    val expanded = sets.flatMap { case (id, sh) =>
+      val b = (id % nBlocks).toInt
+      // same-block pairs arrive on side 0 only (handled with an i<j loop)
+      val asLeft = (b until nBlocks).iterator.map(j => (b * nBlocks + j, 0, id, sh))
+      val asRight = (0 until b).iterator.map(i => (i * nBlocks + b, 1, id, sh))
+      asLeft ++ asRight
+    }
+    expanded.groupByKey(_._1).flatMapGroups { (pid: Int, it: Iterator[(Int, Int, Long, Array[Long])]) =>
+      val sameBlock = pid / nBlocks == pid % nBlocks
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      it.foreach { case (_, side, id, sh) =>
+        (if (side == 0) left else right) += ((id, sh))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def eval(aId: Long, aSh: Array[Long], bId: Long, bSh: Array[Long]): Unit = {
+        val inter = sortedIntersectCount(aSh, bSh)
+        val j = inter.toDouble / (aSh.length + bSh.length - inter)
+        if (j >= threshold) {
+          out += (if (aId < bId) (aId, bId, j) else (bId, aId, j))
+        }
+      }
+      if (sameBlock) {
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) {
+            eval(left(i)._1, left(i)._2, left(j)._1, left(j)._2); j += 1
+          }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            eval(left(i)._1, left(i)._2, right(j)._1, right(j)._2); j += 1
+          }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("a_id", "b_id", "jaccard")
+  }
+
   /** Inverted-index candidate pairs: explode (id, shingle hash), drop
     * shingles with document frequency above `dfCap` (hot shingles carry
     * no dedup signal and explode quadratically), self-join on the shingle.

@@ -100,10 +100,12 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // n-gram jaccard all-pairs: exact-recall prefix-filtering candidates
-    // + sorted-merge confirm (row-identical to brute force, distributed)
+    // n-gram jaccard all-pairs: exact semantics distributed via the block
+    // self-join (row-identical to brute force, no driver collect). The
+    // prefix-filtering path (Dedup.prefixNearDups) is the sub-quadratic
+    // exact alternative for vocabulary-rich corpora.
     "ngram_jaccard" -> ((s, dir) => {
-      Dedup.prefixNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.blockNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
 

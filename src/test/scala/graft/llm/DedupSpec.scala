@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
       "exact-recall guarantee: every jaccard ≥ t pair shares a prefix shingle")
   }
 
+  test("block near-dups are row-identical to brute force") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(triples(Dedup.blockNearDups(corpus, "doc_id", "text", 0.5, nBlocks = 3)) ===
+      triples(Dedup.bruteForcePairs(corpus, "doc_id", "text", 0.5)))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(triples(Dedup.blockNearDups(docs, "doc_id", "text", 0.5)) ===
+      triples(Dedup.bruteForcePairs(docs, "doc_id", "text", 0.5)))
+  }
+
   test("prefix near-dups are row-identical to brute force") {
     def triples(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
