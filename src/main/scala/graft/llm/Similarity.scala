@@ -181,6 +181,86 @@ object Similarity {
       .withColumn("bucket", bucketId(col("v"), hp))
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Array of the `nProbe` nearest centroids to `vec` as (score, idx)
+    * structs, ordered by squared-L2 distance (ties → lowest index).
+    * Centroids are plan-time literals; each distance is one codegen'd
+    * [[graft.functions.DotProduct]] against the row (‖c‖² − 2·v·c ranks
+    * identically to ‖v−c‖² since ‖v‖² is constant per row).
+    */
+  private def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
+                               nProbe: Int): Column = {
+    import graft.functions.VectorExpressions.vectorDot
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * vectorDot(vec, cLit)).as("score"),
+        lit(i).as("idx"))
+    }: _*)
+    slice(array_sort(scored), 1, nProbe)
+  }
+
+  /** Column: index of the single nearest centroid. */
+  private def clusterOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(nearestCentroids(vec, centroids, 1), 1).getField("idx")
+
+  /** Deterministic IVF coarse quantizer: Lloyd's k-means for a fixed
+    * number of iterations from a deterministic seed (the `nClusters`
+    * lowest-id vectors). Assignment and the per-cluster mean run
+    * distributed (posexplode → grouped avg); only the codebook —
+    * `nClusters·dim` doubles, a parameter rather than a data-sized
+    * object — ever reaches the driver, exactly like any IVF index's
+    * centroid table. Empty clusters keep their previous centroid.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nClusters: Int, iters: Int = 2): Array[Array[Double]] = {
+    val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    var centroids = v.orderBy("id").limit(nClusters)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val means = v
+        .withColumn("cluster", clusterOf(col("v"), centroids))
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+      centroids = Array.tabulate(centroids.length) { i =>
+        means.get(i)
+          .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")))
+          .getOrElse(centroids(i))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    * (one scan, one int per row); each query probes its `nProbe` nearest
+    * clusters and candidates come from a cluster-equi join — the corpus
+    * side is scanned once and never crossed. Exact cosine + row_number
+    * rank within candidates. A corpus row sits in exactly one cluster,
+    * so multiprobe never duplicates a candidate.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val cs = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cluster", clusterOf(col("cv"), cs))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("cluster",
+        explode(transform(nearestCentroids(col("qv"), cs, nProbe), s => s.getField("idx"))))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Approximate top-k: candidates are corpus vectors whose bucket is
     * within Hamming distance `probeRadius` of the query's bucket
     * (multiprobe); exact cosine + row_number within candidates. The join

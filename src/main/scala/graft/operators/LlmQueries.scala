@@ -206,6 +206,15 @@ object LlmQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 10, nPlanes = 4, dim = 64, probeRadius = 1)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN (deterministic k-means coarse quantizer, multiprobe) —
+    // approximate, no SQL oracle; recall asserted in ScalaTest.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nClusters = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
     })
   )
 

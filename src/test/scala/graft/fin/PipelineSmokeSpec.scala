@@ -48,6 +48,40 @@ class PipelineSmokeSpec extends SparkSpec {
       "hive-style month partition directory")
   }
 
+  test("incremental closes: each month lands in its own partition, re-runs replace only their month") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-multimonth").toString
+    SampleData.writeChartOfAccounts(s"$work/reference")
+    SampleData.generateSyntheticRaw(s"$work/raw-nov", "2025-11", seed = 11L)
+    SampleData.generateSyntheticRaw(s"$work/raw-dec", "2025-12", seed = 12L)
+
+    val nov = Pipeline.runMonth(spark, Settings.default, "2025-11",
+      s"$work/raw-nov", s"$work/curated", s"$work/reference", "ERROR")
+    val novCount = spark.read.parquet(nov.fact).count()
+    val dec = Pipeline.runMonth(spark, Settings.default, "2025-12",
+      s"$work/raw-dec", s"$work/curated", s"$work/reference", "ERROR")
+
+    // both months coexist in the curated fact (dynamic overwrite did not
+    // clobber November when December ran)
+    val fact = spark.read.parquet(dec.fact)
+    assert(fact.select("month").distinct().as[String].collect().sorted.toSeq ===
+      Seq("2025-11", "2025-12"))
+    assert(fact.filter($"month" === "2025-11").count() === novCount)
+
+    // re-running December replaces only the December partition
+    val decCount = fact.filter($"month" === "2025-12").count()
+    Pipeline.runMonth(spark, Settings.default, "2025-12",
+      s"$work/raw-dec", s"$work/curated", s"$work/reference", "ERROR")
+    val after = spark.read.parquet(dec.fact)
+    assert(after.filter($"month" === "2025-11").count() === novCount)
+    assert(after.filter($"month" === "2025-12").count() === decCount)
+
+    // the KPI layer covers every closed month (it reads the partitioned fact)
+    val kpi = spark.read.parquet(dec.kpi)
+    assert(kpi.select("month").distinct().as[String].collect().sorted.toSeq ===
+      Seq("2025-11", "2025-12"))
+  }
+
   test("invalid fail_on is rejected early") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.runMonth(spark, Settings.default, "2025-12", "x", "y", "z", "BOGUS")

@@ -90,6 +90,29 @@ class SimilaritySpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("ivf centroids are deterministic and the index partitions the corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.ivfCentroids(e, "vec_id", "embedding", nClusters = 8, iters = 2)
+    val c2 = Similarity.ivfCentroids(e, "vec_id", "embedding", nClusters = 8, iters = 2)
+    assert(c1.length === 8)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "same data → same codebook")
+    assert(c1.forall(_.length === 64))
+  }
+
+  test("ivf recall vs brute force on sf0.001 embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+      nClusters = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // random vectors scatter neighbors across clusters; probing 4/16
+    // clusters must still beat the 25% chance floor by a wide margin
+    assert(recall >= 0.4, s"ivf recall $recall below 0.4")
+  }
+
   test("ann recall vs brute force on sf0.001 embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

@@ -11,7 +11,8 @@ class CoreQueriesSpec extends SparkSpec {
 
   test("every oracle has a query; only declared-approximate ops lack one") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set("ann_lsh_topk"))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
+      Set("ann_lsh_topk", "ann_ivf_topk"))
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
