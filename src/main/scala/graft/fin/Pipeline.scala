@@ -47,8 +47,11 @@ object Pipeline {
     // one all-string read per dataset; the typed frame is DERIVED from it
     // via try_cast (S1; pipeline.py:78-101) so the DQ dtype check and the
     // pipeline see the exact same coercion — see Io.typedFromRaw
+    // the raw read also carries the pandas-like row index so per-row DQ
+    // exceptions can report WHICH row failed (pandera parity); the index
+    // column is dropped at fact normalization
     def reads(name: String) = {
-      val raw = Io.readCsvRaw(spark, s"$rawDir/$name.csv")
+      val raw = Quality.withRowIndex(Io.readCsvRaw(spark, s"$rawDir/$name.csv"))
       (Io.typedFromRaw(raw, Schemas.rawContracts(name)), raw)
     }
     val (sales, salesRaw) = reads("sales")
@@ -85,7 +88,8 @@ object Pipeline {
     val summary = Quality.summaryTable(spark, exceptions, mode)
     val dqExceptionsPath = s"$curatedDir/dq_exceptions.csv"
     val dqSummaryPath = s"$curatedDir/dq_summary.csv"
-    Io.writeCsv(exceptions.orderBy("dataset", "column", "check", "failure_case"), dqExceptionsPath)
+    Io.writeCsv(exceptions.orderBy("dataset", "column", "check", "failure_case", "index"),
+      dqExceptionsPath)
     Io.writeCsv(summary, dqSummaryPath)
 
     if (overall == "FAIL" && mode != "NEVER") {

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * design caps the input size (violations stream out as a DataFrame; only the
   * PASS/FAIL gate aggregates).
   *
-  * Row `index` has no meaning under distributed execution; exceptions carry a
-  * null index (documented deviation — SURVEY.md §7.1).
+  * Per-row exceptions carry the pandas-like 0-based file row `index`
+  * (pandera parity) via [[withRowIndex]]; group/table-level exceptions
+  * (dup-key groups, schema shape) have no row identity and carry null,
+  * matching pandera's dataframe-level failure cases.
   */
 object Quality {
 
@@ -65,6 +67,25 @@ object Quality {
     "expenses" -> Seq("entity", "bill_id"),
     "fx_rates" -> Seq("date", "from_currency", "to_currency"))
 
+  /** Raw frame with the pandas-like 0-based row index attached — the
+    * `index` pandera reports for each failing row
+    * (reference: quality.py:106-108, pipeline.py:40 `bad.index`).
+    * `zipWithIndex` preserves file order for file-based scans (splits are
+    * ordered by file offset, rows keep order within a split), so the
+    * value matches the reference's DataFrame index without any driver
+    * collect. Costs one extra job (zipWithIndex pre-counts partitions) —
+    * paid only in the DQ layer; the working column is projected away
+    * before any curated output.
+    */
+  def withRowIndex(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    val schema = raw.schema.add(graft.sources.Io.RowIndexCol, LongType, nullable = false)
+    val rdd = raw.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Empty exceptions frame with the output contract columns. */
   def emptyExceptions(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -75,7 +96,10 @@ object Quality {
       failureCase: Column, schemaContext: String = "Column"): DataFrame =
     df.select(
       lit(dataset).as("dataset"),
-      lit(null).cast(LongType).as("index"),
+      // per-row checks carry the failing row's index (pandera parity);
+      // group/table-level sources have no row identity → null
+      (if (df.columns.contains(graft.sources.Io.RowIndexCol))
+        col(graft.sources.Io.RowIndexCol) else lit(null)).cast(LongType).as("index"),
       lit(column).as("column"),
       lit(check).as("check"),
       failureCase.cast(StringType).as("failure_case"),
@@ -105,7 +129,7 @@ object Quality {
       settings: Settings): DataFrame = {
 
     val expected = contract.fields.map(_.name).toSeq
-    val actual = raw.columns.toSeq
+    val actual = raw.columns.toSeq.filterNot(_ == graft.sources.Io.RowIndexCol)
 
     // strict=True schema shape (reference: quality.py strict schemas):
     // missing required column → ERROR-keyed check name; unknown column → WARN.

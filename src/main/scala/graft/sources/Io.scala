@@ -59,11 +59,20 @@ object Io {
     * null in the typed frame yet passing try_cast would then silently
     * skip both the dtype check and the isNotNull-guarded value checks.
     */
-  def typedFromRaw(raw: DataFrame, contract: StructType): DataFrame =
+  /** Internal working column carrying the pandas-like 0-based file row
+    * index through the DQ layer (see `Quality.withRowIndex`). Projected
+    * away before any curated/fact output.
+    */
+  val RowIndexCol = "__row_index"
+
+  def typedFromRaw(raw: DataFrame, contract: StructType): DataFrame = {
+    val passthrough =
+      if (raw.columns.contains(RowIndexCol)) Seq(raw(RowIndexCol)) else Nil
     raw.select(contract.fields.toSeq.map { f =>
       (if (raw.columns.contains(f.name)) raw(f.name).try_cast(f.dataType)
        else org.apache.spark.sql.functions.lit(null).cast(f.dataType)).as(f.name)
-    }: _*)
+    } ++ passthrough: _*)
+  }
 
   /** S2: tolerant parquet scan — empty DataFrame with the given schema when the
     * path is absent (reference: scripts/export_bi_datasets.py:11-12).

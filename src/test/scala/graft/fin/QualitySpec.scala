@@ -79,6 +79,26 @@ class QualitySpec extends SparkSpec {
     assert(sexs.count(_.startsWith("dtype")) === 2)
   }
 
+  test("per-row exceptions report the failing file row index, pandas-style") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dq-index").toString
+    // row 0 ok; row 1 bad currency; row 2 junk amount
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "sales.csv"),
+      ("date,entity,invoice_id,account_code,currency,amount,description\n" +
+        "2025-12-01,E1,I1,40000001,USD,100.0,ok\n" +
+        "2025-12-01,E1,I2,40000001,XXX,100.0,bad ccy\n" +
+        "2025-12-01,E1,I3,40000001,USD,junk,bad amt\n").getBytes)
+    val raw = Quality.withRowIndex(
+      graft.sources.Io.readCsvRaw(spark, s"$work/sales.csv"))
+    val typed = graft.sources.Io.typedFromRaw(raw, Schemas.sales)
+    val exs = Quality.validateDataset(spark, typed, raw, "sales", Schemas.sales, Settings.default)
+      .select("check", "index").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(exs.collectFirst { case (c, i) if c.startsWith("isin") => i } === Some(1L))
+    assert(exs.collectFirst { case (c, i) if c.startsWith("dtype") => i } === Some(2L))
+    // the index working column must never be reported as an unknown column
+    assert(!exs.keySet.exists(_ == "column_in_schema"))
+  }
+
   test("typedFromRaw casts per contract and nulls missing columns") {
     val raw = Seq(("2025-12-01", "E1", "junk"), ("not-a-date", "E2", "7.5"))
       .toDF("date", "entity", "amount")
