@@ -99,6 +99,11 @@ object Dashboard {
     val dateCol = Io.pickCol(fact, StarExport.DateColCandidates)
     val factM = StarExport.filterToMonthByDate(fact, dateCol, month)
 
+    // each series feeds BOTH the HTML table and its CSV — persist the
+    // (display-sized) results so the aggregations run once, not twice
+    val trend = kpiTrend(kpi).persist()
+    val topExpense = topExpenseAccounts(factM, dim).persist()
+
     val html =
       s"""<!DOCTYPE html><html><head><meta charset="utf-8">
          |<title>Monthly Close — $month</title>
@@ -108,11 +113,11 @@ object Dashboard {
          |</head><body>
          |<h1>Monthly Close Dashboard — $month</h1>
          |<h2>Revenue trend (top entities)</h2>
-         |${htmlTable(kpiTrend(kpi))}
+         |${htmlTable(trend)}
          |<h2>KPI table — $month</h2>
          |${htmlTable(kpiTable(kpi, month))}
          |<h2>Top expense accounts — $month</h2>
-         |${htmlTable(topExpenseAccounts(factM, dim))}
+         |${htmlTable(topExpense)}
          |<h2>DQ summary</h2>
          |${htmlTable(dqSum)}
          |<h2>DQ exceptions (first 200)</h2>
@@ -128,9 +133,10 @@ object Dashboard {
     val seriesDir = outHtml.stripSuffix(".html") + "_series"
     val trendCols = Seq("entity", "month") ++
       Seq("Revenue", "gross_profit", "operating_profit").filter(kpi.columns.contains)
-    Io.writeCsv(kpiTrend(kpi).select(trendCols.map(col): _*),
-      s"$seriesDir/revenue_trend.csv")
-    Io.writeCsv(topExpenseAccounts(factM, dim), s"$seriesDir/top_expense.csv")
+    Io.writeCsv(trend.select(trendCols.map(col): _*), s"$seriesDir/revenue_trend.csv")
+    Io.writeCsv(topExpense, s"$seriesDir/top_expense.csv")
+    trend.unpersist()
+    topExpense.unpersist()
 
     DashResult(outHtml, seriesDir, month)
   }

@@ -47,32 +47,36 @@ object Pipeline {
     // one all-string read per dataset; the typed frame is DERIVED from it
     // via try_cast (S1; pipeline.py:78-101) so the DQ dtype check and the
     // pipeline see the exact same coercion — see Io.typedFromRaw
-    // the raw read also carries the pandas-like row index so per-row DQ
-    // exceptions can report WHICH row failed (pandera parity); the index
-    // column is dropped at fact normalization
+    // one all-string read per dataset. The DQ layer gets an INDEXED copy
+    // (pandas-like row index via zipWithIndex, so exceptions report which
+    // row failed); the fact build gets the clean typed view — the RDD
+    // round-trip that indexing requires must not sit as an optimization
+    // barrier under the whole fact plan
     def reads(name: String) = {
-      val raw = Quality.withRowIndex(Io.readCsvRaw(spark, s"$rawDir/$name.csv"))
-      (Io.typedFromRaw(raw, Schemas.rawContracts(name)), raw)
+      val raw = Io.readCsvRaw(spark, s"$rawDir/$name.csv")
+      val rawIdx = Quality.withRowIndex(raw)
+      val contract = Schemas.rawContracts(name)
+      (Io.typedFromRaw(raw, contract), Io.typedFromRaw(rawIdx, contract), rawIdx)
     }
-    val (sales, salesRaw) = reads("sales")
-    val (expenses, expensesRaw) = reads("expenses")
-    val (payroll, payrollRaw) = reads("payroll")
-    val (inventory, inventoryRaw) = reads("inventory_movements")
-    val (fxRates, fxRaw) = reads("fx_rates")
+    val (sales, salesDq, salesRaw) = reads("sales")
+    val (expenses, expensesDq, expensesRaw) = reads("expenses")
+    val (payroll, payrollDq, payrollRaw) = reads("payroll")
+    val (inventory, inventoryDq, inventoryRaw) = reads("inventory_movements")
+    val (fxRates, fxDq, fxRaw) = reads("fx_rates")
 
     // validate + collect exceptions (pipeline.py:104-127)
     val validations = Seq(
-      ("sales", sales, salesRaw),
-      ("expenses", expenses, expensesRaw),
-      ("payroll", payroll, payrollRaw),
-      ("inventory_movements", inventory, inventoryRaw),
-      ("fx_rates", fxRates, fxRaw))
+      ("sales", salesDq, salesRaw),
+      ("expenses", expensesDq, expensesRaw),
+      ("payroll", payrollDq, payrollRaw),
+      ("inventory_movements", inventoryDq, inventoryRaw),
+      ("fx_rates", fxDq, fxRaw))
     val schemaIssues = validations.map { case (name, typed, raw) =>
       Quality.validateDataset(spark, typed, raw, name, Schemas.rawContracts(name), settings)
     }
     val coaIssues = Seq(
-      Quality.accountInCoaExceptions(sales, "sales", coaCodes),
-      Quality.accountInCoaExceptions(expenses, "expenses", coaCodes))
+      Quality.accountInCoaExceptions(salesDq, "sales", coaCodes),
+      Quality.accountInCoaExceptions(expensesDq, "expenses", coaCodes))
 
     val exceptions = Quality.addSeverity(
       (schemaIssues ++ coaIssues).reduce(_.unionByName(_)))
@@ -114,7 +118,13 @@ object Pipeline {
     val kpiPath = s"$curatedDir/kpi_monthly.parquet"
     // month-partitioned curated layout (SURVEY §1.1): this run lands in
     // month=YYYY-MM/ only (dynamic overwrite leaves other months intact),
-    // and downstream month filters prune to that one directory
+    // and downstream month filters prune to that one directory. Dynamic
+    // overwrite only replaces partitions it WRITES, so a re-run whose
+    // corrected inputs yield zero in-month rows would silently keep the
+    // stale partition — clear this run's month explicitly first.
+    val monthDir = new org.apache.hadoop.fs.Path(s"$factPath/month=$month")
+    val factFs = monthDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (factFs.exists(monthDir)) factFs.delete(monthDir, true)
     Io.writeParquetPartitioned(
       fact.withColumn("month", date_format(col("date"), "yyyy-MM")),
       factPath, Seq("month"))

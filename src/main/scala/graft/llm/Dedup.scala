@@ -214,8 +214,19 @@ object Dedup {
       .map { case (id, sh) =>
         val a = sh.toArray; java.util.Arrays.sort(a); (id, a)
       }
+    // block id from a splitmix64-style finalizer: sign-safe (a bare
+    // id % nBlocks drops every pair involving a negative id) and immune
+    // to id strides (all-even ids would halve the effective block count
+    // under any multiplicative-only mix)
+    def blockOf(id: Long): Int = {
+      var h = id
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      java.lang.Math.floorMod(h, nBlocks.toLong).toInt
+    }
     val expanded = sets.flatMap { case (id, sh) =>
-      val b = (id % nBlocks).toInt
+      val b = blockOf(id)
       // same-block pairs arrive on side 0 only (handled with an i<j loop)
       val asLeft = (b until nBlocks).iterator.map(j => (b * nBlocks + j, 0, id, sh))
       val asRight = (0 until b).iterator.map(i => (i * nBlocks + b, 1, id, sh))

@@ -32,8 +32,14 @@ object Similarity {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two array<double> columns. try_divide: a
+    * zero-norm vector yields null (under ANSI a bare `/` would abort the
+    * whole job with DIVIDE_BY_ZERO), and null never passes a `>= t`
+    * filter nor ranks above real cosines in a desc sort — matching the
+    * JVM baseline, where cos(zero, x) = NaN and IEEE `>=` excludes it.
+    */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector: broadcast the query set,
     * one corpus scan, per-query row_number on (similarity desc, id asc).
@@ -127,8 +133,14 @@ object Similarity {
       // cross-block pairs appear once (smaller block on the left); same-
       // block pairs appear in both orientations — keep one by id order
       .filter(col("lb") < col("rb") || col("l_id") < col("r_id"))
-      .withColumn("cos", vectorDot(col("lv"), col("rv")) / (col("ln") * col("rn")))
-      .filter(col("cos") >= threshold)
+      // try_divide: zero-norm vectors yield null (ANSI `/` would abort the
+      // job) and null fails the threshold filter — matching the JVM
+      // baseline, where cos(zero, x) = NaN and IEEE `>=` excludes it. The
+      // isnan guard covers NaN reaching cos any other way: Spark's total
+      // ordering would otherwise rank NaN above every threshold.
+      .withColumn("cos",
+        try_divide(vectorDot(col("lv"), col("rv")), col("ln") * col("rn")))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(least(col("l_id"), col("r_id")).as("a_id"),
         greatest(col("l_id"), col("r_id")).as("b_id"), col("cos"))
   }
@@ -172,10 +184,12 @@ object Similarity {
     // anywhere in the corpus (not just row 0), and an empty corpus
     // passes trivially.
     val vec = col(vecCol)
+    // coalesce keeps the message non-null for NULL embeddings (size(null)
+    // is null, and concat-with-null would hand raise_error a blank error)
     val checked = when(size(vec) === dim, toDouble(vec))
       .otherwise(raise_error(concat(
         lit(s"lshBuckets: expected dim=$dim but $vecCol has "),
-        size(vec).cast("string"), lit(" elements"))))
+        coalesce(size(vec).cast("string"), lit("NULL")), lit(" elements"))))
     val hp = hyperplanes(nPlanes, dim)
     corpus.select(col(idCol), checked.as("v"))
       .withColumn("bucket", bucketId(col("v"), hp))
@@ -220,10 +234,15 @@ object Similarity {
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
+      // decimal partial sums are exact, so the merge order of shuffle
+      // fetches cannot perturb the mean in the last ulp — the codebook is
+      // bit-reproducible run to run, as the determinism contract requires
       val means = v
         .withColumn("cluster", clusterOf(col("v"), centroids))
         .select(col("cluster"), posexplode(col("v")))
-        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect()
         .groupBy(_.getAs[Int]("cluster"))
       centroids = Array.tabulate(centroids.length) { i =>

@@ -80,6 +80,15 @@ class PipelineSmokeSpec extends SparkSpec {
     val kpi = spark.read.parquet(dec.kpi)
     assert(kpi.select("month").distinct().as[String].collect().sorted.toSeq ===
       Seq("2025-11", "2025-12"))
+
+    // a corrected re-run that yields ZERO December rows must clear the
+    // stale December partition (dynamic overwrite alone only replaces
+    // partitions it writes) — November stays intact
+    Pipeline.runMonth(spark, Settings.default, "2025-12",
+      s"$work/raw-nov", s"$work/curated", s"$work/reference", "ERROR")
+    val cleared = spark.read.parquet(dec.fact)
+    assert(cleared.select("month").distinct().as[String].collect().toSeq === Seq("2025-11"))
+    assert(cleared.count() === novCount)
   }
 
   test("invalid fail_on is rejected early") {

@@ -77,6 +77,17 @@ class DedupSpec extends SparkSpec {
       triples(Dedup.bruteForcePairs(docs, "doc_id", "text", 0.5)))
   }
 
+  test("block near-dups handle negative ids") {
+    // a bare id % nBlocks would send negative ids to blocks no positive
+    // id can reach, silently losing their pairs
+    val neg = corpus.withColumn("doc_id", -col("doc_id") - 1)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = triples(Dedup.blockNearDups(neg, "doc_id", "text", 0.5, nBlocks = 3))
+    assert(got === triples(Dedup.bruteForcePairs(neg, "doc_id", "text", 0.5)))
+    assert(got.nonEmpty, "the planted dups must survive the id remap")
+  }
+
   test("prefix near-dups are row-identical to brute force") {
     def triples(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

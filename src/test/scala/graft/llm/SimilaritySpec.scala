@@ -72,6 +72,20 @@ class SimilaritySpec extends SparkSpec {
       triples(Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.3)))
   }
 
+  test("zero-norm vectors are never reported as near-dups") {
+    import spark.implicits._
+    // cos(zero, x) = NaN; Spark's total ordering ranks NaN above every
+    // number, so an unguarded `cos >= t` would pair the zero vector with
+    // the whole corpus
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val block = triples(Similarity.blockNearDupPairs(withZero, "vec_id", "embedding", 0.3, nBlocks = 3))
+    assert(!block.exists(t => t._1 == 9L || t._2 == 9L))
+    assert(block === triples(Similarity.nearDupPairs(withZero, "vec_id", "embedding", 0.3)))
+  }
+
   test("lshBuckets fails loudly on a ragged vector, passes an empty corpus") {
     import spark.implicits._
     val ragged = Seq(
