@@ -136,6 +136,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup REMOVAL: the canonical corpus after exact near-dup
+    // detection — greedily keep the lowest id of every jaccard≥t pair
+    // (drop any doc appearing as the higher id). Pairs come from the
+    // distributed block path; removal is one left-anti join.
+    "near_dedup_keep" -> ((s, dir) => {
+      val pairs = Dedup.blockNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      docs(s, dir)
+        .join(pairs.select(col("b_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Stratified sampling: first n docs per stratum in a deterministic
+    // hashed order — per-group quotas, unlike hash_sample's global rate.
+    // rank<=n over a per-source window gets WindowGroupLimit pushdown
+    // (top-n runs below the shuffle), so quotas hold at any corpus size.
+    "stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hkey = ((col("doc_id") % lit(100000007L)) * lit(2654435761L)) % lit(1000000007L)
+      docs(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(hkey, col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    }),
+
     // Corpus token-frequency top-k (explode → count → top-k)
     "token_freq" -> ((s, dir) => {
       docs(s, dir)
@@ -342,6 +369,29 @@ object LlmQueries {
         |FROM documents
         |WHERE ((doc_id % 100000007) * 2654435761) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "near_dedup_keep" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           len(list_intersect(a.sh, b.sh))
+         |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY ((doc_id % 100000007) * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY source, rn""".stripMargin,
 
     "token_freq" ->
       s"""SELECT token, COUNT(*) AS n
