@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming operators over the `events` stream
   * (event_id, ts, user_id, event_type, value).
@@ -132,6 +132,30 @@ object EventStream {
         col("e_ts") <= col("p_ts") + expr(windowExpr))
       .select("user_id", "purchase_id", "p_ts", "error_id", "e_ts")
   }
+
+  /** Append-mode parquet sink for a finalized (watermarked) streaming
+    * frame, date-partitioned so streamed results land in the same
+    * hive-partitioned curated layout the batch pipeline writes (month/
+    * date-pruned scans downstream). The checkpoint dir gives the file
+    * sink exactly-once output across restarts. The input must carry a
+    * `window_start` column (any windowed agg here does) and be
+    * append-capable — i.e. watermarked, so rows are emitted exactly once
+    * when their window finalizes. Default trigger drains what is
+    * currently available and stops (backfill-style); pass a processing-
+    * time trigger for a long-running sink.
+    */
+  def writePartitionedParquet(
+      finalized: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    finalized
+      .withColumn("window_date", to_date(col("window_start")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("window_date")
+      .format("parquet")
+      .start(path)
 
   /** Read an events parquet path as a file stream (schema pinned — a
     * streaming source never infers; TIMESTAMP(NANOS) surfaces as long

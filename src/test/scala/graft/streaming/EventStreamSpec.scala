@@ -117,6 +117,40 @@ class EventStreamSpec extends SparkSpec {
     assert(rows === Set((1L, 2L)))
   }
 
+  test("streamed window aggregates land in a date-partitioned parquet sink") {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
+    val q = writePartitionedParquet(
+      windowedAgg(stream, watermark = "1 hour"),
+      s"$work/out", s"$work/ckpt")
+    try q.awaitTermination() finally q.stop()
+
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() > 0, "finalized windows must reach the sink")
+    // hive-style date partitions + pruning, same layout story as the
+    // batch curated fact
+    assert(out.columns.contains("window_date"))
+    val dates = out.select("window_date").distinct().collect()
+    assert(dates.nonEmpty)
+    assert(new java.io.File(s"$work/out").listFiles()
+      .exists(_.getName.startsWith("window_date=")))
+    val pruned = out.filter(org.apache.spark.sql.functions.col("window_date") ===
+      dates.head.getDate(0))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: ["))
+    // append mode emits only watermark-finalized windows: a subset of the
+    // batch aggregate over the same data
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val batchKeys = windowedAgg(batch).collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"))).toSet
+    val sinkKeys = out.collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"))).toSet
+    assert(sinkKeys.subsetOf(batchKeys))
+  }
+
   test("readEventStream processes the sf0.001 events directory end-to-end") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
     assert(stream.isStreaming)
