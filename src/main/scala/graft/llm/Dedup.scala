@@ -323,6 +323,42 @@ object Dedup {
     }.toDF("a_id", "b_id", "jaccard")
   }
 
+  /** Connected components of an undirected edge list (a_id, b_id) via
+    * iterative min-label propagation — the transitive closure step that
+    * turns pairwise near-dup hits into dedup CLUSTERS (greedy pair
+    * removal under-merges chains: a~b, b~c puts a,c in one cluster only
+    * transitively). Pregel-style: each vertex starts labeled with its own
+    * id and repeatedly takes the min label over itself and its
+    * neighbors; converges in O(cluster diameter) rounds — near-dup
+    * clusters are dense and tiny, so a handful. Each round is one
+    * distributed join + aggregate; the driver holds only the loop
+    * counter and a convergence count, and `localCheckpoint` cuts the
+    * growing lineage so round N's plan does not replay rounds 1..N-1.
+    * Returns (id, comp = min id of the component) for every endpoint.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .unionByName(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Count of common elements of two sorted distinct arrays (merge scan). */
   private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

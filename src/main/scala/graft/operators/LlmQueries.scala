@@ -148,6 +148,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup CLUSTERS: transitive closure of the exact pair graph via
+    // iterative min-label connected components — (doc, cluster id) for
+    // every doc that has at least one near-dup
+    "near_dup_components" -> ((s, dir) => {
+      val pairs = Dedup.blockNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.connectedComponents(pairs.select("a_id", "b_id"))
+        .orderBy("id")
+    }),
+
     // Stratified sampling: first n docs per stratum in a deterministic
     // hashed order — per-group quotas, unlike hash_sample's global rate.
     // rank<=n over a per-source window gets WindowGroupLimit pushdown
@@ -382,6 +391,28 @@ object LlmQueries {
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT b_id FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+
+    "near_dup_components" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           len(list_intersect(a.sh, b.sh))
+         |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT id, MIN(comp) AS comp FROM (
+         |  SELECT src AS id, dst AS comp FROM reach
+         |  UNION SELECT src AS id, src AS comp FROM edges)
+         |GROUP BY id
+         |ORDER BY id""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, source, rn FROM (

@@ -98,6 +98,20 @@ class DedupSpec extends SparkSpec {
       triples(Dedup.bruteForcePairs(docs, "doc_id", "text", 0.5)))
   }
 
+  test("connected components merge transitively, not just pairwise") {
+    import spark.implicits._
+    // 1-2 and 2-3 connect 3 to 1 without a direct (1,3) edge; 10-11 stays apart
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // and on the planted corpus: 0,1,2 are mutually near-dup → one cluster
+    val pairs = Dedup.blockNearDups(corpus, "doc_id", "text", 0.5, nBlocks = 3)
+    val cc = Dedup.connectedComponents(pairs.select("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("inverted-index candidates cover all true near-dup pairs when uncapped") {
     val cand = Dedup.invertedIndexPairs(corpus, "doc_id", "text", dfCap = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
