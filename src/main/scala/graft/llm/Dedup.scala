@@ -126,19 +126,73 @@ object Dedup {
       .toDF("a_id", "b_id", "jaccard")
   }
 
-  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact-jaccard confirmation. Deterministic: same integer hash family
-    * on any engine yields the same candidate set.
+  /** Full MinHash-LSH near-dup pipeline in ONE distributed pass over the
+    * corpus: the typed signature loop emits each doc's (band, h0, h1)
+    * bucket keys together with its sorted shingle set, docs agreeing on
+    * a band land in the same group, and candidate pairs are confirmed by
+    * exact sorted-merge jaccard inside the group — no second scan of the
+    * corpus and no id-keyed confirm joins. A pair agreeing on several
+    * bands is confirmed in each; the final distinct collapses the
+    * duplicates (identical triples by exactness). Semantics are
+    * unchanged from the join form: candidates = pairs sharing at least
+    * one full band, confirmed at exact jaccard ≥ threshold, with the
+    * same integer hash family any engine can reproduce.
     */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
-    // sigs feeds the band explode AND both sides of the confirm join.
-    // Recomputation is cheap (typed tight-loop path), so no cache here —
-    // a cache inside a function that returns a lazy frame could never be
-    // unpersisted and would pin storage memory per call. At real scale,
-    // checkpoint the signatures table once and reuse it.
-    val sigs = minhashSignatures(df, idCol, textCol)
-    confirmJaccard(lshCandidates(sigs, idCol), sigs, idCol, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBands = MinhashParams.size / BandRows
+    val params = MinhashParams.toArray
+    shingleHashSets(df, idCol, textCol)
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, shSeq) =>
+        // zero-shingle docs have null minhashes in the declarative form
+        // (equi-join keys never match) and can't reach jaccard ≥ t > 0
+        if (shSeq.isEmpty) Iterator.empty
+        else {
+          val sh = shSeq.toArray
+          java.util.Arrays.sort(sh)
+          val mh = params.map { case (a, b) =>
+            var m = Long.MaxValue
+            var i = 0
+            while (i < sh.length) {
+              val v = (sh(i) * a + b) % TextOps.MinhashP
+              if (v < m) m = v
+              i += 1
+            }
+            m
+          }
+          (0 until nBands).iterator.map { bnd =>
+            ((bnd, mh(bnd * BandRows), mh(bnd * BandRows + 1)), id, sh)
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it: Iterator[((Int, Long, Long), Long, Array[Long])]) =>
+        val docs = it.map(t => (t._2, t._3)).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < docs.length) {
+          var j = i + 1
+          while (j < docs.length) {
+            val (idA, shA) = docs(i)
+            val (idB, shB) = docs(j)
+            if (idA != idB) {
+              val inter = sortedIntersectCount(shA, shB)
+              val jac = inter.toDouble / (shA.length + shB.length - inter)
+              if (jac >= threshold) {
+                out += (if (idA < idB) (idA, idB, jac) else (idB, idA, jac))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("a_id", "b_id", "jaccard")
+      .distinct()
   }
 
   /** Prefix-filtering candidate pairs (AllPairs/PPJoin-style) — the
@@ -337,8 +391,12 @@ object Dedup {
     * Returns (id, comp = min id of the component) for every endpoint.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // the edge list joins against labels EVERY round — materialize it
+    // once (upstream may be an expensive near-dup computation) instead
+    // of replaying its plan per iteration
     val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .unionByName(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
