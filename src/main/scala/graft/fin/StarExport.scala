@@ -252,14 +252,17 @@ object StarExport {
 
     val files = Seq("dim_date.csv", "dim_month.csv", "dim_entity.csv",
       "dim_account.csv", "fact_gl.csv", "fact_kpi_monthly.csv")
+    // byte-parity with the reference's committed artifact, including its
+    // column alignment (reference: export_powerbi_star_schema.py:390-413;
+    // golden-compared in ExportSpec against data/bi_star/2025-12/)
     val notes =
       (Seq(s"month=$month", "", "Suggested Power BI Relationships:",
-        "  fact_gl[date_key] -> dim_date[date_key] (Many-to-1, single)",
-        "  fact_gl[entity_key] -> dim_entity[entity_key] (Many-to-1, single)",
-        "  fact_gl[account_key] -> dim_account[account_key] (Many-to-1, single)",
-        "  fact_gl[month_key] -> dim_month[month_key] (Many-to-1, single) (optional)",
+        "  fact_gl[date_key]      -> dim_date[date_key] (Many-to-1, single)",
+        "  fact_gl[entity_key]    -> dim_entity[entity_key] (Many-to-1, single)",
+        "  fact_gl[account_key]   -> dim_account[account_key] (Many-to-1, single)",
+        "  fact_gl[month_key]     -> dim_month[month_key] (Many-to-1, single)  (optional)",
         "  fact_kpi_monthly[entity_key] -> dim_entity[entity_key] (Many-to-1, single)",
-        "  fact_kpi_monthly[month_key] -> dim_month[month_key] (Many-to-1, single)",
+        "  fact_kpi_monthly[month_key]  -> dim_month[month_key] (Many-to-1, single)",
         "", "Files:") ++ files.map(f => s"  - $f")).mkString("\n")
     Io.writeText(spark, s"$outDir/POWERBI_MODEL_NOTES.txt", notes)
 

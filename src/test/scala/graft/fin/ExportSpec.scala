@@ -74,6 +74,26 @@ class ExportSpec extends SparkSpec {
       "field-for-field parity incl. key assignment order (1..12 by account_code)")
   }
 
+  test("golden parity: model notes and data dictionary match the committed reference artifacts") {
+    // both artifacts derive from code structure (relationships, column
+    // lists), not from the seeded raw data — byte-comparable to the
+    // reference's committed 2025-12 exports
+    def norm(s: String) = s.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n").trim
+    StarExport.`export`(spark, s"$work/curated", s"$work/bi_star_golden", Some("2025-12"))
+    val ourNotes = new String(Files.readAllBytes(
+      Paths.get(s"$work/bi_star_golden/2025-12/POWERBI_MODEL_NOTES.txt")))
+    val refNotes = new String(Files.readAllBytes(
+      Paths.get("/root/reference/data/bi_star/2025-12/POWERBI_MODEL_NOTES.txt")))
+    assert(norm(ourNotes) === norm(refNotes))
+
+    BiExport.`export`(spark, s"$work/curated", s"$work/bi_golden", Some("2025-12"))
+    val ourDd = new String(Files.readAllBytes(
+      Paths.get(s"$work/bi_golden/2025-12/data_dictionary.txt")))
+    val refDd = new String(Files.readAllBytes(
+      Paths.get("/root/reference/data/bi/2025-12/data_dictionary.txt")))
+    assert(norm(ourDd) === norm(refDd))
+  }
+
   test("bi export: 5 CSVs + data dictionary with month and stable KPI columns") {
     val res = BiExport.`export`(spark, s"$work/curated", s"$work/bi", Some("2025-12"))
     Seq("fact_transactions.csv", "dim_accounts.csv", "kpi_monthly.csv",
