@@ -434,4 +434,31 @@ object Dedup {
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash16(tokenHashes(col(textCol))).as("simhash"))
+
+  /** All pairs at Hamming distance ≤ maxHamming between 16-bit SimHashes,
+    * distributed exactly like [[blockNearDups]]: per-doc state is ONE
+    * long, the block-pair equi-join streams the n²/2 candidate pairs
+    * through a codegen'd `bit_count(xor)` filter inside the join stage —
+    * no driver collect, no pair materialization, O(n·nBlocks) shuffle.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int, nBlocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = simhashes(df, idCol, textCol)
+      .select(col(idCol).cast("long").as("id"), col("simhash"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
+    val blockPairs = (0 until nBlocks)
+      .flatMap(i => (i until nBlocks).map(j => (i.toLong, j.toLong)))
+      .toDF("bi", "bj")
+    h.select(col("id").as("a_id"), col("simhash").as("ha"), col("blk").as("ba"))
+      .join(broadcast(blockPairs), col("ba") === col("bi"))
+      .join(h.select(col("id").as("b_id"), col("simhash").as("hb"), col("blk").as("bb")),
+        col("bj") === col("bb"))
+      .filter(col("ba") < col("bb") || col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("hamming"))
+  }
 }

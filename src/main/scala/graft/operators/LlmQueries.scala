@@ -94,6 +94,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup retrieval: Hamming-close pairs via the block
+    // self-join (per-doc state is one long; bit_count(xor) streams
+    // inside the join stage)
+    // maxHamming=1: 16 bits over a shared vocabulary is collision-dense,
+    // so a loose radius would emit a large fraction of all pairs —
+    // SimHash is the coarse pre-filter; exact confirms follow it
+    "simhash_near_dup" -> ((s, dir) => {
+      Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 1)
+        .orderBy("a_id", "b_id")
+    }),
+
     // MinHash-LSH near-dup: banded candidates + exact-jaccard confirm
     "lsh_near_dup" -> ((s, dir) => {
       Dedup.lshNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
@@ -321,6 +332,16 @@ object LlmQueries {
       s"""SELECT doc_id, ${sqlSimhash16("th")} AS simhash
          |FROM (SELECT doc_id, $sqlTokenHashes AS th FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "simhash_near_dup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${sqlSimhash16("th")} AS simhash
+         |  FROM (SELECT doc_id, $sqlTokenHashes AS th FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "lsh_near_dup" ->
       s"""WITH $sqlSigs,
