@@ -39,9 +39,12 @@ object Bench {
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         // a failure must surface as an error entry, never as a fast
-        // "success" wall-time (the r02 harness swallowed Throwable)
+        // "success" wall-time (the r02 harness swallowed Throwable).
+        // noop sink, NOT count(): count() lets Catalyst prune every
+        // unreferenced projection, so a query whose expensive columns
+        // are never aggregated would bench as a bare scan
         try {
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

@@ -377,6 +377,42 @@ object Dedup {
     }.toDF("a_id", "b_id", "jaccard")
   }
 
+  /** Per-document rolling-hash fingerprints (id, fp) — typed tight-loop
+    * fast path, arithmetic identical to [[TextOps.fingerprint]]
+    * (spec-verified): the interpreted form evaluates the token-hash list
+    * expression several times per row (guard, fold seed, fold body —
+    * ~2 ms/doc); the loop hashes each token once and folds in place.
+    * Zero-token documents fingerprint to null, like the guarded
+    * declarative form.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          .split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) (id, None: Option[Long])
+        else {
+          var acc = 0L
+          var first = true
+          var t = 0
+          while (t < toks.length) {
+            val tok = toks(t)
+            var h = 0L
+            var j = 0
+            while (j < tok.length) { h = (h * 131 + tok.charAt(j)) % TextOps.HashP; j += 1 }
+            acc = if (first) h else (acc * 31 + h) % TextOps.HashP
+            first = false
+            t += 1
+          }
+          (id, Some(acc))
+        }
+      })
+      .toDF(idCol, "fp")
+  }
+
   /** Connected components of an undirected edge list (a_id, b_id) via
     * iterative min-label propagation — the transitive closure step that
     * turns pairwise near-dup hits into dedup CLUSTERS (greedy pair
@@ -431,9 +467,39 @@ object Dedup {
   /** Per-document 16-bit SimHash frame (id, simhash). Near-dups are docs
     * at small Hamming distance; with 16 bits the bucket key is the hash
     * itself plus single-bit probes.
+    *
+    * Typed tight-loop fast path, arithmetic IDENTICAL to the declarative
+    * [[TextOps.simhash16]] (spec-verified): the interpreted form runs 16
+    * separate HOF folds per row, each re-evaluating the token-hash list
+    * (~4 ms/doc — it dominated every simhash query); the loop hashes
+    * each token once and accumulates all 16 bit votes in one pass.
     */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhash16(tokenHashes(col(textCol))).as("simhash"))
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          .split("\\s+").filter(_.nonEmpty)
+        val votes = new Array[Long](16)
+        var t = 0
+        while (t < toks.length) {
+          val tok = toks(t)
+          var h = 0L
+          var j = 0
+          while (j < tok.length) { h = (h * 131 + tok.charAt(j)) % TextOps.HashP; j += 1 }
+          var i = 0
+          while (i < 16) { votes(i) += ((h >> i) & 1L) * 2 - 1; i += 1 }
+          t += 1
+        }
+        var s = 0L
+        var i = 0
+        while (i < 16) { if (votes(i) > 0) s |= 1L << i; i += 1 }
+        (id, s)
+      })
+      .toDF(idCol, "simhash")
+  }
 
   /** All pairs at Hamming distance ≤ maxHamming between 16-bit SimHashes,
     * distributed exactly like [[blockNearDups]]: per-doc state is ONE
@@ -445,6 +511,8 @@ object Dedup {
                       maxHamming: Int, nBlocks: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed simhash path is already a projection barrier, so the
+    // hash is computed once per doc, never once per pair
     val h = simhashes(df, idCol, textCol)
       .select(col(idCol).cast("long").as("id"), col("simhash"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))

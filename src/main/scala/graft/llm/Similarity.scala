@@ -116,8 +116,13 @@ object Similarity {
     import graft.functions.VectorExpressions.vectorDot
     val spark = corpus.sparkSession
     import spark.implicits._
+    // typed identity-map barrier: without it CollapseProject inlines the
+    // float→double transform and the norm into the join output, paying
+    // both once per PAIR instead of once per vector — post-barrier the
+    // per-pair work is exactly one codegen'd dot + one divide
     val v = corpus.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(vectorDot(col("v"), col("v"))))
+      .as[(Long, Seq[Double], Double)].map(identity).toDF("id", "v", "nrm")
       .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
     val blockPairs = (0 until nBlocks)
       .flatMap(i => (i until nBlocks).map(j => (i.toLong, j.toLong)))

@@ -68,9 +68,9 @@ object LlmQueries {
     }),
 
     // Document fingerprinting: order-sensitive rolling hash over tokens
+    // (typed fast path; integers identical to the declarative form)
     "doc_fingerprint" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      Dedup.fingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 

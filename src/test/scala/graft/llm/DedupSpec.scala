@@ -126,6 +126,36 @@ class DedupSpec extends SparkSpec {
     assert(cand.count() === 0L)
   }
 
+  test("typed simhash fast path equals the declarative HOF form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val declarative = docs
+      .select(col("doc_id"), TextOps.simhash16(TextOps.tokenHashes(col("text"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val typed = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(typed === declarative)
+  }
+
+  test("typed fingerprint fast path equals the declarative HOF form incl. empty docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def maps(d: org.apache.spark.sql.DataFrame) = {
+      val declarative = d
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val typed = Dedup.fingerprints(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      (typed, declarative)
+    }
+    val (t1, d1) = maps(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    assert(t1 === d1)
+    val edge = Seq((1L, ""), (2L, "  \t "), (3L, "alpha beta")).toDF("doc_id", "text")
+    val (t2, d2) = maps(edge)
+    assert(t2 === d2)
+    assert(t2(1L) === None && t2(2L) === None, "zero-token docs → null on both paths")
+  }
+
   test("typed shingle-hash fast path equals the declarative HOF form") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
