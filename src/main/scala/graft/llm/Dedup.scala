@@ -29,12 +29,29 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(idCol).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** JVM tokens under the same rule as [[TextOps.tokens]]: trim of
+    * spaces, Java `\s+` split (the same regex Spark's `split` uses),
+    * empties dropped.
+    */
+  private def jvmTokens(text: String): Array[String] =
+    text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .split("\\s+").filter(_.nonEmpty)
+
+  /** Char-polynomial hash identical to [[TextOps.tokenHash]]:
+    * fold (acc*131 + char) % HashP, continuing from `seed` (so a bigram
+    * "a b" hashes as hash(a) → fold ' ' → fold b). ASCII-equivalent to
+    * `ascii()` per char; documents are ASCII.
+    */
+  private def jvmTokenHash(tok: String, seed: Long = 0L): Long = {
+    var h = seed
+    var j = 0
+    while (j < tok.length) { h = (h * 131 + tok.charAt(j)) % TextOps.HashP; j += 1 }
+    h
+  }
+
   /** Typed fast path: per-doc distinct bigram-shingle hash sets computed
     * in a tight JVM loop. Arithmetic is IDENTICAL to the declarative
-    * [[TextOps.shingleHashes]] (verified by spec): trim of spaces, Java
-    * `\s+` split (the same regex Spark's `split` uses), per-shingle char
-    * fold (acc*131 + char) % HashP. ASCII-equivalent to `ascii()` per
-    * char; documents are ASCII.
+    * [[TextOps.shingleHashes]] (verified by spec).
     */
   private[llm] def shingleHashSets(df: DataFrame, idCol: String,
                                    textCol: String): DataFrame = {
@@ -44,18 +61,12 @@ object Dedup {
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-          .split("\\s+").filter(_.nonEmpty)
+        val toks = jvmTokens(text)
         val seen = new java.util.LinkedHashSet[Long]()
         var i = 0
         while (i < toks.length - 1) {
-          var h = 0L
-          val a = toks(i); val b = toks(i + 1)
-          var j = 0
-          while (j < a.length) { h = (h * 131 + a.charAt(j)) % TextOps.HashP; j += 1 }
-          h = (h * 131 + ' ') % TextOps.HashP
-          j = 0
-          while (j < b.length) { h = (h * 131 + b.charAt(j)) % TextOps.HashP; j += 1 }
+          val h = jvmTokenHash(toks(i + 1),
+            seed = (jvmTokenHash(toks(i)) * 131 + ' ') % TextOps.HashP)
           seen.add(h)
           i += 1
         }
@@ -391,20 +402,13 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-          .split("\\s+").filter(_.nonEmpty)
+        val toks = jvmTokens(text)
         if (toks.isEmpty) (id, None: Option[Long])
         else {
-          var acc = 0L
-          var first = true
-          var t = 0
+          var acc = jvmTokenHash(toks(0))
+          var t = 1
           while (t < toks.length) {
-            val tok = toks(t)
-            var h = 0L
-            var j = 0
-            while (j < tok.length) { h = (h * 131 + tok.charAt(j)) % TextOps.HashP; j += 1 }
-            acc = if (first) h else (acc * 31 + h) % TextOps.HashP
-            first = false
+            acc = (acc * 31 + jvmTokenHash(toks(t))) % TextOps.HashP
             t += 1
           }
           (id, Some(acc))
@@ -480,15 +484,11 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-          .split("\\s+").filter(_.nonEmpty)
+        val toks = jvmTokens(text)
         val votes = new Array[Long](16)
         var t = 0
         while (t < toks.length) {
-          val tok = toks(t)
-          var h = 0L
-          var j = 0
-          while (j < tok.length) { h = (h * 131 + tok.charAt(j)) % TextOps.HashP; j += 1 }
+          val h = jvmTokenHash(toks(t))
           var i = 0
           while (i < 16) { votes(i) += ((h >> i) & 1L) * 2 - 1; i += 1 }
           t += 1
