@@ -8,10 +8,12 @@ import graft.sources.Io
 /** Dashboard data aggregates + static HTML report (SURVEY.md §3.3;
   * reference: scripts/build_dashboard.py:74-225).
   *
-  * Parity target is the DATA feeding each chart (top-k aggregates, KPI
-  * table, DQ truncations) — chart rendering is presentation. Aggregates run
-  * distributed; only the final ≤ hundreds of display rows are collected into
-  * the HTML template, mirroring the reference's collect-then-template shape.
+  * Renders the reference's three figures — Revenue trend line, Operating
+  * Profit trend line, top-expense bars — as inline SVG ([[Charts]]; the
+  * reference uses plotly JS from a CDN) plus the tables, and ships each
+  * chart's series as standalone CSVs. Aggregates run distributed; only
+  * the final ≤ hundreds of display rows are collected into the HTML
+  * template, mirroring the reference's collect-then-template shape.
   */
 object Dashboard {
 
@@ -99,10 +101,30 @@ object Dashboard {
     val dateCol = Io.pickCol(fact, StarExport.DateColCandidates)
     val factM = StarExport.filterToMonthByDate(fact, dateCol, month)
 
-    // each series feeds BOTH the HTML table and its CSV — persist the
-    // (display-sized) results so the aggregations run once, not twice
+    // each series feeds the charts, the HTML tables AND the CSVs — persist
+    // the (display-sized) results so the aggregations run once, not thrice
     val trend = kpiTrend(kpi).persist()
     val topExpense = topExpenseAccounts(factM, dim).persist()
+
+    // chart rendering (reference: build_dashboard.py:96-122 px.line ×2,
+    // :162-166 px.bar) — same figures, inline SVG instead of plotly JS
+    def trendChart(valueCol: String, title: String): String =
+      if (!kpi.columns.contains(valueCol)) s"<p class='muted'>No $title chart available.</p>"
+      else {
+        val pts = trend.select(col("entity"), col("month"),
+            col(valueCol).cast("double")).collect()
+          .filter(r => !r.isNullAt(2))
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val months = pts.map(_._2).distinct.sorted.toSeq
+        val series = pts.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (e, rs) => e -> rs.map(r => r._2 -> r._3).toMap }
+        Charts.lineChart(title, months, series)
+      }
+    val revChart = trendChart("Revenue", "Revenue Trend (Top Entities)")
+    val opChart = trendChart("operating_profit", "Operating Profit Trend (Top Entities)")
+    val expChart = Charts.barChartH("Top Expense Accounts (Abs Value)",
+      topExpense.collect().toSeq.map(r =>
+        r.getAs[String]("label") -> r.getAs[Double]("total_abs_amount")))
 
     val html =
       s"""<!DOCTYPE html><html><head><meta charset="utf-8">
@@ -113,10 +135,13 @@ object Dashboard {
          |</head><body>
          |<h1>Monthly Close Dashboard — $month</h1>
          |<h2>Revenue trend (top entities)</h2>
+         |$revChart
+         |$opChart
          |${htmlTable(trend)}
          |<h2>KPI table — $month</h2>
          |${htmlTable(kpiTable(kpi, month))}
          |<h2>Top expense accounts — $month</h2>
+         |$expChart
          |${htmlTable(topExpense)}
          |<h2>DQ summary</h2>
          |${htmlTable(dqSum)}

@@ -129,6 +129,17 @@ class ExportSpec extends SparkSpec {
     assert(html.contains("Monthly Close Dashboard — 2025-12"))
     assert(html.contains("Top expense accounts"))
 
+    // inline-SVG charts: the reference's three plotly figures
+    // (build_dashboard.py:96-122, 162-166) rendered as static SVG
+    assert(html.contains("Revenue Trend (Top Entities)"))
+    assert(html.contains("Operating Profit Trend (Top Entities)"))
+    assert(html.contains("Top Expense Accounts (Abs Value)"))
+    assert("<svg".r.findAllIn(html).size === 3)
+    // the single-month close yields one point per entity: markers, no
+    // line segments (ChartsSpec covers multi-month polylines)
+    assert(html.contains("<circle")) // trend markers
+    assert(html.contains("<rect"))   // expense bars / legend swatches
+
     // chart-series data contract: the series behind each chart ship as CSVs
     val trend = spark.read.option("header", "true").csv(s"${res.seriesDir}/revenue_trend.csv")
     assert(trend.columns.toSeq ===
