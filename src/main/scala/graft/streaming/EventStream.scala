@@ -111,6 +111,23 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup with bounded state — the unbounded-stream
+    * analog of the batch `dropDuplicates`/`Dedup.exact` path (whose
+    * state would grow forever on a stream). The first event per key is
+    * emitted (Append mode); duplicates arriving within the watermark
+    * delay of it are dropped; per-key state is evicted once the
+    * watermark passes, so state size is bounded by the key arrival rate
+    * × the lateness bound rather than the stream's lifetime. The
+    * contract is exactly-once *within the lateness bound*: a duplicate
+    * arriving later than `watermark` after its first occurrence re-emits
+    * — the same bound every watermarked operator here carries. Streaming
+    * frames only (batch dedup needs no watermark: use dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream join: each purchase joined to error events of the
     * same user occurring within `windowExpr` after it. Both sides carry
     * watermarks and the join condition bounds event time on both ends,

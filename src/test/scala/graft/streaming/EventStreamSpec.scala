@@ -86,6 +86,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicates within the watermark and evicts state past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF(), Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append).start()
+    try {
+      // in-batch dup + cross-batch dup within the watermark: one survivor
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).toSeq.sorted
+      assert(ids === Seq(1L, 2L))
+
+      // advance the watermark far past id=1's expiry → its state is
+      // evicted; the same key re-emits, demonstrating the BOUNDED-state
+      // contract (dedup is exact within the lateness bound, not forever)
+      mem.addData(Event(99, hourTs(14, 0), 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, hourTs(13, 30), 1, "click", 1.0))
+      q.processAllAvailable()
+      val replayed = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).count(_ == 1L)
+      assert(replayed === 2, "evicted key must re-emit after the watermark passes")
+    } finally q.stop()
+  }
+
   test("purchaseErrorJoin matches errors within the window, streaming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
