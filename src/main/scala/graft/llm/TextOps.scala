@@ -71,6 +71,18 @@ object TextOps {
     */
   def tokenHashes(text: Column): Column = transform(tokens(text), tokenHash(_))
 
+  /** Word bigrams as "w1 w2" strings, duplicates KEPT in order — the
+    * repetition-filter input ([[shingles]] de-duplicates; repetition
+    * scoring is precisely about the duplicates).
+    */
+  def bigrams(text: Column): Column = {
+    val ts = tokens(text)
+    zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Word n-gram shingles of a text as "w1 w2 …" strings, de-duplicated. */
   def shingles(text: Column, n: Int = 2): Column = {
     require(n >= 2, "use tokens() for n=1")
@@ -135,6 +147,29 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0)))
 
+  // ---- PII scrubbing (per-row regex; Java and RE2 agree on these
+  //      patterns, so the DuckDB oracle reproduces them exactly) ----
+
+  /** Email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** US-style phone numbers (123-456-7890 / dots / spaces). */
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Bare number runs (account ids, zips — the catch-all digit pass). */
+  val NumberRe = "\\b\\d+\\b"
+
+  /** Staged PII redaction: emails, then phones, then bare numbers — each
+    * stage runs on the previous stage's output so a pattern consumed by
+    * an earlier stage (digits inside a phone) is never double-counted.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      NumberRe, "<NUM>")
+
   // ---- DuckDB oracle SQL fragments (same formulas, same constants) ----
 
   /** SQL: whitespace tokens of trim(text), empty tokens dropped (same
@@ -150,12 +185,15 @@ object TextOps {
   val sqlTokenHashes: String =
     s"list_transform($sqlTokens, t -> ${sqlTokenHash("t")})"
 
-  /** SQL: distinct bigram-shingle hash set of the document. */
-  val sqlShingleHashes: String = {
+  /** SQL: ordered bigram list, duplicates kept (mirrors [[bigrams]]). */
+  val sqlBigrams: String = {
     val ts = sqlTokens
-    val grams = s"list_transform(list_zip($ts[1:len($ts)-1], $ts[2:len($ts)]), s -> s[1] || ' ' || s[2])"
-    s"list_distinct(list_transform($grams, t -> ${sqlTokenHash("t")}))"
+    s"list_transform(list_zip($ts[1:len($ts)-1], $ts[2:len($ts)]), s -> s[1] || ' ' || s[2])"
   }
+
+  /** SQL: distinct bigram-shingle hash set of the document. */
+  val sqlShingleHashes: String =
+    s"list_distinct(list_transform($sqlBigrams, t -> ${sqlTokenHash("t")}))"
 
   /** SQL: one MinHash value over hash-set expression `hs`. */
   def sqlMinhash(hs: String, a: Long, b: Long): String =
@@ -180,4 +218,11 @@ object TextOps {
 
   /** SQL: BPE-ish token count. */
   val sqlBpeTokenCount = raw"len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))"
+
+  /** SQL: staged PII redaction of text expression `t` (same patterns and
+    * stage order as [[piiScrub]]; 'g' = replace-all, Spark's default).
+    */
+  def sqlPiiScrub(t: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($t, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$NumberRe', '<NUM>', 'g')"
 }

@@ -183,6 +183,47 @@ object LlmQueries {
         .orderBy("source", "rn")
     }),
 
+    // Repetition quality filters (Gopher-style, Rae et al. 2021): fraction
+    // of occurrences held by the most frequent word / bigram, fraction of
+    // duplicated lines, and the resulting keep flag. The top-fractions run
+    // as two-level aggregations (per-(doc,gram) count → per-doc max/sum),
+    // partial-agg friendly at any corpus size; line stats are per-row.
+    "repetition_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def topFrac(elems: org.apache.spark.sql.Column, out: String): DataFrame =
+        d.select(col("doc_id"), explode(elems).as("e"))
+          .groupBy("doc_id", "e").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg((max("c") / sum("c")).as(out))
+      val lines = split(col("text"), "\n")
+      d.select(col("doc_id"),
+          ((size(lines) - size(array_distinct(lines))) / size(lines))
+            .as("dup_line_frac"))
+        .join(topFrac(tokens(col("text")), "top_word_frac"), Seq("doc_id"), "left")
+        .join(topFrac(bigrams(col("text")), "top_bigram_frac"), Seq("doc_id"), "left")
+        // null fractions (no tokens / no bigrams) pass: absence of
+        // repetition evidence is not repetition
+        .withColumn("keep",
+          coalesce(col("top_bigram_frac") <= 0.2, lit(true)) &&
+            coalesce(col("dup_line_frac") <= 0.3, lit(true)))
+        .select("doc_id", "top_word_frac", "top_bigram_frac", "dup_line_frac", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing: staged email → phone → number redaction with per-stage
+    // counts (each stage counts on the previous stage's output, so digits
+    // consumed by an earlier pattern are never double-counted)
+    "pii_scrub" -> ((s, dir) => {
+      val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+      val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+      docs(s, dir).select(
+        col("doc_id"),
+        piiScrub(col("text")).as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all(afterPhone, lit(NumberRe), lit(0))).cast("long").as("n_number"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency top-k (explode → count → top-k)
     "token_freq" -> ((s, dir) => {
       docs(s, dir)
@@ -444,6 +485,41 @@ object LlmQueries {
         |  FROM documents)
         |WHERE rn <= 20
         |ORDER BY source, rn""".stripMargin,
+
+    "repetition_score" ->
+      s"""WITH wf AS (
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+         |  FROM (SELECT doc_id, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
+         |        GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |gf AS (
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+         |  FROM (SELECT doc_id, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents)
+         |        GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |lf AS (
+         |  SELECT doc_id,
+         |         (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE) AS dup_line_frac
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents))
+         |SELECT d.doc_id, wf.top_word_frac, gf.top_bigram_frac, lf.dup_line_frac,
+         |       (COALESCE(gf.top_bigram_frac <= 0.2, TRUE)
+         |        AND COALESCE(lf.dup_line_frac <= 0.3, TRUE)) AS keep
+         |FROM documents d
+         |LEFT JOIN wf USING (doc_id)
+         |LEFT JOIN gf USING (doc_id)
+         |JOIN lf USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         |       ${sqlPiiScrub("text")} AS scrubbed,
+         |       len(regexp_extract_all(text, '$EmailRe')) AS n_email,
+         |       len(regexp_extract_all(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe')) AS n_phone,
+         |       len(regexp_extract_all(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$NumberRe')) AS n_number
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
 
     "token_freq" ->
       s"""SELECT token, COUNT(*) AS n

@@ -53,15 +53,36 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.vectorDotBuilder
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
-      (children: Seq[Expression]) => {
-        if (children.length != 2) throw new IllegalArgumentException(
-          s"vector_dot requires exactly 2 arguments (array<double>, array<double>), got ${children.length}")
-        DotProduct(children.head, children(1))
-      }))
+      vectorDotBuilder))
+  }
+}
+
+object GraftExtensions {
+  private val vectorDotBuilder: Seq[Expression] => Expression = children => {
+    if (children.length != 2) throw new IllegalArgumentException(
+      s"vector_dot requires exactly 2 arguments (array<double>, array<double>), got ${children.length}")
+    DotProduct(children.head, children(1))
+  }
+
+  /** Install the same rule + SQL function on an EXISTING session —
+    * `withExtensions` only takes effect on the first builder in a JVM,
+    * so REPLs and shared test sessions need the post-hoc path.
+    * Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    org.apache.spark.sql.graftbridge.FunctionBridge.register(
+      spark, "vector_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
+      vectorDotBuilder)
   }
 }

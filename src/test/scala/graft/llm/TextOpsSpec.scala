@@ -34,6 +34,26 @@ class TextOpsSpec extends SparkSpec {
     assert(fp === one("x y", fingerprint(col("text"))), "fingerprint must ignore leading whitespace")
   }
 
+  test("bigrams keep duplicates in order (the repetition signal)") {
+    assert(one("a b c a b", bigrams(col("text"))) ===
+      Seq("a b", "b c", "c a", "a b"))
+    assert(one("solo", bigrams(col("text"))) === Seq())
+    assert(one("", bigrams(col("text"))) === Seq())
+  }
+
+  test("piiScrub redacts emails, phones, then bare numbers, staged") {
+    assert(one("mail bob.smith+x@corp.example.org now", piiScrub(col("text"))) ===
+      "mail <EMAIL> now")
+    assert(one("call 555-867-5309 or 555.867.5309", piiScrub(col("text"))) ===
+      "call <PHONE> or <PHONE>")
+    assert(one("acct 12345 end", piiScrub(col("text"))) === "acct <NUM> end")
+    // staging: the phone's digits are consumed by the phone stage, never
+    // re-matched by the number stage; the email's digits likewise
+    assert(one("a1@b.co 555-867-5309 77", piiScrub(col("text"))) ===
+      "<EMAIL> <PHONE> <NUM>")
+    assert(one("clean text", piiScrub(col("text"))) === "clean text")
+  }
+
   test("bigram shingles are consecutive pairs, de-duplicated") {
     assert(one("a b c a b", shingles(col("text"))) ===
       Seq("a b", "b c", "c a"))
