@@ -20,7 +20,11 @@ object Charts {
 
   private def color(i: Int): String = Palette(i % Palette.length)
 
-  private def esc(s: String): String =
+  /** HTML/attribute-safe escaping — the one escaper for all graft.fin
+    * HTML output (tables and SVG share it; quote-escaped so it is safe
+    * in attribute context too).
+    */
+  private[fin] def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
@@ -54,13 +58,17 @@ object Charts {
     * how plotly draws missing categories.
     */
   def lineChart(title: String, xLabels: Seq[String],
-                series: Seq[(String, Map[String, Double])]): String = {
-    if (xLabels.isEmpty || series.isEmpty)
+                series0: Seq[(String, Map[String, Double])]): String = {
+    // NaN points can't be plotted (they'd become cx="NaN") — treat them
+    // as missing, like plotly does; a series left with no points still
+    // gets its legend entry, just no marks
+    val series = series0.map { case (n, pts) => n -> pts.filter(p => !p._2.isNaN) }
+    val values = series.flatMap(_._2.values)
+    if (xLabels.isEmpty || series.isEmpty || values.isEmpty)
       return s"<p class='muted'>No data for ${esc(title)}.</p>"
     val w = 760; val h = 380
     val mL = 70; val mR = 150; val mT = 36; val mB = 46
     val plotW = w - mL - mR; val plotH = h - mT - mB
-    val values = series.flatMap(_._2.values)
     val lo = math.min(0.0, values.min)
     val hi = math.max(values.max, lo + 1e-9)
     val ticks = niceTicks(lo, hi)
@@ -123,7 +131,8 @@ object Charts {
     * Rows render top-to-bottom in the order given (largest first, as the
     * top-k queries sort them).
     */
-  def barChartH(title: String, rows: Seq[(String, Double)]): String = {
+  def barChartH(title: String, rows0: Seq[(String, Double)]): String = {
+    val rows = rows0.filter(r => !r._2.isNaN) // unplottable, like lineChart
     if (rows.isEmpty) return s"<p class='muted'>No data for ${esc(title)}.</p>"
     val barH = 18; val gap = 8
     val mL = 280; val mR = 70; val mT = 36; val mB = 10

@@ -62,7 +62,7 @@ object Dashboard {
   private def htmlTable(df: DataFrame, limit: Int = 200): String = {
     val cols = df.columns
     val rows = df.limit(limit).collect()
-    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def esc(s: String) = Charts.esc(s)
     def cell(r: Row, i: Int) = if (r.isNullAt(i)) "" else esc(r.get(i).toString)
     val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
     val body = rows.map(r =>
@@ -136,6 +136,7 @@ object Dashboard {
          |<h1>Monthly Close Dashboard — $month</h1>
          |<h2>Revenue trend (top entities)</h2>
          |$revChart
+         |<h2>Operating profit trend (top entities)</h2>
          |$opChart
          |${htmlTable(trend)}
          |<h2>KPI table — $month</h2>

@@ -71,29 +71,29 @@ object TextOps {
     */
   def tokenHashes(text: Column): Column = transform(tokens(text), tokenHash(_))
 
-  /** Word bigrams as "w1 w2" strings, duplicates KEPT in order — the
-    * repetition-filter input ([[shingles]] de-duplicates; repetition
-    * scoring is precisely about the duplicates).
+  /** Ordered "w1 w2 …" n-gram list, duplicates kept — the single gram
+    * builder behind [[bigrams]] and [[shingles]] (mirrors the SQL side,
+    * where [[sqlShingleHashes]] builds on [[sqlBigrams]]).
     */
-  def bigrams(text: Column): Column = {
-    val ts = tokens(text)
-    zip_with(
-      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
-      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-  }
-
-  /** Word n-gram shingles of a text as "w1 w2 …" strings, de-duplicated. */
-  def shingles(text: Column, n: Int = 2): Column = {
+  private def grams(text: Column, n: Int): Column = {
     require(n >= 2, "use tokens() for n=1")
     val ts = tokens(text)
-    val grams = (1 until n).foldLeft(slice(ts, lit(1), greatest(size(ts) - (n - 1), lit(0)))) {
+    (1 until n).foldLeft(slice(ts, lit(1), greatest(size(ts) - (n - 1), lit(0)))) {
       (acc, i) =>
         zip_with(acc, slice(ts, lit(1 + i), greatest(size(ts) - (n - 1), lit(0))),
           (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(grams)
   }
+
+  /** Word bigrams as "w1 w2" strings, duplicates KEPT in order — the
+    * repetition-filter input ([[shingles]] de-duplicates; repetition
+    * scoring is precisely about the duplicates).
+    */
+  def bigrams(text: Column): Column = grams(text, 2)
+
+  /** Word n-gram shingles of a text as "w1 w2 …" strings, de-duplicated. */
+  def shingles(text: Column, n: Int = 2): Column =
+    array_distinct(grams(text, n))
 
   /** Distinct hashes of the n-gram shingle set — the MinHash input. */
   def shingleHashes(text: Column, n: Int = 2): Column =

@@ -28,6 +28,50 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Integer quality score (0-4): length window, stopword evidence,
+    * bounded token length, lexical diversity (shared by `quality_score`
+    * and the curation pipeline).
+    */
+  private def qualityScore: org.apache.spark.sql.Column = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts)
+    when(nTok >= 40 && nTok <= 1000, 1L).otherwise(0L) +
+      when(stopwordHits(col("text")) > 0, 1L).otherwise(0L) +
+      when(array_max(transform(ts, t => length(t))) <= 10, 1L).otherwise(0L) +
+      when(size(array_distinct(ts)) * 3 >= nTok, 1L).otherwise(0L)
+  }
+
+  /** Below this many words/bigrams a top-fraction threshold does not
+    * bind: 2 distinct bigrams put the top one at 0.5 with zero actual
+    * repetition. Gopher defines its fractions on long documents (length
+    * prefilters); this gate is the count-fraction analog.
+    */
+  private val RepMinMass = 10
+
+  /** Per-doc repetition fractions + keep flag (shared by
+    * `repetition_score` and the curation pipeline). Null fractions (no
+    * tokens / no bigrams) pass: absence of repetition evidence is not
+    * repetition; fractions over fewer than [[RepMinMass]] grams pass
+    * too. Thresholds: top word 0.5, top bigram 0.2, duplicate lines 0.3
+    * (Gopher-style).
+    */
+  private def repetitionFrame(d: DataFrame): DataFrame = {
+    def topFrac(elems: org.apache.spark.sql.Column, out: String, n: String): DataFrame =
+      d.select(col("doc_id"), explode(elems).as("e"))
+        .groupBy("doc_id", "e").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg((max("c") / sum("c")).as(out), sum("c").as(n))
+    val lines = split(col("text"), "\n")
+    d.select(col("doc_id"),
+        ((size(lines) - size(array_distinct(lines))) / size(lines))
+          .as("dup_line_frac"))
+      .join(topFrac(tokens(col("text")), "top_word_frac", "n_words"), Seq("doc_id"), "left")
+      .join(topFrac(bigrams(col("text")), "top_bigram_frac", "n_bigrams"), Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("top_word_frac") <= 0.5 || col("n_words") < RepMinMass, lit(true)) &&
+          coalesce(col("top_bigram_frac") <= 0.2 || col("n_bigrams") < RepMinMass, lit(true)) &&
+          coalesce(col("dup_line_frac") <= 0.3, lit(true)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: token counting (whitespace + BPE-ish regex)
@@ -54,14 +98,7 @@ object LlmQueries {
 
     // Quality scoring: integer-weighted length/stopword/diversity signals
     "quality_score" -> ((s, dir) => {
-      val ts = tokens(col("text"))
-      val nTok = size(ts)
-      val score =
-        when(nTok >= 40 && nTok <= 1000, 1L).otherwise(0L) +
-          when(stopwordHits(col("text")) > 0, 1L).otherwise(0L) +
-          when(array_max(transform(ts, t => length(t))) <= 10, 1L).otherwise(0L) +
-          when(size(array_distinct(ts)) * 3 >= nTok, 1L).otherwise(0L)
-      docs(s, dir).select(col("doc_id"), col("n_chars"), score.as("score"))
+      docs(s, dir).select(col("doc_id"), col("n_chars"), qualityScore.as("score"))
         .withColumn("bucket",
           when(col("score") >= 4, "high").when(col("score") >= 2, "medium").otherwise("low"))
         .orderBy("doc_id")
@@ -189,23 +226,30 @@ object LlmQueries {
     // as two-level aggregations (per-(doc,gram) count → per-doc max/sum),
     // partial-agg friendly at any corpus size; line stats are per-row.
     "repetition_score" -> ((s, dir) => {
-      val d = docs(s, dir)
-      def topFrac(elems: org.apache.spark.sql.Column, out: String): DataFrame =
-        d.select(col("doc_id"), explode(elems).as("e"))
-          .groupBy("doc_id", "e").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg((max("c") / sum("c")).as(out))
-      val lines = split(col("text"), "\n")
-      d.select(col("doc_id"),
-          ((size(lines) - size(array_distinct(lines))) / size(lines))
-            .as("dup_line_frac"))
-        .join(topFrac(tokens(col("text")), "top_word_frac"), Seq("doc_id"), "left")
-        .join(topFrac(bigrams(col("text")), "top_bigram_frac"), Seq("doc_id"), "left")
-        // null fractions (no tokens / no bigrams) pass: absence of
-        // repetition evidence is not repetition
-        .withColumn("keep",
-          coalesce(col("top_bigram_frac") <= 0.2, lit(true)) &&
-            coalesce(col("dup_line_frac") <= 0.3, lit(true)))
+      repetitionFrame(docs(s, dir))
         .select("doc_id", "top_word_frac", "top_bigram_frac", "dup_line_frac", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // The composed curation pipeline — what a 100 TB pre-training corpus
+    // actually runs end to end: quality gate (score ≥ 2) → repetition
+    // filter → exact dedup (lowest-id survivor per identical text) →
+    // near-dup removal (block-join jaccard ≥ 0.5, greedy survivor).
+    // Every stage is one of the individually-oracled operators above,
+    // composed as lazy plans: Catalyst pipelines the per-row filters
+    // into one scan pass, and only the dedup/near-dup stages shuffle.
+    "corpus_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = d
+        .join(repetitionFrame(d).select("doc_id", "keep"), Seq("doc_id"))
+        .filter(col("keep") && qualityScore >= 2)
+        .drop("keep")
+      val survivors = kept.join(
+        Dedup.exact(kept, Seq("text"), "doc_id").select("doc_id"), Seq("doc_id"))
+      val nearDupLosers = Dedup.blockNearDups(survivors, "doc_id", "text", threshold = 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     }),
 
@@ -488,13 +532,13 @@ object LlmQueries {
 
     "repetition_score" ->
       s"""WITH wf AS (
-         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_word_frac, SUM(c) AS n_words
          |  FROM (SELECT doc_id, COUNT(*) AS c
          |        FROM (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
          |        GROUP BY doc_id, w)
          |  GROUP BY doc_id),
          |gf AS (
-         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac, SUM(c) AS n_bigrams
          |  FROM (SELECT doc_id, COUNT(*) AS c
          |        FROM (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents)
          |        GROUP BY doc_id, g)
@@ -504,12 +548,58 @@ object LlmQueries {
          |         (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE) AS dup_line_frac
          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents))
          |SELECT d.doc_id, wf.top_word_frac, gf.top_bigram_frac, lf.dup_line_frac,
-         |       (COALESCE(gf.top_bigram_frac <= 0.2, TRUE)
+         |       (COALESCE(wf.top_word_frac <= 0.5 OR wf.n_words < $RepMinMass, TRUE)
+         |        AND COALESCE(gf.top_bigram_frac <= 0.2 OR gf.n_bigrams < $RepMinMass, TRUE)
          |        AND COALESCE(lf.dup_line_frac <= 0.3, TRUE)) AS keep
          |FROM documents d
          |LEFT JOIN wf USING (doc_id)
          |LEFT JOIN gf USING (doc_id)
          |JOIN lf USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_curation" ->
+      s"""WITH wf AS (
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_word_frac, SUM(c) AS n_words
+         |  FROM (SELECT doc_id, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
+         |        GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |gf AS (
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac, SUM(c) AS n_bigrams
+         |  FROM (SELECT doc_id, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents)
+         |        GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |lf AS (
+         |  SELECT doc_id,
+         |         (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE) AS dup_line_frac
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+         |kept AS (
+         |  SELECT d.doc_id, d.text, d.source, d.lang
+         |  FROM documents d
+         |  LEFT JOIN wf USING (doc_id)
+         |  LEFT JOIN gf USING (doc_id)
+         |  JOIN lf USING (doc_id)
+         |  WHERE COALESCE(wf.top_word_frac <= 0.5 OR wf.n_words < $RepMinMass, TRUE)
+         |    AND COALESCE(gf.top_bigram_frac <= 0.2 OR gf.n_bigrams < $RepMinMass, TRUE)
+         |    AND COALESCE(lf.dup_line_frac <= 0.3, TRUE)
+         |    AND (CASE WHEN len($sqlTokens) BETWEEN 40 AND 1000 THEN 1 ELSE 0 END
+         |         + CASE WHEN $sqlStopwordHits > 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN list_max(list_transform($sqlTokens, t -> len(t))) <= 10 THEN 1 ELSE 0 END
+         |         + CASE WHEN len(list_distinct($sqlTokens)) * 3 >= len($sqlTokens) THEN 1 ELSE 0 END) >= 2),
+         |surv AS (
+         |  SELECT k.* FROM kept k
+         |  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text) m USING (doc_id)),
+         |sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM surv),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           len(list_intersect(a.sh, b.sh))
+         |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT doc_id, source, lang FROM surv
+         |WHERE doc_id NOT IN (SELECT b_id FROM pairs)
          |ORDER BY doc_id""".stripMargin,
 
     "pii_scrub" ->

@@ -16,4 +16,11 @@ object FunctionBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(new FunctionIdentifier(name), info, builder)
+
+  /** Remove a function registered via [[register]] (tests on shared
+    * sessions must be able to restore the pre-install state). */
+  def drop(spark: SparkSession, name: String): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .dropFunction(new FunctionIdentifier(name))
 }

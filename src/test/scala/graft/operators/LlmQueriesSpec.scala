@@ -25,31 +25,68 @@ class LlmQueriesSpec extends SparkSpec {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-rep").toString
     Seq(
-      // 4 bigrams, all "spam spam": top_bigram_frac 1.0 → drop
-      (1L, "spam spam spam spam spam", "en", "a", 25L),
-      // varied text: 4 distinct bigrams of 4 → 0.25 ≤ threshold? no — keep
-      // needs ≤ 0.2; top bigram 1/4 = 0.25 > 0.2 → drop. use 6 tokens:
-      // 5 distinct bigrams of 5 → 0.2 → keep
+      // 12 words / 11 bigrams (≥ min mass), all "spam": both top
+      // fractions 1.0 → drop
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en", "a", 59L),
+      // varied 6 tokens: top bigram 1/5 = 0.2, and under min mass
+      // anyway → keep
       (2L, "one two three four five six", "en", "a", 27L),
-      // duplicate lines: 3 lines, 2 identical → dup_line_frac 1/3 → drop
-      // only if > 0.3; 1/3 ≈ 0.333 > 0.3 → drop (bigram side is varied)
-      (3L, "aa bb\ncc dd\ncc dd", "en", "a", 17L),
-      // single token: no bigrams → null frac → keep
-      (4L, "word", "en", "a", 4L))
+      // duplicate line is the ONLY violated threshold: 3 lines, 2 identical
+      // → dup_line_frac 1/3 > 0.3; bigrams top 2/17 ≈ 0.118, words top
+      // 2/18 ≈ 0.111 both pass — isolates the dup-line → keep wiring
+      (3L, "a b c d e f\ng h i j k l\ng h i j k l", "en", "a", 37L),
+      // single token: top_word_frac 1.0 but only 1 word — under the
+      // min-mass gate a short doc is not "repetitive" → keep
+      (4L, "word", "en", "a", 4L),
+      // top word is the ONLY violated threshold at mass: "x" is 6 of 10
+      // tokens (0.6 > 0.5, n_words = 10); all 9 bigrams distinct and
+      // under bigram min mass; no duplicate lines
+      (5L, "x a x b x c x d x x", "en", "a", 19L),
+      // empty text: every fraction null/0 → absence of repetition
+      // evidence is not repetition → keep
+      (6L, "", "en", "a", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
     val out = LlmQueries.queries("repetition_score")(spark, work).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(out(1L).getAs[Double]("top_word_frac") === 1.0)
     assert(!out(1L).getAs[Boolean]("keep"))
     assert(out(2L).getAs[Double]("top_bigram_frac") === 0.2)
     assert(out(2L).getAs[Boolean]("keep"))
     assert(math.abs(out(3L).getAs[Double]("dup_line_frac") - 1.0 / 3) < 1e-12)
+    assert(out(3L).getAs[Double]("top_bigram_frac") <= 0.2)
+    assert(out(3L).getAs[Double]("top_word_frac") <= 0.5)
     assert(!out(3L).getAs[Boolean]("keep"))
     assert(out(4L).isNullAt(out(4L).fieldIndex("top_bigram_frac")))
+    assert(out(4L).getAs[Double]("top_word_frac") === 1.0)
     assert(out(4L).getAs[Boolean]("keep"))
-    // top_word_frac: doc 1 is one word 5 times → 1.0
-    assert(out(1L).getAs[Double]("top_word_frac") === 1.0)
+    assert(out(5L).getAs[Double]("top_word_frac") === 0.6)
+    assert(out(5L).getAs[Double]("dup_line_frac") === 0.0)
+    assert(!out(5L).getAs[Boolean]("keep"))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("top_word_frac")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("top_bigram_frac")))
+    assert(out(6L).getAs[Boolean]("keep"))
+  }
+
+  test("corpus_curation composes quality, repetition, exact-dup and near-dup stages") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val base = "the quick brown fox jumps over lazy dog"
+    Seq(
+      (1L, base, "en", "a", 39L),                                   // survives
+      (2L, base, "en", "a", 39L),                                   // exact dup of 1 → dropped
+      (3L, "the quick brown fox jumps over lazy cat", "en", "a", 39L), // jaccard 0.75 vs 1 → dropped
+      // quality-passing (stopword + short tokens → score 2) but word
+      // frac 1.0 at mass 12 → dropped by the repetition stage alone
+      (4L, "the the the the the the the the the the the the", "en", "a", 47L),
+      (5L, "zz qq ww", "en", "a", 8L),                              // score 2 → survives
+      (6L, "abcdefghijklmnop qrstuvwxyzabcdef zz", "en", "a", 36L)) // score 1 → dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val ids = LlmQueries.queries("corpus_curation")(spark, work).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 5L))
   }
 
   test("pii_scrub counts each redaction stage exactly once") {

@@ -5,6 +5,9 @@ import graft.SparkSpec
 class GraftExtensionsSpec extends SparkSpec {
 
   test("install exposes vector_dot to SQL text on an existing session") {
+    // shared session: restore BOTH the optimizer-rule list and the
+    // function registry afterwards so suite order can't leak state
+    val priorRules = spark.experimental.extraOptimizations
     try {
       GraftExtensions.install(spark)
       GraftExtensions.install(spark) // idempotent — one rule instance
@@ -29,6 +32,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(rows.nonEmpty && rows.forall(_.getDouble(1) >= 0.0))
 
       intercept[Exception](spark.sql("SELECT vector_dot(array(1.0D))").collect())
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally {
+      spark.experimental.extraOptimizations = priorRules
+      org.apache.spark.sql.graftbridge.FunctionBridge.drop(spark, "vector_dot")
+    }
   }
 }
