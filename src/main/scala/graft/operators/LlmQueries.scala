@@ -244,8 +244,13 @@ object LlmQueries {
         .join(repetitionFrame(d).select("doc_id", "keep"), Seq("doc_id"))
         .filter(col("keep") && qualityScore >= 2)
         .drop("keep")
+      // materialize the dedup survivors once: the block self-join consumes
+      // them on BOTH sides and the anti-join once more — without a
+      // checkpoint the filter+agg+join chain replays 3×. (At cluster
+      // scale a real curation run writes each stage to storage anyway.)
       val survivors = kept.join(
         Dedup.exact(kept, Seq("text"), "doc_id").select("doc_id"), Seq("doc_id"))
+        .localCheckpoint()
       val nearDupLosers = Dedup.blockNearDups(survivors, "doc_id", "text", threshold = 0.5)
         .select(col("b_id").as("doc_id")).distinct()
       survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
