@@ -80,7 +80,7 @@ object Quality {
   def withRowIndex(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     val schema = raw.schema.add(graft.sources.Io.RowIndexCol, LongType, nullable = false)
-    val rdd = raw.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = raw.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rdd, schema)

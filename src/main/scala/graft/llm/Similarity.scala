@@ -211,7 +211,7 @@ object Similarity {
   private def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
                                nProbe: Int): Column = {
     import graft.functions.VectorExpressions.vectorDot
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.toIndexedSeq.map(lit): _*)
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * vectorDot(vec, cLit)).as("score"),
@@ -234,30 +234,37 @@ object Similarity {
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nClusters: Int, iters: Int = 2): Array[Array[Double]] = {
-    val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    var centroids = v.orderBy("id").limit(nClusters)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    var it = 0
-    while (it < iters) {
-      // decimal partial sums are exact, so the merge order of shuffle
-      // fetches cannot perturb the mean in the last ulp — the codebook is
-      // bit-reproducible run to run, as the determinism contract requires
-      val means = v
-        .withColumn("cluster", clusterOf(col("v"), centroids))
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy("cluster", "pos")
-        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .collect()
-        .groupBy(_.getAs[Int]("cluster"))
-      centroids = Array.tabulate(centroids.length) { i =>
-        means.get(i)
-          .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")))
-          .getOrElse(centroids(i))
+    // persist across the 1 + iters training actions (seed collect + one
+    // assignment/mean job per Lloyd round) — without it every round
+    // re-scans and re-casts the corpus. At cluster scale, train the
+    // codebook on a deterministic hash-sample instead of the full corpus
+    // (the standard IVF practice); the training set is what you persist.
+    val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")).persist()
+    try {
+      var centroids = v.orderBy("id").limit(nClusters)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        // decimal partial sums are exact, so the merge order of shuffle
+        // fetches cannot perturb the mean in the last ulp — the codebook is
+        // bit-reproducible run to run, as the determinism contract requires
+        val means = v
+          .withColumn("cluster", clusterOf(col("v"), centroids))
+          .select(col("cluster"), posexplode(col("v")))
+          .groupBy("cluster", "pos")
+          .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
+            .cast("double").as("m"))
+          .collect()
+          .groupBy(_.getAs[Int]("cluster"))
+        centroids = Array.tabulate(centroids.length) { i =>
+          means.get(i)
+            .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")))
+            .getOrElse(centroids(i))
+        }
+        it += 1
       }
-      it += 1
-    }
-    centroids
+      centroids
+    } finally v.unpersist()
   }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid

@@ -56,7 +56,7 @@ class QualitySpec extends SparkSpec {
       ("2025-12", "E1", "EMP-1", "USD", 100.0, 10.0, 90.0),    // not a dup check dataset
       ("2025-12", "E1", "EMP-2", "XXX", -5.0, 10.0, 80.0))     // bad ccy, gross<0, identity broken
       .toDF("month", "entity", "employee_id", "currency", "gross", "deductions", "net")
-    val raw = typed.select(typed.columns.map(c => col(c).cast("string").as(c)): _*)
+    val raw = typed.select(typed.columns.toIndexedSeq.map(c => col(c).cast("string").as(c)): _*)
     val exs = Quality.validateDataset(
       spark, typed, raw, "payroll", Schemas.payroll, Settings.default)
       .select("check").as[String].collect().toSeq
