@@ -53,6 +53,19 @@ object Dedup {
     * in a tight JVM loop. Arithmetic is IDENTICAL to the declarative
     * [[TextOps.shingleHashes]] (verified by spec).
     */
+  /** Block id from a splitmix64-style finalizer: sign-safe (a bare
+    * id % nBlocks drops every pair involving a negative id) and immune
+    * to id strides (all-even ids would halve the effective block count
+    * under any multiplicative-only mix).
+    */
+  private[llm] def blockOf(id: Long, nBlocks: Int): Int = {
+    var h = id
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    java.lang.Math.floorMod(h, nBlocks.toLong).toInt
+  }
+
   private[llm] def shingleHashSets(df: DataFrame, idCol: String,
                                    textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -279,19 +292,8 @@ object Dedup {
       .map { case (id, sh) =>
         val a = sh.toArray; java.util.Arrays.sort(a); (id, a)
       }
-    // block id from a splitmix64-style finalizer: sign-safe (a bare
-    // id % nBlocks drops every pair involving a negative id) and immune
-    // to id strides (all-even ids would halve the effective block count
-    // under any multiplicative-only mix)
-    def blockOf(id: Long): Int = {
-      var h = id
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
-      java.lang.Math.floorMod(h, nBlocks.toLong).toInt
-    }
     val expanded = sets.flatMap { case (id, sh) =>
-      val b = blockOf(id)
+      val b = blockOf(id, nBlocks)
       // same-block pairs arrive on side 0 only (handled with an i<j loop)
       val asLeft = (b until nBlocks).iterator.map(j => (b * nBlocks + j, 0, id, sh))
       val asRight = (0 until b).iterator.map(i => (i * nBlocks + b, 1, id, sh))
@@ -333,6 +335,60 @@ object Dedup {
       }
       out.iterator
     }.toDF("a_id", "b_id", "jaccard")
+  }
+
+  /** Bipartite near-dup retrieval: every (batch_id, corpus_id, jaccard)
+    * pair at or above `threshold` between a NEW batch and an EXISTING
+    * corpus — the incremental-ingestion dedup question ("is this crawl
+    * document already in the training set"). Never compares batch-batch
+    * or corpus-corpus. The corpus is partitioned by block hash and each
+    * row shuffled ONCE; the (typically much smaller) batch is replicated
+    * to every block — shuffle volume O(corpus + batch·nBlocks), per-task
+    * state one corpus block + the batch rows. Exact batch×corpus
+    * semantics, distributed the way [[blockNearDups]] distributes the
+    * self-join; arithmetic identical (sorted-merge intersect, jaccard in
+    * double).
+    */
+  def crossNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
+                    textCol: String, threshold: Double,
+                    nBlocks: Int = 32): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def sortedSets(df: DataFrame) = shingleHashSets(df, idCol, textCol)
+      .as[(Long, Seq[Long])]
+      .map { case (id, sh) =>
+        val a = sh.toArray; java.util.Arrays.sort(a); (id, a)
+      }
+    val corpusSide = sortedSets(corpus)
+      .map { case (id, sh) => (blockOf(id, nBlocks), 0, id, sh) }
+    val batchSide = sortedSets(batch)
+      .flatMap { case (id, sh) =>
+        (0 until nBlocks).iterator.map(bk => (bk, 1, id, sh))
+      }
+    corpusSide.union(batchSide)
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Int, Long, Array[Long])]) =>
+        val cRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val bRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (_, side, id, sh) =>
+          (if (side == 0) cRows else bRows) += ((id, sh))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < bRows.length) {
+          val (bId, bSh) = bRows(i)
+          var j = 0
+          while (j < cRows.length) {
+            val (cId, cSh) = cRows(j)
+            val inter = sortedIntersectCount(bSh, cSh)
+            val jac = inter.toDouble / (bSh.length + cSh.length - inter)
+            if (jac >= threshold) out += ((bId, cId, jac))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("b_id", "c_id", "jaccard")
   }
 
   /** Inverted-index candidate pairs: explode (id, shingle hash), drop

@@ -205,6 +205,24 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Incremental (cross-corpus) dedup: which NEW documents survive
+    // against an EXISTING training corpus — exact text matches dropped
+    // by one anti-join, near-dups (jaccard ≥ 0.5 to ANY corpus doc)
+    // dropped via the bipartite block join (corpus shuffled once, batch
+    // replicated per block; batch-batch pairs never formed). The
+    // even/odd doc_id split stands in for corpus/new-crawl.
+    "incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 =!= 0)
+      val noExact = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      val nearMatched = Dedup.crossNearDups(noExact, corpus, "doc_id", "text", threshold = 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      noExact.join(nearMatched, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Stratified sampling: first n docs per stratum in a deterministic
     // hashed order — per-group quotas, unlike hash_sample's global rate.
     // rank<=n over a per-source window gets WindowGroupLimit pushdown
@@ -524,6 +542,23 @@ object LlmQueries {
          |  UNION SELECT src AS id, src AS comp FROM edges)
          |GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    "incremental_dedup" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+         |noexact AS (
+         |  SELECT b.* FROM batch b
+         |  WHERE b.text NOT IN (SELECT text FROM corpus)),
+         |shb AS (SELECT doc_id, $sqlShingleHashes AS sh FROM noexact),
+         |shc AS (SELECT doc_id, $sqlShingleHashes AS sh FROM corpus),
+         |matched AS (
+         |  SELECT DISTINCT shb.doc_id
+         |  FROM shb JOIN shc ON
+         |    len(list_intersect(shb.sh, shc.sh))
+         |      / CAST(len(list_distinct(list_concat(shb.sh, shc.sh))) AS DOUBLE) >= 0.5)
+         |SELECT doc_id, source, lang FROM noexact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+         |ORDER BY doc_id""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, source, rn FROM (

@@ -65,6 +65,28 @@ class DedupPropsSpec extends SparkSpec {
     })
   }
 
+  test("cross near-dups ≡ brute force over the bipartite pairs only") {
+    assertProp(forAll(Gen.zip(corpusGen, corpusGen)) { case (cb, cc) =>
+      // disjoint id spaces: batch ids shifted far out of the corpus
+      // range (corpus ids are within ±320, batch lands in 9680..10320)
+      val batchRows = cb.rows.map { case (id, t) => (id + 10000L, t) }
+      import spark.implicits._
+      val batch = batchRows.toDF("doc_id", "text")
+      val corpus = df(cc)
+      val got = triples(
+        Dedup.crossNearDups(batch, corpus, "doc_id", "text", cb.threshold, nBlocks = 4))
+      // reference: brute force over the UNION, keeping only batch×corpus
+      // pairs, reoriented to (batch, corpus)
+      val all = triples(Dedup.bruteForcePairs(
+        batch.unionByName(corpus), "doc_id", "text", cb.threshold))
+      val expected = all.collect {
+        case (a, b, j) if a < 5000L && b >= 5000L => (b, a, j)
+        case (a, b, j) if a >= 5000L && b < 5000L => (a, b, j)
+      }
+      got == expected
+    })
+  }
+
   test("LSH near-dups are always a subset of brute force (no false positives)") {
     assertProp(forAll(corpusGen) { c =>
       val corpus = df(c)

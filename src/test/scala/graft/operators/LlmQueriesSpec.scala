@@ -89,6 +89,26 @@ class LlmQueriesSpec extends SparkSpec {
     assert(ids === Seq(1L, 5L))
   }
 
+  test("incremental_dedup drops batch docs matching the corpus, never each other") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val base = "the quick brown fox jumps over lazy dog"
+    Seq(
+      // even ids = existing corpus
+      (2L, base, "en", "a", 39L),
+      (4L, "completely different corpus text here", "en", "a", 37L),
+      // odd ids = new batch
+      (1L, base, "en", "a", 39L),                                      // exact dup of 2 → dropped
+      (3L, "the quick brown fox jumps over lazy cat", "en", "a", 39L), // jaccard 0.75 vs 2 → dropped
+      (5L, "a b c d e f g h", "en", "a", 15L),                         // novel → survives
+      (7L, "a b c d e f g x", "en", "a", 15L))                         // near-dup of 5 (batch-batch!) → survives
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val ids = LlmQueries.queries("incremental_dedup")(spark, work).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids === Seq(5L, 7L))
+  }
+
   test("pii_scrub counts each redaction stage exactly once") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-pii").toString
