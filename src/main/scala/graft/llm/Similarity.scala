@@ -150,6 +150,43 @@ object Similarity {
         greatest(col("l_id"), col("r_id")).as("b_id"), col("cos"))
   }
 
+  /** Bipartite cosine near-dup: every (batch_id, corpus_id, cos ≥
+    * threshold) pair between a NEW embedding batch and an EXISTING
+    * corpus — the embedding-space incremental-ingestion dedup. Never
+    * compares batch-batch or corpus-corpus. The corpus is partitioned by
+    * block hash and shuffled once; the (typically much smaller) batch is
+    * replicated to every block — shuffle volume O(corpus + batch·nBlocks),
+    * exact batch×corpus cosines streamed through the codegen'd
+    * [[graft.functions.DotProduct]] kernel inside the join stage.
+    * Arithmetic identical to [[blockNearDupPairs]].
+    */
+  def crossNearDupPairs(batch: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double,
+                        nBlocks: Int = 32): DataFrame = {
+    import graft.functions.VectorExpressions.vectorDot
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // same typed identity-map barrier as blockNearDupPairs: keep the
+    // float→double cast and the norm per VECTOR, not per joined pair
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", sqrt(vectorDot(col("v"), col("v"))))
+        .as[(Long, Seq[Double], Double)].map(identity).toDF("id", "v", "nrm")
+    val c = prep(corpus)
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
+      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("blk"))
+    val b = prep(batch)
+      .withColumn("blk", explode(array((0 until nBlocks).map(i => lit(i.toLong)): _*)))
+      .select(col("id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"), col("blk"))
+    b.join(c, Seq("blk"))
+      // try_divide + !isnan: zero-norm and NaN vectors can never pass the
+      // threshold, matching the JVM baseline (see blockNearDupPairs)
+      .withColumn("cos",
+        try_divide(vectorDot(col("bv"), col("cv")), col("bn") * col("cn")))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
+      .select("b_id", "c_id", "cos")
+  }
+
   /** Strict left-fold dot product (same op order as [[dot]]). */
   private def dotOf(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0

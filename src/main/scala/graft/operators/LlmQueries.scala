@@ -171,6 +171,19 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Incremental dedup in EMBEDDING space: (new vector, corpus vector,
+    // cosine) pairs at ≥ threshold via the bipartite block join — the
+    // corpus is shuffled once, the batch replicated per block, and
+    // batch-batch pairs never formed (even/odd vec_id split stands in
+    // for corpus/new-batch)
+    "cosine_cross_near_dup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.crossNearDupPairs(
+        e.filter(col("vec_id") % 2 =!= 0), e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", threshold = 0.4)
+        .orderBy("b_id", "c_id")
+    }),
+
     // Deterministic hash-mod sampling: the way you actually sample a
     // 100 TB corpus — reproducible, no RNG state, pushes down to the scan.
     // The id is mod-reduced BEFORE the Knuth multiplier so the product
@@ -501,6 +514,16 @@ object LlmQueries {
          |  FROM v q JOIN v c ON q.vec_id < c.vec_id)
          |WHERE cos >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "cosine_cross_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT b.vec_id AS b_id, c.vec_id AS c_id,
+         |         list_sum(list_transform(list_zip(b.e, c.e), s -> s[1]*s[2])) /
+         |           (sqrt(list_sum(list_transform(b.e, x -> x*x))) * sqrt(list_sum(list_transform(c.e, x -> x*x)))) AS cos
+         |  FROM v b JOIN v c ON b.vec_id % 2 <> 0 AND c.vec_id % 2 = 0)
+         |WHERE cos >= 0.4
+         |ORDER BY b_id, c_id""".stripMargin,
 
     "hash_sample" ->
       """SELECT doc_id, lang, n_chars

@@ -49,6 +49,27 @@ class SimilarityPropsSpec extends SparkSpec {
     })
   }
 
+  test("cross cosine near-dups ≡ brute force over the bipartite pairs only") {
+    assertProp(forAll(Gen.zip(embsGen, embsGen)) { case (eb, ec) =>
+      // disjoint id spaces: batch ids shifted far out of the corpus range
+      val batchRows = eb.rows.map { case (id, v) => (id + 10000L, v) }
+      import spark.implicits._
+      val batch = batchRows.toDF("vec_id", "embedding")
+      val corpus = df(ec)
+      val got = triples(Similarity.crossNearDupPairs(
+        batch, corpus, "vec_id", "embedding", eb.threshold, nBlocks = 3))
+      // reference: brute force over the UNION, keeping only batch×corpus
+      // pairs, reoriented to (batch, corpus)
+      val all = triples(Similarity.nearDupPairs(
+        batch.unionByName(corpus), "vec_id", "embedding", eb.threshold))
+      val expected = all.collect {
+        case (a, b, j) if a < 5000L && b >= 5000L => (b, a, j)
+        case (a, b, j) if a >= 5000L && b < 5000L => (a, b, j)
+      }
+      got == expected
+    })
+  }
+
   test("ivf top-k cosines are true cosines and ranks are valid") {
     assertProp(forAll(embsGen) { e =>
       // ivf needs at least one non-zero centroid seed; queries = first id
