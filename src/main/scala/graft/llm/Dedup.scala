@@ -49,10 +49,6 @@ object Dedup {
     h
   }
 
-  /** Typed fast path: per-doc distinct bigram-shingle hash sets computed
-    * in a tight JVM loop. Arithmetic is IDENTICAL to the declarative
-    * [[TextOps.shingleHashes]] (verified by spec).
-    */
   /** Block id from a splitmix64-style finalizer: sign-safe (a bare
     * id % nBlocks drops every pair involving a negative id) and immune
     * to id strides (all-even ids would halve the effective block count
@@ -66,6 +62,10 @@ object Dedup {
     java.lang.Math.floorMod(h, nBlocks.toLong).toInt
   }
 
+  /** Typed fast path: per-doc distinct bigram-shingle hash sets computed
+    * in a tight JVM loop. Arithmetic is IDENTICAL to the declarative
+    * [[TextOps.shingleHashes]] (verified by spec).
+    */
   private[llm] def shingleHashSets(df: DataFrame, idCol: String,
                                    textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -283,15 +283,26 @@ object Dedup {
     * exactly when this block form wins. For approximate semantics use
     * [[lshNearDups]].
     */
-  def blockNearDups(df: DataFrame, idCol: String, textCol: String,
-                    threshold: Double, nBlocks: Int = 32): DataFrame = {
+  /** Per-doc shingle-hash sets as SORTED arrays — the precondition of the
+    * sorted-merge intersect loop, shared by the self-join and bipartite
+    * block paths.
+    */
+  private def sortedShingleSets(df: DataFrame, idCol: String, textCol: String):
+      org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sets = shingleHashSets(df, idCol, textCol)
+    shingleHashSets(df, idCol, textCol)
       .as[(Long, Seq[Long])]
       .map { case (id, sh) =>
         val a = sh.toArray; java.util.Arrays.sort(a); (id, a)
       }
+  }
+
+  def blockNearDups(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, nBlocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = sortedShingleSets(df, idCol, textCol)
     val expanded = sets.flatMap { case (id, sh) =>
       val b = blockOf(id, nBlocks)
       // same-block pairs arrive on side 0 only (handled with an i<j loop)
@@ -354,14 +365,9 @@ object Dedup {
                     nBlocks: Int = 32): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    def sortedSets(df: DataFrame) = shingleHashSets(df, idCol, textCol)
-      .as[(Long, Seq[Long])]
-      .map { case (id, sh) =>
-        val a = sh.toArray; java.util.Arrays.sort(a); (id, a)
-      }
-    val corpusSide = sortedSets(corpus)
+    val corpusSide = sortedShingleSets(corpus, idCol, textCol)
       .map { case (id, sh) => (blockOf(id, nBlocks), 0, id, sh) }
-    val batchSide = sortedSets(batch)
+    val batchSide = sortedShingleSets(batch, idCol, textCol)
       .flatMap { case (id, sh) =>
         (0 until nBlocks).iterator.map(bk => (bk, 1, id, sh))
       }

@@ -111,18 +111,27 @@ object Similarity {
     * form: float→double cast, strict left-fold dot and norms,
     * cos = dot/(normA·normB) — bit-for-bit reproducible on any engine.
     */
+  /** (id, v double-cast, nrm) with a typed identity-map barrier: without
+    * it CollapseProject inlines the float→double transform and the norm
+    * into the join output, paying both once per PAIR instead of once per
+    * vector — post-barrier the per-pair work is exactly one codegen'd
+    * dot + one divide. Shared by the self-join and bipartite block paths.
+    */
+  private def preppedVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorExpressions.vectorDot
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(vectorDot(col("v"), col("v"))))
+      .as[(Long, Seq[Double], Double)].map(identity).toDF("id", "v", "nrm")
+  }
+
   def blockNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nBlocks: Int = 32): DataFrame = {
     import graft.functions.VectorExpressions.vectorDot
     val spark = corpus.sparkSession
     import spark.implicits._
-    // typed identity-map barrier: without it CollapseProject inlines the
-    // float→double transform and the norm into the join output, paying
-    // both once per PAIR instead of once per vector — post-barrier the
-    // per-pair work is exactly one codegen'd dot + one divide
-    val v = corpus.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(vectorDot(col("v"), col("v"))))
-      .as[(Long, Seq[Double], Double)].map(identity).toDF("id", "v", "nrm")
+    val v = preppedVectors(corpus, idCol, vecCol)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
     val blockPairs = (0 until nBlocks)
       .flatMap(i => (i until nBlocks).map(j => (i.toLong, j.toLong)))
@@ -164,18 +173,10 @@ object Similarity {
                         vecCol: String, threshold: Double,
                         nBlocks: Int = 32): DataFrame = {
     import graft.functions.VectorExpressions.vectorDot
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // same typed identity-map barrier as blockNearDupPairs: keep the
-    // float→double cast and the norm per VECTOR, not per joined pair
-    def prep(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
-        .withColumn("nrm", sqrt(vectorDot(col("v"), col("v"))))
-        .as[(Long, Seq[Double], Double)].map(identity).toDF("id", "v", "nrm")
-    val c = prep(corpus)
+    val c = preppedVectors(corpus, idCol, vecCol)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
       .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("blk"))
-    val b = prep(batch)
+    val b = preppedVectors(batch, idCol, vecCol)
       .withColumn("blk", explode(array((0 until nBlocks).map(i => lit(i.toLong)): _*)))
       .select(col("id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"), col("blk"))
     b.join(c, Seq("blk"))

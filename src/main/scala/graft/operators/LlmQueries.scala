@@ -228,7 +228,11 @@ object LlmQueries {
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 =!= 0)
+      // lazy checkpoint: noExact feeds both the bipartite join's batch
+      // side and the final anti-join — materialize once, defer to the
+      // first action (see corpus_curation)
       val noExact = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+        .localCheckpoint(false)
       val nearMatched = Dedup.crossNearDups(noExact, corpus, "doc_id", "text", threshold = 0.5)
         .select(col("b_id").as("doc_id")).distinct()
       noExact.join(nearMatched, Seq("doc_id"), "left_anti")
@@ -277,11 +281,14 @@ object LlmQueries {
         .drop("keep")
       // materialize the dedup survivors once: the block self-join consumes
       // them on BOTH sides and the anti-join once more — without a
-      // checkpoint the filter+agg+join chain replays 3×. (At cluster
-      // scale a real curation run writes each stage to storage anyway.)
+      // checkpoint the filter+agg+join chain replays 3×. LAZY (eager =
+      // false): materializes on the first action, so explain-only tooling
+      // (PlanAudit) never executes the pipeline just to print a plan.
+      // (At cluster scale a real curation run writes each stage to
+      // storage anyway.)
       val survivors = kept.join(
         Dedup.exact(kept, Seq("text"), "doc_id").select("doc_id"), Seq("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nearDupLosers = Dedup.blockNearDups(survivors, "doc_id", "text", threshold = 0.5)
         .select(col("b_id").as("doc_id")).distinct()
       survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -388,9 +395,23 @@ object LlmQueries {
 
   // ---- DuckDB oracle SQL (same constants via TextOps.sql* builders) ----
 
-  private val sqlCos =
-    "list_sum(list_transform(list_zip(q.e, c.e), s -> s[1]*s[2])) / " +
-      "(sqrt(list_sum(list_transform(q.e, x -> x*x))) * sqrt(list_sum(list_transform(c.e, x -> x*x))))"
+  /** SQL: cosine of `$a.e` and `$b.e` (array<double> columns of aliased
+    * relations) — the ONE copy of the parity-critical formula. NULLIF
+    * guards the zero-norm denominator: DuckDB 1.0 returns NULL for x/0
+    * anyway, but under `ieee_floating_point_ops` (the ≥ 1.1 default) x/0
+    * is ±inf/NaN and DuckDB ranks NaN above every threshold — NULL keeps
+    * both versions aligned with Spark's try_divide/!isnan exclusion.
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a.e, $b.e), s -> s[1]*s[2])) / " +
+      s"NULLIF(sqrt(list_sum(list_transform($a.e, x -> x*x))) * sqrt(list_sum(list_transform($b.e, x -> x*x))), 0)"
+
+  /** SQL: jaccard of `$a.sh` and `$b.sh` (shingle-hash list columns).
+    * NULLIF: two zero-shingle docs give 0/0 — NULL (excluded) on every
+    * DuckDB version, matching the JVM loop's NaN-fails-threshold.
+    */
+  private def sqlJaccard(a: String, b: String): String =
+    s"len(list_intersect($a.sh, $b.sh)) / CAST(NULLIF(len(list_distinct(list_concat($a.sh, $b.sh))), 0) AS DOUBLE)"
 
   private val sqlSigs: String = {
     val mhCols = MinhashParams.zipWithIndex
@@ -477,8 +498,7 @@ object LlmQueries {
          |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id)
          |SELECT * FROM (
          |  SELECT a_id, b_id,
-         |         len(list_intersect(sa.sh, sb.sh))
-         |           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+         |         ${sqlJaccard("sa", "sb")} AS jaccard
          |  FROM cand
          |  JOIN sigs sa ON sa.doc_id = a_id
          |  JOIN sigs sb ON sb.doc_id = b_id)
@@ -489,8 +509,7 @@ object LlmQueries {
       s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)
          |SELECT * FROM (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |         len(list_intersect(a.sh, b.sh))
-         |           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |         ${sqlJaccard("a", "b")} AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
@@ -498,7 +517,7 @@ object LlmQueries {
     "cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $sqlCos AS cos
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
          |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
          |SELECT query_id, rank, neighbor_id, cos FROM (
          |  SELECT query_id, neighbor_id, cos,
@@ -510,7 +529,7 @@ object LlmQueries {
     "cosine_near_dup" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
          |SELECT * FROM (
-         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, $sqlCos AS cos
+         |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, ${sqlCos("q", "c")} AS cos
          |  FROM v q JOIN v c ON q.vec_id < c.vec_id)
          |WHERE cos >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
@@ -519,8 +538,7 @@ object LlmQueries {
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
          |SELECT * FROM (
          |  SELECT b.vec_id AS b_id, c.vec_id AS c_id,
-         |         list_sum(list_transform(list_zip(b.e, c.e), s -> s[1]*s[2])) /
-         |           (sqrt(list_sum(list_transform(b.e, x -> x*x))) * sqrt(list_sum(list_transform(c.e, x -> x*x)))) AS cos
+         |         ${sqlCos("b", "c")} AS cos
          |  FROM v b JOIN v c ON b.vec_id % 2 <> 0 AND c.vec_id % 2 = 0)
          |WHERE cos >= 0.4
          |ORDER BY b_id, c_id""".stripMargin,
@@ -536,8 +554,7 @@ object LlmQueries {
          |pairs AS (
          |  SELECT * FROM (
          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |           len(list_intersect(a.sh, b.sh))
-         |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |           ${sqlJaccard("a", "b")} AS jaccard
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |  WHERE jaccard >= 0.5)
          |SELECT doc_id, source, lang FROM documents
@@ -549,8 +566,7 @@ object LlmQueries {
          |pairs AS (
          |  SELECT * FROM (
          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |           len(list_intersect(a.sh, b.sh))
-         |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |           ${sqlJaccard("a", "b")} AS jaccard
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |  WHERE jaccard >= 0.5),
          |edges AS (
@@ -571,14 +587,13 @@ object LlmQueries {
          |batch AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
          |noexact AS (
          |  SELECT b.* FROM batch b
-         |  WHERE b.text NOT IN (SELECT text FROM corpus)),
+         |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)),
          |shb AS (SELECT doc_id, $sqlShingleHashes AS sh FROM noexact),
          |shc AS (SELECT doc_id, $sqlShingleHashes AS sh FROM corpus),
          |matched AS (
          |  SELECT DISTINCT shb.doc_id
          |  FROM shb JOIN shc ON
-         |    len(list_intersect(shb.sh, shc.sh))
-         |      / CAST(len(list_distinct(list_concat(shb.sh, shc.sh))) AS DOUBLE) >= 0.5)
+         |    ${sqlJaccard("shb", "shc")} >= 0.5)
          |SELECT doc_id, source, lang FROM noexact
          |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
          |ORDER BY doc_id""".stripMargin,
@@ -657,8 +672,7 @@ object LlmQueries {
          |pairs AS (
          |  SELECT * FROM (
          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |           len(list_intersect(a.sh, b.sh))
-         |             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |           ${sqlJaccard("a", "b")} AS jaccard
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |  WHERE jaccard >= 0.5)
          |SELECT doc_id, source, lang FROM surv
