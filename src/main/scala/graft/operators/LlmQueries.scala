@@ -311,6 +311,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget sharding: assign each document to a ~fixed-token
+    // shard via a running prefix sum — how a corpus is chunked into
+    // training shards. Shard id = which budget window the doc's START
+    // offset falls in (docs are never split). The window is partitioned
+    // by source, so the prefix sums distribute (a single global cumsum
+    // would serialize onto one task); shard keys are (source, shard_id).
+    "token_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .withColumn("shard_id", floor((col("cum") - col("n_tok")) / budget))
+        .select("doc_id", "source", "n_tok", "shard_id")
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency top-k (explode → count → top-k)
     "token_freq" -> ((s, dir) => {
       docs(s, dir)
@@ -686,6 +705,15 @@ object LlmQueries {
          |       len(regexp_extract_all(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe')) AS n_phone,
          |       len(regexp_extract_all(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$NumberRe')) AS n_number
          |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "token_shards" ->
+      s"""SELECT doc_id, source, n_tok,
+         |       CAST(floor((cum - n_tok) / 2000.0) AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id, source, len($sqlTokens) AS n_tok,
+         |         SUM(len($sqlTokens)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
     "token_freq" ->

@@ -109,6 +109,23 @@ class LlmQueriesSpec extends SparkSpec {
     assert(ids === Seq(5L, 7L))
   }
 
+  test("token_shards assigns docs to budget windows by start offset, per source") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, doc(1500), "en", "a", 0L), // a: starts 0    → shard 0
+      (3L, doc(800), "en", "a", 0L),  // a: starts 1500 → shard 0
+      (5L, doc(900), "en", "a", 0L),  // a: starts 2300 → shard 1
+      (2L, doc(2500), "en", "b", 0L), // b: starts 0    → shard 0 (never split)
+      (4L, doc(10), "en", "b", 0L))   // b: starts 2500 → shard 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("token_shards")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard_id")).toMap
+    assert(out === Map(1L -> 0L, 3L -> 0L, 5L -> 1L, 2L -> 0L, 4L -> 1L))
+  }
+
   test("pii_scrub counts each redaction stage exactly once") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-pii").toString
