@@ -15,9 +15,10 @@ object SparkEntry {
     CoreQueries.queries ++ LlmQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (the
-    * driver then records a weaker rows-only check — currently only
-    * ann_lsh_topk, whose recall is asserted in ScalaTest instead). */
+    * the same parquet tables — EVERY registered query has one, including
+    * the two ANN paths (deterministic by construction: fixed hyperplanes /
+    * seeded decimal-exact k-means, so "approximate" still has one exact
+    * answer the oracle reproduces). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ LlmQueries.oracleSql ++ EventQueries.oracleSql
 }

@@ -284,14 +284,17 @@ object Similarity {
       var it = 0
       while (it < iters) {
         // decimal partial sums are exact, so the merge order of shuffle
-        // fetches cannot perturb the mean in the last ulp — the codebook is
-        // bit-reproducible run to run, as the determinism contract requires
+        // fetches cannot perturb the mean in the last ulp — the codebook
+        // is bit-reproducible run to run, as the determinism contract
+        // requires. Sum-then-cast-then-divide (not decimal division):
+        // exact sum → one double rounding → one IEEE divide, the exact
+        // sequence an external oracle reproduces
         val means = v
           .withColumn("cluster", clusterOf(col("v"), centroids))
           .select(col("cluster"), posexplode(col("v")))
           .groupBy("cluster", "pos")
-          .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
-            .cast("double").as("m"))
+          .agg((sum(col("col").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+            .as("m"))
           .collect()
           .groupBy(_.getAs[Int]("cluster"))
         centroids = Array.tabulate(centroids.length) { i =>

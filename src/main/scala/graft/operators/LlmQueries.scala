@@ -72,6 +72,67 @@ object LlmQueries {
           coalesce(col("dup_line_frac") <= 0.3, lit(true)))
   }
 
+  /** Oracle for `ann_ivf_topk`: the IVF index is deterministic end to end
+    * — seeds are the `nClusters` lowest-id vectors, Lloyd iterations use
+    * decimal-exact sums (one double rounding per mean), assignment ranks
+    * by `‖c‖² − 2·v·c` with ties on cluster index — so the "approximate"
+    * result has one exact answer, reproduced here as a CTE chain: one
+    * (assign → means → coalesce-empty-clusters) round per iteration, then
+    * corpus assignment, query multiprobe, and cosine ranking.
+    */
+  private def ivfAnnOracle(nClusters: Int, nProbe: Int, k: Int, iters: Int): String = {
+    // squared-L2 rank score vs centroid list `c` of aliased relation s:
+    // ‖c‖² − 2·v·c, the same fold order as the Spark/JVM side
+    def score(vecExpr: String) =
+      s"list_sum(list_transform(s.c, x -> x*x)) - 2.0 * " +
+        s"list_sum(list_transform(list_zip($vecExpr, s.c), p -> p[1]*p[2]))"
+    def assignCte(name: String, centPrev: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT v.vec_id, s.cl,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${score("v.e")}, s.cl) AS rn
+         |    FROM v CROSS JOIN $centPrev s)
+         |  WHERE rn = 1)"""
+    val rounds = (1 to iters).map { t =>
+      s"""${assignCte(s"a$t", s"cent${t - 1}")},
+         |m$t AS (
+         |  SELECT cl, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT a$t.cl, unnest(v.e) AS val, generate_subscripts(v.e, 1) AS pos
+         |        FROM a$t JOIN v USING (vec_id))
+         |  GROUP BY cl, pos),
+         |c$t AS (SELECT cl, list(m ORDER BY pos) AS c FROM m$t GROUP BY cl),
+         |cent$t AS (
+         |  SELECT s.cl, COALESCE(c$t.c, s.c) AS c
+         |  FROM cent${t - 1} s LEFT JOIN c$t USING (cl))"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nClusters)),
+       |$rounds,
+       |${assignCte("assign", s"cent$iters")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, e, cl FROM (
+       |    SELECT v.vec_id, v.e, s.cl,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${score("v.e")}, s.cl) AS rn
+       |    FROM v CROSS JOIN cent$iters s
+       |    WHERE v.vec_id < 10)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM probes q
+       |  JOIN (SELECT v.vec_id, v.e, assign.cl FROM v JOIN assign USING (vec_id)) c
+       |    ON c.cl = q.cl AND c.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: token counting (whitespace + BPE-ish regex)
@@ -393,8 +454,9 @@ object LlmQueries {
         .orderBy("doc_id", "rank")
     }),
 
-    // LSH-bucketed ANN (multiprobe) — approximate, no SQL oracle;
-    // recall is asserted against bruteForceTopK in ScalaTest.
+    // LSH-bucketed ANN (multiprobe) — approximate recall (asserted vs
+    // bruteForceTopK in ScalaTest) but DETERMINISTIC retrieval: fixed
+    // hyperplanes, so the full result is DuckDB-oracled too.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -403,7 +465,8 @@ object LlmQueries {
     }),
 
     // IVF ANN (deterministic k-means coarse quantizer, multiprobe) —
-    // approximate, no SQL oracle; recall asserted in ScalaTest.
+    // approximate recall (asserted in ScalaTest) but deterministic
+    // retrieval: seeded decimal-exact k-means, so DuckDB-oracled too.
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -431,6 +494,42 @@ object LlmQueries {
     */
   private def sqlJaccard(a: String, b: String): String =
     s"len(list_intersect($a.sh, $b.sh)) / CAST(NULLIF(len(list_distinct(list_concat($a.sh, $b.sh))), 0) AS DOUBLE)"
+
+  /** Oracle for `ann_lsh_topk`: the LSH index is deterministic end to end
+    * — fixed hyperplanes ([[Similarity.hyperplanes]], embedded here as
+    * literal weight lists), sign-of-projection buckets, plan-time probe
+    * enumeration — so "approximate" still has one exact answer and a full
+    * SQL oracle. Projections use the same strict left fold as the Spark
+    * HOF dot, so the sign test agrees bit-for-bit.
+    */
+  private def lshAnnOracle(nPlanes: Int, dim: Int, k: Int): String = {
+    val hp = Similarity.hyperplanes(nPlanes, dim)
+    def lst(w: Array[Double]) = w.map(x => f"$x%.1f").mkString("[", ", ", "]")
+    def proj(i: Int) =
+      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
+    val bucketExpr = (0 until nPlanes).map(i =>
+      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
+    // probe set for Hamming radius 1: the bucket itself + one flip per plane
+    val flips = (Seq(0L) ++ (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, e,
+       |       $bucketExpr AS bucket
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id AS query_id, e, xor(bucket, flip) AS probe
+       |  FROM b, unnest($flips) AS t(flip)
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   private val sqlSigs: String = {
     val mhCols = MinhashParams.zipWithIndex
@@ -761,6 +860,10 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
          |  FROM scored)
          |WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "ann_lsh_topk" -> lshAnnOracle(nPlanes = 4, dim = 64, k = 10),
+
+    "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2)
   )
 }

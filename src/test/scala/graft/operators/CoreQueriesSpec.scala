@@ -9,10 +9,10 @@ class CoreQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("every oracle has a query; only declared-approximate ops lack one") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
-      Set("ann_lsh_topk", "ann_ivf_topk"))
+  test("oracle and query key sets coincide — every registered query is oracled") {
+    val a = SparkEntry.oracleSql.keySet
+    val b = SparkEntry.queries.keySet
+    assert(a === b, s"asymmetric keys: ${(a diff b) ++ (b diff a)}")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
