@@ -41,6 +41,14 @@ object LlmQueries {
       when(size(array_distinct(ts)) * 3 >= nTok, 1L).otherwise(0L)
   }
 
+  /** Per-source sampling rates (per-mille) for the mixture query — the
+    * single source of truth both the Spark when-chain and the oracle's
+    * CASE expression are generated from.
+    */
+  private val MixtureRates: Seq[(String, Long)] =
+    Seq("src0" -> 900L, "src1" -> 500L, "src2" -> 250L, "src3" -> 100L)
+  private val MixtureDefault = 50L
+
   /** Below this many words/bigrams a top-fraction threshold does not
     * bind: 2 distinct bigrams put the top one at 0.5 with zero actual
     * repetition. Gopher defines its fractions on long documents (length
@@ -369,6 +377,22 @@ object LlmQueries {
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
         size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
         size(regexp_extract_all(afterPhone, lit(NumberRe), lit(0))).cast("long").as("n_number"))
+        .orderBy("doc_id")
+    }),
+
+    // Weighted mixture sampling: each source contributes at its own
+    // deterministic rate (per-mille thresholds on the overflow-safe hash
+    // used by hash_sample) — the downsample-to-target-mixture step of a
+    // corpus build. Unlisted sources fall back to the default rate. The
+    // predicate is per-row and pushes to the scan like any filter.
+    "corpus_mixture" -> ((s, dir) => {
+      val hkey = ((col("doc_id") % lit(100000007L)) * lit(2654435761L)) % 1000
+      val rate = MixtureRates.foldLeft(when(lit(false), 0L)) {
+        case (acc, (src, permille)) => acc.when(col("source") === src, permille)
+      }.otherwise(MixtureDefault)
+      docs(s, dir)
+        .filter(hkey < rate)
+        .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     }),
 
@@ -805,6 +829,17 @@ object LlmQueries {
          |       len(regexp_extract_all(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$NumberRe')) AS n_number
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_mixture" -> {
+      val cases = MixtureRates.map { case (src, r) =>
+        s"WHEN source = '$src' THEN $r"
+      }.mkString(" ")
+      s"""SELECT doc_id, source, lang
+         |FROM documents
+         |WHERE ((doc_id % 100000007) * 2654435761) % 1000 <
+         |      (CASE $cases ELSE $MixtureDefault END)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "token_shards" ->
       s"""SELECT doc_id, source, n_tok,

@@ -109,6 +109,26 @@ class LlmQueriesSpec extends SparkSpec {
     assert(ids === Seq(5L, 7L))
   }
 
+  test("corpus_mixture keeps each source at its configured deterministic rate") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    val rows = (0L until 600L).map { id =>
+      val src = if (id < 300) "src0" else "srcZ" // 900‰ vs default 50‰
+      (id, s"text $id", "en", src, 10L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val kept = LlmQueries.queries("corpus_mixture")(spark, work).collect()
+      .map(_.getLong(0)).toSet
+    def hkey(id: Long) = ((BigInt(id) % 100000007) * BigInt(2654435761L)) % 1000
+    val expected = rows.collect {
+      case (id, _, _, src, _) if hkey(id) < (if (src == "src0") 900 else 50) => id
+    }.toSet
+    assert(kept === expected)
+    // the rate split is real: src0 keeps far more than the default source
+    assert(kept.count(_ < 300) > 200 && kept.count(_ >= 300) < 60)
+  }
+
   test("token_shards assigns docs to budget windows by start offset, per source") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-shard").toString
