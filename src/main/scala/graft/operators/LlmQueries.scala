@@ -41,6 +41,23 @@ object LlmQueries {
       when(size(array_distinct(ts)) * 3 >= nTok, 1L).otherwise(0L)
   }
 
+  /** Overflow-safe deterministic sampling hash, shared by every sampling
+    * query (hash_sample / stratified_sample / corpus_mixture): the id is
+    * mod-reduced BEFORE the Knuth multiplier so the product stays < 2^58
+    * at any id magnitude (a bare id * 2654435761 throws
+    * ARITHMETIC_OVERFLOW under ANSI past ~3.47e9; DuckDB would silently
+    * promote to HUGEINT instead). One Scala source generates both sides.
+    */
+  private val SampleHashPreMod = 100000007L
+  private val SampleHashMult = 2654435761L
+
+  private def sampleHash(id: org.apache.spark.sql.Column,
+                         buckets: Long): org.apache.spark.sql.Column =
+    ((id % lit(SampleHashPreMod)) * lit(SampleHashMult)) % buckets
+
+  private def sqlSampleHash(idExpr: String, buckets: Long): String =
+    s"(($idExpr % $SampleHashPreMod) * $SampleHashMult) % $buckets"
+
   /** Per-source sampling rates (per-mille) for the mixture query — the
     * single source of truth both the Spark when-chain and the oracle's
     * CASE expression are generated from.
@@ -254,14 +271,11 @@ object LlmQueries {
     }),
 
     // Deterministic hash-mod sampling: the way you actually sample a
-    // 100 TB corpus — reproducible, no RNG state, pushes down to the scan.
-    // The id is mod-reduced BEFORE the Knuth multiplier so the product
-    // stays < 2^58 at any id magnitude (a bare doc_id * 2654435761 throws
-    // ARITHMETIC_OVERFLOW under ANSI once ids pass ~3.47e9, and DuckDB
-    // would silently promote to HUGEINT instead — see LlmQueriesSpec).
+    // 100 TB corpus — reproducible, no RNG state, pushes down to the
+    // scan ([[sampleHash]]; overflow-safety spec'd in LlmQueriesSpec).
     "hash_sample" -> ((s, dir) => {
       docs(s, dir)
-        .filter(((col("doc_id") % lit(100000007L)) * lit(2654435761L)) % 100 < 10)
+        .filter(sampleHash(col("doc_id"), 100) < 10)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
@@ -315,7 +329,7 @@ object LlmQueries {
     // (top-n runs below the shuffle), so quotas hold at any corpus size.
     "stratified_sample" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hkey = ((col("doc_id") % lit(100000007L)) * lit(2654435761L)) % lit(1000000007L)
+      val hkey = sampleHash(col("doc_id"), 1000000007L)
       docs(s, dir)
         .withColumn("rn", row_number().over(
           Window.partitionBy("source").orderBy(hkey, col("doc_id"))).cast("long"))
@@ -386,8 +400,9 @@ object LlmQueries {
     // corpus build. Unlisted sources fall back to the default rate. The
     // predicate is per-row and pushes to the scan like any filter.
     "corpus_mixture" -> ((s, dir) => {
-      val hkey = ((col("doc_id") % lit(100000007L)) * lit(2654435761L)) % 1000
-      val rate = MixtureRates.foldLeft(when(lit(false), 0L)) {
+      val hkey = sampleHash(col("doc_id"), 1000)
+      val rate = MixtureRates.tail.foldLeft(
+        when(col("source") === MixtureRates.head._1, MixtureRates.head._2)) {
         case (acc, (src, permille)) => acc.when(col("source") === src, permille)
       }.otherwise(MixtureDefault)
       docs(s, dir)
@@ -528,7 +543,11 @@ object LlmQueries {
     */
   private def lshAnnOracle(nPlanes: Int, dim: Int, k: Int): String = {
     val hp = Similarity.hyperplanes(nPlanes, dim)
-    def lst(w: Array[Double]) = w.map(x => f"$x%.1f").mkString("[", ", ", "]")
+    // locale-free formatting: f"$x%.1f" renders "-10,0" under comma-
+    // decimal default locales, silently corrupting the SQL list literal.
+    // Weights are whole numbers by construction, so integer + ".0" is
+    // exact and locale-safe.
+    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
     def proj(i: Int) =
       s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
     val bucketExpr = (0 until nPlanes).map(i =>
@@ -686,9 +705,9 @@ object LlmQueries {
          |ORDER BY b_id, c_id""".stripMargin,
 
     "hash_sample" ->
-      """SELECT doc_id, lang, n_chars
+      s"""SELECT doc_id, lang, n_chars
         |FROM documents
-        |WHERE ((doc_id % 100000007) * 2654435761) % 100 < 10
+        |WHERE ${sqlSampleHash("doc_id", 100)} < 10
         |ORDER BY doc_id""".stripMargin,
 
     "near_dedup_keep" ->
@@ -741,11 +760,11 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "stratified_sample" ->
-      """SELECT doc_id, source, rn FROM (
+      s"""SELECT doc_id, source, rn FROM (
         |  SELECT doc_id, source,
         |         row_number() OVER (
         |           PARTITION BY source
-        |           ORDER BY ((doc_id % 100000007) * 2654435761) % 1000000007, doc_id) AS rn
+        |           ORDER BY ${sqlSampleHash("doc_id", 1000000007L)}, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20
         |ORDER BY source, rn""".stripMargin,
@@ -836,7 +855,7 @@ object LlmQueries {
       }.mkString(" ")
       s"""SELECT doc_id, source, lang
          |FROM documents
-         |WHERE ((doc_id % 100000007) * 2654435761) % 1000 <
+         |WHERE ${sqlSampleHash("doc_id", 1000)} <
          |      (CASE $cases ELSE $MixtureDefault END)
          |ORDER BY doc_id""".stripMargin
     },
