@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of wrapping each
+// line in sbt's "[info] " logger prefix — the bench driver parses the one
+// JSON line Bench prints, and the prefix breaks that parse (BENCH_r01-r03
+// all recorded parsed:null because of it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
