@@ -224,14 +224,28 @@ object Dedup {
     *
     * Shingles get a global total order (document frequency asc, hash asc);
     * each document emits postings only for its prefix — the first
-    * `|s| − ceil(t·|s|) + 1` shingles in that order. Any pair with
-    * jaccard ≥ t has overlap ≥ ceil(t·|s|) on each side, so the
-    * order-smallest common shingle has at least ceil(t·|s|)−1 common
-    * shingles after it in BOTH documents and therefore sits inside both
-    * prefixes — the equi-join on prefix shingles cannot miss a qualifying
-    * pair. Unlike a df-cap inverted index this loses no recall, and the
-    * frequency-ascending order keeps hot shingles out of almost every
-    * prefix, so bucket sizes stay bounded.
+    * `|s| − o + 1` shingles in that order, where `o` is the minimum
+    * overlap a qualifying partner must have with this document. Any pair
+    * with jaccard ≥ t has overlap ≥ o on each side, so the order-smallest
+    * common shingle has at least o−1 common shingles after it in BOTH
+    * documents and therefore sits inside both prefixes — the equi-join on
+    * prefix shingles cannot miss a qualifying pair. Unlike a df-cap
+    * inverted index this loses no recall, and the frequency-ascending
+    * order keeps hot shingles out of almost every prefix, so bucket
+    * sizes stay bounded.
+    *
+    * `o` must be derived under the SAME IEEE-double semantics the
+    * confirmation step uses (`inter/union ≥ t`), not via
+    * `ceil(t · |s|)` in double arithmetic: 0.07 × 100 evaluates to
+    * 7.000000000000001, whose ceil (8) shortens the prefix by one and
+    * silently drops qualifying pairs whose only shared shingle sits in
+    * that last slot. Instead each rank rn stays in the prefix iff an
+    * overlap of m = |s| − rn + 1 could still pass confirmation at the
+    * tightest union (= |s|): `m / |s| ≥ t` as doubles. k ↦ fl(k/|s|) is
+    * monotone, and confirmation passing (fl(inter/union) ≥ t with
+    * union ≥ |s|) forces fl(inter/|s|) ≥ t, so this is exactly the
+    * minimal prefix with full recall w.r.t. [[confirmJaccard]] /
+    * [[bruteForcePairs]] double semantics.
     *
     * Shuffles: explode + df-count on shingle, one window on the doc id,
     * self-equi-join on prefix shingle — all keyed, never all-pairs.
@@ -246,7 +260,7 @@ object Dedup {
     val prefix = posting.join(dfCounts, "shingle")
       .withColumn("rn", row_number().over(
         Window.partitionBy(idCol).orderBy(col("sdf"), col("shingle"))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter((col("sz") - col("rn") + 1) / col("sz") >= lit(threshold))
     val a = prefix.select(col("shingle"), col(idCol).as("a_id"))
     val b = prefix.select(col("shingle"), col(idCol).as("b_id"))
     a.join(b, "shingle")
@@ -484,13 +498,22 @@ object Dedup {
     * turns pairwise near-dup hits into dedup CLUSTERS (greedy pair
     * removal under-merges chains: a~b, b~c puts a,c in one cluster only
     * transitively). Pregel-style: each vertex starts labeled with its own
-    * id and repeatedly takes the min label over itself and its
-    * neighbors; converges in O(cluster diameter) rounds — near-dup
-    * clusters are dense and tiny, so a handful. Each round is one
-    * distributed join + aggregate; the driver holds only the loop
-    * counter and a convergence count, and `localCheckpoint` cuts the
-    * growing lineage so round N's plan does not replay rounds 1..N-1.
-    * Returns (id, comp = min id of the component) for every endpoint.
+    * id and each round (1) takes the min label over itself and its
+    * neighbors, then (2) pointer-doubles: comp ← label(comp), halving
+    * the label's distance to the component minimum. Propagation alone
+    * converges in O(cluster diameter) rounds — fine for dense near-dup
+    * clusters, but a chain-shaped component of diameter d needs d
+    * rounds; the shortcut step makes the reach grow geometrically, so
+    * convergence is O(log d) rounds on ANY component shape (a
+    * 10⁹-vertex path needs ~30 rounds, well inside the default bound).
+    * Each round is two distributed joins + an aggregate; the driver
+    * holds only the loop counter and a convergence count, and
+    * `localCheckpoint` cuts the growing lineage so round N's plan does
+    * not replay rounds 1..N-1. Labels only ever take id values from the
+    * same component (edges connect within components; a label's label
+    * shares its component), and they decrease monotonically, so the
+    * fixpoint labels every vertex with its component's min id. Returns
+    * (id, comp = min id of the component) for every endpoint.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // the edge list joins against labels EVERY round — materialize it
@@ -507,15 +530,29 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val msgs = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(msgs)
+      // materialized: the shortcut self-joins prop against itself and
+      // the next round reuses it — without the checkpoint the
+      // aggregation would run 2-3× per round
+      val prop = labels.unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // pointer doubling: every label is itself a vertex id (min over
+      // ids), so look up the label's own label and jump to it. left
+      // join + coalesce is belt-and-braces (every comp DOES appear as
+      // an id in prop); least() is pure defensiveness — prop[c] ≤ c by
+      // the monotone-decrease invariant.
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("id"), least(coalesce(col("comp2"), col("comp")), col("comp")).as("comp"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
       labels = next
       i += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(pointer doubling needs ~log2(max component size) rounds; raise maxIter)")
     labels
   }
 

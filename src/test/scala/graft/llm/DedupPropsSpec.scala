@@ -26,7 +26,7 @@ class DedupPropsSpec extends SparkSpec {
     "zeta", "eta", "theta", "iota", "kappa")
 
   private val docGen: Gen[String] = for {
-    n <- Gen.choose(2, 10)
+    n <- Gen.choose(2, 12)
     ws <- Gen.listOfN(n, Gen.oneOf(vocab))
   } yield ws.mkString(" ")
 
@@ -36,7 +36,9 @@ class DedupPropsSpec extends SparkSpec {
     n <- Gen.choose(4, 9)
     ids <- Gen.pick(n, -40L to 40L)
     texts <- Gen.listOfN(n, docGen)
-    t <- Gen.oneOf(0.3, 0.5, 0.7)
+    // low thresholds (0.07, 0.1, 0.25) make t·|s| land on exact integers
+    // for common doc sizes — the prefix-length rounding trap
+    t <- Gen.oneOf(0.07, 0.1, 0.25, 0.3, 0.5, 0.7)
     // a strided variant stresses low-entropy block assignment
     stride <- Gen.oneOf(1L, 2L, 8L)
   } yield Corpus(ids.map(_ * stride).zip(texts).toSeq, t)
@@ -63,6 +65,40 @@ class DedupPropsSpec extends SparkSpec {
       triples(Dedup.prefixNearDups(corpus, "doc_id", "text", c.threshold)) ==
         triples(Dedup.bruteForcePairs(corpus, "doc_id", "text", c.threshold))
     })
+  }
+
+  test("prefix-filter exact recall when t·|s| is an exact integer (double-ceil trap)") {
+    import spark.implicits._
+    // Case 1: t = 0.1, |A| = 10 shingles, B ⊂ A with exactly 1 shared
+    // shingle → jaccard = 1/10 = t exactly. The shared shingle has the
+    // highest document frequency, so it sorts LAST in A's prefix order;
+    // a prefix computed as |s| − ceil(fl(0.1)·10) + 1 = 9 (ceil of
+    // 1.0000000000000002) excludes it and silently drops the pair.
+    val a1 = (1 to 11).map(i => s"w$i").mkString(" ") // 10 distinct bigrams
+    val b1 = "w10 w11"                                // 1 bigram, shared with A
+    val c1 = Seq((1L, a1), (2L, b1)).toDF("doc_id", "text")
+    val brute1 = triples(Dedup.bruteForcePairs(c1, "doc_id", "text", 0.1))
+    assert(brute1.nonEmpty, "fixture must qualify at jaccard = 0.1 exactly")
+    assert(triples(Dedup.prefixNearDups(c1, "doc_id", "text", 0.1)) === brute1)
+
+    // Case 2: t = 0.07, |A| = 100 shingles, B ⊂ A sharing 7 → jaccard =
+    // 7/100 = t exactly; fl(0.07)·100 = 7.000000000000001 so the double
+    // ceil (8) would cut the prefix to 93 while the 7 shared shingles
+    // (df = 2, hottest) occupy positions 94..100.
+    val a2 = (1 to 101).map(i => s"a$i").mkString(" ") // 100 distinct bigrams
+    val b2 = (94 to 101).map(i => s"a$i").mkString(" ") // 7 bigrams ⊂ A
+    val c2 = Seq((1L, a2), (2L, b2)).toDF("doc_id", "text")
+    val brute2 = triples(Dedup.bruteForcePairs(c2, "doc_id", "text", 0.07))
+    assert(brute2.nonEmpty, "fixture must qualify at jaccard = 0.07 exactly")
+    assert(triples(Dedup.prefixNearDups(c2, "doc_id", "text", 0.07)) === brute2)
+
+    // Case 3: t = 0.25, |A| = 8 shingles (t·|s| = 2, exactly
+    // representable — the already-correct branch stays correct)
+    val a3 = (1 to 9).map(i => s"c$i").mkString(" ")
+    val b3 = "c7 c8 c9"
+    val c3 = Seq((1L, a3), (2L, b3)).toDF("doc_id", "text")
+    assert(triples(Dedup.prefixNearDups(c3, "doc_id", "text", 0.25)) ===
+      triples(Dedup.bruteForcePairs(c3, "doc_id", "text", 0.25)))
   }
 
   test("cross near-dups ≡ brute force over the bipartite pairs only") {

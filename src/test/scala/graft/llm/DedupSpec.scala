@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("connected components converge on a 200-node path (diameter ≫ old 50-round bound)") {
+    import spark.implicits._
+    // worst-case shape for pure min-label propagation: a single chain of
+    // diameter 199, which the pre-pointer-doubling implementation could
+    // not finish in 50 rounds. Shuffled edge order + an id offset so
+    // nothing depends on insertion order or 0-based ids.
+    val rnd = new scala.util.Random(7)
+    val edges = rnd.shuffle((0L until 199L).map(i => (i + 1000L, i + 1001L)).toVector)
+      .toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 200)
+    assert(comps.values.toSet === Set(1000L), "every vertex labeled with the chain's min id")
+  }
+
   test("inverted-index candidates cover all true near-dup pairs when uncapped") {
     val cand = Dedup.invertedIndexPairs(corpus, "doc_id", "text", dfCap = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
