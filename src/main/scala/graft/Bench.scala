@@ -16,9 +16,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // single-shot timings on a shared machine are noise (BENCH_r02 was 3x
-    // inflated by concurrent load) — run every query `iters` times and
-    // report the min, the standard "best observed = least perturbed" rule
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // inflated by concurrent load; r04's recorded total was 3x a clean
+    // re-run) — run every query `iters` times and report the min, the
+    // standard "best observed = least perturbed" rule. min-of-3 default.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -42,14 +42,27 @@ object Charts {
     Iterator.iterate(start)(_ + step).takeWhile(_ <= hi + step * 0.5).toSeq
   }
 
+  /** Locale-fixed numeric formatting. SVG/XML attributes take a decimal
+    * POINT, never a comma — but the `f` interpolator formats under the
+    * JVM default locale, so under e.g. fr_FR every coordinate would
+    * render as `y1="123,4"`: invalid SVG, silently corrupt charts. All
+    * numbers in chart markup go through these Locale.ROOT helpers
+    * (same hazard class as the SQL-literal formatting in LlmQueries).
+    */
+  private def num(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
+  /** 1-decimal coordinate — the one format every SVG position uses. */
+  private def d1(v: Double): String = num("%.1f", v)
+
   /** Compact tick label: 1.2M / 350k / 42 / 0.75. */
   private[fin] def fmt(v: Double): String = {
     val a = math.abs(v)
-    if (a >= 1e9) f"${v / 1e9}%.1fB"
-    else if (a >= 1e6) f"${v / 1e6}%.1fM"
-    else if (a >= 1e4) f"${v / 1e3}%.0fk"
-    else if (v == math.rint(v)) f"$v%.0f"
-    else f"$v%.2f"
+    if (a >= 1e9) num("%.1f", v / 1e9) + "B"
+    else if (a >= 1e6) num("%.1f", v / 1e6) + "M"
+    else if (a >= 1e4) num("%.0f", v / 1e3) + "k"
+    else if (v == math.rint(v)) num("%.0f", v)
+    else num("%.2f", v)
   }
 
   /** Multi-series line chart with markers (the plotly `px.line` analog).
@@ -80,11 +93,11 @@ object Charts {
 
     val grid = ticks.map { t =>
       val y = yPx(t)
-      f"""<line x1="$mL" y1="$y%.1f" x2="${mL + plotW}" y2="$y%.1f" stroke="#ddd"/>""" +
-        f"""<text x="${mL - 8}" y="${y + 4}%.1f" text-anchor="end" font-size="11">${fmt(t)}</text>"""
+      s"""<line x1="$mL" y1="${d1(y)}" x2="${mL + plotW}" y2="${d1(y)}" stroke="#ddd"/>""" +
+        s"""<text x="${mL - 8}" y="${d1(y + 4)}" text-anchor="end" font-size="11">${fmt(t)}</text>"""
     }.mkString("\n")
     val xAxis = xLabels.zipWithIndex.map { case (lbl, i) =>
-      f"""<text x="${xPx(i)}%.1f" y="${mT + plotH + 18}" text-anchor="middle" font-size="11">${esc(lbl)}</text>"""
+      s"""<text x="${d1(xPx(i))}" y="${mT + plotH + 18}" text-anchor="middle" font-size="11">${esc(lbl)}</text>"""
     }.mkString("\n")
 
     val lines = series.zipWithIndex.map { case ((name, pts), si) =>
@@ -100,12 +113,12 @@ object Charts {
       val polys = segs.map { seg =>
         if (seg.size == 1) ""
         else {
-          val d = seg.map { case (x, y) => f"$x%.1f,$y%.1f" }.mkString(" ")
+          val d = seg.map { case (x, y) => s"${d1(x)},${d1(y)}" }.mkString(" ")
           s"""<polyline points="$d" fill="none" stroke="$c" stroke-width="2"/>"""
         }
       }.mkString("\n")
       val markers = segs.flatten.map { case (x, y) =>
-        f"""<circle cx="$x%.1f" cy="$y%.1f" r="3" fill="$c"/>"""
+        s"""<circle cx="${d1(x)}" cy="${d1(y)}" r="3" fill="$c"/>"""
       }.mkString("\n")
       s"$polys\n$markers"
     }.mkString("\n")
@@ -143,9 +156,9 @@ object Charts {
     val bars = rows.zipWithIndex.map { case ((label, v), i) =>
       val y = mT + i * (barH + gap)
       val bw = math.max(v / hi * plotW, 0.0)
-      f"""<text x="${mL - 8}" y="${y + barH - 4}" text-anchor="end" font-size="11">${esc(label)}</text>""" +
-        f"""<rect x="$mL" y="$y" width="$bw%.1f" height="$barH" fill="${color(0)}"/>""" +
-        f"""<text x="${mL + bw + 6}%.1f" y="${y + barH - 4}" font-size="11">${fmt(v)}</text>"""
+      s"""<text x="${mL - 8}" y="${y + barH - 4}" text-anchor="end" font-size="11">${esc(label)}</text>""" +
+        s"""<rect x="$mL" y="$y" width="${d1(bw)}" height="$barH" fill="${color(0)}"/>""" +
+        s"""<text x="${d1(mL + bw + 6)}" y="${y + barH - 4}" font-size="11">${fmt(v)}</text>"""
     }.mkString("\n")
     s"""<svg class="chart" viewBox="0 0 $w $h" width="$w" height="$h" role="img" aria-label="${esc(title)}">
        |<text x="${w / 2}" y="20" text-anchor="middle" font-size="14" font-weight="bold">${esc(title)}</text>

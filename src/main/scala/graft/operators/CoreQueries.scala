@@ -127,12 +127,17 @@ object CoreQueries {
       li.unionByName(o).orderBy("source", "document_id", "amount")
     }),
 
-    // W1 — surrogate keys via row_number (reference: export_powerbi_star_schema.py:83-84)
+    // W1 — surrogate keys (reference: export_powerbi_star_schema.py:83-84).
+    // The reference's row_number form survives only on bounded dims
+    // (StarExport.scala:61-62, per SURVEY trap #9); registered here over
+    // customer — a table that GROWS with the data — it must be the
+    // two-phase contiguous-id assignment instead: range partition +
+    // per-partition offsets, no single-task global window.
     "surrogate_keys" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .select(
-          row_number().over(Window.orderBy("c_custkey")).cast("long").as("entity_key"),
-          col("c_custkey"), col("c_name"))
+      SurrogateKeys.contiguousIds(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        Seq("c_custkey"), "entity_key")
+        .select("entity_key", "c_custkey", "c_name")
         .orderBy("entity_key")
     }),
 

@@ -475,16 +475,20 @@ object LlmQueries {
     "tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
-      val nDocs = d.count()
+      // document count folded into the LAZY plan as a broadcast 1-row
+      // aggregate — an eager d.count() here would run a full extra
+      // corpus scan per invocation, at plan-construction time (even
+      // under explain): a wasted 100 TB pass at scale
+      val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
       val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       // no broadcast hint on df_: it is vocabulary-sized (grows with the
       // corpus), and a forced broadcast past the limit FAILS rather than
       // degrading — leave the side choice to Catalyst/AQE
       val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, "token")
+      val scored = tf.join(df_, "token").crossJoin(nDocs)
         .withColumn("tfidf",
-          bround(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+          bround(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))).cast("long"))

@@ -47,4 +47,30 @@ class ChartsSpec extends AnyFunSuite {
     assert(Charts.lineChart("x", Nil, Nil).startsWith("<p"))
     assert(Charts.barChartH("x", Nil).startsWith("<p"))
   }
+
+  test("SVG numeric attributes stay point-decimal under a comma-decimal locale") {
+    // fr_FR formats 123.4 as "123,4" via the default-locale f
+    // interpolator — which is invalid in SVG attributes. Render under
+    // Locale.FRANCE and assert every numeric attribute and polyline
+    // point parses as a plain decimal.
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.FRANCE)
+    try {
+      val line = Charts.lineChart("Trend", Seq("m1", "m2", "m3"),
+        Seq("s" -> Map("m1" -> 0.123, "m2" -> 1234.5, "m3" -> 7.25e6)))
+      val bars = Charts.barChartH("Bars", Seq("a" -> 1234.5, "b" -> 0.125))
+      val numericAttr = """(?<![\w-])(?:x|y|x1|y1|x2|y2|cx|cy|width|height)="([^"]*)"""".r
+      for (svg <- Seq(line, bars); m <- numericAttr.findAllMatchIn(svg)) {
+        val v = m.group(1)
+        assert(v.matches("""-?[0-9]+(\.[0-9]+)?"""), s"non-decimal attribute value: $v")
+      }
+      val points = """points="([^"]*)"""".r
+      for (m <- points.findAllMatchIn(line); pt <- m.group(1).split(" "))
+        assert(pt.matches("""-?[0-9]+\.[0-9]+,-?[0-9]+\.[0-9]+"""),
+          s"non-decimal polyline point: $pt")
+      // tick labels too: fmt must not emit "1,2M"
+      assert(!line.contains(",2M") && !bars.contains(",2k"))
+      assert(Charts.fmt(1234567.0) === "1.2M")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

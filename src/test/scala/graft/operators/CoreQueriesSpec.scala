@@ -31,4 +31,17 @@ class CoreQueriesSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("contiguousIds assigns the global rank without a single-task window") {
+    import spark.implicits._
+    // unique keys in scrambled order (7 is coprime to 501), several
+    // input partitions
+    val df = (1 to 500).map(i => (i * 7 % 501, s"n$i")).toDF("k", "name")
+      .repartition(11)
+    val got = SurrogateKeys.contiguousIds(df, Seq("k"), "sk", numPartitions = 8)
+    assert(got.rdd.getNumPartitions === 8, "ids assigned across partitions, not one task")
+    val rows = got.orderBy("sk").select("sk", "k").as[(Long, Int)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 500L), "ids contiguous from 1")
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq, "id order follows key order")
+  }
 }
