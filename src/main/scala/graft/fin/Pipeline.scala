@@ -117,17 +117,18 @@ object Pipeline {
     val dimPath = s"$curatedDir/dim_accounts.parquet"
     val kpiPath = s"$curatedDir/kpi_monthly.parquet"
     // month-partitioned curated layout (SURVEY §1.1): this run lands in
-    // month=YYYY-MM/ only (dynamic overwrite leaves other months intact),
-    // and downstream month filters prune to that one directory. Dynamic
-    // overwrite only replaces partitions it WRITES, so a re-run whose
-    // corrected inputs yield zero in-month rows would silently keep the
-    // stale partition — clear this run's month explicitly first.
-    val monthDir = new org.apache.hadoop.fs.Path(s"$factPath/month=$month")
-    val factFs = monthDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (factFs.exists(monthDir)) factFs.delete(monthDir, true)
-    Io.writeParquetPartitioned(
-      fact.withColumn("month", date_format(col("date"), "yyyy-MM")),
-      factPath, Seq("month"))
+    // month=YYYY-MM/ only, other months stay intact, and downstream
+    // month filters prune to that one directory. The partition is
+    // replaced via temp-and-swap (write to a hidden sibling, then move
+    // into place) — a pre-delete-then-write would destroy the only good
+    // copy of the partition if the write failed, and plain dynamic
+    // overwrite would silently KEEP a stale partition when corrected
+    // inputs yield zero in-month rows.
+    replaceMonthPartition(spark, factPath, month) { tmpRoot =>
+      Io.writeParquetPartitioned(
+        fact.withColumn("month", date_format(col("date"), "yyyy-MM")),
+        tmpRoot, Seq("month"))
+    }
     Io.writeParquet(dimAccounts, dimPath)
     // build the KPI from the just-written fact (column-pruned parquet
     // scan) rather than the lazy raw→union→FX plan — otherwise the whole
@@ -136,5 +137,42 @@ object Pipeline {
     Io.writeParquet(kpi, kpiPath)
 
     RunResult(dqExceptionsPath, dqSummaryPath, factPath, dimPath, kpiPath, overall)
+  }
+
+  /** Replace `factRoot/month=M` via temp-and-swap: `write` receives a
+    * hidden sibling directory and must produce the partitioned layout
+    * there; only after it SUCCEEDS is the old partition dropped and the
+    * new one renamed into place. A write failure leaves the previously
+    * good partition untouched (the temp is cleaned up); a successful
+    * write with zero in-month rows removes the stale partition, which a
+    * bare dynamic overwrite would silently keep. The delete→rename
+    * window is the residual non-atomicity — two filesystem metadata
+    * ops, not a data rewrite.
+    */
+  private[fin] def replaceMonthPartition(
+      spark: SparkSession, factRoot: String, month: String)(
+      write: String => Unit): Unit = {
+    val root = new org.apache.hadoop.fs.Path(factRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(
+      root.getParent, s".swap_${root.getName}_$month")
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    try {
+      write(tmpRoot.toString)
+      // the close writes exactly one month; any other partition in the
+      // temp output would be silently dropped by the swap — refuse
+      val stray = fs.listStatus(tmpRoot).map(_.getPath.getName)
+        .filter(n => n.startsWith("month=") && n != s"month=$month")
+      require(stray.isEmpty,
+        s"replaceMonthPartition($month): unexpected partitions ${stray.mkString(",")}")
+      val newPart = new org.apache.hadoop.fs.Path(tmpRoot, s"month=$month")
+      val oldPart = new org.apache.hadoop.fs.Path(root, s"month=$month")
+      fs.mkdirs(root) // parity with a direct partitioned write: the root
+                      // exists even when this month produced zero rows
+      if (fs.exists(oldPart)) fs.delete(oldPart, true)
+      if (fs.exists(newPart)) fs.rename(newPart, oldPart)
+    } finally {
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    }
   }
 }

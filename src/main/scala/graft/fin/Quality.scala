@@ -70,18 +70,55 @@ object Quality {
   /** Raw frame with the pandas-like 0-based row index attached — the
     * `index` pandera reports for each failing row
     * (reference: quality.py:106-108, pipeline.py:40 `bad.index`).
-    * `zipWithIndex` preserves file order for file-based scans (splits are
-    * ordered by file offset, rows keep order within a split), so the
-    * value matches the reference's DataFrame index without any driver
-    * collect. Costs one extra job (zipWithIndex pre-counts partitions) —
-    * paid only in the DQ layer; the working column is projected away
-    * before any curated output.
+    *
+    * A bare `zipWithIndex` does NOT honor file order in general: Spark
+    * packs file splits into partitions sorted by split length
+    * DESCENDING, so a file big enough to split (or a multi-file read)
+    * can enumerate splits out of file order. Instead the index is
+    * derived from each row's split identity (`_metadata.file_path`,
+    * `_metadata.file_block_start` — exposed for all file sources):
+    * rows keep file order WITHIN a split, so a first pass counts rows
+    * per split (driver state O(#splits), never O(rows)), an exclusive
+    * prefix sum over splits ordered by (path, block offset) yields each
+    * split's starting index, and a second pass assigns offset + the
+    * row's position within its split. Multi-file reads index files in
+    * path order. Costs one extra job, same as zipWithIndex — paid only
+    * in the DQ layer; the working column is projected away before any
+    * curated output.
     */
   def withRowIndex(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
+    val n = raw.columns.length
+    val withMeta = raw
+      .withColumn("__dq_file", col("_metadata.file_path"))
+      .withColumn("__dq_blk", col("_metadata.file_block_start"))
+      .rdd
+    val splitCounts = withMeta.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[(String, Long), Long]
+      it.foreach { r =>
+        val k = (r.getString(n), r.getLong(n + 1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      m.iterator
+    }.reduceByKey(_ + _).collect()
+    val offsets = {
+      var acc = 0L
+      splitCounts.sortBy { case ((f, b), _) => (f, b) }.map { case (k, c) =>
+        val o = k -> acc; acc += c; o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
     val schema = raw.schema.add(graft.sources.Io.RowIndexCol, LongType, nullable = false)
-    val rdd = raw.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    val rdd = withMeta.mapPartitions { it =>
+      // a partition may pack several splits; per-split counters keep
+      // each row's within-split position regardless of packing
+      val local = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+      it.map { r =>
+        val k = (r.getString(n), r.getLong(n + 1))
+        val i = local.getOrElse(k, 0L)
+        local.update(k, i + 1L)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(2) :+ (bc.value(k) + i))
+      }
     }
     spark.createDataFrame(rdd, schema)
   }

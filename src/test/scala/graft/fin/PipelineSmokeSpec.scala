@@ -97,4 +97,52 @@ class PipelineSmokeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fail_on"))
   }
+
+  test("month-partition swap: a failed write keeps the previous partition intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-swap").toString + "/fact.parquet"
+    def monthDf(v: Double) = Seq(("2025-11", v)).toDF("month", "amount")
+
+    // seed a good partition
+    Pipeline.replaceMonthPartition(spark, root, "2025-11") { tmp =>
+      graft.sources.Io.writeParquetPartitioned(monthDf(1.0), tmp, Seq("month"))
+    }
+    def readAmounts() = spark.read.parquet(root).select("amount")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(readAmounts() === Seq(1.0))
+
+    // a writer that fails AFTER producing partial temp output must not
+    // touch the good partition (the old pre-delete-then-write lost it)
+    intercept[RuntimeException] {
+      Pipeline.replaceMonthPartition(spark, root, "2025-11") { tmp =>
+        graft.sources.Io.writeParquetPartitioned(monthDf(666.0), tmp, Seq("month"))
+        throw new RuntimeException("simulated write failure")
+      }
+    }
+    assert(readAmounts() === Seq(1.0), "old partition must survive a failed replace")
+
+    // a successful replace swaps in the new data
+    Pipeline.replaceMonthPartition(spark, root, "2025-11") { tmp =>
+      graft.sources.Io.writeParquetPartitioned(monthDf(2.0), tmp, Seq("month"))
+    }
+    assert(readAmounts() === Seq(2.0))
+
+    // zero in-month rows clears the stale partition (dynamic overwrite
+    // alone would keep it)
+    Pipeline.replaceMonthPartition(spark, root, "2025-11") { tmp =>
+      graft.sources.Io.writeParquetPartitioned(
+        monthDf(3.0).filter("amount < 0"), tmp, Seq("month"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/month=2025-11")))
+
+    // and a temp writer leaking a foreign month is refused outright
+    intercept[IllegalArgumentException] {
+      Pipeline.replaceMonthPartition(spark, root, "2025-11") { tmp =>
+        graft.sources.Io.writeParquetPartitioned(
+          Seq(("2025-10", 9.0)).toDF("month", "amount"), tmp, Seq("month"))
+      }
+    }
+  }
 }

@@ -99,6 +99,34 @@ class QualitySpec extends SparkSpec {
     assert(!exs.keySet.exists(_ == "column_in_schema"))
   }
 
+  test("row index matches file line order on a CSV large enough to split") {
+    // Spark packs file splits into partitions sorted by length DESC, so
+    // a multi-split file must not rely on partition enumeration order.
+    // Force many small splits and assert index == 0-based data-line
+    // position for every row.
+    val work = java.nio.file.Files.createTempDirectory("graft-dq-split").toString
+    val lines = (0 until 4000).map(i => s"2025-12-01,E$i,$i")
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "big.csv"),
+      ("date,entity,amount\n" + lines.mkString("\n") + "\n").getBytes)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val raw = graft.sources.Io.readCsvRaw(spark, s"$work/big.csv")
+      assert(raw.rdd.getNumPartitions > 5, "fixture must actually split")
+      val idx = Quality.withRowIndex(raw)
+        .select(col("entity"), col(graft.sources.Io.RowIndexCol))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(idx.size === 4000)
+      (0 until 4000).foreach(i => assert(idx(s"E$i") === i.toLong,
+        s"row E$i got index ${idx(s"E$i")}"))
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
   test("typedFromRaw casts per contract and nulls missing columns") {
     val raw = Seq(("2025-12-01", "E1", "junk"), ("not-a-date", "E2", "7.5"))
       .toDF("date", "entity", "amount")
