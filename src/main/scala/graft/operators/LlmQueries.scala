@@ -236,10 +236,21 @@ object LlmQueries {
 
     // n-gram jaccard all-pairs: exact semantics distributed via the block
     // self-join (row-identical to brute force, no driver collect). The
-    // prefix-filtering path (Dedup.prefixNearDups) is the sub-quadratic
+    // prefix-filtering path (prefix_near_dup below) is the sub-quadratic
     // exact alternative for vocabulary-rich corpora.
     "ngram_jaccard" -> ((s, dir) => {
       Dedup.blockNearDups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Same exact near-dup semantics via AllPairs/PPJoin-style prefix
+    // filtering — the SUB-QUADRATIC exact path (candidates only for
+    // pairs sharing a rare-prefix shingle, never all pairs). Low
+    // threshold on purpose: long prefixes exercise the exact
+    // minimum-overlap bound (the double-ceil rounding trap lives at
+    // t·|s| integer boundaries).
+    "prefix_near_dup" -> ((s, dir) => {
+      Dedup.prefixNearDups(docs(s, dir), "doc_id", "text", threshold = 0.25)
         .orderBy("a_id", "b_id")
     }),
 
@@ -677,6 +688,18 @@ object LlmQueries {
          |         ${sqlJaccard("a", "b")} AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // same exact-jaccard semantics as ngram_jaccard at t=0.25: the
+    // prefix-filtered path must return the identical pair set the
+    // oracle derives from naive all-pairs
+    "prefix_near_dup" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         ${sqlJaccard("a", "b")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.25
          |ORDER BY a_id, b_id""".stripMargin,
 
     "cosine_topk" ->

@@ -22,7 +22,7 @@ class CoreQueriesSpec extends SparkSpec {
       assert(n >= 0)
       // queries that must be non-empty at any SF
       if (!Set("dup_check", "anti_join", "ci_filter",
-          "lsh_near_dup", "ngram_jaccard", "cosine_near_dup",
+          "lsh_near_dup", "ngram_jaccard", "prefix_near_dup", "cosine_near_dup",
           "near_dup_components", "simhash_near_dup").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
