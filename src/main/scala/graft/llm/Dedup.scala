@@ -70,7 +70,14 @@ object Dedup {
                                    textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.repartition(spark.sparkContext.defaultParallelism)
+    // widen ONLY under-partitioned inputs (a 2-file local corpus must
+    // not serialize the shingle loop onto 2 cores); an unconditional
+    // repartition would full-shuffle a corpus that already has plenty
+    // of partitions — pure waste at scale. getNumPartitions is a plan
+    // inspection, not a job.
+    val target = spark.sparkContext.defaultParallelism
+    val widened = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    widened
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
