@@ -195,6 +195,27 @@ object TextOps {
   val sqlShingleHashes: String =
     s"list_distinct(list_transform($sqlBigrams, t -> ${sqlTokenHash("t")}))"
 
+  /** SQL: ordered "w1 … wn" n-gram list, duplicates kept (mirrors the
+    * general [[grams]] builder; [[sqlBigrams]] is the n=2 instance).
+    */
+  def sqlGrams(n: Int): String = {
+    require(n >= 2, "use sqlTokens for n=1")
+    val ts = sqlTokens
+    val slices = (0 until n).map { i =>
+      val drop = n - 1 - i
+      if (drop == 0) s"$ts[${i + 1}:len($ts)]"
+      else s"$ts[${i + 1}:len($ts)-$drop]"
+    }.mkString(", ")
+    val joined = (1 to n).map(i => s"s[$i]").mkString(" || ' ' || ")
+    // short-doc guard: DuckDB slice stops < -1 wrap around from the END
+    // (['a','b','c','d','e'][1:5-7] = first four elements!) and list_zip
+    // NULL-pads to the longest input — a doc with < n tokens must yield
+    // [] like Spark's greatest(size-(n-1), 0) slice bound does, not
+    // NULL-laced garbage grams
+    s"CASE WHEN len($ts) < $n THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE list_transform(list_zip($slices), s -> $joined) END"
+  }
+
   /** SQL: one MinHash value over hash-set expression `hs`. */
   def sqlMinhash(hs: String, a: Long, b: Long): String =
     s"list_min(list_transform($hs, x -> (x*$a + $b) % $MinhashP))"

@@ -441,6 +441,53 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Fixed-window token chunking with stride — sequence prep for
+    // training. Every token is covered: chunk starts advance by the
+    // stride until one window reaches the end of the doc (the last
+    // chunk may be short); chunk bounds use pure integer arithmetic
+    // (no double ceil). Per-row explode, no shuffle but the output sort.
+    "doc_chunks" -> ((s, dir) => {
+      val window = 64
+      val stride = 48
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .withColumn("n", size(col("ts")))
+        .withColumn("last_start",
+          expr(s"CAST(1 + $stride * ((greatest(n - $window, 0) + ${stride - 1}) DIV $stride) AS INT)"))
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(1), col("last_start"), lit(stride))).as("start"))
+        .select(
+          col("doc_id"),
+          expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_id"),
+          slice(col("ts"), col("start"), lit(window)).as("chunk"))
+        .select(
+          col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Benchmark decontamination: drop every corpus doc sharing ANY
+    // 8-token gram with the held-out set (proxy: doc_id < 5) — the
+    // containment check run before training so eval data never leaks
+    // into the corpus. Benchmark gram set is tiny (broadcast side);
+    // corpus grams stream through one equi-join; removal is one
+    // anti-join. Never all-pairs.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 5)
+      val corpus = d.filter(col("doc_id") >= 5)
+      val bGrams = bench
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram")).distinct()
+      val hits = corpus
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .join(bGrams, "gram")
+        .select("doc_id").distinct()
+      corpus.join(hits, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency top-k (explode → count → top-k)
     "token_freq" -> ((s, dir) => {
       docs(s, dir)
@@ -895,6 +942,32 @@ object LlmQueries {
          |         SUM(len($sqlTokens)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+         |st AS (
+         |  SELECT doc_id, ts,
+         |         unnest(generate_series(1, 1 + 48 * ((greatest(len(ts) - 64, 0) + 47) // 48), 48)) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         |       (start - 1) // 48 AS chunk_id,
+         |       len(ts[start:start+63]) AS chunk_tokens,
+         |       array_to_string(ts[start:start+63], ' ') AS chunk_text
+         |FROM st
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "decontaminate" -> {
+      val grams8 = s"list_distinct(${TextOps.sqlGrams(8)})"
+      s"""WITH bg AS (
+         |  SELECT DISTINCT unnest($grams8) AS gram FROM documents WHERE doc_id < 5),
+         |hits AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest($grams8) AS gram FROM documents WHERE doc_id >= 5) cg
+         |  JOIN bg USING (gram))
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "token_freq" ->
       s"""SELECT token, COUNT(*) AS n

@@ -146,6 +146,54 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 3L -> 0L, 5L -> 1L, 2L -> 0L, 4L -> 1L))
   }
 
+  test("doc_chunks covers every token; full windows except a short tail") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, doc(100), "en", "a", 0L), // starts 1, 49 → 64 + 52 tokens
+      (2L, doc(64), "en", "a", 0L),  // exactly one full window
+      (3L, doc(10), "en", "a", 0L),  // one short chunk
+      (4L, doc(161), "en", "a", 0L)) // starts 1,49,97,145 → tail 17
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("doc_chunks")(spark, work).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(c => c._2 -> c._3).toSeq.sorted === Seq(0L -> 64L, 1L -> 52L))
+    assert(byDoc(2L).map(c => c._2 -> c._3).toSeq === Seq(0L -> 64L))
+    assert(byDoc(3L).map(c => c._2 -> c._3).toSeq === Seq(0L -> 10L))
+    assert(byDoc(4L).map(c => c._2 -> c._3).toSeq.sorted ===
+      Seq(0L -> 64L, 1L -> 64L, 2L -> 64L, 3L -> 17L))
+    // stride-48 overlap: chunk 1 of doc 1 starts at token 49
+    assert(byDoc(1L).find(_._2 == 1L).get._4.startsWith("t49 t50"))
+    // coverage: the union of chunks contains every token of doc 4
+    val covered = byDoc(4L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 161).map(i => s"t$i").toSet)
+  }
+
+  test("decontaminate removes exactly the corpus docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, benchText, "en", "bench", 0L),                         // benchmark (doc_id < 5)
+      // contains benchmark 8-gram "beta..iota" inside other text → removed
+      (10L, "x y beta gamma delta epsilon zeta eta theta iota z", "en", "web", 0L),
+      // shares a 7-gram only (7 < 8) → survives
+      (11L, "beta gamma delta epsilon zeta eta theta X", "en", "web", 0L),
+      // unrelated → survives
+      (12L, "one two three four five six seven eight nine ten", "en", "web", 0L),
+      // shorter than 8 tokens → no grams, survives trivially
+      (13L, "tiny doc", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("decontaminate")(spark, work).collect()
+      .map(_.getLong(0)).toSet
+    assert(out === Set(11L, 12L, 13L))
+  }
+
   test("pii_scrub counts each redaction stage exactly once") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-pii").toString
