@@ -244,13 +244,21 @@ object LlmQueries {
     }),
 
     // Same exact near-dup semantics via AllPairs/PPJoin-style prefix
-    // filtering — the SUB-QUADRATIC exact path (candidates only for
-    // pairs sharing a rare-prefix shingle, never all pairs). Low
-    // threshold on purpose: long prefixes exercise the exact
+    // filtering — the SUB-QUADRATIC exact path on vocabulary-RICH
+    // corpora (candidates only for pairs sharing a rare-prefix
+    // shingle). This synthetic corpus is its documented WORST case —
+    // a small shared vocabulary makes every shingle hot, so the prefix
+    // index degenerates toward all-pairs (80s at sf0.1 vs 1.7s for the
+    // block path) — hence the oracle contract runs on a fixed 500-doc
+    // slice (the full sf0.01 corpus) while DedupSpec/DedupPropsSpec
+    // prove ≡ bruteForcePairs corpus-agnostically; blockNearDups
+    // (ngram_jaccard) stays the registered full-corpus exact path.
+    // Low threshold on purpose: long prefixes exercise the exact
     // minimum-overlap bound (the double-ceil rounding trap lives at
     // t·|s| integer boundaries).
     "prefix_near_dup" -> ((s, dir) => {
-      Dedup.prefixNearDups(docs(s, dir), "doc_id", "text", threshold = 0.25)
+      Dedup.prefixNearDups(docs(s, dir).filter(col("doc_id") < 500),
+          "doc_id", "text", threshold = 0.25)
         .orderBy("a_id", "b_id")
     }),
 
@@ -741,7 +749,7 @@ object LlmQueries {
     // prefix-filtered path must return the identical pair set the
     // oracle derives from naive all-pairs
     "prefix_near_dup" ->
-      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents WHERE doc_id < 500)
          |SELECT * FROM (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |         ${sqlJaccard("a", "b")} AS jaccard
