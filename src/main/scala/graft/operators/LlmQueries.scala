@@ -496,6 +496,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM quality score: average token surprisal (-ln p) under
+    // the corpus's OWN unigram distribution — the perplexity-filter
+    // proxy when no external LM is available (high surprisal = rare
+    // junk tokens). Token counts are a vocabulary-sized aggregate
+    // (unhinted — the vocabulary grows with the corpus; AQE picks the
+    // join side); the grand total is a broadcast 1-row aggregate.
+    // Parity recipe: JVM Math.log and libm ln differ in the last ulp,
+    // so each term rounds to 6dp and the per-doc sum routes through
+    // DECIMAL — double sums would also depend on partial-agg order.
+    "unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = broadcast(counts.agg(sum("cnt").as("total_tok")))
+      toks.join(counts, "token").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_tok"),
+          sum(bround(-log(col("cnt") / col("total_tok")), 6)
+            .cast("decimal(18,6)")).as("ssum"))
+        .select(col("doc_id"), col("n_tok"),
+          bround(col("ssum").cast("double") / col("n_tok"), 6).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency top-k (explode → count → top-k)
     "token_freq" -> ((s, dir) => {
       docs(s, dir)
@@ -976,6 +1001,18 @@ object LlmQueries {
          |WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM hits)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |tot AS (SELECT SUM(cnt) AS total_tok FROM c)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |       round(CAST(SUM(CAST(round(-ln(cnt / total_tok), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |             / COUNT(*), 6) AS avg_surprisal
+         |FROM tok JOIN c USING (token), tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "token_freq" ->
       s"""SELECT token, COUNT(*) AS n

@@ -194,6 +194,25 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out === Set(11L, 12L, 13L))
   }
 
+  test("unigram_logprob scores docs by average surprisal under corpus unigram counts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ulm").toString
+    Seq(
+      (1L, "a a b", "en", "x", 5L),
+      (2L, "a c", "en", "x", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // counts: a=3, b=1, c=1; total=5
+    def srp(c: Long) = BigDecimal(-math.log(c / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+    def avg6(xs: Seq[BigDecimal]) = (xs.sum / xs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val out = LlmQueries.queries("unigram_logprob")(spark, work).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((3L, avg6(Seq(srp(3), srp(3), srp(1))))))
+    assert(out(2L) === ((2L, avg6(Seq(srp(3), srp(1))))))
+  }
+
   test("pii_scrub counts each redaction stage exactly once") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-pii").toString
