@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan audits: the scale properties the engine is designed
+  * around, asserted on the executed plans so a regression fails CI
+  * instead of surfacing as a 100×-scale incident. String assertions on
+  * the INITIAL physical plan (AQE may re-plan at runtime, but pushdown,
+  * pruning, join strategy and window shape are decided here).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("month_window pushes the date-range filter into the parquet scan") {
+    val p = plan("month_window")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "the half-open month window must reach the scan as min/max pushdown")
+  }
+
+  test("hash_sample prunes columns and filters at the scan, before any shuffle") {
+    val p = plan("hash_sample")
+    assert(!p.contains("text"), "sampling must not read the text column")
+    val scanFilter = p.linesIterator.find(_.contains("DataFilters")).get
+    assert(scanFilter.contains("% 100000007"),
+      "the sampling predicate must sit in the scan's data filters")
+  }
+
+  test("region_revenue star join broadcasts every dim — no sort-merge joins") {
+    val p = plan("region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "orders/customer/supplier/nation/region sides must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a fact-dim join falling back to sort-merge means a fact-sized shuffle")
+  }
+
+  test("surrogate_keys plan has no window operator at all") {
+    val p = plan("surrogate_keys")
+    assert(!p.contains("Window"),
+      "contiguous ids must come from the two-phase assignment, not a global window")
+  }
+
+  test("doc_chunks shuffles only for the output sort") {
+    val p = plan("doc_chunks")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      "chunking is per-row: one range exchange for the final orderBy, nothing else")
+  }
+
+  test("tfidf_top_terms pushes top-k below the shuffle and keeps the doc count lazy") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 must prune groups before/after the doc_id shuffle, not sort whole groups")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the corpus count must be a broadcast 1-row aggregate inside the lazy plan")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "the rank window must be partitioned by doc_id, never global")
+  }
+
+  test("dedup_exact aggregates with map-side partials") {
+    val p = plan("dedup_exact")
+    assert(p.contains("partial_"),
+      "exact dedup must combine map-side before the key shuffle")
+  }
+}
