@@ -127,6 +127,26 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("row index orders multi-file reads by path, not by packed split size") {
+    // Spark packs splits LARGEST-first, so with b.csv ≫ a.csv a bare
+    // zipWithIndex would index b's rows first; the contract is file
+    // order = path order (a.csv before b.csv), rows in file order.
+    val work = java.nio.file.Files.createTempDirectory("graft-dq-multi").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "a.csv"),
+      ("date,entity,amount\n" +
+        (0 until 3).map(i => s"2025-12-01,A$i,$i").mkString("\n") + "\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "b.csv"),
+      ("date,entity,amount\n" +
+        (0 until 400).map(i => s"2025-12-01,B$i,$i").mkString("\n") + "\n").getBytes)
+    val raw = graft.sources.Io.readCsvRaw(spark, work)
+    val idx = Quality.withRowIndex(raw)
+      .select(col("entity"), col(graft.sources.Io.RowIndexCol))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx.size === 403)
+    (0 until 3).foreach(i => assert(idx(s"A$i") === i.toLong))
+    (0 until 400).foreach(i => assert(idx(s"B$i") === (3 + i).toLong))
+  }
+
   test("typedFromRaw casts per contract and nulls missing columns") {
     val raw = Seq(("2025-12-01", "E1", "junk"), ("not-a-date", "E2", "7.5"))
       .toDF("date", "entity", "amount")
