@@ -95,6 +95,41 @@ object Dedup {
       .toDF(idCol, "sh")
   }
 
+  /** Per-doc LSH signature computed JVM-side from raw text: (sorted
+    * distinct bigram-shingle hashes, minhash values) — the single-doc
+    * form of [[shingleHashSets]] + the minhash loop in [[lshNearDups]],
+    * with identical arithmetic (spec-pinned). Used by the streaming
+    * near-dup gate, where signatures are computed per arriving doc
+    * rather than per corpus scan. Empty-token docs return empty arrays
+    * (the caller decides the skip rule, mirroring lshNearDups).
+    */
+  private[graft] def docSignature(text: String): (Array[Long], Array[Long]) = {
+    val toks = jvmTokens(text)
+    val seen = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i < toks.length - 1) {
+      seen.add(jvmTokenHash(toks(i + 1),
+        seed = (jvmTokenHash(toks(i)) * 131 + ' ') % TextOps.HashP))
+      i += 1
+    }
+    val sh = seen.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+    java.util.Arrays.sort(sh)
+    if (sh.isEmpty) (sh, Array.empty[Long])
+    else {
+      val mh = MinhashParams.toArray.map { case (a, b) =>
+        var m = Long.MaxValue
+        var j = 0
+        while (j < sh.length) {
+          val v = (sh(j) * a + b) % TextOps.MinhashP
+          if (v < m) m = v
+          j += 1
+        }
+        m
+      }
+      (sh, mh)
+    }
+  }
+
   /** Per-document MinHash signature frame:
     * (id, sh = distinct shingle hashes, mh0..mh7).
     */
@@ -564,7 +599,7 @@ object Dedup {
   }
 
   /** Count of common elements of two sorted distinct arrays (merge scan). */
-  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+  private[graft] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
