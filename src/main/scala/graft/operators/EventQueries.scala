@@ -74,6 +74,33 @@ object EventQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // Ordered funnel: how many users progressed signup → view → click →
+    // purchase, where each stage's FIRST occurrence must come strictly
+    // after the previous stage's first occurrence (the standard loose
+    // funnel over first-touch timestamps). One conditional-min
+    // aggregation per user — a single shuffle on user_id — then one
+    // global roll-up row; no per-user state machine, no window.
+    "event_funnel" -> ((s, dir) => {
+      def firstTs(t: String) = min(when(col("event_type") === t, col("ts_us")))
+      val perUser = events(s, dir)
+        .groupBy("user_id")
+        .agg(firstTs("signup").as("s1"), firstTs("view").as("s2"),
+          firstTs("click").as("s3"), firstTs("purchase").as("s4"))
+        .withColumn("depth",
+          when(col("s1").isNull, 0)
+            .when(col("s2").isNull || col("s2") <= col("s1"), 1)
+            .when(col("s3").isNull || col("s3") <= col("s2"), 2)
+            .when(col("s4").isNull || col("s4") <= col("s3"), 3)
+            .otherwise(4))
+      perUser.agg(
+        count(when(col("depth") >= 1, 1)).as("signup_users"),
+        count(when(col("depth") >= 2, 1)).as("view_users"),
+        count(when(col("depth") >= 3, 1)).as("click_users"),
+        count(when(col("depth") >= 4, 1)).as("purchase_users"))
+        .withColumn("conversion_pct",
+          bround(col("purchase_users") * 100.0 / nullif(col("signup_users"), lit(0)), 4))
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -114,6 +141,29 @@ object EventQueries {
         |       l.us - r.us AS gap_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
         |ORDER BY l.user_id, ts_us, event_id""".stripMargin,
+
+    "event_funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s1,
+        |         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS s2,
+        |         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS s3,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS s4
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT CASE WHEN s1 IS NULL THEN 0
+        |              WHEN s2 IS NULL OR s2 <= s1 THEN 1
+        |              WHEN s3 IS NULL OR s3 <= s2 THEN 2
+        |              WHEN s4 IS NULL OR s4 <= s3 THEN 3
+        |              ELSE 4 END AS depth
+        |  FROM pu)
+        |SELECT COUNT(CASE WHEN depth >= 1 THEN 1 END) AS signup_users,
+        |       COUNT(CASE WHEN depth >= 2 THEN 1 END) AS view_users,
+        |       COUNT(CASE WHEN depth >= 3 THEN 1 END) AS click_users,
+        |       COUNT(CASE WHEN depth >= 4 THEN 1 END) AS purchase_users,
+        |       round(CAST(COUNT(CASE WHEN depth >= 4 THEN 1 END) AS DOUBLE) * 100.0
+        |             / NULLIF(COUNT(CASE WHEN depth >= 1 THEN 1 END), 0), 4) AS conversion_pct
+        |FROM d""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Fixture-level semantics for the event-analytics queries (the full
+  * outputs are DuckDB-oracled; these pin the intra-query rules on
+  * hand-built cases).
+  */
+class EventQueriesSpec extends SparkSpec {
+
+  test("event_funnel: first-touch ordering gates each stage") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    def ns(minute: Double): Long = (minute * 60e9).toLong // nanos, like events.parquet
+    val rows = Seq(
+      // u1 completes the funnel in order → depth 4
+      (1L, ns(1), 1L, "signup", "{}", 0.0), (2L, ns(2), 1L, "view", "{}", 0.0),
+      (3L, ns(3), 1L, "click", "{}", 0.0), (4L, ns(4), 1L, "purchase", "{}", 0.0),
+      // u2 viewed BEFORE signing up → stops at depth 1
+      (5L, ns(1), 2L, "view", "{}", 0.0), (6L, ns(2), 2L, "signup", "{}", 0.0),
+      // u3 clicked before the first view → stops at depth 2
+      (7L, ns(1), 3L, "signup", "{}", 0.0), (8L, ns(1.5), 3L, "click", "{}", 0.0),
+      (9L, ns(2), 3L, "view", "{}", 0.0),
+      // u4 never signed up → depth 0
+      (10L, ns(1), 4L, "view", "{}", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val r = EventQueries.queries("event_funnel")(spark, work).collect().head
+    assert(r.getAs[Long]("signup_users") === 3L)
+    assert(r.getAs[Long]("view_users") === 2L)     // u1, u3
+    assert(r.getAs[Long]("click_users") === 1L)    // u1
+    assert(r.getAs[Long]("purchase_users") === 1L) // u1
+    assert(r.getAs[Double]("conversion_pct") === 33.3333)
+  }
+}
