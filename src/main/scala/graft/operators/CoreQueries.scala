@@ -336,6 +336,91 @@ object CoreQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // CUBE over two dimensions: all four grouping sets in one pass
+    // (complements rollup_qty's hierarchy; same engine-aligned NULLS
+    // FIRST ordering and grouping_id disambiguation)
+    "cube_qty" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Benford-style first-significant-digit profile per order priority —
+    // the classic financial-forensics screen. Digit extracted through
+    // exact integer/string arithmetic (floor → bigint → first char), not
+    // log10 (libm log10 is not guaranteed correctly rounded, so its
+    // last-ulp behavior is engine-specific; string-of-integer is exact
+    // everywhere). Shares divide exact integer counts in double — one
+    // partial-agg pass plus a priority-partitioned window.
+    "benford_first_digit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .withColumn("digit",
+          substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("int"))
+        .groupBy("o_orderpriority", "digit")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("o_orderpriority")).cast("double"))
+        .orderBy("o_orderpriority", "digit")
+    }),
+
+    // Per-group z-score anomaly detection: orders priced > 2σ from the
+    // customer's mean. Moments come from one decimal-exact partial
+    // aggregation (sum, sum-of-squares, count — order-independent, so
+    // shuffle merge order can't perturb the doubles); the per-row z is
+    // then pure IEEE row arithmetic, bit-identical on any engine. Two
+    // scans + one shuffle on the group key; the stats side is
+    // group-cardinality-sized, never fact-sized.
+    "zscore_outliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = o.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("s1"),
+        // scale 2, NOT 8: DuckDB's double→decimal cast scales in double
+        // (value·10^scale); at scale 8 the scaled square (~2.5e19) is far
+        // past 2^53 and its ulp-4096 noise diverges from Spark's exact
+        // BigDecimal conversion. At scale 2 the scaled value (~2.5e13)
+        // rounds identically on both engines (and x² can never tie at
+        // the half-cent: a² ≡ 50 (mod 100) has no integer solutions).
+        sum((col("o_totalprice") * col("o_totalprice")).cast(DecimalType(38, 2)))
+          .cast("double").as("s2"))
+        .filter(col("n") >= 5)
+      o.join(stats, "o_custkey")
+        .withColumn("z", (col("o_totalprice") - col("s1") / col("n")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1))))
+        .filter(abs(col("z")) > lit(2.0))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "z")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Interval/range join via coarse-grid bucketing. Spark has no native
+    // range-join operator: the naive `ON price BETWEEN lo AND hi` plans a
+    // nested-loop over every (row, band) pair. Instead each row computes
+    // its grid cell (one map-side op), each band explodes to the cells it
+    // overlaps, and the join is a hash equi-join on the cell with the
+    // range predicate left as a residual — exact result, no cross
+    // product. Grid step sized so a band covers O(1) cells; the same
+    // shape scales to IP-range, validity-interval and geo-bin joins.
+    "range_join_bands" -> ((s, dir) => {
+      import s.implicits._
+      val step = 25
+      val bands = Seq(("economy", 900, 930), ("standard", 930, 955),
+        ("plus", 955, 980), ("premium", 980, 1000)).toDF("band", "lo", "hi")
+      val cells = bands.withColumn("cell",
+        explode(sequence(floor(col("lo") / step), floor((col("hi") - 1) / step))))
+      val p = t(s, dir, "part")
+        .withColumn("cell", floor(col("p_retailprice") / step))
+      p.join(broadcast(cells), p("cell") === cells("cell") &&
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_parts"), decSum(col("p_retailprice"), 2).as("sum_price"))
+        .orderBy("band")
+    }),
+
     // Streaming-shaped batch analog: tumbling 1h event-time window aggregation
     // over the events table (SURVEY.md §2.9 stretch; batch windowing here,
     // Structured Streaming variant in graft.streaming). The events table
@@ -567,6 +652,50 @@ object CoreQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour_start, event_type""".stripMargin
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "cube_qty" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "benford_first_digit" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_totalprice >= 1
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, digit, n,
+        |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
+        |FROM c
+        |ORDER BY o_orderpriority, digit""".stripMargin,
+
+    "zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS s2
+        |  FROM orders
+        |  GROUP BY o_custkey
+        |  HAVING COUNT(*) >= 5)
+        |SELECT o.o_custkey, o_orderkey, o_totalprice,
+        |       (o_totalprice - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |FROM orders o JOIN stats USING (o_custkey)
+        |WHERE ABS((o_totalprice - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "range_join_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('economy', 900, 930), ('standard', 930, 955),
+        |  ('plus', 955, 980), ('premium', 980, 1000))
+        |SELECT band, COUNT(*) AS n_parts,
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin
   )
 }

@@ -32,6 +32,45 @@ class CoreQueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("range_join_bands: grid-bucketed join equals the naive non-equi join") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("range_join_bands")(spark, dir).collect()
+    // naive reference: plain non-equi theta join (nested-loop), same agg
+    import spark.implicits._
+    val bands = Seq(("economy", 900, 930), ("standard", 930, 955),
+      ("plus", 955, 980), ("premium", 980, 1000)).toDF("band", "lo", "hi")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val naive = p.join(bands,
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("band").collect()
+    assert(got.toSeq === naive.toSeq)
+  }
+
+  test("range_join_bands plans a hash join on the grid cell, not a nested loop") {
+    val plan = SparkEntry.queries("range_join_bands")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
+  test("cube_qty covers all four grouping sets") {
+    import org.apache.spark.sql.functions._
+    val gids = SparkEntry.queries("cube_qty")(spark, dir)
+      .select("gid").distinct().collect().map(_.getLong(0)).toSet
+    assert(gids === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("benford_first_digit shares sum to 1 per priority") {
+    import org.apache.spark.sql.functions._
+    val sums = SparkEntry.queries("benford_first_digit")(spark, dir)
+      .groupBy("o_orderpriority").agg(sum("share").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("contiguousIds assigns the global rank without a single-task window") {
     import spark.implicits._
     // unique keys in scrambled order (7 is coprime to 501), several
