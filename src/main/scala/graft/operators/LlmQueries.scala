@@ -496,6 +496,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination with a Bloom prefilter — the 100 TB shape of the
+    // same check. Building the gram join input from the corpus shuffles
+    // EVERY corpus gram; here a Bloom filter built from the benchmark
+    // grams (driver state sized to the small side, like an IVF codebook)
+    // prunes corpus grams map-side BEFORE the exchange, so only true
+    // hits + an fpp-bounded trickle of false positives shuffle. The
+    // exact equi-join then confirms survivors — false positives die
+    // there, keeping the composed operator exact (same rows as the
+    // plain join, which is what the oracle checks).
+    "bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 8)
+      val corpus = d.filter(col("doc_id") >= 8)
+      val bGrams = bench
+        .select(explode(TextOps.shingles(col("text"), 7)).as("gram")).distinct()
+      // one small-side pass builds the filter (eager driver action, like
+      // ivfCentroids); size to the expected distinct gram count
+      val bloom = bGrams.stat.bloomFilter("gram", 1 << 16, 0.01)
+      val hits = corpus
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 7)).as("gram"))
+        .filter(graft.functions.BloomMightContain.mightContain(bloom, col("gram")))
+        .join(bGrams, "gram")
+        .select("doc_id").distinct()
+      corpus.join(hits, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Unigram-LM quality score: average token surprisal (-ln p) under
     // the corpus's OWN unigram distribution — the perplexity-filter
     // proxy when no external LM is available (high surprisal = rare
@@ -999,6 +1027,21 @@ object LlmQueries {
          |  JOIN bg USING (gram))
          |SELECT doc_id, source FROM documents
          |WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "bloom_decontaminate" -> {
+      // the Bloom stage is a pure prefilter confirmed by the exact join,
+      // so the oracle is the plain join semantics
+      val grams7 = s"list_distinct(${TextOps.sqlGrams(7)})"
+      s"""WITH bg AS (
+         |  SELECT DISTINCT unnest($grams7) AS gram FROM documents WHERE doc_id < 8),
+         |hits AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest($grams7) AS gram FROM documents WHERE doc_id >= 8) cg
+         |  JOIN bg USING (gram))
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id >= 8 AND doc_id NOT IN (SELECT doc_id FROM hits)
          |ORDER BY doc_id""".stripMargin
     },
 
