@@ -188,6 +188,58 @@ object Similarity {
       .select("b_id", "c_id", "cos")
   }
 
+  /** LSH-bucketed cosine near-dup — the sub-quadratic SCALE path for
+    * embedding near-dup (vs [[blockNearDupPairs]]' exact-all-pairs
+    * semantics): candidate pairs are vectors whose sign-of-projection
+    * buckets lie within Hamming distance `probeRadius`, confirmed by
+    * exact cosine ≥ threshold. Deterministic end to end (fixed
+    * [[hyperplanes]], plan-time probe enumeration), so the approximate
+    * semantics still have one exact answer and a full SQL oracle.
+    *
+    * Shape: one map-side bucketing pass, the left side exploded
+    * ×(probe-set size), then a bucket-equi join — shuffle volume
+    * O(n·probes), never the n²/2 of all-pairs. A pair at bucket distance
+    * d ≤ r matches on exactly one flip per orientation, and `l_id <
+    * r_id` keeps one orientation — no dedup aggregation needed. Norms
+    * are computed once per vector behind [[preppedVectors]]' typed
+    * barrier; per-pair work is one codegen'd dot + one divide.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int = 4, dim: Int = 64,
+                      probeRadius: Int = 1): DataFrame = {
+    import graft.functions.VectorExpressions.vectorDot
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one bucketing pass; the typed identity-map barrier keeps the
+    // float→double cast, norm, and bucket per-VECTOR (CollapseProject
+    // would otherwise inline them into the join output, per PAIR)
+    val b = lshBuckets(corpus, idCol, vecCol, nPlanes, dim)
+      .select(col(idCol).cast("long").as("id"), col("v"),
+        sqrt(vectorDot(col("v"), col("v"))).as("nrm"), col("bucket"))
+      .as[(Long, Seq[Double], Double, Long)].map(identity)
+      .toDF("id", "v", "nrm", "bucket")
+    // probe set: identity + every bit-flip combination up to the radius
+    val flips: Seq[Long] = {
+      def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
+        if (r == 0) Seq(Seq.empty)
+        else bits.combinations(r).toSeq ++ combos(bits, r - 1)
+      combos(0 until nPlanes, probeRadius).map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
+    }
+    val left = b
+      .select(col("id").as("l_id"), col("v").as("lv"), col("nrm").as("ln"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
+    val right = b.select(col("id").as("r_id"), col("v").as("rv"),
+      col("nrm").as("rn"), col("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("l_id") < col("r_id"))
+      // try_divide + !isnan: zero-norm and NaN vectors can never pass the
+      // threshold, matching the JVM baseline (see blockNearDupPairs)
+      .withColumn("cos",
+        try_divide(vectorDot(col("lv"), col("rv")), col("ln") * col("rn")))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
+      .select(col("l_id").as("a_id"), col("r_id").as("b_id"), col("cos"))
+  }
+
   /** Strict left-fold dot product (same op order as [[dot]]). */
   private def dotOf(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0

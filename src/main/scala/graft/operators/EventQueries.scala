@@ -101,6 +101,39 @@ object EventQueries {
           bround(col("purchase_users") * 100.0 / nullif(col("signup_users"), lit(0)), 4))
     }),
 
+    // Markov transition matrix over per-user event sequences: lag window
+    // (one shuffle on user_id) → grouped count per (prev, next) edge.
+    // The NULL-prev rows are the chain starts, kept as their own row
+    // (prev_type = '<START>') so outflows sum to event counts.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("prev_type",
+          coalesce(lag("event_type", 1).over(w), lit("<START>")))
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // Cohort retention: users bucketed by the 30-day period of their
+    // FIRST event, counted once per (cohort, activity-period) pair.
+    // Periods are integer microsecond division — no calendar/timezone
+    // dependence, so the grid reproduces on any engine. Two shuffles
+    // (per-user min, then the cohort grid) — both partial-agg friendly.
+    "user_retention" -> ((s, dir) => {
+      val periodUs = 2592000000000L // 30 days in microseconds
+      val e = events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $periodUs").as("period"))
+      val cohorts = e.groupBy("user_id").agg(min("period").as("cohort_period"))
+      e.distinct()
+        .join(cohorts, Seq("user_id"))
+        .groupBy("cohort_period", "period")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("periods_since", col("period") - col("cohort_period"))
+        .select("cohort_period", "period", "periods_since", "n_users")
+        .orderBy("cohort_period", "period")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -164,6 +197,27 @@ object EventQueries {
         |       round(CAST(COUNT(CASE WHEN depth >= 4 THEN 1 END) AS DOUBLE) * 100.0
         |             / NULLIF(COUNT(CASE WHEN depth >= 1 THEN 1 END), 0), 4) AS conversion_pct
         |FROM d""".stripMargin,
+
+    "event_transitions" ->
+      """WITH l AS (
+        |  SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id), '<START>') AS prev_type,
+        |         event_type AS next_type
+        |  FROM events)
+        |SELECT prev_type, next_type, COUNT(*) AS n
+        |FROM l
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    "user_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 2592000000000 AS period FROM events),
+        |c AS (SELECT user_id, MIN(period) AS cohort_period FROM e GROUP BY user_id)
+        |SELECT c.cohort_period, e.period,
+        |       e.period - c.cohort_period AS periods_since,
+        |       COUNT(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort_period, e.period
+        |ORDER BY cohort_period, period""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

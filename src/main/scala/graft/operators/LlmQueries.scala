@@ -289,6 +289,55 @@ object LlmQueries {
         .orderBy("b_id", "c_id")
     }),
 
+    // LSH-bucketed cosine near-dup — the sub-quadratic SCALE path for
+    // semantic dedup (vs cosine_near_dup's exact all-pairs block join):
+    // candidates limited to sign-of-projection buckets within Hamming
+    // radius 1, confirmed by exact cosine. Deterministic hyperplanes ⇒
+    // the approximate semantics still have one exact answer and a full
+    // SQL oracle.
+    "lsh_cosine_near_dup" -> ((s, dir) => {
+      Similarity.lshNearDupPairs(embs(s, dir), "vec_id", "embedding",
+          threshold = 0.4, nPlanes = 4, dim = 64, probeRadius = 1)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Per-label centroid vectors, one (label, pos, mean) row per
+    // dimension — the distributed vector-mean primitive IVF training is
+    // built on (posexplode → partial-agg-friendly grouped mean; no
+    // vector ever leaves its executor whole). Decimal-exact sums make
+    // the mean independent of shuffle merge order (see ivfCentroids).
+    // Scale 7, NOT 18: a float32 element × 10^7 is a ≤41-bit product —
+    // exact in double — so DuckDB's scale-in-double decimal cast and
+    // Spark's exact BigDecimal cast round identically (both HALF_UP);
+    // at scale 18 the scaled value passes 2^53 and the engines diverge
+    // in the last ulp (same trap as zscore_outliers' s2).
+    "label_centroids" -> ((s, dir) => {
+      embs(s, dir)
+        .select(col("label"), posexplode(Similarity.toDouble(col("embedding"))))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast("decimal(38,7)")).cast("double") / count(lit(1)))
+          .as("m"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("m"))
+        .orderBy("label", "pos")
+    }),
+
+    // Symmetric int8 scalar quantization — the storage/ANN compression
+    // pass before shipping embeddings at corpus scale. Per-row transform
+    // (scale = 127/max|x|, round-half-up via integer floor — no
+    // banker's-rounding divergence across engines); zero vectors yield a
+    // null scale rather than a divide-by-zero.
+    "embedding_quantize" -> ((s, dir) => {
+      embs(s, dir)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("e"))
+        .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+        .withColumn("scale",
+          when(col("mx") === 0, lit(null).cast("double"))
+            .otherwise(lit(127.0) / col("mx")))
+        .select(col("vec_id"), col("scale"),
+          transform(col("e"), x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
+        .orderBy("vec_id")
+    }),
+
     // Deterministic hash-mod sampling: the way you actually sample a
     // 100 TB corpus — reproducible, no RNG state, pushes down to the
     // scan ([[sampleHash]]; overflow-safety spec'd in LlmQueriesSpec).
@@ -697,6 +746,35 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Oracle for `lsh_cosine_near_dup`: same deterministic hyperplane
+    * buckets as [[lshAnnOracle]]; the candidate predicate is bucket
+    * Hamming distance ≤ radius (bit_count(xor)) and the confirm is the
+    * shared [[sqlCos]] formula. The oracle's pair join is quadratic —
+    * fine at oracle SF; the Spark side is the bucket-equi sub-quadratic
+    * path whose OUTPUT this reproduces exactly.
+    */
+  private def lshPairOracle(nPlanes: Int, dim: Int, threshold: String,
+                            radius: Int): String = {
+    val hp = Similarity.hyperplanes(nPlanes, dim)
+    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
+    def proj(i: Int) =
+      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
+    val bucketExpr = (0 until nPlanes).map(i =>
+      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, e,
+       |       $bucketExpr AS bucket
+       |  FROM v)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS a_id, c.vec_id AS b_id, ${sqlCos("a", "c")} AS cos
+       |  FROM b a JOIN b c
+       |    ON a.vec_id < c.vec_id
+       |   AND bit_count(xor(a.bucket, c.bucket)) <= $radius)
+       |WHERE cos >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val sqlSigs: String = {
     val mhCols = MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"${sqlMinhash("sh", a, b)} AS mh$i" }
@@ -838,6 +916,33 @@ object LlmQueries {
          |  FROM v b JOIN v c ON b.vec_id % 2 <> 0 AND c.vec_id % 2 = 0)
          |WHERE cos >= 0.4
          |ORDER BY b_id, c_id""".stripMargin,
+
+    "lsh_cosine_near_dup" ->
+      lshPairOracle(nPlanes = 4, dim = 64, threshold = "0.4", radius = 1),
+
+    "label_centroids" ->
+      """WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v)
+        |SELECT label, pos,
+        |       CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*) AS m
+        |FROM ex
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+        |sc AS (SELECT vec_id, e,
+        |              CASE WHEN mx = 0 THEN NULL ELSE 127.0 / mx END AS scale
+        |       FROM m)
+        |SELECT vec_id, scale,
+        |       list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q
+        |FROM sc
+        |ORDER BY vec_id""".stripMargin,
 
     "hash_sample" ->
       s"""SELECT doc_id, lang, n_chars

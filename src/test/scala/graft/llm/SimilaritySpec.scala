@@ -140,4 +140,23 @@ class SimilaritySpec extends SparkSpec {
     // covers 11/16 buckets → recall well above chance but not 1.0
     assert(recall >= 0.5, s"ann recall $recall below 0.5")
   }
+
+  test("lshNearDupPairs equals brute force restricted to Hamming-close buckets") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bucket = Similarity.lshBuckets(e, "vec_id", "embedding", nPlanes = 4, dim = 64)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = triples(Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4))
+    // same pairs AND bit-identical cosines on the candidate set: the LSH
+    // path only prunes candidates, never changes the arithmetic
+    val expected = brute.filter { case (a, b, _) =>
+      java.lang.Long.bitCount(bucket(a) ^ bucket(b)) <= 1
+    }
+    val lsh = triples(Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.4, nPlanes = 4, dim = 64, probeRadius = 1))
+    assert(lsh === expected)
+    assert(lsh.subsetOf(brute), "LSH candidates are a subset of exact pairs")
+  }
 }

@@ -32,4 +32,43 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("purchase_users") === 1L) // u1
     assert(r.getAs[Double]("conversion_pct") === 33.3333)
   }
+
+  test("event_transitions counts chain starts and per-user edges") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    def ns(minute: Double): Long = (minute * 60e9).toLong
+    Seq(
+      // u1: view → click → click
+      (1L, ns(1), 1L, "view", "{}", 0.0), (2L, ns(2), 1L, "click", "{}", 0.0),
+      (3L, ns(3), 1L, "click", "{}", 0.0),
+      // u2: a lone click — a start, not a (click → click) edge
+      (4L, ns(1), 2L, "click", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val out = EventQueries.queries("event_transitions")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("<START>", "view") -> 1L, ("<START>", "click") -> 1L,
+      ("view", "click") -> 1L, ("click", "click") -> 1L))
+  }
+
+  test("user_retention buckets users by first-event period, once per active period") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    def ns(day: Double): Long = (day * 86400e9).toLong
+    Seq(
+      // u1: first touch period 0; active again twice in period 1 →
+      // counted ONCE there
+      (1L, ns(1), 1L, "view", "{}", 0.0), (2L, ns(31), 1L, "view", "{}", 0.0),
+      (3L, ns(32), 1L, "click", "{}", 0.0),
+      // u2: first touch period 1; returns in period 3
+      (4L, ns(40), 2L, "view", "{}", 0.0), (5L, ns(100), 2L, "view", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val out = EventQueries.queries("user_retention")(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === Set(
+      (0L, 0L, 0L, 1L), (0L, 1L, 1L, 1L),
+      (1L, 1L, 0L, 1L), (1L, 3L, 2L, 1L)))
+  }
 }

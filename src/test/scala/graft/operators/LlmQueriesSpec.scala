@@ -232,4 +232,42 @@ class LlmQueriesSpec extends SparkSpec {
     assert((out(2L).getAs[Long]("n_email"), out(2L).getAs[Long]("n_phone"),
       out(2L).getAs[Long]("n_number")) === ((0L, 0L, 0L)))
   }
+
+  test("label_centroids computes the exact per-dimension mean per label") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cent").toString
+    Seq(
+      (1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 0),  // label 0 → (2.0, 3.0)
+      (3L, Array(10f, 0f), 1))                          // label 1 → (10.0, 0.0)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val out = LlmQueries.queries("label_centroids")(spark, work).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out === Map((0, 0L) -> 2.0, (0, 1L) -> 3.0,
+      (1, 0L) -> 10.0, (1, 1L) -> 0.0))
+  }
+
+  test("embedding_quantize matches the JVM formula bit-for-bit; peak hits ±127") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val out = LlmQueries.queries("embedding_quantize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val e = src(r.getLong(0))
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](2)
+      val mx = e.map(math.abs).max
+      assert(scale === 127.0 / mx)
+      assert(q === e.map(x => math.floor(x * scale + 0.5).toInt))
+      assert(q.map(math.abs).max === 127, "peak element must quantize to full range")
+    }
+  }
+
+  test("lsh_cosine_near_dup emits each qualifying pair exactly once") {
+    val pairs = LlmQueries.queries("lsh_cosine_near_dup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === pairs.distinct.length, "no duplicate pairs")
+    assert(pairs.forall { case (a, b) => a < b }, "canonical id order")
+  }
 }
