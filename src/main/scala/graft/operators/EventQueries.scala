@@ -134,6 +134,27 @@ object EventQueries {
         .orderBy("cohort_period", "period")
     }),
 
+    // Calendar densification: daily counts per event type with the gaps
+    // zero-filled — downstream time-series consumers (anomaly detection,
+    // charting) need a dense grid, and a groupBy alone silently drops
+    // empty days. Each type's day range generates from its own min/max
+    // (sequence + explode — rows proportional to span, not corpus);
+    // integer epoch-day arithmetic, no calendar/timezone dependence.
+    "event_daily_gapfill" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val counts = events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+      val grid = counts.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      grid.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+        .orderBy("event_type", "day")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -218,6 +239,21 @@ object EventQueries {
         |FROM e JOIN c USING (user_id)
         |GROUP BY c.cohort_period, e.period
         |ORDER BY cohort_period, period""".stripMargin,
+
+    "event_daily_gapfill" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY event_type, day),
+        |g AS (
+        |  SELECT event_type, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM c GROUP BY event_type)
+        |SELECT g.event_type, g.day,
+        |       COALESCE(c.n, 0) AS n,
+        |       COALESCE(c.total_value, 0.0) AS total_value
+        |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day
+        |ORDER BY g.event_type, g.day""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

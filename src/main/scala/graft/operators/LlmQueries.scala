@@ -338,6 +338,67 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Normalized-text dedup, keep-BEST survivor: case/punctuation/
+    // whitespace variants collapse to one normalized key (the
+    // text_normalize chain), and the best raw variant survives —
+    // highest quality score, then FEWEST raw characters (least markup
+    // noise), then lowest doc_id. Unlike dedup_exact's lowest-id rule
+    // this is the curation-grade choice, and max_by over a struct
+    // ordering key keeps it a partial-agg-friendly aggregation
+    // (combiner-merged), not a per-key window sort.
+    "dedup_keep_best" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val d = docs(s, dir).withColumn("score", qualityScore)
+      val best = d.withColumn("norm", norm).groupBy("norm").agg(
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("n_chars")).as("t1"), (-col("doc_id")).as("t2")))
+          .as("doc_id"))
+      d.join(best.select("doc_id"), Seq("doc_id"))
+        .select("doc_id", "source", "lang", "score")
+        .orderBy("doc_id")
+    }),
+
+    // Per-language percentile gating: keep documents in the top half of
+    // their language's quality distribution — the relative-threshold
+    // filter used when absolute score cutoffs would gut low-resource
+    // languages. percent_rank is rank-based, so score ties share a rank
+    // and the output is deterministic without a tiebreak column.
+    "quality_percentile_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn("score", qualityScore)
+        .withColumn("pr",
+          percent_rank().over(Window.partitionBy("lang").orderBy("score")))
+        .filter(col("pr") >= 0.5)
+        .select("doc_id", "lang", "score", "pr")
+        .orderBy("doc_id")
+    }),
+
+    // Inter-source vocabulary overlap (token-set jaccard between every
+    // source pair) — the corpus-overlap measure that informs mixture
+    // weights. Distinct (source, token) pairs shuffle once on token; the
+    // token-equi self-join emits only same-token source pairs (k² per
+    // token for k sources holding it — never a corpus cross join); set
+    // sizes come from one vocabulary-sized aggregate.
+    "source_similarity" -> ((s, dir) => {
+      val st = docs(s, dir)
+        .select(col("source"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+      st.toDF("src_a", "tok")
+        .join(st.toDF("src_b", "tok2"),
+          col("tok") === col("tok2") && col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("src_a", "sz_a"), "src_a")
+        .join(sizes.toDF("src_b", "sz_b"), "src_b")
+        .withColumn("jaccard",
+          col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .select("src_a", "src_b", "inter", "jaccard")
+        .orderBy("src_a", "src_b")
+    }),
+
     // Deterministic hash-mod sampling: the way you actually sample a
     // 100 TB corpus — reproducible, no RNG state, pushes down to the
     // scan ([[sampleHash]]; overflow-safety spec'd in LlmQueriesSpec).
@@ -775,6 +836,16 @@ object LlmQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** SQL: the integer quality score (0-4) — the one copy of the formula
+    * mirrored by [[qualityScore]]; shared by `quality_score`,
+    * `dedup_keep_best` and `quality_percentile_filter`.
+    */
+  private val sqlQualityExpr: String =
+    s"""(CASE WHEN len($sqlTokens) BETWEEN 40 AND 1000 THEN 1 ELSE 0 END
+       |        + CASE WHEN $sqlStopwordHits > 0 THEN 1 ELSE 0 END
+       |        + CASE WHEN list_max(list_transform($sqlTokens, t -> len(t))) <= 10 THEN 1 ELSE 0 END
+       |        + CASE WHEN len(list_distinct($sqlTokens)) * 3 >= len($sqlTokens) THEN 1 ELSE 0 END)""".stripMargin
+
   private val sqlSigs: String = {
     val mhCols = MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"${sqlMinhash("sh", a, b)} AS mh$i" }
@@ -806,10 +877,7 @@ object LlmQueries {
 
     "quality_score" ->
       s"""SELECT doc_id, n_chars,
-         |       (CASE WHEN len($sqlTokens) BETWEEN 40 AND 1000 THEN 1 ELSE 0 END
-         |        + CASE WHEN $sqlStopwordHits > 0 THEN 1 ELSE 0 END
-         |        + CASE WHEN list_max(list_transform($sqlTokens, t -> len(t))) <= 10 THEN 1 ELSE 0 END
-         |        + CASE WHEN len(list_distinct($sqlTokens)) * 3 >= len($sqlTokens) THEN 1 ELSE 0 END)
+         |       $sqlQualityExpr
          |         AS score,
          |       CASE WHEN score >= 4 THEN 'high' WHEN score >= 2 THEN 'medium' ELSE 'low' END AS bucket
          |FROM documents
@@ -943,6 +1011,45 @@ object LlmQueries {
         |       list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q
         |FROM sc
         |ORDER BY vec_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+         |       $sqlQualityExpr AS score
+         |FROM documents)
+         |SELECT doc_id, source, lang, score FROM (
+         |  SELECT doc_id, source, lang, score,
+         |         row_number() OVER (PARTITION BY norm
+         |           ORDER BY score DESC, n_chars, doc_id) AS rn
+         |  FROM d)
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_percentile_filter" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |       $sqlQualityExpr AS score
+         |FROM documents)
+         |SELECT doc_id, lang, score, pr FROM (
+         |  SELECT doc_id, lang, score,
+         |         percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+         |  FROM d)
+         |WHERE pr >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
+    "source_similarity" ->
+      s"""WITH st AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(list_distinct($sqlTokens)) AS tok FROM documents)),
+         |sz AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY source),
+         |i AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter,
+         |       inter / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM i JOIN sz sa ON sa.source = i.src_a
+         |       JOIN sz sb ON sb.source = i.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "hash_sample" ->
       s"""SELECT doc_id, lang, n_chars

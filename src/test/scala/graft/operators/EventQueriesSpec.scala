@@ -52,6 +52,26 @@ class EventQueriesSpec extends SparkSpec {
       ("view", "click") -> 1L, ("click", "click") -> 1L))
   }
 
+  test("event_daily_gapfill zero-fills missing days inside each type's own range") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    def ns(day: Double): Long = (day * 86400e9).toLong
+    Seq(
+      // view: active day 10 and day 13 → grid must carry zeros for 11, 12
+      (1L, ns(10.5), 1L, "view", "{}", 2.0), (2L, ns(13.5), 2L, "view", "{}", 3.0),
+      // click: single day → single row, no padding outside its range
+      (3L, ns(20.5), 1L, "click", "{}", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val out = EventQueries.queries("event_daily_gapfill")(spark, work).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    assert(out.toMap === Map(
+      ("view", 10L) -> ((1L, 2.0)), ("view", 11L) -> ((0L, 0.0)),
+      ("view", 12L) -> ((0L, 0.0)), ("view", 13L) -> ((1L, 3.0)),
+      ("click", 20L) -> ((1L, 1.0))))
+    assert(out.length === 5)
+  }
+
   test("user_retention buckets users by first-event period, once per active period") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ret").toString

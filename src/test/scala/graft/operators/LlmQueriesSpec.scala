@@ -264,6 +264,57 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep_best keeps one survivor per normalized text (score, fewest chars, id)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-best").toString
+    Seq(
+      // three case/punct/whitespace variants of one normalized text —
+      // equal scores, so fewest raw chars (id 1) survives
+      (1L, "hello world", "en", "a", 11L),
+      (2L, "hello world!!", "en", "a", 13L),
+      (3L, "HELLO  world", "en", "a", 12L),
+      // unrelated doc always survives
+      (4L, "something else entirely", "en", "a", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val kept = LlmQueries.queries("dedup_keep_best")(spark, work).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("quality_percentile_filter keeps the top half per language") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pctl").toString
+    val good = ("the and is of to " * 12).trim // 60 tokens, stopwords, diverse enough
+    Seq(
+      (1L, "x", "en", "a", 1L),            // low score, pr 0 → dropped
+      (2L, good, "en", "a", good.length.toLong),
+      (3L, good + " extra", "en", "a", good.length + 6L),
+      (4L, "y", "fr", "a", 1L),            // fr bottom → dropped
+      (5L, good, "fr", "a", good.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("quality_percentile_filter")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.keySet === Set(2L, 3L, 5L))
+    assert(out(5L) === 1.0) // sole top of fr's 2-doc distribution
+  }
+
+  test("source_similarity computes token-set jaccard only for overlapping source pairs") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-srcsim").toString
+    Seq(
+      (1L, "x y z", "a", "en", 5L),
+      (2L, "y z w", "b", "en", 5L),
+      (3L, "q", "c", "en", 1L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("source_similarity")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(("a", "b"))) // c shares no token with anyone
+    assert(out(("a", "b")) === ((2L, 0.5))) // |{y,z}| / |{x,y,z,w}|
+  }
+
   test("lsh_cosine_near_dup emits each qualifying pair exactly once") {
     val pairs = LlmQueries.queries("lsh_cosine_near_dup")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
