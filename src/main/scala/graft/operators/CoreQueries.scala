@@ -437,6 +437,38 @@ object CoreQueries {
           col("window.start").as("hour_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // Header↔detail reconciliation: FULL OUTER join of order headers
+    // against per-order lineitem totals, bucketed into match / mismatch /
+    // orphan statuses — the cross-system integrity check every finance
+    // pipeline runs. Both sides shuffle once on the join key (the detail
+    // side pre-aggregated to key cardinality first); the output is
+    // status-cardinality-sized, so nothing fact-sized leaves the join
+    // stage. Cent-tolerance compare on decimal-exact sums.
+    // Scale 6, NOT the default 4: the 3-factor amount (2dp price × 2dp
+    // discount × 2dp tax) is a 6dp-exact value, so 6dp rounding is
+    // unambiguous on every engine — at 4dp those values TIE at the
+    // half-unit and Spark's shortest-repr double→decimal cast rounds
+    // ties differently from DuckDB's scale-in-double cast (same class
+    // of trap as label_centroids' scale choice).
+    "orders_reconcile" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).as("li_total"))
+      o.join(li, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("o_totalprice").isNull, "orphan_lineitem")
+            .when(col("li_total").isNull, "no_lineitems")
+            .when(abs(col("o_totalprice") - col("li_total")) <= 0.01, "match")
+            .otherwise("mismatch"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          decSum(coalesce(col("o_totalprice"), lit(0.0)), 2).as("order_total"),
+          decSum(coalesce(col("li_total"), lit(0.0)), 6).as("lineitem_total"))
+        .orderBy("status")
     })
   )
 
@@ -696,6 +728,25 @@ object CoreQueries {
         |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band
-        |ORDER BY band""".stripMargin
+        |ORDER BY band""".stripMargin,
+
+    "orders_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS li_total
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o.o_totalprice, li.li_total,
+        |         CASE WHEN o.o_totalprice IS NULL THEN 'orphan_lineitem'
+        |              WHEN li.li_total IS NULL THEN 'no_lineitems'
+        |              WHEN abs(o.o_totalprice - li.li_total) <= 0.01 THEN 'match'
+        |              ELSE 'mismatch' END AS status
+        |  FROM orders o FULL OUTER JOIN li USING (o_orderkey))
+        |SELECT status, COUNT(*) AS n,
+        |       CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS order_total,
+        |       CAST(SUM(CAST(COALESCE(li_total, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS lineitem_total
+        |FROM j GROUP BY status
+        |ORDER BY status""".stripMargin
   )
 }

@@ -155,6 +155,25 @@ object EventQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Winsorization: clamp each event's value into its type's exact
+    // [p05, p95] band and report raw vs winsorized totals — the
+    // outlier-capping pass run before value aggregates feed models.
+    // The percentile side is group-cardinality-sized (broadcast back
+    // onto the stream); exact `percentile` interpolates identically to
+    // DuckDB's quantile_cont, and the clamped sums go through the same
+    // decimal-exact path as every other money sum.
+    "winsorize_stats" -> ((s, dir) => {
+      val stats = events(s, dir).groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      events(s, dir).join(stats, "event_type")
+        .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy("event_type")
+        .agg(min("lo").as("lo"), min("hi").as("hi"), count(lit(1)).as("n"),
+          decSum(col("value")).as("raw_sum"), decSum(col("w")).as("win_sum"))
+        .orderBy("event_type")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -254,6 +273,21 @@ object EventQueries {
         |       COALESCE(c.total_value, 0.0) AS total_value
         |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day
         |ORDER BY g.event_type, g.day""".stripMargin,
+
+    "winsorize_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type),
+        |e AS (
+        |  SELECT events.event_type, value, lo, hi,
+        |         least(greatest(value, lo), hi) AS w
+        |  FROM events JOIN s USING (event_type))
+        |SELECT event_type, MIN(lo) AS lo, MIN(hi) AS hi, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw_sum,
+        |       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS win_sum
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -83,4 +83,25 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === (1L to 500L), "ids contiguous from 1")
     assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq, "id order follows key order")
   }
+
+  test("orders_reconcile buckets match, mismatch, empty-order and orphan-detail keys") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rec").toString
+    Seq(
+      (1L, 110.0),  // matches its details: 100 * 1.1 = 110
+      (2L, 999.0),  // details sum to 110 → mismatch
+      (3L, 50.0))   // no details at all
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    Seq(
+      (1L, 100.0, 0.0, 0.1),
+      (2L, 100.0, 0.0, 0.1),
+      (4L, 10.0, 0.0, 0.0))  // no order header → orphan
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val out = CoreQueries.queries("orders_reconcile")(spark, work).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("match" -> 1L, "mismatch" -> 1L,
+      "no_lineitems" -> 1L, "orphan_lineitem" -> 1L))
+  }
 }

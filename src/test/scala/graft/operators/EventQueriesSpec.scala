@@ -72,6 +72,26 @@ class EventQueriesSpec extends SparkSpec {
     assert(out.length === 5)
   }
 
+  test("winsorize_stats clamps values into the exact per-type [p05, p95] band") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-win").toString
+    def ns(minute: Double): Long = (minute * 60e9).toLong
+    // values 1,2,3,4,100: p05 = 1.2, p95 = 80.8 (linear interpolation at
+    // rank (n-1)*q) → winsorized sum 1.2+2+3+4+80.8 = 91.0
+    Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, ns(i + 1), 1L, "purchase", "{}", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val r = EventQueries.queries("winsorize_stats")(spark, work).collect().head
+    // interpolated doubles carry formula rounding (1.2000000000000002);
+    // the BIT-level cross-engine agreement is the oracle's check
+    assert(math.abs(r.getAs[Double]("lo") - 1.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hi") - 80.8) < 1e-12)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("raw_sum") === 110.0)
+    assert(math.abs(r.getAs[Double]("win_sum") - 91.0) < 1e-9)
+  }
+
   test("user_retention buckets users by first-event period, once per active period") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ret").toString

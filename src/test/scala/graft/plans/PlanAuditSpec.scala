@@ -63,4 +63,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"),
       "exact dedup must combine map-side before the key shuffle")
   }
+
+  test("lsh_cosine_near_dup pairs come from a bucket-equi join, never a cross product") {
+    val p = plan("lsh_cosine_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must flow through the bucket hash join — " +
+        "a cross product is the quadratic blowup LSH exists to avoid")
+  }
+
+  test("source_similarity self-joins on the token key, never a cross product") {
+    val p = plan("source_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the source-pair counts must come from the token-equi join")
+  }
+
+  test("orders_reconcile pre-aggregates the detail side below the full-outer join") {
+    val p = plan("orders_reconcile")
+    val joinLine = p.linesIterator.indexWhere(_.contains("FullOuter"))
+    assert(joinLine >= 0, "reconciliation must be a single FULL OUTER join")
+    assert(p.contains("partial_sum"),
+      "lineitem totals must partial-aggregate before shuffling to the join key")
+  }
 }
