@@ -399,6 +399,36 @@ object LlmQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Corpus-level boilerplate LINE removal (C4-style): any line that
+    // appears in more than `maxDocs` distinct documents is dropped from
+    // every document, and each document is reassembled in original line
+    // order. Two keyed shuffles (per-line distinct-doc count; per-doc
+    // regroup) — both partial-agg friendly; the boilerplate set is
+    // anti-joined, never collected. Per-doc state is the doc's own
+    // lines (bounded by doc size), ordered by the posexplode index so
+    // reassembly never depends on shuffle arrival order.
+    "line_dedup" -> ((s, dir) => {
+      val maxDocs = 2
+      val lines = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .withColumnRenamed("col", "line")
+      val boilerplate = lines.groupBy("line")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > maxDocs)
+        .select("line")
+      val kept = lines.join(boilerplate, Seq("line"), "left_anti")
+        .groupBy("doc_id")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+      // a doc whose every line was boilerplate must survive as an empty
+      // string, not vanish — hence the left join back onto the corpus
+      docs(s, dir).select("doc_id")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-mod sampling: the way you actually sample a
     // 100 TB corpus — reproducible, no RNG state, pushes down to the
     // scan ([[sampleHash]]; overflow-safety spec'd in LlmQueriesSpec).
@@ -1050,6 +1080,24 @@ object LlmQueries {
          |FROM i JOIN sz sa ON sa.source = i.src_a
          |       JOIN sz sb ON sb.source = i.src_b
          |ORDER BY src_a, src_b""".stripMargin,
+
+    "line_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, len(ls))) AS pos,
+        |         unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+        |b AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+        |  WHERE nd > 2),
+        |a AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM l ANTI JOIN b USING (line)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "hash_sample" ->
       s"""SELECT doc_id, lang, n_chars

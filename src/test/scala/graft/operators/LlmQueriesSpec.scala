@@ -315,6 +315,25 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(("a", "b")) === ((2L, 0.5))) // |{y,z}| / |{x,y,z,w}|
   }
 
+  test("line_dedup strips corpus-wide boilerplate lines, preserving line order") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-lined").toString
+    val bp = "subscribe to our newsletter"
+    Seq(
+      (1L, s"alpha\n$bp\nbeta", "en", "a", 30L),
+      (2L, s"$bp\ngamma", "en", "a", 33L),
+      (3L, s"delta\n$bp", "en", "a", 33L),
+      (4L, bp, "en", "a", 27L),            // all-boilerplate doc → ""
+      (5L, "unique one\nunique two", "en", "a", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("line_dedup")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "alpha\nbeta", 2L -> "gamma", 3L -> "delta",
+      4L -> "", 5L -> "unique one\nunique two"))
+  }
+
   test("lsh_cosine_near_dup emits each qualifying pair exactly once") {
     val pairs = LlmQueries.queries("lsh_cosine_near_dup")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
