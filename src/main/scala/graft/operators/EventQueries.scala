@@ -174,6 +174,24 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // SLIDING event-time windows (1h window, 15min slide): each event
+    // lands in win/slide = 4 overlapping windows — the moving-aggregate
+    // view next to event_window_agg's tumbling windows. Spark's native
+    // window() generator replicates rows map-side; one shuffle on
+    // (window, type). The oracle reproduces the window-assignment rule
+    // arithmetically: starts k·slide with (us − win)/slide < k ≤ us/slide
+    // (half-open [start, start+win), epoch-aligned like Spark's default).
+    "sliding_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("ts_m", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts_m"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+        .select(
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -288,6 +306,18 @@ object EventQueries {
         |       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS win_sum
         |FROM e GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "sliding_window_agg" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |         unnest(generate_series((us - 3600000000) // 900000000 + 1,
+        |                                us // 900000000)) * 900000000 AS window_start_us
+        |  FROM e)
+        |SELECT window_start_us, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

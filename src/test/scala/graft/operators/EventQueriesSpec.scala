@@ -92,6 +92,20 @@ class EventQueriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("win_sum") - 91.0) < 1e-9)
   }
 
+  test("sliding_window_agg lands each event in exactly win/slide overlapping windows") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    // one event exactly on the hour → member of the 4 windows starting
+    // at :15, :30, :45, :60 (half-open excludes the :00 window)
+    Seq((1L, 3600L * 1000000000L, 1L, "view", "{}", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val out = EventQueries.queries("sliding_window_agg")(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq(900000000L, 1800000000L, 2700000000L, 3600000000L)
+      .map(_ -> 1L))
+  }
+
   test("user_retention buckets users by first-event period, once per active period") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ret").toString
