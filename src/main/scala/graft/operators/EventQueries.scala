@@ -158,9 +158,12 @@ object EventQueries {
     // Winsorization: clamp each event's value into its type's exact
     // [p05, p95] band and report raw vs winsorized totals — the
     // outlier-capping pass run before value aggregates feed models.
-    // The percentile side is group-cardinality-sized (broadcast back
-    // onto the stream); exact `percentile` interpolates identically to
-    // DuckDB's quantile_cont, and the clamped sums go through the same
+    // The stats side OUTPUT is group-cardinality-sized (joined back
+    // onto the stream), but exact `percentile` buffers each group's
+    // values in its aggregation buffer — at corpus scale swap in
+    // approx_percentile (constant memory, same plan shape); the exact
+    // form is kept registered because it interpolates bit-identically
+    // to DuckDB's quantile_cont. Clamped sums go through the same
     // decimal-exact path as every other money sum.
     "winsorize_stats" -> ((s, dir) => {
       val stats = events(s, dir).groupBy("event_type").agg(
