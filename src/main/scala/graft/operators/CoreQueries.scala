@@ -469,6 +469,99 @@ object CoreQueries {
           decSum(coalesce(col("o_totalprice"), lit(0.0)), 2).as("order_total"),
           decSum(coalesce(col("li_total"), lit(0.0)), 6).as("lineitem_total"))
         .orderBy("status")
+    }),
+
+    // Explicit GROUPING SETS — the general form rollup/cube specialize:
+    // exactly the requested grains in one pass (each dimension's marginal
+    // plus the grand total; a CUBE would also pay for the detail grain
+    // nobody asked for). Same single shuffle as a plain groupBy — Expand
+    // replicates rows map-side once per set and the partial aggregates
+    // absorb the blow-up before it crosses the wire.
+    "grouping_sets_qty" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Left-semi join — existence filter with no row duplication: customers
+    // with at least one order above the threshold. The semi join stops
+    // probing a key at its first match (no groupBy/distinct dedup stage,
+    // no fact-side fan-out), both sides shuffle once on the key, and the
+    // output stays customer-sized whatever the order multiplicity.
+    "semi_join_exists" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Blocked fuzzy record linkage: near-identical part names by
+    // Levenshtein edit distance. All-pairs edit distance is O(n²·L²);
+    // the standard fix is blocking — candidate pairs form only inside
+    // (brand, size) blocks, so the self-join is a hash equi-join whose
+    // pair count is Σ|block|², bounded by the blocking-key fan-out
+    // (dozens of rows per block at any SF), with the codegen'd
+    // levenshtein kernel evaluated as a residual on those pairs only.
+    // Distance 1-3 keeps true variants and drops exact duplicates
+    // (dedup_exact's job).
+    "fuzzy_name_match" -> ((s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("p_brand"), col("p_size"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+        col("p_brand"), col("p_size"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist").between(1, 3))
+        .select("a_key", "b_key", "a_name", "b_name", "dist")
+        .orderBy("a_key", "b_key")
+    }),
+
+    // Central tendency per group: exact interpolated median plus a
+    // DETERMINISTIC mode — an explicit count + row_number with a
+    // lowest-value tiebreak instead of mode(), whose tie choice is
+    // engine-defined (the same class of cross-engine trap as HALF_UP vs
+    // HALF_EVEN rounding). Median buffers each group's values during the
+    // exact percentile — fine for a 3-group output; at 100 TB swap in
+    // approx_percentile (same tiering as winsorize_stats). The mode side
+    // is two partial-agg-friendly aggregations; interpolation at even
+    // counts is (a+b)/2 on integral doubles — exact on both engines.
+    "median_mode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("median_qty"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(desc("n"), col("l_quantity"))
+      val mode = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("mode_n"))
+      med.join(mode, "l_returnflag").orderBy("l_returnflag")
+    }),
+
+    // Equal-frequency quartiles: ntile(4) of customers by account balance
+    // within nation (custkey tiebreak makes the order total, so bucket
+    // assignment is deterministic on any engine), then per-bucket count
+    // and decimal-exact balance sum. One shuffle on nation; ntile is a
+    // sequential pass per partition — safe because partitions are
+    // nation-bounded, never fact-global (contrast W1's dim-only rule).
+    "ntile_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy("c_nationkey", "tile")
+        .agg(count(lit(1)).as("n"), decSum(col("c_acctbal"), 2).as("bal_sum"))
+        .orderBy("c_nationkey", "tile")
     })
   )
 
@@ -747,6 +840,55 @@ object CoreQueries {
         |       CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS order_total,
         |       CAST(SUM(CAST(COALESCE(li_total, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS lineitem_total
         |FROM j GROUP BY status
-        |ORDER BY status""".stripMargin
+        |ORDER BY status""".stripMargin,
+
+    "grouping_sets_qty" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "semi_join_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "fuzzy_name_match" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       a.p_name AS a_name, b.p_name AS b_name,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS median_qty
+        |  FROM lineitem GROUP BY 1),
+        |cnt AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS mode_n,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY COUNT(*) DESC, l_quantity) AS rk
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, median_qty, mode_qty, mode_n
+        |FROM med JOIN cnt USING (l_returnflag)
+        |WHERE rk = 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "ntile_quartiles" ->
+      """WITH t AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |         ntile(4) OVER (PARTITION BY c_nationkey
+        |                        ORDER BY c_acctbal DESC, c_custkey) AS tile
+        |  FROM customer)
+        |SELECT c_nationkey, tile, COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM t GROUP BY 1, 2
+        |ORDER BY c_nationkey, tile""".stripMargin
   )
 }

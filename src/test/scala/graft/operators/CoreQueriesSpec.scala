@@ -23,7 +23,7 @@ class CoreQueriesSpec extends SparkSpec {
       // queries that must be non-empty at any SF
       if (!Set("dup_check", "anti_join", "ci_filter",
           "lsh_near_dup", "ngram_jaccard", "prefix_near_dup", "cosine_near_dup",
-          "near_dup_components", "simhash_near_dup").contains(name))
+          "near_dup_components", "simhash_near_dup", "fuzzy_name_match").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
@@ -82,6 +82,74 @@ class CoreQueriesSpec extends SparkSpec {
     val rows = got.orderBy("sk").select("sk", "k").as[(Long, Int)].collect()
     assert(rows.map(_._1).toSeq === (1L to 500L), "ids contiguous from 1")
     assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq, "id order follows key order")
+  }
+
+  test("grouping_sets_qty computes exactly the requested grains (no detail, no duplicates)") {
+    val rows = SparkEntry.queries("grouping_sets_qty")(spark, dir).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids === Set(1L, 2L, 3L), "marginals + grand total only — a CUBE would add gid 0")
+    assert(rows.count(_.getAs[Long]("gid") == 3L) === 1, "one grand-total row")
+    // each marginal partitions the same fact set: total n must agree
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(byGid(1L) === byGid(3L) && byGid(2L) === byGid(3L))
+  }
+
+  test("semi_join_exists equals the distinct-inner-join reference") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("semi_join_exists")(spark, dir).collect()
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val keys = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val ref = c.join(keys, "c_custkey")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey").collect()
+    assert(got.toSeq === ref.toSeq)
+  }
+
+  test("fuzzy_name_match finds blocked edit-distance variants, never exact duplicates") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    Seq(
+      (1L, "red widget", "Brand#1", 10),
+      (2L, "red widgets", "Brand#1", 10),  // dist 1, same block → pair
+      (3L, "red widget", "Brand#1", 10),   // dist 0 to #1 → excluded
+      (4L, "blue bolt", "Brand#1", 10),    // dist > 3 to the rest
+      (5L, "red widgets", "Brand#2", 10))  // dist 1 but different block
+      .toDF("p_partkey", "p_name", "p_brand", "p_size")
+      .write.mode("overwrite").parquet(s"$work/part.parquet")
+    val got = CoreQueries.queries("fuzzy_name_match")(spark, work).collect()
+      .map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"), r.getAs[Long]("dist")))
+    assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("median_mode: interpolated median and lowest-value mode tiebreak") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-med").toString
+    // group A: qtys 1,2,3,4 → median 2.5; modes tie at n=1 → lowest (1.0) wins
+    // group B: 5,5,7 → median 5, mode 5 (n=2)
+    Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+      ("B", 5.0), ("B", 5.0), ("B", 7.0))
+      .toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val got = CoreQueries.queries("median_mode")(spark, work).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("A", 2.5, 1.0, 1L), ("B", 5.0, 5.0, 2L)))
+  }
+
+  test("ntile_quartiles: four tiles per nation partitioning every customer") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ntile_quartiles")(spark, dir)
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(total === nCust, "tiles partition the customer set")
+    val tiles = df.select("tile").distinct().collect().map(_.getLong(0)).toSet
+    assert(tiles === Set(1L, 2L, 3L, 4L))
+    // equal-frequency: within a nation, tile sizes differ by at most 1
+    val spread = df.groupBy("c_nationkey")
+      .agg((max("n") - min("n")).as("d")).collect().map(_.getAs[Long]("d"))
+    assert(spread.forall(_ <= 1))
   }
 
   test("orders_reconcile buckets match, mismatch, empty-order and orphan-detail keys") {
