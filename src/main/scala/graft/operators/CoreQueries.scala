@@ -548,6 +548,32 @@ object CoreQueries {
       med.join(mode, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // SCD-2 history build: collapse each customer's order stream into
+    // runs of unchanged o_orderpriority (change-flag + running-sum, the
+    // gaps-and-islands idiom), then derive [valid_from, valid_to)
+    // validity intervals with lead() — the warehouse slowly-changing-
+    // dimension type-2 load expressed declaratively. Two windows and one
+    // aggregation, all partitioned by the natural key: one shuffle on
+    // o_custkey, state linear in run count, no per-key iteration.
+    "scd2_history" -> ((s, dir) => {
+      val byTime = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val runs = t(s, dir, "orders")
+        .withColumn("chg",
+          when(lag("o_orderpriority", 1).over(byTime).isNull ||
+            lag("o_orderpriority", 1).over(byTime) =!= col("o_orderpriority"), 1)
+            .otherwise(0))
+        .withColumn("version", sum("chg").over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("o_custkey"), col("version"), col("o_orderpriority"))
+        .agg(min("o_orderdate").as("valid_from"), count(lit(1)).as("n_orders"))
+      val byVer = Window.partitionBy("o_custkey").orderBy("version")
+      runs
+        .withColumn("valid_to", lead("valid_from", 1).over(byVer))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_custkey", "version")
+    }),
+
     // Equal-frequency quartiles: ntile(4) of customers by account balance
     // within nation (custkey tiebreak makes the order total, so bucket
     // assignment is deterministic on any engine), then per-bucket count
@@ -879,6 +905,31 @@ object CoreQueries {
         |FROM med JOIN cnt USING (l_returnflag)
         |WHERE rk = 1
         |ORDER BY l_returnflag""".stripMargin,
+
+    "scd2_history" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |r AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate,
+        |         CAST(SUM(chg) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, version, o_orderpriority,
+        |         MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+        |  FROM r GROUP BY o_custkey, version, o_orderpriority)
+        |SELECT o_custkey, version, o_orderpriority, valid_from, n_orders,
+        |       lead(valid_from) OVER wv AS valid_to,
+        |       lead(valid_from) OVER wv IS NULL AS is_current
+        |FROM g
+        |WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, version""".stripMargin,
 
     "ntile_quartiles" ->
       """WITH t AS (

@@ -195,6 +195,33 @@ object EventQueries {
         .orderBy("window_start_us", "event_type")
     }),
 
+    // Sweep-line max-concurrency: each event opens a 5-minute activity
+    // interval; the intervals become +1/−1 boundary deltas, a running
+    // sum per event_type walks the boundaries in time order, and the
+    // max of that walk is the peak overlap — the classic interval
+    // reduction (room scheduling, connection counting) without any
+    // interval self-join. One shuffle on event_type, linear state;
+    // boundary order pins +1 before −1 at equal timestamps (touching
+    // intervals count as overlapping), event_id as the final tiebreak
+    // so the walk is a total order on both engines.
+    "concurrent_events" -> ((s, dir) => {
+      val ivUs = 300000000L // 5-minute activity interval
+      val e = events(s, dir).select(col("event_type"), col("event_id"), col("ts_us"))
+      val deltas = e.select(col("event_type"), col("ts_us").as("t"),
+          lit(1).as("d"), col("event_id"))
+        .unionByName(e.select(col("event_type"),
+          (col("ts_us") + lit(ivUs)).as("t"), lit(-1).as("d"), col("event_id")))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("d").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("load", sum("d").over(w))
+        .groupBy("event_type")
+        .agg(count(when(col("d") === 1, 1)).as("n_events"),
+          max("load").cast("long").as("max_concurrent"))
+        .orderBy("event_type")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -321,6 +348,23 @@ object EventQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM w GROUP BY window_start_us, event_type
         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "concurrent_events" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (
+        |  SELECT event_type, us AS t, 1 AS d, event_id FROM e
+        |  UNION ALL
+        |  SELECT event_type, us + 300000000, -1, event_id FROM e),
+        |r AS (
+        |  SELECT event_type, d,
+        |         CAST(SUM(d) OVER (PARTITION BY event_type
+        |                           ORDER BY t, d DESC, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS load
+        |  FROM d)
+        |SELECT event_type, COUNT(CASE WHEN d = 1 THEN 1 END) AS n_events,
+        |       MAX(load) AS max_concurrent
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

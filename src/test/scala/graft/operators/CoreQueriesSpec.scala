@@ -152,6 +152,35 @@ class CoreQueriesSpec extends SparkSpec {
     assert(spread.forall(_ <= 1))
   }
 
+  test("scd2_history: runs collapse, intervals chain, one current version per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    Seq( // customer 1: LOW → HIGH → LOW (3 versions); customer 2: one run
+      (1L, 10L, "2024-01-01", "LOW"), (1L, 11L, "2024-01-05", "LOW"),
+      (1L, 12L, "2024-02-01", "HIGH"), (1L, 13L, "2024-03-01", "LOW"),
+      (2L, 20L, "2024-01-02", "MED"), (2L, 21L, "2024-01-09", "MED"))
+      .toDF("o_custkey", "o_orderkey", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val got = CoreQueries.queries("scd2_history")(spark, work).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("version"),
+        r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_orders"),
+        r.getAs[Boolean]("is_current")))
+    assert(got.toSeq === Seq(
+      (1L, 1L, "LOW", 2L, false), (1L, 2L, "HIGH", 1L, false),
+      (1L, 3L, "LOW", 1L, true), (2L, 1L, "MED", 2L, true)))
+    // interval chaining: each valid_to equals the next version's valid_from
+    val iv = CoreQueries.queries("scd2_history")(spark, work)
+      .select("o_custkey", "version", "valid_from", "valid_to").collect()
+    iv.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getTimestamp(3) === b.getTimestamp(2))
+        case _ =>
+      }
+    }
+  }
+
   test("orders_reconcile buckets match, mismatch, empty-order and orphan-detail keys") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-rec").toString

@@ -33,6 +33,26 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Double]("conversion_pct") === 33.3333)
   }
 
+  test("concurrent_events: sweep-line peak counts touching intervals as overlapping") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    def ns(minute: Double): Long = (minute * 60e9).toLong
+    Seq(
+      // view events at 0, 2, 4 min → 5-min intervals [0,5) [2,7) [4,9):
+      // all three alive at t=4 → peak 3. A fourth at 9 min TOUCHES the
+      // [4,9) interval end — the +1-before-−1 boundary order counts the
+      // touch as overlap (load 2 at t=9), not a handoff.
+      (1L, ns(0), 1L, "view", "{}", 0.0), (2L, ns(2), 1L, "view", "{}", 0.0),
+      (3L, ns(4), 2L, "view", "{}", 0.0), (4L, ns(9), 2L, "view", "{}", 0.0),
+      (5L, ns(1), 3L, "click", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("concurrent_events")(spark, work).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_events"),
+        r.getAs[Long]("max_concurrent"))).toSeq
+    assert(got === Seq(("click", 1L, 1L), ("view", 4L, 3L)))
+  }
+
   test("event_transitions counts chain starts and per-user edges") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-trans").toString
