@@ -548,6 +548,28 @@ object CoreQueries {
       med.join(mode, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // Market-basket co-occurrence: part-type pairs ordered together.
+    // Per-order distinct types first (one dedup shuffle on the order
+    // key), then the within-order self-join — fan-out is bounded by the
+    // per-basket type count (≤ the 6-value type domain, so ≤ 15 pairs
+    // per order however big the order), never all-pairs across orders.
+    // Output is type-domain²-sized; the part side joins unhinted so AQE
+    // broadcasts it while it fits and shuffles beyond.
+    "basket_affinity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      val baskets = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_type").as("ty"))
+        .distinct()
+      val a = baskets.select(col("ok"), col("ty").as("type_a"))
+      val b = baskets.select(col("ok"), col("ty").as("type_b"))
+      a.join(b, "ok")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // SCD-2 history build: collapse each customer's order stream into
     // runs of unchanged o_orderpriority (change-flag + running-sum, the
     // gaps-and-islands idiom), then derive [valid_from, valid_to)
@@ -905,6 +927,15 @@ object CoreQueries {
         |FROM med JOIN cnt USING (l_returnflag)
         |WHERE rk = 1
         |ORDER BY l_returnflag""".stripMargin,
+
+    "basket_affinity" ->
+      """WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_type AS ty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.ty AS type_a, b.ty AS type_b, COUNT(*) AS n_orders
+        |FROM t a JOIN t b ON a.ok = b.ok AND a.ty < b.ty
+        |GROUP BY 1, 2
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "scd2_history" ->
       """WITH m AS (

@@ -222,6 +222,46 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Incremental uniques: running total of distinct users by day WITHOUT
+    // a running COUNT(DISTINCT) (which re-scans the prefix per day, or
+    // needs a sketch): each user contributes once on their first-touch
+    // day (one groupBy), daily new-user counts then prefix-sum along the
+    // date axis. The unpartitioned running window is over CALENDAR-sized
+    // rows (bounded by the time span, not the fact table or SF), so the
+    // single-task sort W1 forbids on facts is safe here by construction.
+    "cumulative_users" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val daily = events(s, dir)
+        .groupBy("user_id").agg(min(col("ts_us")).as("first_us"))
+        .groupBy(expr(s"first_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("day")
+    }),
+
+    // Robust outliers via MAD (median absolute deviation): flag values
+    // more than 3 robust sigmas (1.4826·MAD) from the per-type median —
+    // the estimator a 50%-corrupt batch cannot drag, unlike zscore's
+    // mean/stddev. Two exact-median aggregations (group-cardinality
+    // output; approx_percentile is the 100 TB tier, same tiering as
+    // winsorize_stats) + one per-row IEEE comparison; the 4.4478
+    // (= 3·1.4826) literal is written identically on both engines so no
+    // cross-engine double product is involved.
+    "mad_outliers" -> ((s, dir) => {
+      val e = events(s, dir)
+      val med = e.groupBy("event_type").agg(median(col("value")).as("med"))
+      val mad = e.join(med, "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+        .groupBy("event_type")
+        .agg(min("med").as("med"), median(col("ad")).as("mad"))
+      e.join(mad, "event_type")
+        .filter(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+        .select("event_type", "event_id", "value", "med", "mad")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -365,6 +405,30 @@ object EventQueries {
         |       MAX(load) AS max_concurrent
         |FROM r GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) // 86400000000 AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d
+        |ORDER BY day""".stripMargin,
+
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT events.event_type, MIN(med) AS med,
+        |         median(abs(value - med)) AS mad
+        |  FROM events JOIN med USING (event_type)
+        |  GROUP BY events.event_type)
+        |SELECT events.event_type, event_id, value, med, mad
+        |FROM events JOIN mad USING (event_type)
+        |WHERE abs(value - med) > 4.4478 * mad
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

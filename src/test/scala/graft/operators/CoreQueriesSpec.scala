@@ -152,6 +152,22 @@ class CoreQueriesSpec extends SparkSpec {
     assert(spread.forall(_ <= 1))
   }
 
+  test("basket_affinity counts an order once per type pair, whatever the multiplicity") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-basket").toString
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), // order 100: two widgets + a bolt
+      (200L, 1L), (200L, 3L),               // order 200: widget + bolt
+      (300L, 1L))                           // order 300: widget alone — no pair
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    Seq((1L, "widget"), (2L, "widget"), (3L, "bolt"))
+      .toDF("p_partkey", "p_type")
+      .write.mode("overwrite").parquet(s"$work/part.parquet")
+    val got = CoreQueries.queries("basket_affinity")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_orders")))
+    assert(got.toSeq === Seq(("bolt", "widget", 2L)))
+  }
+
   test("scd2_history: runs collapse, intervals chain, one current version per key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -53,6 +53,39 @@ class EventQueriesSpec extends SparkSpec {
     assert(got === Seq(("click", 1L, 1L), ("view", 4L, 3L)))
   }
 
+  test("cumulative_users counts each user once, on their first-touch day") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cum").toString
+    def ns(day: Int, minute: Int): Long = day * 86400e9.toLong + minute * 60e9.toLong
+    Seq(
+      (1L, ns(0, 1), 1L, "view", "{}", 0.0),   // u1 first on day 0
+      (2L, ns(0, 5), 2L, "view", "{}", 0.0),   // u2 first on day 0
+      (3L, ns(1, 1), 1L, "click", "{}", 0.0),  // u1 again day 1 — no contribution
+      (4L, ns(2, 1), 3L, "view", "{}", 0.0),   // u3 first on day 2 (day 1 has no news)
+      (5L, ns(2, 2), 3L, "view", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("cumulative_users")(spark, work).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("new_users"), r.getAs[Long]("cum_users")))
+    assert(got.toSeq === Seq((0L, 2L, 2L), (2L, 1L, 3L)))
+  }
+
+  test("mad_outliers flags by robust sigma and survives a corrupt cluster") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    def ns(minute: Int): Long = minute * 60e9.toLong
+    // values 10..14 plus one wild point → median 12.5, MAD 1.5: only the
+    // wild point exceeds 4.4478 robust sigmas (6.67). A mean/stddev
+    // zscore on the same data would have its mean dragged to ~27.
+    val base = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 100.0)
+    base.zipWithIndex.map { case (v, i) => (i.toLong, ns(i), 1L, "view", "{}", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("mad_outliers")(spark, work).collect()
+    assert(got.map(_.getAs[Double]("value")).toSeq === Seq(100.0))
+    assert(got.head.getAs[Double]("med") === 12.5) // interpolated even-count median
+  }
+
   test("event_transitions counts chain starts and per-user edges") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-trans").toString
