@@ -77,6 +77,41 @@ class PlanAuditSpec extends SparkSpec {
       "the source-pair counts must come from the token-equi join")
   }
 
+  test("fuzzy_name_match pairs flow through the blocking-key equi join") {
+    val p = plan("fuzzy_name_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance pairs must form inside (brand, size) blocks via a " +
+        "hash join — an unblocked self-join is the O(n²·L²) blowup")
+  }
+
+  test("semi_join_exists plans a LeftSemi join, not inner-join-plus-distinct") {
+    val p = plan("semi_join_exists")
+    assert(p.contains("LeftSemi"), "existence filtering must be a semi join")
+    assert(!p.contains("HashAggregate(keys=[c_custkey"),
+      "no dedup aggregate — the semi join itself stops at first match")
+  }
+
+  test("grouping_sets_qty expands map-side and partial-aggregates before the shuffle") {
+    val p = plan("grouping_sets_qty")
+    assert(p.contains("Expand"), "grouping sets plan through one Expand")
+    assert(p.contains("partial_"),
+      "the Expand fan-out must be absorbed by map-side partials, not shuffled raw")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "one aggregation shuffle plus the output sort — nothing per-set")
+  }
+
+  test("basket_affinity joins stay equi-keyed: no cross product anywhere") {
+    val p = plan("basket_affinity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "basket pairs must come from the within-order equi self-join")
+  }
+
+  test("concurrent_events windows partition by event_type, never globally") {
+    val p = plan("concurrent_events")
+    assert(p.contains("windowspecdefinition(event_type"),
+      "the sweep-line running sum must be keyed by event_type")
+  }
+
   test("orders_reconcile pre-aggregates the detail side below the full-outer join") {
     val p = plan("orders_reconcile")
     val joinLine = p.linesIterator.indexWhere(_.contains("FullOuter"))
