@@ -128,6 +128,18 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: streamed events joined to a static
+    * dimension (a user→segment lookup, a COA table). The static side is
+    * re-planned every micro-batch — Catalyst broadcasts it while it fits
+    * the threshold, and no streaming state is held for it (only
+    * stream-stream joins need watermark-bounded state). Left join keeps
+    * events whose key has no dimension row yet; the batch-mode call is
+    * the identical plan, per Spark's unified semantics.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Stream-stream join: each purchase joined to error events of the
     * same user occurring within `windowExpr` after it. Both sides carry
     * watermarks and the join condition bounds event time on both ends,

@@ -118,6 +118,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim joins streamed events to a static dim without stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val mem = MemoryStream[Event]
+    val q = enrichWithDim(mem.toDF(), dim).writeStream
+      .format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 9, "view", 3.0)) // no dim row → kept with null
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("segment"))
+        .toMap
+      assert(got === Map(1L -> "gold", 2L -> "basic", 3L -> null))
+    } finally q.stop()
+  }
+
   test("purchaseErrorJoin matches errors within the window, streaming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
