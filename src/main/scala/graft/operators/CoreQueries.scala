@@ -548,6 +548,41 @@ object CoreQueries {
       med.join(mode, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // Ordered string aggregation: top-3 customer names per nation as one
+    // comma string. string_agg's concat order is partition-arrival order
+    // (non-deterministic across a shuffle), so the deterministic form is
+    // collect_list of (rank, name) structs → sort_array on the rank →
+    // array_join: same one-shuffle aggregation, explicit total order.
+    // The rank filter itself is a WindowGroupLimit-prunable top-k.
+    "topk_string_agg" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy("c_nationkey")
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("rk"), col("c_name")))),
+            x => x.getField("c_name")), ",").as("top_names"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Pivot → unpivot round trip: the wide KPI matrix melted back to long
+    // form equals the direct long-form aggregation — pivot and unpivot
+    // are inverses up to the never-observed combinations (pivot fills
+    // them with null; the melt drops them again). unpivot is a map-side
+    // Expand: no shuffle beyond the pivot's own aggregation.
+    "unpivot_long" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(decSum(col("l_quantity"), 2))
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "l_returnflag", "sum_qty")
+        .filter(col("sum_qty").isNotNull)
+        .orderBy("l_linestatus", "l_returnflag")
+    }),
+
     // Market-basket co-occurrence: part-type pairs ordered together.
     // Per-order distinct types first (one dedup shuffle on the order
     // key), then the within-order self-join — fan-out is bounded by the
@@ -927,6 +962,25 @@ object CoreQueries {
         |FROM med JOIN cnt USING (l_returnflag)
         |WHERE rk = 1
         |ORDER BY l_returnflag""".stripMargin,
+
+    "topk_string_agg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT c_nationkey, string_agg(c_name, ',' ORDER BY rk) AS top_names
+        |FROM r WHERE rk <= 3
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "unpivot_long" ->
+      """SELECT l_linestatus, l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY 1, 2
+        |ORDER BY l_linestatus, l_returnflag""".stripMargin,
 
     "basket_affinity" ->
       """WITH t AS (

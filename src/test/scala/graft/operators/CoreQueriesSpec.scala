@@ -152,6 +152,31 @@ class CoreQueriesSpec extends SparkSpec {
     assert(spread.forall(_ <= 1))
   }
 
+  test("topk_string_agg concatenates in rank order regardless of partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-sagg").toString
+    Seq((1L, "zoe", 0L, 300.0, "x"), (2L, "amy", 0L, 200.0, "x"),
+      (3L, "bob", 0L, 100.0, "x"), (4L, "sam", 0L, 50.0, "x"), // rank 4 — dropped
+      (5L, "lee", 1L, 10.0, "x"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .repartition(7) // scrambled physical order must not leak into the string
+      .write.mode("overwrite").parquet(s"$work/customer.parquet")
+    val got = CoreQueries.queries("topk_string_agg")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq === Seq(0L -> "zoe,amy,bob", 1L -> "lee"))
+  }
+
+  test("unpivot_long melts the pivot back to the direct long-form aggregation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("unpivot_long")(spark, dir).collect()
+    val ref = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_linestatus", "l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_linestatus", "l_returnflag").collect()
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("basket_affinity counts an order once per type pair, whatever the multiplicity") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-basket").toString
