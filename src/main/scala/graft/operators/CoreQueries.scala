@@ -548,6 +548,65 @@ object CoreQueries {
       med.join(mode, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // Pearson correlation from decimal-exact moments. Native corr() is a
+    // streaming-merge aggregate whose partials combine in shuffle order —
+    // last-ulp results differ run to run and engine to engine. Instead
+    // the five moments (Σx, Σy, Σxy, Σx², Σy², n) come from ONE
+    // decimal-exact partial aggregation (order-independent), and r is
+    // then pure IEEE row arithmetic on the group-cardinality output —
+    // the same exactness pattern as zscore_outliers. Scale 2 products:
+    // see the zscore comment for why higher scales diverge cross-engine.
+    "corr_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("l_quantity"), 2).as("sx"),
+          decSum(col("l_extendedprice"), 2).as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(38, 2)))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(38, 2)))
+            .cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(38, 2)))
+            .cast("double").as("syy"))
+        .withColumn("r",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .select("l_returnflag", "n", "r")
+        .orderBy("l_returnflag")
+    }),
+
+    // Month-over-month growth: per-month decimal-exact revenue, then the
+    // lag-ratio percent change — the reporting staple. The month axis is
+    // calendar-bounded, so the unpartitioned lag window is over months,
+    // not facts (same bounded-axis argument as cumulative_users).
+    "monthly_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(decSum(col("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_revenue", lag("revenue", 1).over(w))
+        .withColumn("growth_pct",
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0)
+        .orderBy("month")
+    }),
+
+    // Correlated-subquery pattern: customers above their own nation's
+    // average balance. The decorrelated form Spark and every warehouse
+    // plan it to: one group-cardinality aggregate joined back to the
+    // fact — written that way directly (avg = decimal-exact sum / count,
+    // division in IEEE double on both engines).
+    "above_avg_balance" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val stats = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((decSum(col("c_acctbal"), 2) / count(lit(1))).as("nation_avg"))
+      c.join(stats, col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+        .orderBy("c_custkey")
+    }),
+
     // Ordered string aggregation: top-3 customer names per nation as one
     // comma string. string_agg's concat order is partition-arrival order
     // (non-deterministic across a shuffle), so the deterministic form is
@@ -962,6 +1021,43 @@ object CoreQueries {
         |FROM med JOIN cnt USING (l_returnflag)
         |WHERE rk = 1
         |ORDER BY l_returnflag""".stripMargin,
+
+    "corr_pricing" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (n * sxy - sx * sy) /
+        |       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "monthly_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |       (revenue - lag(revenue) OVER (ORDER BY month))
+        |         / lag(revenue) OVER (ORDER BY month) * 100.0 AS growth_pct
+        |FROM m
+        |ORDER BY month""".stripMargin,
+
+    "above_avg_balance" ->
+      """WITH s AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+        |  FROM customer GROUP BY 1)
+        |SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+        |FROM customer JOIN s ON c_nationkey = nk
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
 
     "topk_string_agg" ->
       """WITH r AS (

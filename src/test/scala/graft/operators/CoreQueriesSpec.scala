@@ -152,6 +152,47 @@ class CoreQueriesSpec extends SparkSpec {
     assert(spread.forall(_ <= 1))
   }
 
+  test("corr_pricing matches native corr() to float tolerance and stays in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("corr_pricing")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("r")).toMap
+    val native = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("r")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("r")).toMap
+    assert(got.keySet === native.keySet)
+    got.foreach { case (k, r) =>
+      assert(math.abs(r) <= 1.0)
+      assert(math.abs(r - native(k)) < 1e-6,
+        s"moment-form r diverged from native corr for $k: $r vs ${native(k)}")
+    }
+  }
+
+  test("monthly_growth: null-growth first month, then exact lag ratios") {
+    val rows = SparkEntry.queries("monthly_growth")(spark, dir).collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("growth_pct")))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val expected = (b.getAs[Double]("revenue") - a.getAs[Double]("revenue")) /
+          a.getAs[Double]("revenue") * 100.0
+        assert(b.getAs[Double]("growth_pct") === expected)
+      case _ =>
+    }
+  }
+
+  test("above_avg_balance equals the window-average formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("above_avg_balance")(spark, dir)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val w = Window.partitionBy("c_nationkey")
+    val ref = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumn("avg_bal", avg("c_acctbal").over(w))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select("c_custkey").orderBy("c_custkey").collect().map(_.getLong(0))
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("topk_string_agg concatenates in rank order regardless of partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
