@@ -460,6 +460,29 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Duplicate-FAMILY canonicalization: near_dedup_keep's greedy
+    // lowest-id rule replaced by the curation-grade choice — connected
+    // components over the near-dup graph, then ONE survivor per
+    // transitive family: highest quality score, fewest chars, lowest id
+    // (dedup_keep_best's ordering, lifted from exact-normalized keys to
+    // near-dup families). Singleton docs survive as their own family.
+    // Composes the pointer-doubling CC with a partial-agg-friendly
+    // max_by — no fact-sized windows, no driver state.
+    "component_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("score", qualityScore)
+      val pairs = Dedup.blockNearDups(d, "doc_id", "text", threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs.select("a_id", "b_id"))
+      val fam = d.join(comps, d("doc_id") === comps("id"), "left")
+        .withColumn("family", coalesce(col("comp"), col("doc_id")))
+      val keep = fam.groupBy("family").agg(
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("n_chars")).as("t1"), (-col("doc_id")).as("t2")))
+          .as("doc_id"))
+      d.join(keep.select("doc_id"), Seq("doc_id"))
+        .select("doc_id", "source", "lang", "score")
+        .orderBy("doc_id")
+    }),
+
     // Incremental (cross-corpus) dedup: which NEW documents survive
     // against an EXISTING training corpus — exact text matches dropped
     // by one anti-join, near-dups (jaccard ≥ 0.5 to ANY corpus doc)
@@ -1115,6 +1138,40 @@ object LlmQueries {
          |  WHERE jaccard >= 0.5)
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+
+    "component_keep_best" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id, MIN(comp) AS comp FROM (
+         |    SELECT src AS id, dst AS comp FROM reach
+         |    UNION SELECT src AS id, src AS comp FROM edges)
+         |  GROUP BY id),
+         |fam AS (
+         |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+         |         COALESCE(c.comp, d.doc_id) AS family,
+         |         $sqlQualityExpr AS score
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY family
+         |             ORDER BY score DESC, n_chars ASC, doc_id ASC) AS rk
+         |    FROM fam) WHERE rk = 1)
+         |SELECT f.doc_id, f.source, f.lang, f.score
+         |FROM fam f JOIN keep USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "near_dup_components" ->

@@ -282,6 +282,28 @@ class LlmQueriesSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("component_keep_best keeps one canonical doc per transitive near-dup family") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ckb").toString
+    // docs 1-2-3 form a bigram-jaccard chain (1~2 = 5/8, 2~3 = 5/9,
+    // but 1~3 = 5/12 < 0.5): only the transitive component links all
+    // three into one family. Equal quality scores (no stopwords, same
+    // diversity terms) → fewest chars wins → doc 2 (11 chars vs 19).
+    // Doc 9 is a singleton family.
+    val chain = Seq(
+      (1L, "f f h h b b c c d d", "en", "x", 19L),
+      (2L, "b b c c d d", "en", "x", 11L),
+      (3L, "b b c c d d e e g g", "en", "x", 19L),
+      (9L, "totally unrelated words here", "en", "x", 28L))
+    chain.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val kept = LlmQueries.queries("component_keep_best")(spark, work).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.contains(9L), "singleton families survive")
+    assert((kept - 9L).size === 1, s"one survivor for the chain family, got $kept")
+    assert(kept - 9L === Set(2L), "fewest-chars tiebreak picks doc 2")
+  }
+
   test("quality_percentile_filter keeps the top half per language") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-pctl").toString
