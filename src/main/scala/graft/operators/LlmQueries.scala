@@ -321,6 +321,35 @@ object LlmQueries {
         .orderBy("label", "pos")
     }),
 
+    // Cluster-cohesion metric: average and worst member→centroid cosine
+    // per label — the dispersion check run after any clustering/labeling
+    // pass (low avg_cos = incoherent label, a candidate for re-labeling
+    // or splitting). Composes the decimal-exact grouped centroid (the
+    // label_centroids path) with the cosine kernel; centroids are
+    // label-cardinality-sized so the join back is broadcast-friendly,
+    // and the per-member cosine average is decimal-routed so shuffle
+    // merge order cannot perturb it.
+    "centroid_dispersion" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("label"), col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("e"))
+      val cvec = e.select(col("label"), posexplode(col("e")))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast("decimal(38,7)")).cast("double") / count(lit(1)))
+          .as("m"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+      e.join(cvec, "label")
+        .withColumn("cos", Similarity.cosine(col("e"), col("c")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cos").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+            .as("avg_cos"),
+          min("cos").as("min_cos"))
+        .orderBy("label")
+    }),
+
     // Symmetric int8 scalar quantization — the storage/ANN compression
     // pass before shipping embeddings at corpus scale. Per-row transform
     // (scale = 127/max|x|, round-half-up via integer floor — no
@@ -1053,6 +1082,30 @@ object LlmQueries {
         |FROM ex
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "centroid_dispersion" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v),
+        |cm AS (
+        |  SELECT label, pos,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, pos),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+        |sc AS (
+        |  SELECT v.label, v.vec_id,
+        |         list_sum(list_transform(list_zip(v.e, cv.c), s -> s[1]*s[2])) /
+        |         NULLIF(sqrt(list_sum(list_transform(v.e, x -> x*x)))
+        |                * sqrt(list_sum(list_transform(cv.c, x -> x*x))), 0) AS cos
+        |  FROM v JOIN cv USING (label))
+        |SELECT label, COUNT(*) AS n,
+        |       CAST(SUM(CAST(cos AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_cos,
+        |       MIN(cos) AS min_cos
+        |FROM sc GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -247,6 +247,24 @@ class LlmQueriesSpec extends SparkSpec {
       (1, 0L) -> 10.0, (1, 1L) -> 0.0))
   }
 
+  test("centroid_dispersion: identical members give avg_cos 1, dispersion lowers it") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-disp").toString
+    Seq(
+      // label 0: two identical vectors → centroid == member → cos 1
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(1.0f, 0.0f), 0L),
+      // label 1: orthogonal pair → centroid (0.5, 0.5), each cos = 1/√2
+      (3L, Array(1.0f, 0.0f), 1L), (4L, Array(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val got = LlmQueries.queries("centroid_dispersion")(spark, work).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n"),
+        r.getAs[Double]("avg_cos"), r.getAs[Double]("min_cos"))).toMap
+    assert(got(0L)._1 === 2L && math.abs(got(0L)._2 - 1.0) < 1e-9)
+    assert(math.abs(got(1L)._2 - math.sqrt(0.5)) < 1e-9)
+    assert(got(1L)._3 < got(0L)._3, "dispersed label has lower worst-member cosine")
+  }
+
   test("embedding_quantize matches the JVM formula bit-for-bit; peak hits ±127") {
     val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
