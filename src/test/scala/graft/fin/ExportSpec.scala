@@ -74,6 +74,31 @@ class ExportSpec extends SparkSpec {
       "field-for-field parity incl. key assignment order (1..12 by account_code)")
   }
 
+  test("golden parity: dim_date, dim_month and model notes match the committed export byte-for-byte") {
+    // dim_date derives from the OBSERVED fact dates — our seeded December
+    // hits all 31 days (deterministic under the fixed seed), so the full
+    // calendar table, including ISO week numbers across the year
+    // boundary (Dec 29-31 → week 1), must reproduce the reference's
+    // pandas isocalendar output field for field. dim_month and the
+    // model-notes relationship contract follow from it.
+    val res = StarExport.`export`(spark, s"$work/curated", s"$work/bi_star2", Some("2025-12"))
+    val goldenDir = "/root/reference/data/bi_star/2025-12"
+    def lines(p: String): Seq[String] = {
+      val f = Paths.get(p)
+      if (Files.isDirectory(f))
+        Files.list(f).toArray.map(_.toString).filter(_.endsWith(".csv")).sorted
+          .flatMap(q => scala.io.Source.fromFile(q).getLines().toSeq).toSeq
+      else scala.io.Source.fromFile(p).getLines().toSeq
+    }
+    def body(p: String): Seq[String] = { // header + sorted data rows
+      val l = lines(p); l.headOption.toSeq ++ l.drop(1).sorted
+    }
+    assert(body(s"${res.outDir}/dim_date.csv") === body(s"$goldenDir/dim_date.csv"))
+    assert(body(s"${res.outDir}/dim_month.csv") === body(s"$goldenDir/dim_month.csv"))
+    assert(lines(s"${res.outDir}/POWERBI_MODEL_NOTES.txt") ===
+      lines(s"$goldenDir/POWERBI_MODEL_NOTES.txt"))
+  }
+
   test("golden parity: fact_gl column order, key wiring and dim_entity against the committed export") {
     import org.apache.spark.sql.functions._
     // The committed fact_gl.csv derives from numpy-seeded raw data that
