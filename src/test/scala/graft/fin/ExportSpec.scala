@@ -152,6 +152,49 @@ class ExportSpec extends SparkSpec {
       "fact_gl rows reproduce the committed export field for field")
   }
 
+  test("golden parity: fact_kpi_monthly amounts reproduce from the committed fact_gl") {
+    import org.apache.spark.sql.functions._
+    // The committed fact_gl carries the AMOUNTS, so the KPI fact is fully
+    // reproducible: decode the month fact back out of fact_gl + dims,
+    // push it through OUR kpi pivot + profit/margin builders, and match
+    // the committed fact_kpi_monthly. Pivot cells are raw float sums in
+    // the reference (no rounding, transform.py:117-127), so summation
+    // ORDER differs between pandas and a shuffled Spark aggregation —
+    // compare to 1e-6 (cent-exactness implied), margins to 1e-9.
+    val goldenDir = "/root/reference/data/bi_star/2025-12"
+    val gFact = spark.read.option("header", "true").csv(s"$goldenDir/fact_gl.csv")
+    val gEntity = spark.read.option("header", "true").csv(s"$goldenDir/dim_entity.csv")
+    val gKpi = spark.read.option("header", "true").csv(s"$goldenDir/fact_kpi_monthly.csv")
+    val coa = graft.sources.Io.readCsv(spark,
+      "/root/reference/data/reference/chart_of_accounts.csv", Schemas.chartOfAccounts)
+    val dimAccount = StarExport.buildDimAccount(Transform.buildDimAccounts(coa))
+    val reconstructed = gFact
+      .join(gEntity.select($"entity_key", $"entity", $"currency"), Seq("entity_key"))
+      .join(dimAccount.select($"account_key".cast("string").as("account_key"), $"account_code"),
+        Seq("account_key"))
+      .select(to_date($"date_key", "yyyyMMdd").as("date"), $"entity",
+        $"account_code", $"amount".cast("double").as("amount_base"))
+    val dimEntity = StarExport.buildDimEntity(reconstructed, reconstructed.select("entity").limit(0))
+    val ours = StarExport.buildFactKpiMonthly(
+      Transform.kpiMonthly(reconstructed, coa), dimEntity, "2025-12")
+    assert(ours.columns.toSeq === gKpi.columns.toSeq, "fact_kpi column order parity")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(df.columns.map(c =>
+        if (Seq("month_key", "entity_key").contains(c)) col(c).cast("int").cast("double")
+        else col(c).cast("double")): _*)
+      .collect().map(_.toSeq.map(_.asInstanceOf[Double]))
+      .sortBy(r => (r(0), r(1)))
+    val (got, want) = (rows(ours), rows(gKpi))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      g.zip(w).zipWithIndex.foreach { case ((a, b), i) =>
+        val tol = if (i >= 8) 1e-9 else 1e-6 // margins looser in relative ulps
+        assert(math.abs(a - b) <= tol,
+          s"col ${ours.columns(i)}: $a vs golden $b")
+      }
+    }
+  }
+
   test("golden parity: model notes and data dictionary match the committed reference artifacts") {
     // both artifacts derive from code structure (relationships, column
     // lists), not from the seeded raw data — byte-comparable to the
