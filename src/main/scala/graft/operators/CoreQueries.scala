@@ -504,12 +504,15 @@ object CoreQueries {
     // Blocked fuzzy record linkage: near-identical part names by
     // Levenshtein edit distance. All-pairs edit distance is O(n²·L²);
     // the standard fix is blocking — candidate pairs form only inside
-    // (brand, size) blocks, so the self-join is a hash equi-join whose
-    // pair count is Σ|block|², bounded by the blocking-key fan-out
-    // (dozens of rows per block at any SF), with the codegen'd
-    // levenshtein kernel evaluated as a residual on those pairs only.
-    // Distance 1-3 keeps true variants and drops exact duplicates
-    // (dedup_exact's job).
+    // (brand, size) blocks, so the self-join is a hash equi-join with
+    // the codegen'd levenshtein kernel evaluated as a residual on those
+    // pairs only. Pair compute is Σ|block|²: the blocking key is part of
+    // the operator's CONTRACT and must be chosen so blocks stay bounded
+    // as the table grows — here (brand, size) holds tens of rows per
+    // block at bench SFs; a 100 TB deployment widens the key (e.g. a
+    // name-prefix attribute) exactly as production linkage pipelines do,
+    // trading recall for bounded blocks. Distance 1-3 keeps true
+    // variants and drops exact duplicates (dedup_exact's job).
     "fuzzy_name_match" -> ((s, dir) => {
       val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
       val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),

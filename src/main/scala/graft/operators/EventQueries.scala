@@ -196,29 +196,46 @@ object EventQueries {
     }),
 
     // Sweep-line max-concurrency: each event opens a 5-minute activity
-    // interval; the intervals become +1/−1 boundary deltas, a running
-    // sum per event_type walks the boundaries in time order, and the
-    // max of that walk is the peak overlap — the classic interval
-    // reduction (room scheduling, connection counting) without any
-    // interval self-join. One shuffle on event_type, linear state;
-    // boundary order pins +1 before −1 at equal timestamps (touching
-    // intervals count as overlapping), event_id as the final tiebreak
-    // so the walk is a total order on both engines.
+    // interval; the intervals become +1/−1 boundary deltas and the max
+    // of the running delta sum is the peak overlap — the classic
+    // interval reduction (room scheduling, connection counting) without
+    // any interval self-join. A single per-type running window would
+    // serialize each type's whole history through one task (event_type
+    // has O(1) distinct values — the partitions grow with the data), so
+    // the scan is parallelized two-phase, the classic distributed
+    // prefix: (1) running sum WITHIN (type, day) buckets — windows keyed
+    // by a data-growing key, every bucket in parallel; (2) per-type
+    // carry-in offsets across the DAY-cardinality bucket summaries (a
+    // calendar-bounded axis, same argument as cumulative_users) added to
+    // each bucket's local max — exact for any interval horizon, since
+    // the carry is precisely the net of all earlier opens minus closes.
+    // Boundary order pins +1
+    // before −1 at equal timestamps (touching intervals overlap),
+    // event_id as the final tiebreak for a total order on both engines.
     "concurrent_events" -> ((s, dir) => {
       val ivUs = 300000000L // 5-minute activity interval
+      val dayUs = 86400000000L
       val e = events(s, dir).select(col("event_type"), col("event_id"), col("ts_us"))
       val deltas = e.select(col("event_type"), col("ts_us").as("t"),
           lit(1).as("d"), col("event_id"))
         .unionByName(e.select(col("event_type"),
           (col("ts_us") + lit(ivUs)).as("t"), lit(-1).as("d"), col("event_id")))
-      val w = Window.partitionBy("event_type")
+        .withColumn("bucket", expr(s"t div $dayUs"))
+      val inBucket = Window.partitionBy("event_type", "bucket")
         .orderBy(col("t"), col("d").desc, col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas
-        .withColumn("load", sum("d").over(w))
+      val buckets = deltas
+        .withColumn("local_load", sum("d").over(inBucket))
+        .groupBy("event_type", "bucket")
+        .agg(sum("d").as("bucket_sum"), max("local_load").as("bucket_max"),
+          count(when(col("d") === 1, 1)).as("n_starts"))
+      val carry = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      buckets
+        .withColumn("carry_in", coalesce(sum("bucket_sum").over(carry), lit(0L)))
         .groupBy("event_type")
-        .agg(count(when(col("d") === 1, 1)).as("n_events"),
-          max("load").cast("long").as("max_concurrent"))
+        .agg(sum("n_starts").as("n_events"),
+          max(col("carry_in") + col("bucket_max")).cast("long").as("max_concurrent"))
         .orderBy("event_type")
     }),
 

@@ -44,13 +44,18 @@ class EventQueriesSpec extends SparkSpec {
       // touch as overlap (load 2 at t=9), not a handoff.
       (1L, ns(0), 1L, "view", "{}", 0.0), (2L, ns(2), 1L, "view", "{}", 0.0),
       (3L, ns(4), 2L, "view", "{}", 0.0), (4L, ns(9), 2L, "view", "{}", 0.0),
-      (5L, ns(1), 3L, "click", "{}", 0.0))
+      (5L, ns(1), 3L, "click", "{}", 0.0),
+      // "span" events straddle the day-bucket boundary (minute 1440):
+      // [1438,1443) opens in bucket 0, its close and the second interval
+      // live in bucket 1 — the peak of 2 at minute 1441 is only found
+      // through the cross-bucket carry-in of the two-phase sweep
+      (6L, ns(1438), 4L, "span", "{}", 0.0), (7L, ns(1441), 4L, "span", "{}", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
       .write.mode("overwrite").parquet(s"$work/events.parquet")
     val got = EventQueries.queries("concurrent_events")(spark, work).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_events"),
         r.getAs[Long]("max_concurrent"))).toSeq
-    assert(got === Seq(("click", 1L, 1L), ("view", 4L, 3L)))
+    assert(got === Seq(("click", 1L, 1L), ("span", 2L, 2L), ("view", 4L, 3L)))
   }
 
   test("cumulative_users counts each user once, on their first-touch day") {

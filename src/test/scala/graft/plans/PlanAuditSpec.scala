@@ -106,10 +106,13 @@ class PlanAuditSpec extends SparkSpec {
       "basket pairs must come from the within-order equi self-join")
   }
 
-  test("concurrent_events windows partition by event_type, never globally") {
+  test("concurrent_events: fact-sized window keyed by (type, bucket), carry by type only") {
     val p = plan("concurrent_events")
-    assert(p.contains("windowspecdefinition(event_type"),
-      "the sweep-line running sum must be keyed by event_type")
+    assert(p.contains("windowspecdefinition(event_type") &&
+      p.contains("bucket"),
+      "the fact-sized running sum must be keyed by (event_type, bucket) — " +
+        "a type-only window serializes each type's history through one task; " +
+        "only the DAY-cardinality carry pass may key by type alone")
   }
 
   test("orders_reconcile pre-aggregates the detail side below the full-outer join") {
