@@ -696,9 +696,13 @@ object CoreQueries {
     // Equal-frequency quartiles: ntile(4) of customers by account balance
     // within nation (custkey tiebreak makes the order total, so bucket
     // assignment is deterministic on any engine), then per-bucket count
-    // and decimal-exact balance sum. One shuffle on nation; ntile is a
-    // sequential pass per partition — safe because partitions are
-    // nation-bounded, never fact-global (contrast W1's dim-only rule).
+    // and decimal-exact balance sum. ntile REQUIRES the full ordered
+    // partition (every row gets a bucket), so each nation's rows pass
+    // through one sorted task — exact equal-frequency semantics are
+    // inherently a per-group sort. The 100 TB tier swaps exact tiles for
+    // approx_percentile(0.25/0.5/0.75) cut points + a per-row bucket
+    // compare (same plan shape as winsorize_stats' tiering), trading
+    // exact frequencies at the boundaries for a constant-memory scan.
     "ntile_quartiles" -> ((s, dir) => {
       val w = Window.partitionBy("c_nationkey")
         .orderBy(desc("c_acctbal"), col("c_custkey"))

@@ -115,6 +115,14 @@ class PlanAuditSpec extends SparkSpec {
         "only the DAY-cardinality carry pass may key by type alone")
   }
 
+  test("topk_string_agg prunes to rank<=3 below the nation shuffle") {
+    val p = plan("topk_string_agg")
+    assert(p.contains("WindowGroupLimit"),
+      "nation has O(1) distinct values, so the per-nation window is one " +
+        "task — survivable only because WindowGroupLimit caps each map " +
+        "partition's contribution at 3 rows per nation before the shuffle")
+  }
+
   test("orders_reconcile pre-aggregates the detail side below the full-outer join") {
     val p = plan("orders_reconcile")
     val joinLine = p.linesIterator.indexWhere(_.contains("FullOuter"))
