@@ -258,6 +258,28 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // Equi-width histogram: 10 bins per event_type between the type's
+    // own min and max — the profiling staple. Two passes: a group-sized
+    // stats aggregate joined back (broadcast-friendly), then a per-row
+    // codegen'd bin compute + one count shuffle. The max value lands in
+    // bin 9 via least() (floor((hi-lo)/width) = 10 at the closed upper
+    // edge); a constant-valued group would make width 0 and the bin
+    // NaN→cast-error under ANSI, so it pins to bin 0 explicitly.
+    "value_histogram" -> ((s, dir) => {
+      val e = events(s, dir)
+      val stats = e.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      e.join(stats, "event_type")
+        .withColumn("b",
+          when(col("hi") === col("lo"), 0L)
+            .otherwise(least(
+              floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))
+                .cast("long"), lit(9L))))
+        .groupBy("event_type", "b")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "b")
+    }),
+
     // Robust outliers via MAD (median absolute deviation): flag values
     // more than 3 robust sigmas (1.4826·MAD) from the per-type median —
     // the estimator a 50%-corrupt batch cannot drag, unlike zscore's
@@ -433,6 +455,19 @@ object EventQueries {
         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM d
         |ORDER BY day""".stripMargin,
+
+    "value_histogram" ->
+      """WITH s AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CASE WHEN hi = lo THEN 0
+        |            ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10)) AS BIGINT), 9)
+        |       END AS b,
+        |       COUNT(*) AS n
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "mad_outliers" ->
       """WITH med AS (

@@ -75,6 +75,29 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 2L, 2L), (2L, 1L, 3L)))
   }
 
+  test("value_histogram: 10 equi-width bins, closed upper edge, constant-group guard") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    def ns(minute: Int): Long = minute * 60e9.toLong
+    val rows =
+      // "view": values 0..100 → width 10; 100 (the max) must clamp to bin 9
+      Seq(0.0, 5.0, 10.0, 55.0, 99.0, 100.0).zipWithIndex.map {
+        case (v, i) => (i.toLong, ns(i), 1L, "view", "{}", v)
+      } ++
+      // "flat": constant value → width 0 → everything pinned to bin 0
+      Seq((10L, ns(1), 2L, "flat", "{}", 7.0), (11L, ns(2), 2L, "flat", "{}", 7.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("value_histogram")(spark, work).collect()
+      .map(r => ((r.getString(0), r.getAs[Long]("b")), r.getAs[Long]("n"))).toMap
+    assert(got === Map(
+      ("flat", 0L) -> 2L,
+      ("view", 0L) -> 2L,  // 0, 5
+      ("view", 1L) -> 1L,  // 10
+      ("view", 5L) -> 1L,  // 55
+      ("view", 9L) -> 2L)) // 99, 100 (clamped max)
+  }
+
   test("mad_outliers flags by robust sigma and survives a corrupt cluster") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-mad").toString
