@@ -258,6 +258,22 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // Burst debounce: collapse rapid-fire repeats (same user + type
+    // within 5s of the previous occurrence) down to the chain's first
+    // event — the telemetry dedup that runs before any event analytics.
+    // Keeping rows whose predecessor gap exceeds the threshold IS
+    // first-of-each-chain semantics (a burst is a maximal run of ≤ 5s
+    // gaps, and exactly its head survives) — one lag window on the
+    // (user, type) key, no sequential kept-state needed.
+    "burst_collapse" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") > lit(5000000L))
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("user_id", "event_type", "ts_us", "event_id")
+    }),
+
     // Equi-width histogram: 10 bins per event_type between the type's
     // own min and max — the profiling staple. Two passes: a group-sized
     // stats aggregate joined back (broadcast-friendly), then a per-row
@@ -455,6 +471,17 @@ object EventQueries {
         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM d
         |ORDER BY day""".stripMargin,
+
+    "burst_collapse" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts_us
+        |FROM l
+        |WHERE prev_us IS NULL OR ts_us - prev_us > 5000000
+        |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin,
 
     "value_histogram" ->
       """WITH s AS (

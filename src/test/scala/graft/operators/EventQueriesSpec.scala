@@ -75,6 +75,27 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 2L, 2L), (2L, 1L, 3L)))
   }
 
+  test("burst_collapse keeps the head of each <=5s chain, per user and type") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    def s(sec: Double): Long = (sec * 1e9).toLong
+    Seq(
+      // chain: 0s, 3s, 6s — each within 5s of its PREDECESSOR, so one
+      // burst; only the head (id 1) survives even though 6s is > 5s
+      // from the head itself
+      (1L, s(0), 1L, "click", "{}", 0.0), (2L, s(3), 1L, "click", "{}", 0.0),
+      (3L, s(6), 1L, "click", "{}", 0.0),
+      // 12s: gap 6s from the chain's tail → new burst
+      (4L, s(12), 1L, "click", "{}", 0.0),
+      // same instants, different type/user → untouched
+      (5L, s(3), 1L, "view", "{}", 0.0), (6L, s(3), 2L, "click", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val kept = EventQueries.queries("burst_collapse")(spark, work).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))
+  }
+
   test("value_histogram: 10 equi-width bins, closed upper edge, constant-group guard") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-hist").toString
