@@ -32,6 +32,15 @@ object Similarity {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Euclidean distance, as the same strict left fold as [[dot]] (so the
+    * DuckDB mirror `sqrt(list_sum(list_transform(list_zip(a,b), …)))`
+    * reproduces it bit-for-bit); sqrt is correctly rounded on both
+    * engines (IEEE 754).
+    */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
   /** Cosine similarity of two array<double> columns. try_divide: a
     * zero-norm vector yields null (under ANSI a bare `/` would abort the
     * whole job with DIVIDE_BY_ZERO), and null never passes a `>= t`

@@ -711,6 +711,64 @@ object CoreQueries {
         .groupBy("c_nationkey", "tile")
         .agg(count(lit(1)).as("n"), decSum(col("c_acctbal"), 2).as("bal_sum"))
         .orderBy("c_nationkey", "tile")
+    }),
+
+    // Key-distribution skew profiler: the diagnostic run BEFORE keying a
+    // 100 TB shuffle on a candidate column — per-key row counts, then
+    // one-row distribution stats (max/avg ratio, exact p50/p99 of the
+    // count distribution, heavy-hitter share). Two-level aggregation:
+    // the per-key count is map-side-partial-friendly and its output is
+    // key-cardinality-sized, so the second (single-group) pass is cheap;
+    // nothing touches the driver. skew_ratio ≫ 1 ⇒ salt that key (the
+    // operators/Skew.scala path); ≈ 1 ⇒ plain hash partitioning holds.
+    // Doubles: avg/share route through decimal-exact sums; the ratio is
+    // a per-row IEEE divide of already-identical doubles.
+    "key_skew_profile" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        (sum("cnt") / count(lit(1))).as("avg_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+        .withColumn("skew_ratio",
+          bround(col("max_cnt") / col("avg_cnt"), 6))
+    }),
+
+    // Snapshot diff (CDC-shaped): compare each customer's order profile
+    // between two periods via one full-outer join on the key, classify
+    // added / removed / changed / unchanged, and count per class. The
+    // general table-diff primitive: both sides aggregate to key-sized
+    // relations first (map-side partials), the join shuffles on the key
+    // once, and the classification is a per-row codegen'd CASE — at
+    // 100 TB this is the standard "what changed between yesterday's and
+    // today's snapshot" audit with no driver-side state. Sums stay
+    // decimal-exact so 'changed' never fires on float noise.
+    "snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def snap(lo: String, hi: String) = o
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      val a = snap("1993-01-01", "1995-01-01")
+      val b = snap("1995-01-01", "1997-01-01")
+      a.as("a").join(b.as("b"), Seq("o_custkey"), "full_outer")
+        .withColumn("status",
+          when(col("a.n").isNull, "added")
+            .when(col("b.n").isNull, "removed")
+            .when(col("a.n") === col("b.n") && col("a.spend") === col("b.spend"),
+              "unchanged")
+            .otherwise("changed"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(coalesce(col("b.spend"), lit(0).cast(DecimalType(18, 2))) -
+            coalesce(col("a.spend"), lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("spend_delta"))
+        .orderBy("status")
     })
   )
 
@@ -1128,6 +1186,42 @@ object CoreQueries {
         |SELECT c_nationkey, tile, COUNT(*) AS n,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM t GROUP BY 1, 2
-        |ORDER BY c_nationkey, tile""".stripMargin
+        |ORDER BY c_nationkey, tile""".stripMargin,
+
+    "key_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey)
+        |SELECT COUNT(*) AS n_keys,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       MAX(cnt) AS max_cnt,
+        |       SUM(cnt) / COUNT(*) AS avg_cnt,
+        |       quantile_cont(cnt, 0.5) AS p50_cnt,
+        |       quantile_cont(cnt, 0.99) AS p99_cnt,
+        |       round(MAX(cnt) / (SUM(cnt) / COUNT(*)), 6) AS skew_ratio
+        |FROM c""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1993-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey),
+        |d AS (
+        |  SELECT CASE WHEN a.n IS NULL THEN 'added'
+        |              WHEN b.n IS NULL THEN 'removed'
+        |              WHEN a.n = b.n AND a.spend = b.spend THEN 'unchanged'
+        |              ELSE 'changed' END AS status,
+        |         COALESCE(b.spend, 0) - COALESCE(a.spend, 0) AS delta
+        |  FROM a FULL OUTER JOIN b USING (o_custkey))
+        |SELECT status, COUNT(*) AS n_customers,
+        |       CAST(SUM(delta) AS DOUBLE) AS spend_delta
+        |FROM d GROUP BY status
+        |ORDER BY status""".stripMargin
   )
 }

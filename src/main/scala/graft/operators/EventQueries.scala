@@ -26,6 +26,18 @@ object EventQueries {
 
   private val GapUs = 1800000000L // 30 minutes in microseconds
 
+  /** EWMA smoothing constants — the single source of truth both the Spark
+    * window expression and the oracle's SQL fold are generated from.
+    * Weights 2^-i are exactly representable; `toPlainString` renders the
+    * exact decimal literal (0.0078125, never scientific notation), so the
+    * DuckDB parser reconstructs the identical double.
+    */
+  private val EwmaDepth = 8
+  private val EwmaWeights: IndexedSeq[Double] =
+    (0 until EwmaDepth).map(i => math.pow(0.5, i))
+  private def ewmaWeightLit(i: Int): String =
+    java.math.BigDecimal.valueOf(EwmaWeights(i)).toPlainString
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
@@ -317,6 +329,50 @@ object EventQueries {
         .orderBy("event_type", "event_id")
     }),
 
+    // Bounded-window EWMA (decay ½, depth 8): the smoothed per-user
+    // value series. Every weight is dyadic (2^-i), so each product is an
+    // exact binary scaling, and the numerator/denominator left folds are
+    // written in the SAME order on both engines — bit-identical doubles
+    // with no decimal routing or rounding guard needed. The recursive
+    // (unbounded) EWMA needs sequential state; the depth-8 truncation
+    // (residual weight 2^-8 < 0.4%) keeps it a pure window expression:
+    // one shuffle on user_id, all 8 lags computed in a single WindowExec
+    // pass, O(depth) per-row arithmetic.
+    "ewma_value" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val lags = (0 until EwmaDepth).map { i =>
+        (if (i == 0) col("value") else lag(col("value"), i).over(w),
+          EwmaWeights(i))
+      }
+      val num = lags.map { case (c, wt) => coalesce(c * lit(wt), lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.map { case (c, wt) =>
+        when(c.isNotNull, lit(wt)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("ewma", num / den)
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Equi-depth (quantile) histogram: ntile(8) per event_type ordered
+    // by (value, event_id — total order so tile boundaries are
+    // deterministic), then count + [lo, hi] bounds per bin. The
+    // equi-WIDTH profile is value_histogram; this is its
+    // constant-population dual. Exact tier: one shuffle on event_type +
+    // a per-type sort. At 100 TB a single event_type is a single
+    // partition's sort — switch the bin edges to approx_percentile and
+    // bin per-row (the same exact/approx tiering as winsorize_stats and
+    // mad_outliers document).
+    "equidepth_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      events(s, dir)
+        .withColumn("b", ntile(8).over(w).cast("long"))
+        .groupBy("event_type", "b")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+        .orderBy("event_type", "b")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -508,6 +564,32 @@ object EventQueries {
         |FROM events JOIN mad USING (event_type)
         |WHERE abs(value - med) > 4.4478 * mad
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "ewma_value" -> {
+      // the same left-fold order as the Scala reduce: (((w0 + w1) + w2)…
+      val num = (0 until EwmaDepth).map { i =>
+        val v = if (i == 0) "value" else s"lag(value, $i) OVER w"
+        s"COALESCE($v * ${ewmaWeightLit(i)}, 0.0)"
+      }.mkString(" + ")
+      val den = (0 until EwmaDepth).map { i =>
+        val v = if (i == 0) "value" else s"lag(value, $i) OVER w"
+        s"CASE WHEN $v IS NOT NULL THEN ${ewmaWeightLit(i)} ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         |       ($num) / ($den) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+    },
+
+    "equidepth_histogram" ->
+      """SELECT event_type, b, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM (SELECT event_type, value,
+        |             CAST(ntile(8) OVER (PARTITION BY event_type
+        |                                 ORDER BY value, event_id) AS BIGINT) AS b
+        |      FROM events)
+        |GROUP BY event_type, b
+        |ORDER BY event_type, b""".stripMargin,
 
     "event_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

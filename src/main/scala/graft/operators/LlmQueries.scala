@@ -350,6 +350,44 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // Per-label mean silhouette (centroid proxy): a(v) = distance to the
+    // own-label centroid, b(v) = distance to the nearest other centroid,
+    // s = (b−a)/max(a,b) — the standard clustering-quality score, with
+    // centroids standing in for full intra/inter means (the exact
+    // silhouette is all-pairs; the centroid proxy is the linear-scan
+    // form used at corpus scale). Composes the decimal-exact grouped
+    // centroid with the broadcast cross join: k centroids are
+    // O(k·dim) — label-cardinality-sized, never a shuffle — and each
+    // vector is scored in one pass. The per-label average routes through
+    // a decimal sum so shuffle merge order cannot perturb it.
+    "silhouette_proxy" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("label"), col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("e"))
+      val cvec = e.select(col("label"), posexplode(col("e")))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast("decimal(38,7)")).cast("double") / count(lit(1)))
+          .as("m"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .withColumnRenamed("label", "clabel")
+      val ab = e.crossJoin(broadcast(cvec))
+        .withColumn("dist", Similarity.euclidean(col("e"), col("c")))
+        .groupBy("vec_id", "label")
+        .agg(min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+            .otherwise(bround((col("b") - col("a")) / greatest(col("a"), col("b")), 9)))
+      ab.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("sil").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+            .as("avg_sil"),
+          min("sil").as("min_sil"))
+        .orderBy("label")
+    }),
+
     // Symmetric int8 scalar quantization — the storage/ANN compression
     // pass before shipping embeddings at corpus scale. Per-row transform
     // (scale = 127/max|x|, round-half-up via integer floor — no
@@ -751,6 +789,67 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // Vocabulary growth curve (Heaps' law): distinct-vocabulary size
+    // after ingesting each tenth of the corpus (by doc_id range). The
+    // naive form — count-distinct per cumulative prefix — rescans the
+    // corpus 10 times; this one-pass form exploits that a token enters
+    // the vocabulary exactly once, at its FIRST bucket: min(bucket) per
+    // token, count by first-bucket, then a 10-row running sum. One
+    // explode + two key-sized aggregations; the window is over ≤ 10 rows
+    // (driver-bounded, not data-bounded). Bucket bounds come from a
+    // broadcast 1-row min/max aggregate folded into the lazy plan, and
+    // the bucket index uses integer div — no double rounding at bucket
+    // edges on either engine.
+    "vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val bounds = broadcast(d.agg(min("doc_id").as("lo"),
+        (max("doc_id") + 1).as("hi")))
+      val tok = d.crossJoin(bounds)
+        .select(expr("((doc_id - lo) * 10) div (hi - lo)").as("bucket"),
+          explode(tokens(col("text"))).as("token"))
+      val firsts = tok.groupBy("token").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+      val totals = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      totals.join(firsts, Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("n_tokens", "new_tokens"))
+        .withColumn("cum_vocab", sum("new_tokens").over(w))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .orderBy("bucket")
+    }),
+
+    // Per-source distinctive terms: which tokens over-index in a source
+    // vs the whole corpus (lift = in-source relative frequency over
+    // corpus relative frequency), top-5 per source among tokens with
+    // ≥ 5 in-source occurrences — the domain-signature probe run before
+    // choosing mixture weights. All counts are one explode + vocabulary-
+    // keyed aggregations; the corpus total folds in as a broadcast 1-row
+    // aggregate; the per-source totals are source-cardinality-sized. No
+    // broadcast hint on the corpus-frequency side (vocabulary-sized,
+    // grows with the corpus). The rank window's `rank <= 5` filter
+    // compiles to WindowGroupLimit (same plan shape plan-audited for
+    // topk_string_agg), so no source's full vocabulary is sorted whole.
+    "distinctive_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val st = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val srcTot = tok.groupBy("source").agg(count(lit(1)).as("src_n"))
+      val corp = st.groupBy("token").agg(sum("tf").as("ctf"))
+      val corpTot = broadcast(st.agg(sum("tf").as("all_n")))
+      val w = Window.partitionBy("source").orderBy(desc("lift"), col("token"))
+      st.filter(col("tf") >= 5)
+        .join(srcTot, "source").join(corp, "token").crossJoin(corpTot)
+        .withColumn("lift",
+          bround((col("tf") / col("src_n")) / (col("ctf") / col("all_n")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "token", "tf", "lift")
+        .orderBy("source", "rank")
+    }),
+
     // Per-source document-length quantiles (exact percentile)
     "doc_len_quantiles" -> ((s, dir) => {
       docs(s, dir)
@@ -1107,6 +1206,39 @@ object LlmQueries {
         |FROM sc GROUP BY label
         |ORDER BY label""".stripMargin,
 
+    "silhouette_proxy" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v),
+        |cm AS (
+        |  SELECT label, pos,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, pos),
+        |cv AS (SELECT label AS clabel, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+        |d AS (
+        |  SELECT v.vec_id, v.label, cv.clabel,
+        |         sqrt(list_sum(list_transform(list_zip(v.e, cv.c),
+        |              p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM v CROSS JOIN cv),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |         MIN(CASE WHEN clabel = label THEN dist END) AS a,
+        |         MIN(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM d GROUP BY vec_id, label),
+        |sil AS (
+        |  SELECT label,
+        |         CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+        |              ELSE round((b - a) / greatest(a, b), 9) END AS sil
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n,
+        |       CAST(SUM(CAST(sil AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_sil,
+        |       MIN(sil) AS min_sil
+        |FROM sil GROUP BY label
+        |ORDER BY label""".stripMargin,
+
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
@@ -1433,6 +1565,43 @@ object LlmQueries {
          |GROUP BY token
          |ORDER BY n DESC, token
          |LIMIT 20""".stripMargin,
+
+    "vocab_growth" ->
+      s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents),
+         |tok AS (SELECT ((doc_id - lo) * 10) // (hi - lo) AS bucket,
+         |               unnest($sqlTokens) AS token
+         |        FROM documents, b),
+         |f AS (SELECT MIN(bucket) AS bucket FROM tok GROUP BY token),
+         |nf AS (SELECT bucket, COUNT(*) AS new_tokens FROM f GROUP BY bucket),
+         |tot AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY bucket)
+         |SELECT bucket,
+         |       COALESCE(n_tokens, 0) AS n_tokens,
+         |       COALESCE(new_tokens, 0) AS new_tokens,
+         |       CAST(SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY bucket
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+         |       CAST(SUM(COALESCE(n_tokens, 0)) OVER (ORDER BY bucket
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM tot FULL OUTER JOIN nf USING (bucket)
+         |ORDER BY bucket""".stripMargin,
+
+    "distinctive_terms" ->
+      s"""WITH tok AS (SELECT source, unnest($sqlTokens) AS token FROM documents),
+         |st AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token),
+         |srct AS (SELECT source, COUNT(*) AS src_n FROM tok GROUP BY source),
+         |corp AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM st GROUP BY token),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS all_n FROM st),
+         |scored AS (
+         |  SELECT st.source, st.token, st.tf,
+         |         round((st.tf / srct.src_n) / (corp.ctf / tot.all_n), 6) AS lift
+         |  FROM st JOIN srct USING (source) JOIN corp USING (token), tot
+         |  WHERE st.tf >= 5)
+         |SELECT source, rank, token, tf, lift FROM (
+         |  SELECT source, token, tf, lift,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY lift DESC, token) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin,
 
     "doc_len_quantiles" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -283,4 +283,44 @@ class CoreQueriesSpec extends SparkSpec {
     assert(out === Map("match" -> 1L, "mismatch" -> 1L,
       "no_lineitems" -> 1L, "orphan_lineitem" -> 1L))
   }
+
+  test("key_skew_profile: distribution stats over per-key counts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // supp 1 → 4 rows, supp 2 → 1, supp 3 → 1: counts [1, 1, 4]
+    (Seq.fill(4)(1L) ++ Seq(2L, 3L)).toDF("l_suppkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val r = CoreQueries.queries("key_skew_profile")(spark, work).collect().head
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("max_cnt") === 4L)
+    assert(r.getAs[Double]("avg_cnt") === 2.0)
+    assert(r.getAs[Double]("p50_cnt") === 1.0)
+    // p99 over sorted [1,1,4]: pos 1.98 → 1 + 0.98·(4−1)
+    assert(math.abs(r.getAs[Double]("p99_cnt") - 3.94) < 1e-9)
+    assert(r.getAs[Double]("skew_ratio") === 2.0)
+  }
+
+  test("snapshot_diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    Seq(
+      // cust 1: identical profile in both periods → unchanged
+      (1L, "1994-06-01", 100.0), (1L, "1995-06-01", 100.0),
+      // cust 2: only period A → removed (delta −100)
+      (2L, "1994-01-15", 100.0),
+      // cust 3: only period B → added (delta +80)
+      (3L, "1996-03-01", 80.0),
+      // cust 4: 1 order/50 in A, 2 orders/100 in B → changed (delta +50)
+      (4L, "1993-07-01", 50.0), (4L, "1995-02-01", 70.0), (4L, "1996-08-01", 30.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .selectExpr("o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val got = CoreQueries.queries("snapshot_diff")(spark, work).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Double]("spend_delta")))).toMap
+    assert(got === Map(
+      "added" -> ((1L, 80.0)), "removed" -> ((1L, -100.0)),
+      "changed" -> ((1L, 50.0)), "unchanged" -> ((1L, 0.0))))
+  }
 }

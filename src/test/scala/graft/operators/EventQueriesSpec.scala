@@ -227,4 +227,47 @@ class EventQueriesSpec extends SparkSpec {
       (0L, 0L, 0L, 1L), (0L, 1L, 1L, 1L),
       (1L, 1L, 0L, 1L), (1L, 3L, 2L, 1L)))
   }
+
+  test("ewma_value: dyadic weights, normalized head, depth-8 truncation") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    def ns(minute: Int): Long = minute * 60e9.toLong
+    // u1: 10, 20, 40 → head-normalized EWMA:
+    //   e1 = 10
+    //   e2 = (20 + 10·0.5) / 1.5
+    //   e3 = (40 + 20·0.5 + 10·0.25) / 1.75 = 52.5 / 1.75 = 30
+    // u2: a 1000 followed by eight 0s → the 9th event's window holds
+    //   only zeros (the 1000 aged out at depth 8) → exactly 0.0
+    val rows =
+      Seq((1L, ns(1), 1L, 10.0), (2L, ns(2), 1L, 20.0), (3L, ns(3), 1L, 40.0)) ++
+        (0 to 8).map(i => (10L + i, ns(i), 2L, if (i == 0) 1000.0 else 0.0))
+    rows.map { case (id, t, u, v) => (id, t, u, "view", "{}", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("ewma_value")(spark, work).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("ewma"))).toMap
+    assert(got(1L) === 10.0)
+    assert(got(2L) === 25.0 / 1.5)
+    assert(got(3L) === 30.0)
+    assert(got(18L) === 0.0) // 1000 fell out of the bounded window
+    assert(got(11L) === (0.0 + 1000.0 * 0.5) / 1.5)
+  }
+
+  test("equidepth_histogram: ntile(8) bin populations and bounds") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-eqd").toString
+    def ns(minute: Int): Long = minute * 60e9.toLong
+    // 10 rows, values 1..10 → ntile(8) populations 2,2,1,1,1,1,1,1
+    (1 to 10).map(i => (i.toLong, ns(i), 1L, "view", "{}", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("equidepth_histogram")(spark, work).collect()
+      .map(r => (r.getAs[Long]("b"),
+        (r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))).toMap
+    assert(got(1L) === ((2L, 1.0, 2.0)))
+    assert(got(2L) === ((2L, 3.0, 4.0)))
+    assert(got(3L) === ((1L, 5.0, 5.0)))
+    assert(got(8L) === ((1L, 10.0, 10.0)))
+    assert(got.values.map(_._1).sum === 10L)
+  }
 }

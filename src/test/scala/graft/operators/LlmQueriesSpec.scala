@@ -380,4 +380,62 @@ class LlmQueriesSpec extends SparkSpec {
     assert(pairs.length === pairs.distinct.length, "no duplicate pairs")
     assert(pairs.forall { case (a, b) => a < b }, "canonical id order")
   }
+
+  test("vocab_growth: first-occurrence counting reproduces cumulative distinct vocab") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    // doc_ids 0,1,5,9 with lo=0, hi=10 → bucket = doc_id
+    Seq((0L, "a b"), (1L, "a c"), (5L, "d d"), (9L, "e"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("vocab_growth")(spark, work).collect()
+      .map(r => (r.getAs[Long]("bucket"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("new_tokens"),
+          r.getAs[Long]("cum_vocab"), r.getAs[Long]("cum_tokens"))))
+    assert(got.toSeq === Seq(
+      0L -> ((2L, 2L, 2L, 2L)),   // a b
+      1L -> ((2L, 1L, 3L, 4L)),   // a c → only c new
+      5L -> ((2L, 1L, 4L, 6L)),   // d d → one new type, two tokens
+      9L -> ((1L, 1L, 5L, 7L))))  // e
+  }
+
+  test("distinctive_terms ranks by lift and enforces the tf floor") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dterm").toString
+    val sixX = Seq.fill(6)("x").mkString(" ")
+    val sixC = Seq.fill(6)("common").mkString(" ")
+    Seq((1L, s"$sixX $sixC", "A"), (2L, sixC, "B"), (3L, "rare", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("distinctive_terms")(spark, work).collect()
+      .map(r => ((r.getString(0), r.getAs[Long]("rank")),
+        (r.getString(2), r.getAs[Double]("lift")))).toMap
+    // corpus: x=6, common=12, rare=1 (rare is under the tf≥5 floor)
+    // A (12 tokens): x lift = (6/12)/(6/19); common = (6/12)/(12/19)
+    // B (7 tokens): common lift = (6/7)/(12/19)
+    assert(got((("A", 1L))) === (("x", math.rint(((6.0 / 12) / (6.0 / 19)) * 1e6) / 1e6)))
+    assert(got((("A", 2L)))._1 === "common")
+    assert(got((("B", 1L)))._1 === "common")
+    assert(!got.values.exists(_._1 == "rare"), "tf floor filters hapax terms")
+  }
+
+  test("silhouette_proxy: separated clusters score near 1, exact on hand geometry") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    // label 0 centroid (1,0); label 1 centroid (11,0)
+    Seq((0L, Array(0f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(10f, 0f), 1), (3L, Array(12f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val got = LlmQueries.queries("silhouette_proxy")(spark, work).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("avg_sil"), r.getAs[Double]("min_sil"))))
+      .toMap
+    // (0,0): a=1, b=11 → 10/11 ≈ 0.909090909; (2,0): a=1, b=9 → 8/9 ≈ 0.888888889
+    val hi = math.rint(10.0 / 11.0 * 1e9) / 1e9
+    val lo = math.rint(8.0 / 9.0 * 1e9) / 1e9
+    val avg = (BigDecimal(hi) + BigDecimal(lo)).toDouble / 2
+    assert(got(0) === ((2L, avg, lo)))
+    assert(got(1) === ((2L, avg, lo)))
+  }
 }
