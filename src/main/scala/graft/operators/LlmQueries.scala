@@ -808,9 +808,16 @@ object LlmQueries {
       val tok = d.crossJoin(bounds)
         .select(expr("((doc_id - lo) * 10) div (hi - lo)").as("bucket"),
           explode(tokens(col("text"))).as("token"))
-      val firsts = tok.groupBy("token").agg(min("bucket").as("bucket"))
+      // collapse to (bucket, token) counts FIRST — (vocab × 10)-sized —
+      // and materialize once (lazy localCheckpoint, same pattern as
+      // corpus_curation): both downstream aggregations branch off this,
+      // and without the cut each branch would re-scan + re-explode the
+      // whole corpus
+      val bt = tok.groupBy("bucket", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val firsts = bt.groupBy("token").agg(min("bucket").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
-      val totals = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+      val totals = bt.groupBy("bucket").agg(sum("c").as("n_tokens"))
       val w = Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       totals.join(firsts, Seq("bucket"), "full_outer")
@@ -835,8 +842,14 @@ object LlmQueries {
       import org.apache.spark.sql.expressions.Window
       val tok = docs(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("token"))
+      // one corpus explode, materialized at (source, token) granularity
+      // (lazy localCheckpoint — see corpus_curation): the four consumers
+      // below would otherwise each re-scan the corpus; per-source and
+      // corpus totals are exact sums of tf, so nothing needs the raw
+      // token stream again
       val st = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
-      val srcTot = tok.groupBy("source").agg(count(lit(1)).as("src_n"))
+        .localCheckpoint(false)
+      val srcTot = st.groupBy("source").agg(sum("tf").as("src_n"))
       val corp = st.groupBy("token").agg(sum("tf").as("ctf"))
       val corpTot = broadcast(st.agg(sum("tf").as("all_n")))
       val w = Window.partitionBy("source").orderBy(desc("lift"), col("token"))
@@ -1587,7 +1600,7 @@ object LlmQueries {
     "distinctive_terms" ->
       s"""WITH tok AS (SELECT source, unnest($sqlTokens) AS token FROM documents),
          |st AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token),
-         |srct AS (SELECT source, COUNT(*) AS src_n FROM tok GROUP BY source),
+         |srct AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS src_n FROM st GROUP BY source),
          |corp AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM st GROUP BY token),
          |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS all_n FROM st),
          |scored AS (
