@@ -57,6 +57,47 @@ object AsofJoin {
       .filter(col(sideC) === 1)
       .drop(tsC, sideC, rtsC)
   }
+
+  /** Forward as-of: attach `asof_ts` = SMALLEST right ts ≥ the left ts
+    * within the key group (null if none) — "next event after" semantics
+    * (conversion windows, next-restock lookups). Same scalable
+    * union+running-window shape as [[asofBackward]], scanning the
+    * timeline in DESCENDING order so the running `last` non-null right
+    * timestamp is the nearest one at-or-after each left row; right rows
+    * sort before left rows at equal timestamps, keeping the inclusive
+    * `r.ts >= l.ts` bound. One shuffle on the keys, linear state.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String): DataFrame = {
+    val lType = left.schema(leftTs).dataType
+    val rType = right.schema(rightTs).dataType
+    require(lType == rType,
+      s"asofForward: $leftTs is ${lType.simpleString} but $rightTs is " +
+        s"${rType.simpleString} — cast one side first")
+    require(!left.columns.contains("asof_ts"),
+      "asofForward: left already has an asof_ts column — rename it first")
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i").find(!taken(_)).get
+    val tsC = fresh("__ts")
+    val sideC = fresh("__side")
+    val rtsC = fresh("__rts")
+    val keyCols = keys.map(col)
+    val l = left.withColumn(tsC, col(leftTs)).withColumn(sideC, lit(1))
+      .withColumn(rtsC, lit(null).cast(rType))
+    val r = right.select(keyCols :+ col(rightTs).as(tsC): _*)
+      .withColumn(sideC, lit(0))
+      .withColumn(rtsC, col(tsC))
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(c =>
+      if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)): _*))
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsC).desc, col(sideC))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_ts", last(col(rtsC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .drop(tsC, sideC, rtsC)
+  }
 }
 
 /** Deterministic salting for skewed join/aggregation keys.

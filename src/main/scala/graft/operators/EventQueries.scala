@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.DecimalType
 object EventQueries {
 
   private val GapUs = 1800000000L // 30 minutes in microseconds
+  private val WeekUs = 604800000000L // 7 days in microseconds
 
   /** EWMA smoothing constants — the single source of truth both the Spark
     * window expression and the oracle's SQL fold are generated from.
@@ -83,6 +84,58 @@ object EventQueries {
         .withColumnRenamed("asof_ts", "prev_purchase_ts_us")
         .withColumn("gap_us", col("ts_us") - col("prev_purchase_ts_us"))
         .select("user_id", "event_id", "ts_us", "prev_purchase_ts_us", "gap_us")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Forward as-of + horizon: each signup's NEXT purchase at-or-after
+    // it, and whether it lands inside the 7-day conversion window — the
+    // attribution join. Same scalable union+running-window shape as the
+    // backward join (AsofJoin.asofForward, timeline scanned descending):
+    // one user_id shuffle, linear state, no range join. Oracle: the
+    // correlated MIN form DuckDB decorrelates itself.
+    "conversion_window" -> ((s, dir) => {
+      val e = events(s, dir)
+      val signups = e.filter(col("event_type") === "signup")
+        .select("user_id", "event_id", "ts_us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us")
+      AsofJoin.asofForward(signups, purchases, Seq("user_id"), "ts_us", "ts_us")
+        .withColumnRenamed("asof_ts", "next_purchase_ts_us")
+        .withColumn("gap_us", col("next_purchase_ts_us") - col("ts_us"))
+        .withColumn("converted",
+          col("gap_us").isNotNull && col("gap_us") <= lit(WeekUs))
+        .select("user_id", "event_id", "ts_us", "next_purchase_ts_us",
+          "gap_us", "converted")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Rolling anomaly score: each value vs its user's trailing 10-event
+    // window moments. The moments come from decimal-exact SUM and
+    // SUM-of-squares over the frame — v² is a single IEEE product
+    // (identical cross-engine), the sums are order-exact decimals
+    // (560² × 10⁸ ≈ 3e13 < 2⁵³, so the decimal cast rounds identically
+    // on both engines), and the mean/variance/z derivation is then pure
+    // row-local IEEE — no Welford-vs-textbook stddev divergence, no
+    // shuffle-order noise. The variance denominator is NULLIF-guarded:
+    // Spark yields Infinity for double/0 but DuckDB yields NULL, so a
+    // bare (n−1) divisor would silently diverge on single-row windows.
+    // One user_id shuffle; all three frame aggregates run in one
+    // WindowExec pass.
+    "rolling_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+      val n = count(lit(1)).over(w)
+      val sum1 = sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double")
+      val sum2 = sum((col("value") * col("value")).cast(DecimalType(28, 8)))
+        .over(w).cast("double")
+      val mean = sum1 / n
+      val variance = (sum2 - (sum1 * sum1) / n) / nullif(n - 1, lit(0))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("n_win", n.cast("long"))
+        .withColumn("mean", bround(mean, 6))
+        .withColumn("z",
+          when(variance > 0, bround((col("value") - mean) / sqrt(variance), 6)))
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
@@ -564,6 +617,40 @@ object EventQueries {
         |FROM events JOIN mad USING (event_type)
         |WHERE abs(value - med) > 4.4478 * mad
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "conversion_window" ->
+      s"""WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'signup'),
+         |p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT s.user_id, s.event_id, s.us,
+         |         (SELECT MIN(p.us) FROM p
+         |          WHERE p.user_id = s.user_id AND p.us >= s.us) AS nxt
+         |  FROM s)
+         |SELECT user_id, event_id, us AS ts_us, nxt AS next_purchase_ts_us,
+         |       nxt - us AS gap_us,
+         |       (nxt IS NOT NULL AND nxt - us <= $WeekUs) AS converted
+         |FROM j
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "rolling_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |         COUNT(*) OVER w AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us, value,
+        |       n AS n_win,
+        |       round(s1 / n, 6) AS mean,
+        |       CASE WHEN (s2 - (s1 * s1) / n) / NULLIF(n - 1, 0) > 0
+        |            THEN round((value - s1 / n) /
+        |                 sqrt((s2 - (s1 * s1) / n) / NULLIF(n - 1, 0)), 6)
+        |       END AS z
+        |FROM m
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "ewma_value" -> {
       // the same left-fold order as the Scala reduce: (((w0 + w1) + w2)…

@@ -18,6 +18,19 @@ class AsofSkewSpec extends SparkSpec {
     assert(out(200L) === None)       // right ts all after left
   }
 
+  test("asofForward picks the smallest right ts >= left ts, inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 16L), (1L, 102L, 23L), (2L, 200L, 60L))
+      .toDF("k", "id", "t")
+    val right = Seq((1L, 10L), (1L, 15L), (1L, 22L), (2L, 50L)).toDF("k", "rt")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "t", "rt")
+      .select("id", "asof_ts").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(100L) === Some(10L))  // equal ts is inclusive
+    assert(out(101L) === Some(22L))  // 16 → next is 22
+    assert(out(102L) === None)       // nothing at-or-after 23
+    assert(out(200L) === None)       // right ts all before left
+  }
+
   test("asofBackward works on timestamp-typed columns and colliding names") {
     import spark.implicits._
     // timestamp ts columns (the generic API, not just epoch-micros longs)

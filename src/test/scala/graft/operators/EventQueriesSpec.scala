@@ -228,6 +228,57 @@ class EventQueriesSpec extends SparkSpec {
       (1L, 1L, 0L, 1L), (1L, 3L, 2L, 1L)))
   }
 
+  test("conversion_window: next purchase at-or-after signup, 7-day horizon") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-conv").toString
+    def ns(day: Double): Long = (day * 86400e9).toLong
+    val rows = Seq(
+      // u1: converts (purchase 1 day after signup); the pre-signup
+      // purchase at day 0 must NOT be picked
+      (1L, ns(0), 1L, "purchase"), (2L, ns(1), 1L, "signup"), (3L, ns(2), 1L, "purchase"),
+      // u2: next purchase exists but outside the 7-day window
+      (4L, ns(0), 2L, "signup"), (5L, ns(8), 2L, "purchase"),
+      // u3: no purchase at all
+      (6L, ns(0), 3L, "signup"),
+      // u4: purchase at the same instant — inclusive, gap 0, converted
+      (7L, ns(5), 4L, "signup"), (8L, ns(5), 4L, "purchase"))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, "{}", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("conversion_window")(spark, work).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(3)), r.getAs[Boolean]("converted")))).toMap
+    assert(got(2L) === ((Some(ns(2) / 1000), true)))
+    assert(got(4L) === ((Some(ns(8) / 1000), false)))
+    assert(got(6L) === ((None, false)))
+    assert(got(7L) === ((Some(ns(5) / 1000), true)))
+    assert(got.keySet === Set(2L, 4L, 6L, 7L), "only signups survive")
+  }
+
+  test("rolling_zscore: decimal-exact trailing moments, null z on degenerate windows") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rz").toString
+    def ns(minute: Int): Long = minute * 60e9.toLong
+    val rows = Seq(
+      (1L, ns(1), 1L, 10.0), (2L, ns(2), 1L, 20.0), (3L, ns(3), 1L, 30.0),
+      // constant series → variance 0 → z null
+      (4L, ns(1), 2L, 5.0), (5L, ns(2), 2L, 5.0))
+    rows.map { case (id, t, u, v) => (id, t, u, "view", "{}", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("rolling_zscore")(spark, work).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Double]("mean"),
+          Option(r.get(r.fieldIndex("z")))))).toMap
+    assert(got(1L) === ((1L, 10.0, None)))           // single-row window
+    // n=2: mean 15, var (500 − 450)/1 = 50 → z = 5/√50
+    assert(got(2L)._1 === 2L)
+    assert(got(2L)._3 === Some(math.rint(5.0 / math.sqrt(50.0) * 1e6) / 1e6))
+    // n=3: mean 20, var (1400 − 1200)/2 = 100 → z = 10/10 = 1
+    assert(got(3L) === ((3L, 20.0, Some(1.0))))
+    assert(got(5L) === ((2L, 5.0, None)))            // zero variance
+  }
+
   test("ewma_value: dyadic weights, normalized head, depth-8 truncation") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ewma").toString
