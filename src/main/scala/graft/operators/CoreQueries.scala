@@ -36,6 +36,12 @@ object CoreQueries {
   private def decSum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Columns profiled by `table_profile` — the single source of truth the
+    * Spark aggregate list and the oracle's UNION ALL are generated from.
+    */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // P2 — half-open month-window filter (reference: pipeline.py:23-27)
@@ -713,6 +719,31 @@ object CoreQueries {
         .orderBy("c_nationkey", "tile")
     }),
 
+    // Column profiler: null count, exact distinct cardinality, min/max
+    // per column, in ONE table pass (the schema-drift / data-contract
+    // check run on every ingest). The wide aggregate computes all
+    // per-column stats together, then stack() melts to long form
+    // map-side — no second scan, no per-column jobs. Exact
+    // count_distinct over N columns costs an Expand (N× shuffle rows);
+    // the 100 TB tier swaps in approx_count_distinct (HLL — same
+    // tiering as corpus_stats). min/max cast to string AFTER
+    // aggregating, so each engine formats one value, not a column.
+    "table_profile" -> ((s, dir) => {
+      val aggs = ProfileCols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val stackExpr = ProfileCols
+        .map(c => s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
+        .mkString(", ")
+      t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${ProfileCols.length}, $stackExpr) " +
+          "as (col_name, null_cnt, n_distinct, min_val, max_val)")
+        .orderBy("col_name")
+    }),
+
     // Key-distribution skew profiler: the diagnostic run BEFORE keying a
     // 100 TB shuffle on a candidate column — per-key row counts, then
     // one-row distribution stats (max/avg ratio, exact p50/p99 of the
@@ -1187,6 +1218,15 @@ object CoreQueries {
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM t GROUP BY 1, 2
         |ORDER BY c_nationkey, tile""".stripMargin,
+
+    "table_profile" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+         |       COUNT(DISTINCT $c) AS n_distinct,
+         |       CAST(MIN($c) AS VARCHAR) AS min_val,
+         |       CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     "key_skew_profile" ->
       """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey)

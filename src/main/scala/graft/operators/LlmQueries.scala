@@ -779,6 +779,65 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram conditional surprisal: avg −ln P(w₂|w₁) per document with
+    // P = corpus bigram count over prefix-occurrence count — one LM
+    // order above unigram_logprob, the stronger fluency/repetition
+    // signal (a doc of common words in weird order scores high here but
+    // not on unigrams). Rounding is the IEEE-only floor(x·1e6 + 0.5)/1e6
+    // form written identically on both engines — bround (half-even on
+    // the double's exact value) vs DuckDB round (half-away after an
+    // x·1e6 double product) genuinely diverge on near-tie values (hit
+    // at sf0.01), while the floor form is bit-deterministic; surprisal
+    // is ≥ 0 so half-away == half-up. Rounded BEFORE the decimal sum,
+    // so both engines fold identical decimals in any order.
+    // Single-token docs have no bigrams and drop out on both engines.
+    // Counts are vocabulary²-keyed aggregations (map-side partials);
+    // the prefix count joins on w₁.
+    "bigram_logprob" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val bgs = docs(s, dir)
+        .select(col("doc_id"), explode(bigrams(col("text"))).as("g"))
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+      val cb = bgs.groupBy("g").agg(count(lit(1)).as("cb"))
+      val cw = bgs.groupBy("w1").agg(count(lit(1)).as("cw"))
+      bgs.join(cb, "g").join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_bigrams"),
+          sum(r6(-log(col("cb") / col("cw")))
+            .cast("decimal(18,6)")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r6(col("ssum").cast("double") / col("n_bigrams"))
+            .as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // Sketch-tier source similarity: per-source MinHash signature over
+    // the source's shingle universe — min-of-mins, so NO distinct pass
+    // and no shingle-set materialization, just k map-side-partial MINs —
+    // then pairwise signature agreement estimates vocabulary Jaccard.
+    // The exact counterpart is source_similarity (which must shuffle the
+    // full vocab); this is its O(k) sketch, the shape that still works
+    // when per-source vocabularies stop fitting anywhere. Fixed
+    // permutations ⇒ the "estimate" is deterministic and exactly
+    // oracled.
+    "source_minhash_sim" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), explode(shingleHashes(col("text"))).as("h"))
+      val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % MinhashP).as(s"mh$i")
+      }
+      val sig = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
+      val k = MinhashParams.length
+      val matches = (0 until k).map(i =>
+        when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (matches / lit(k)).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Corpus token-frequency top-k (explode → count → top-k)
     "token_freq" -> ((s, dir) => {
       docs(s, dir)
@@ -1571,6 +1630,38 @@ object LlmQueries {
          |FROM tok JOIN c USING (token), tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "bigram_logprob" ->
+      s"""WITH bg AS (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents),
+         |b2 AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM bg),
+         |cb AS (SELECT g, COUNT(*) AS cb FROM b2 GROUP BY g),
+         |cw AS (SELECT w1, COUNT(*) AS cw FROM b2 GROUP BY w1)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       floor((CAST(SUM(CAST(floor((-ln(cb / cw)) * 1000000.0 + 0.5) / 1000000.0
+         |                          AS DECIMAL(18,6))) AS DOUBLE)
+         |              / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+         |FROM b2 JOIN cb USING (g) JOIN cw USING (w1)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "source_minhash_sim" -> {
+      val mhCols = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => s"MIN((h*$a + $b) % $MinhashP) AS mh$i" }
+        .mkString(",\n       ")
+      val matchSum = MinhashParams.indices
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS (SELECT source, unnest($sqlShingleHashes) AS h FROM documents),
+         |sig AS (
+         |  SELECT source,
+         |       $mhCols
+         |  FROM sh GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       ($matchSum) / ${MinhashParams.length} AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin
+    },
 
     "token_freq" ->
       s"""SELECT token, COUNT(*) AS n

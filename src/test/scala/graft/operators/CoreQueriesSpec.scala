@@ -284,6 +284,28 @@ class CoreQueriesSpec extends SparkSpec {
       "no_lineitems" -> 1L, "orphan_lineitem" -> 1L))
   }
 
+  test("table_profile: one-pass per-column nulls/distincts/extrema") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    Seq(
+      (1L, Some(10L), "O", 100.5, "1995-01-01", "1-URGENT"),
+      (2L, Some(20L), "F", 50.25, "1996-06-15", "5-LOW"),
+      (3L, None, "O", 200.0, "1994-03-20", "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val got = CoreQueries.queries("table_profile")(spark, work).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("null_cnt"), r.getAs[Long]("n_distinct"),
+          r.getString(3), r.getString(4)))).toMap
+    assert(got("o_custkey") === ((1L, 2L, "10", "20")))
+    assert(got("o_orderstatus") === ((0L, 2L, "F", "O")))
+    assert(got("o_totalprice") === ((0L, 3L, "50.25", "200.0")))
+    assert(got("o_orderdate")._3 === "1994-03-20 00:00:00")
+    assert(got.keySet.size === 6)
+  }
+
   test("key_skew_profile: distribution stats over per-key counts") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-skew").toString

@@ -381,6 +381,40 @@ class LlmQueriesSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b }, "canonical id order")
   }
 
+  test("bigram_logprob: conditional surprisal over prefix counts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bg").toString
+    Seq((1L, "p p p"), (2L, "q"), (3L, "p q"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("bigram_logprob")(spark, work).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_surprisal")))).toMap
+    // doc1: both bigrams are "p p", cb=2; prefix p occurs 3 times
+    //   ("p p"×2 + "p q") → −ln(2/3) each
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L) === ((2L, r6(-math.log(2.0 / 3.0)))))
+    // doc3: "p q" cb=1, cw[p]=3 → −ln(1/3)
+    assert(got(3L) === ((1L, r6(-math.log(1.0 / 3.0)))))
+    assert(!got.contains(2L), "single-token docs have no bigrams")
+  }
+
+  test("source_minhash_sim: identical sources agree on every permutation") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-smh").toString
+    Seq((1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma delta", "B"),
+      (3L, "omega psi chi phi upsilon tau", "C"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("source_minhash_sim")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B")) === 1.0, "identical shingle sets → all minhashes equal")
+    assert(got(("A", "C")) < 1.0, "disjoint shingle sets must not fully agree")
+  }
+
   test("vocab_growth: first-occurrence counting reproduces cumulative distinct vocab") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-vocab").toString
