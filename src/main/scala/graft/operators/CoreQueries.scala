@@ -744,6 +744,35 @@ object CoreQueries {
         .orderBy("col_name")
     }),
 
+    // Triangle counting over the supplier co-supply graph (suppliers
+    // linked when they ship the same part) — the standard distributed
+    // edge-iterator: project the bipartite (part, supplier) relation to
+    // canonical u<v edges, then count closed wedges with two self-joins
+    // ordered u<v<w so each triangle is found exactly once. The
+    // projection's per-part quadratic fan is the scale hazard: bounded
+    // here by a part slice (l_partkey % 100 = 0, the analysis sample;
+    // full-graph runs split high-degree parts first — same mitigation
+    // family as the skew-salting path). Edge list is lazily
+    // materialized once (three self-join consumers).
+    "triangle_count" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 100 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("su"))
+        .distinct()
+        .localCheckpoint(false)
+      val e = ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.su") < col("b.su"))
+        .select(col("a.su").as("u"), col("b.su").as("v")).distinct()
+        .localCheckpoint(false)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(ps.select("su").distinct().agg(count(lit(1)).as("n_vertices")))
+    }),
+
     // Key-distribution skew profiler: the diagnostic run BEFORE keying a
     // 100 TB shuffle on a candidate column — per-key row counts, then
     // one-row distribution stats (max/avg ratio, exact p50/p99 of the
@@ -1227,6 +1256,22 @@ object CoreQueries {
          |       CAST(MAX($c) AS VARCHAR) AS max_val
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "triangle_count" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS su
+        |  FROM lineitem WHERE l_partkey % 100 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.su AS u, b.su AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.su < b.su),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        |nv AS (SELECT COUNT(DISTINCT su) AS n_vertices FROM ps)
+        |SELECT n_triangles, n_edges, n_vertices FROM tri, ne, nv""".stripMargin,
 
     "key_skew_profile" ->
       """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey)

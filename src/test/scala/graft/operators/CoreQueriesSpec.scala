@@ -306,6 +306,22 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.keySet.size === 6)
   }
 
+  test("triangle_count: canonical wedge closure counts each triangle once") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    // part 100 → suppliers {1,2,3} (one triangle); part 200 → {3,4}
+    // (dangling edge); part 7 is outside the %100 slice and must be
+    // ignored even though it would close a 2-3-4 triangle
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 2L),
+      (200L, 3L), (200L, 4L), (7L, 2L), (7L, 4L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val r = CoreQueries.queries("triangle_count")(spark, work).collect().head
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Long]("n_edges") === 4L)    // 12,13,23,34
+    assert(r.getAs[Long]("n_vertices") === 4L)
+  }
+
   test("key_skew_profile: distribution stats over per-key counts") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-skew").toString
