@@ -744,6 +744,39 @@ object CoreQueries {
         .orderBy("col_name")
     }),
 
+    // Relative standing within a group: percent_rank + cume_dist of each
+    // order's price inside its month — the W-family distribution
+    // functions (both are (rank−1)/(n−1)-style integer-derived ratios,
+    // so cross-engine doubles are exact). Month-bounded window
+    // partitions; ties on price rank equal on both engines by the
+    // standard rank-with-gaps definition.
+    "percentile_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("month").orderBy("o_totalprice")
+      t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select("month", "o_orderkey", "o_totalprice", "pr", "cd")
+        .orderBy("month", "o_totalprice", "o_orderkey")
+    }),
+
+    // Z-order curve value: bit-interleave two key columns (8 bits each
+    // from a 256-cell mod grid) — the multi-dimensional layout primitive
+    // behind Delta/Iceberg OPTIMIZE ZORDER: sorting/range-partitioning
+    // by z co-locates rows close in BOTH keys, so a 2-D box predicate
+    // prunes most files (locality spec-asserted in BucketingSpec). Pure
+    // per-row integer bit arithmetic, codegen'd, identical on both
+    // engines; the query surfaces the lowest z-corner of the curve under
+    // a total order.
+    "zorder_value" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("z", graft.sources.Bucketing.zValue(
+          col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "z")
+        .orderBy("z", "l_orderkey", "l_linenumber")
+        .limit(200)
+    }),
+
     // Triangle counting over the supplier co-supply graph (suppliers
     // linked when they ship the same part) — the standard distributed
     // edge-iterator: project the bipartite (part, supplier) relation to
@@ -1256,6 +1289,23 @@ object CoreQueries {
          |       CAST(MAX($c) AS VARCHAR) AS max_val
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "percentile_rank" ->
+      """SELECT month, o_orderkey, o_totalprice, pr, cd FROM (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey, o_totalprice,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+        |               ORDER BY o_totalprice))
+        |ORDER BY month, o_totalprice, o_orderkey""".stripMargin,
+
+    "zorder_value" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       ${graft.sources.Bucketing.sqlZValue("l_partkey % 256", "l_suppkey % 256", 8)} AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber
+         |LIMIT 200""".stripMargin,
 
     "triangle_count" ->
       """WITH ps AS (

@@ -44,4 +44,45 @@ object Bucketing {
     */
   def ensureDatabase(spark: SparkSession, name: String, location: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $name LOCATION '$location'")
+
+  /** Z-order (Morton) curve value: interleave the low `bits` bits of two
+    * non-negative integer columns — x's bit i lands at even position 2i,
+    * y's at odd 2i+1. Rows close in BOTH dimensions get close z values,
+    * so sorting / range-partitioning the write by z gives a layout where
+    * a 2-D box predicate touches few files (see [[zorderLayout]] and the
+    * locality assertion in BucketingSpec) — the OPTIMIZE ZORDER
+    * primitive. Pure codegen'd integer bit arithmetic.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The same interleave as SQL text (both engines share the formula). */
+  def sqlZValue(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x) >> $i) & 1) * ${1L << (2 * i)} + ((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Write `df` range-partitioned into `nFiles` files sorted by the
+    * z-value of (xCol mod 2^bits, yCol mod 2^bits): each output file
+    * covers one contiguous z range, i.e. a compact 2-D tile of the key
+    * grid, which is what lets a box predicate skip most files.
+    */
+  def zorderLayout(df: DataFrame, path: String, xCol: String, yCol: String,
+                   bits: Int, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val mask = (1L << bits) - 1
+    df.withColumn("__z", zValue(col(xCol).bitwiseAND(lit(mask)),
+        col(yCol).bitwiseAND(lit(mask)), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }
