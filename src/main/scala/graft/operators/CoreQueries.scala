@@ -744,6 +744,38 @@ object CoreQueries {
         .orderBy("col_name")
     }),
 
+    // Pareto frontier (skyline): orders not strictly dominated on
+    // (earlier-or-equal date, higher-or-equal price) — i.e. the
+    // record-setting price at each point in time. Two-phase divide &
+    // conquer: a month-partitioned pass computes each month's local
+    // frontier in parallel (pareto(∪ local paretos) = pareto(all)), then
+    // the same rule runs globally over the tiny candidate set — the
+    // global window never sees the fact table, only frontier candidates.
+    // Within a pass: the default RANGE window frame makes same-date rows
+    // peers of the running max (so a same-date higher price dominates),
+    // and the per-price min-date keeps exact (date, price) duplicates —
+    // neither strictly dominates the other. The oracle is the
+    // INDEPENDENT dominance definition (NOT EXISTS), not a mirror of
+    // this algorithm.
+    "pareto_frontier" -> ((s, dir) => {
+      def paretoStage(df: DataFrame, partCols: Seq[String]): DataFrame = {
+        val w1 = if (partCols.isEmpty) Window.orderBy("o_orderdate")
+        else Window.partitionBy(partCols.map(col): _*).orderBy("o_orderdate")
+        val pricePart = partCols :+ "o_totalprice"
+        val w2 = Window.partitionBy(pricePart.map(col): _*)
+        df.withColumn("maxp", max("o_totalprice").over(w1))
+          .filter(col("o_totalprice") === col("maxp"))
+          .withColumn("mind", min("o_orderdate").over(w2))
+          .filter(col("o_orderdate") === col("mind"))
+          .drop("maxp", "mind")
+      }
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+      paretoStage(paretoStage(o, Seq("m")).drop("m"), Nil)
+        .orderBy("o_orderdate", "o_orderkey")
+    }),
+
     // Relative standing within a group: percent_rank + cume_dist of each
     // order's price inside its month — the W-family distribution
     // functions (both are (rank−1)/(n−1)-style integer-derived ratios,
@@ -1289,6 +1321,17 @@ object CoreQueries {
          |       CAST(MAX($c) AS VARCHAR) AS max_val
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "pareto_frontier" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o2
+        |  WHERE o2.o_totalprice >= o.o_totalprice
+        |    AND o2.o_orderdate <= o.o_orderdate
+        |    AND (o2.o_totalprice > o.o_totalprice
+        |         OR o2.o_orderdate < o.o_orderdate))
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
 
     "percentile_rank" ->
       """SELECT month, o_orderkey, o_totalprice, pr, cd FROM (

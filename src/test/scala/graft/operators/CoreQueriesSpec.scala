@@ -306,6 +306,26 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.keySet.size === 6)
   }
 
+  test("pareto_frontier: strict-dominance survivors, ties and duplicates kept right") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pareto").toString
+    Seq(
+      (1L, "1994-01-10", 90.0),   // record at its time → survives
+      (2L, "1994-02-10", 100.0),  // new record → survives
+      (3L, "1994-02-10", 50.0),   // same date, lower price → dominated by 2
+      (4L, "1994-03-10", 100.0),  // same price as 2, later date → dominated
+      (5L, "1994-04-10", 100.0),  // ditto, different month → cross-month dominated
+      (6L, "1994-05-10", 120.0),  // new record → survives
+      (7L, "1994-05-10", 120.0),  // exact (date, price) duplicate → both survive
+      (8L, "1994-06-10", 110.0))  // below the running record → dominated by 6/7
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .selectExpr("o_orderkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val got = CoreQueries.queries("pareto_frontier")(spark, work).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(got === Seq(1L, 2L, 6L, 7L))
+  }
+
   test("triangle_count: canonical wedge closure counts each triangle once") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-tri").toString
