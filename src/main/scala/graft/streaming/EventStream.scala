@@ -34,6 +34,14 @@ object EventStream {
     */
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  case class EwmaPoint(user_id: Long, event_id: Long, ts: Timestamp,
+                       value: Double, ewma: Double)
+
+  /** EWMA accumulator: last event time (for the idle timeout) + current
+    * smoothed value.
+    */
+  case class EwmaState(lastTs: Long, ewma: Double)
+
   /** Tumbling event-time window counts/sums per event_type, watermarked.
     * Append-mode capable: results finalize when the watermark passes the
     * window end.
@@ -107,6 +115,55 @@ object EventStream {
               state.setTimeoutTimestamp(s.end + gapMs)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming recursive EWMA per user: eₙ = α·vₙ + (1−α)·eₙ₋₁ — the
+    * TRUE unbounded recursion the batch `ewma_value` query cannot
+    * express declaratively (it truncates to a depth-8 window; the
+    * recursion needs sequential per-key state, which is exactly what
+    * the streaming state store provides). One smoothed point is emitted
+    * per input event (Append mode); events inside a micro-batch fold in
+    * (ts, event_id) order, so replays are deterministic.
+    *
+    * State lifecycle: O(1) per active user; a user idle past
+    * `idleResetMs` beyond the watermark has their state EVICTED via
+    * event-time timeout, and their next event restarts the smoothing
+    * from its own value — the documented reset-on-idle contract that
+    * keeps state bounded by the active-user rate instead of the
+    * stream's lifetime (same eviction discipline as dedupStream).
+    */
+  def ewmaStream(events: Dataset[Event], alpha: Double = 0.5,
+                 idleResetMs: Long = 3600000L): Dataset[EwmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[EwmaPoint]
+            sorted.foreach { e =>
+              val next = cur match {
+                case Some(s) => alpha * e.value + (1 - alpha) * s.ewma
+                case None => e.value
+              }
+              cur = Some(EwmaState(e.ts.getTime, next))
+              out += EwmaPoint(userId, e.event_id, e.ts, e.value, next)
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + idleResetMs)
+            }
+            out.result().iterator
           }
       }
   }

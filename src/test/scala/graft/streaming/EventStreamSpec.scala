@@ -86,6 +86,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: recursive smoothing across batches, reset after idle eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = ewmaStream(mem.toDS()).writeStream
+      .format("memory").queryName("ewma_stream").outputMode(OutputMode.Append).start()
+    try {
+      // one batch: 10 → 10; 20 → 15; 40 → 27.5 (α = ½, exact dyadics)
+      mem.addData(
+        Event(1, ts(0), 1, "view", 10.0),
+        Event(2, ts(1), 1, "view", 20.0),
+        Event(3, ts(2), 1, "view", 40.0))
+      q.processAllAvailable()
+      // next batch continues from stored state: ½·12.5 + ½·27.5 = 20
+      mem.addData(Event(4, ts(3), 1, "view", 12.5))
+      q.processAllAvailable()
+      val got = spark.table("ewma_stream").as[EwmaPoint].collect()
+        .map(p => p.event_id -> p.ewma).toMap
+      assert(got === Map(1L -> 10.0, 2L -> 15.0, 3L -> 27.5, 4L -> 20.0))
+
+      // push the watermark far past user 1's idle timeout (two batches:
+      // one to advance the watermark, one to evaluate the timeout)...
+      mem.addData(Event(5, Timestamp.valueOf("2025-06-01 14:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(6, Timestamp.valueOf("2025-06-01 14:01:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      // ...then user 1 returns: state was evicted → smoothing restarts
+      mem.addData(Event(7, Timestamp.valueOf("2025-06-01 14:02:00"), 1, "view", 99.0))
+      q.processAllAvailable()
+      val all = spark.table("ewma_stream").as[EwmaPoint].collect()
+        .map(p => p.event_id -> p.ewma).toMap
+      assert(all(7L) === 99.0, "evicted state must reset the recursion")
+      assert(all(6L) === 2.0, "user 2 smooths normally: ½·3 + ½·1")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicates within the watermark and evicts state past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
