@@ -744,6 +744,32 @@ object CoreQueries {
         .orderBy("col_name")
     }),
 
+    // Incremental aggregate maintenance: merge a materialized base
+    // partial with the delta batch's partial instead of rescanning
+    // history — the algebraic-aggregate contract (sum of sums, sum of
+    // counts) that makes daily 100 TB rollups O(delta) instead of
+    // O(history). The base side here recomputes from the period filter
+    // only because the testbed has no materialized store; at scale it is
+    // a read of yesterday's partials. The ORACLE is the direct
+    // recompute over the full table — a green row proves merge ≡ direct
+    // cross-engine (decimal partials make the merge order-exact).
+    "incremental_agg_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      def partial(df: DataFrame) = df.groupBy("month")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sp"))
+      // mid-month cut: month 1996-06 gets a partial on BOTH sides, so
+      // the merge path (two partials → one group) is genuinely exercised
+      val cut = lit("1996-06-15").cast("timestamp")
+      val base = partial(o.filter(col("o_orderdate") < cut))
+      val delta = partial(o.filter(col("o_orderdate") >= cut))
+      base.unionByName(delta)
+        .groupBy("month")
+        .agg(sum("n").as("n_orders"), sum("sp").cast("double").as("revenue"))
+        .orderBy("month")
+    }),
+
     // Pareto frontier (skyline): orders not strictly dominated on
     // (earlier-or-equal date, higher-or-equal price) — i.e. the
     // record-setting price at each point in time. Two-phase divide &
@@ -1321,6 +1347,14 @@ object CoreQueries {
          |       CAST(MAX($c) AS VARCHAR) AS max_val
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "incremental_agg_merge" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
 
     "pareto_frontier" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice

@@ -306,6 +306,21 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.keySet.size === 6)
   }
 
+  test("incremental_agg_merge: merged partials equal the direct recompute") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    // 1996-06 straddles the 1996-06-15 cut → two partials must merge
+    Seq((1L, "1996-06-10", 10.5), (2L, "1996-06-20", 20.25),
+      (3L, "1996-07-01", 5.0))
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .selectExpr("o_orderkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val got = CoreQueries.queries("incremental_agg_merge")(spark, work).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("revenue")))).toMap
+    assert(got === Map("1996-06" -> ((2L, 30.75)), "1996-07" -> ((1L, 5.0))))
+  }
+
   test("pareto_frontier: strict-dominance survivors, ties and duplicates kept right") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-pareto").toString
