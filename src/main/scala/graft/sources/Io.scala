@@ -123,4 +123,47 @@ object Io {
     */
   def pickCol(df: DataFrame, candidates: Seq[String]): Option[String] =
     candidates.find(df.columns.contains)
+
+  /** Small-file compaction: rewrite a parquet directory into `nFiles`
+    * files, optionally sorted so each output file covers a contiguous
+    * key range (range partition + within-file sort — the layout that
+    * keeps min/max row-group pruning effective after compaction). The
+    * operational fix for streaming/incremental sinks that accrete
+    * thousands of KB-sized files until listing + task scheduling, not
+    * data volume, dominates a 100 TB scan. Temp-and-swap: the source
+    * directory is only replaced after the compacted write succeeds
+    * (same crash-safety contract as the month-partition replacement in
+    * fin/Pipeline).
+    */
+  def compactParquet(spark: SparkSession, path: String, nFiles: Int,
+                     sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(src.getParent, s".compact_${src.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    arranged.write.parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(src.getParent, s".old_${src.getName}")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(src, bak)) sys.error(s"compactParquet: cannot move $src aside")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(bak, src) // roll back
+      sys.error(s"compactParquet: cannot move compacted data into $src")
+    }
+    fs.delete(bak, true)
+  }
+
+  /** Schema-evolution read: union the schemas of all parquet files in
+    * `path` (columns added by later writers surface as nulls on older
+    * files). Spark's default read pins the schema of one random file —
+    * silently DROPPING late-added columns — so evolving directories must
+    * opt in here; contract spec'd in IoSpec.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
