@@ -42,6 +42,43 @@ object CoreQueries {
   private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** PageRank power-iteration count — the single source of truth both the
+    * Spark loop and the oracle's unrolled CTE chain are generated from.
+    * Fixed (not convergence-tested) so "approximate" has ONE exact
+    * answer every engine reproduces.
+    */
+  private val PageRankIters = 3
+
+  /** Oracle for `pagerank`: the same power iteration unrolled as a CTE
+    * chain (DuckDB recursive CTEs reject aggregates in the recursive
+    * term, and a fixed iteration count needs no recursion). Double
+    * literals are written in e-notation (`1e0`, `85e-2`) so DuckDB
+    * parses them as DOUBLE, not DECIMAL — decimal division there would
+    * diverge from Spark's double arithmetic.
+    */
+  private def sqlPagerank: String = {
+    val base =
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS src, b2.pk AS dst, COUNT(*) AS wt
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk <> b2.pk
+        |      GROUP BY 1, 2),
+        |deg AS (SELECT src, SUM(wt) AS wsum FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, CAST(e.wt AS DOUBLE) / deg.wsum AS p
+        |       FROM e JOIN deg USING (src)),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        |r0 AS (SELECT src AS id, 1e0 / n_nodes AS r FROM deg CROSS JOIN n)""".stripMargin
+    val iters = (1 to PageRankIters).map { k =>
+      s"""r$k AS (SELECT ed.dst AS id,
+         |  15e-2 / n_nodes + 85e-2 * CAST(SUM(CAST(r${k - 1}.r * ed.p AS DECIMAL(28,18))) AS DOUBLE) AS r
+         |  FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.id CROSS JOIN n
+         |  GROUP BY ed.dst, n_nodes)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT id AS p_partkey, round(r, 8) AS pagerank
+       |FROM r$PageRankIters ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // P2 — half-open month-window filter (reference: pipeline.py:23-27)
@@ -920,10 +957,55 @@ object CoreQueries {
             coalesce(col("a.spend"), lit(0).cast(DecimalType(18, 2))))
             .cast("double").as("spend_delta"))
         .orderBy("status")
+    }),
+
+    // L93 — PageRank over the part co-purchase graph (parts ordered
+    // together link to each other; edge weight = number of shared
+    // orders). Fixed-iteration power method, damping 0.85: the graph is
+    // symmetric by construction so no dangling-mass term, and the
+    // per-order pair fan-out is bounded by basket size (≤ lines/order
+    // choose 2) — never a cross-order product. Each iteration is one
+    // edge⨝rank shuffle + a partial-agg'd sum per node; the edge list
+    // with precomputed transition probabilities is lazily checkpointed
+    // once and reused by all iterations (and the rank totals stay a
+    // distributed aggregate — nothing rank-sized touches the driver).
+    // Per-node contribution sums route through DECIMAL(28,18) so the
+    // order-sensitive double additions match the oracle bit-for-bit.
+    "pagerank" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("wt"))
+      val deg = e.groupBy("src").agg(sum("wt").as("wsum"))
+        .localCheckpoint(false)
+      val ed = e.join(deg, "src")
+        .select(col("src"), col("dst"),
+          (col("wt").cast("double") / col("wsum")).as("p"))
+        .localCheckpoint(false)
+      val n = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+      var r = deg.select(col("src").as("id")).crossJoin(n)
+        .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
+      for (_ <- 1 to PageRankIters) {
+        r = ed.join(r.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"),
+            (col("r") * col("p")).cast(DecimalType(28, 18)).as("c"))
+          .groupBy("id").agg(sum("c").cast("double").as("in_rank"))
+          .crossJoin(n)
+          .select(col("id"),
+            (lit(0.15) / col("n_nodes") + lit(0.85) * col("in_rank")).as("r"))
+      }
+      r.select(col("id").as("p_partkey"), bround(col("r"), 8).as("pagerank"))
+        .orderBy("p_partkey")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "pagerank" -> sqlPagerank,
     "month_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders

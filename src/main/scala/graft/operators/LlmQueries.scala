@@ -997,6 +997,55 @@ object LlmQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 10, nClusters = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // L94 — per-source unigram distribution entropy (nats) + the
+    // ln(vocab)-normalized form: the corpus-diversity diagnostic run
+    // before mixing sources into a training set (low entropy = templated
+    // / boilerplate-heavy source). Two partial-agg-friendly shuffles
+    // (source×token counts, then per-source rollup); the -p·ln(p) terms
+    // are per-row doubles summed through DECIMAL(28,18) so the
+    // order-sensitive additions match the oracle exactly. Output is
+    // source-cardinality-sized.
+    "source_entropy" -> ((s, dir) => {
+      val cnts = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val tot = cnts.groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"))
+      val p = col("c").cast("double") / col("n_tokens")
+      cnts.join(tot, "source")
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          (-(p * log(p))).cast("decimal(28,18)").as("term"))
+        .groupBy("source", "n_tokens", "vocab")
+        .agg(sum("term").cast("double").as("h"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          bround(col("h"), 6).as("entropy"),
+          bround(col("h") / log(col("vocab").cast("double")), 6)
+            .as("norm_entropy"))
+        .orderBy("source")
+    }),
+
+    // L95 — deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis via exponential keys): each doc draws a
+    // pseudo-uniform u from the shared sampling hash and competes with
+    // key −ln(u)/w, w = n_chars; the k smallest keys are a length-
+    // weighted sample — the exact shape of token-budget corpus
+    // subsampling, reproducible across engines and runs because u is
+    // hash-derived, not RNG state. Per-row map-side keys + one
+    // TakeOrdered(k): no full sort, no shuffle beyond top-k merge.
+    "weighted_sample" -> ((s, dir) => {
+      val u = (sampleHash(col("doc_id"), 1000000L) + lit(1L)).cast("double") /
+        lit(1000001.0)
+      docs(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          (-log(u) / col("n_chars")).as("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(100)
+        .select(col("doc_id"), col("n_chars"),
+          bround(col("sample_key"), 12).as("sample_key"))
+        .orderBy("sample_key", "doc_id")
     })
   )
 
@@ -1749,6 +1798,34 @@ object LlmQueries {
 
     "ann_lsh_topk" -> lshAnnOracle(nPlanes = 4, dim = 64, k = 10),
 
-    "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2)
+    "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "source_entropy" ->
+      s"""WITH c AS (
+         |  SELECT source, token, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY source, token),
+         |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |             COUNT(*) AS vocab
+         |      FROM c GROUP BY source),
+         |j AS (SELECT c.source, t.n_tokens, t.vocab,
+         |             CAST(c.c AS DOUBLE) / t.n_tokens AS p
+         |      FROM c JOIN t USING (source))
+         |SELECT source, n_tokens, vocab,
+         |       round(CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy,
+         |       round(CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,18))) AS DOUBLE)
+         |             / ln(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
+         |FROM j
+         |GROUP BY source, n_tokens, vocab
+         |ORDER BY source""".stripMargin,
+
+    "weighted_sample" ->
+      s"""SELECT doc_id, n_chars, round(sample_key, 12) AS sample_key
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |         -ln((${sqlSampleHash("doc_id", 1000000L)} + 1) / 1000001e0) / n_chars AS sample_key
+         |  FROM documents WHERE n_chars > 0
+         |  ORDER BY sample_key, doc_id LIMIT 100)
+         |ORDER BY sample_key, doc_id""".stripMargin
   )
 }

@@ -396,4 +396,27 @@ class CoreQueriesSpec extends SparkSpec {
       "added" -> ((1L, 80.0)), "removed" -> ((1L, -100.0)),
       "changed" -> ((1L, 50.0)), "unchanged" -> ((1L, 0.0))))
   }
+
+  test("pagerank: uniform on a regular ring, mass conserved on real data") {
+    import spark.implicits._
+    // 4-cycle co-purchase graph: baskets {1,2},{2,3},{3,4},{4,1} — every
+    // node has degree 2 and uniform transitions, so the uniform vector
+    // 1/4 is the exact fixpoint at ANY damping and every iterate stays
+    // there (0.15/4 + 0.85·0.25 = 0.25)
+    val work = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 4L), (40L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val ring = CoreQueries.queries("pagerank")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ring === Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25))
+
+    // real data: ranks positive, total mass 1 (symmetric graph — no
+    // dangling leak) up to the per-node bround(8) output rounding
+    val rr = CoreQueries.queries("pagerank")(spark, dir).collect()
+      .map(_.getDouble(1))
+    assert(rr.forall(_ > 0))
+    assert(math.abs(rr.sum - 1.0) < rr.length * 5e-9 + 1e-9)
+  }
 }

@@ -472,4 +472,45 @@ class LlmQueriesSpec extends SparkSpec {
     assert(got(0) === ((2L, avg, lo)))
     assert(got(1) === ((2L, avg, lo)))
   }
+
+  test("source_entropy: uniform source hits ln(vocab), skew lowers it") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq(
+      (1L, "a b c d", "en", "uni", 7L),
+      (2L, "z z z y", "en", "skew", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("source_entropy")(spark, work).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy")))).toMap
+    // uniform over 4 tokens: H = ln 4, normalized exactly 1
+    assert(got("uni")._1 === 4L && got("uni")._2 === 4L)
+    assert(math.abs(got("uni")._3 - 1.386294) < 1e-6)
+    assert(math.abs(got("uni")._4 - 1.0) < 1e-6)
+    // 3:1 skew over 2 tokens: H = −(0.75·ln0.75 + 0.25·ln0.25) < ln 2
+    assert(math.abs(got("skew")._3 - 0.562335) < 1e-6)
+    assert(math.abs(got("skew")._4 - 0.811278) < 1e-6)
+  }
+
+  test("weighted_sample matches the local Efraimidis–Spirakis ranking") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ws").toString
+    val docs = (0L until 300L).map(id => (id, (id % 50 + 1).toString * 1,
+      "en", "s", id % 50 + 1)) :+ ((999L, "", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("weighted_sample")(spark, work).collect()
+      .map(_.getLong(0))
+    // same arithmetic locally: u from the shared sampling hash,
+    // key = −ln(u)/w, keep the 100 smallest (w=0 row filtered out)
+    val expected = (0L until 300L).map { id =>
+      val u = ((id % 100000007L) * 2654435761L % 1000000L + 1L).toDouble / 1000001.0
+      val w = id % 50 + 1
+      (-math.log(u) / w, id)
+    }.sorted.take(100).map(_._2)
+    assert(got.toSeq === expected)
+    assert(!got.contains(999L))
+  }
 }
