@@ -1046,6 +1046,51 @@ object LlmQueries {
         .select(col("doc_id"), col("n_chars"),
           bround(col("sample_key"), 12).as("sample_key"))
         .orderBy("sample_key", "doc_id")
+    }),
+
+    // L96 — graded contamination scoring: the scored sibling of the
+    // binary `decontaminate` gate — per corpus doc, the fraction of its
+    // distinct 8-grams that appear anywhere in the benchmark set, so
+    // curation can THRESHOLD (drop > 80 % overlap, flag > 10 %) instead
+    // of dropping on any single shared gram. One gram explode + equi-
+    // join keyed on the gram (benchmark side stays distinct-small), one
+    // per-doc count rollup; docs too short to form an 8-gram have no
+    // score row (no gram set to measure).
+    "contamination_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bGrams = d.filter(col("doc_id") < 5)
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram")).distinct()
+        .withColumn("hit", lit(1L))
+      d.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .join(bGrams, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+        .withColumn("score",
+          bround(col("n_hits").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // L97 — per-source weighted sampling: the stratified form of
+    // `weighted_sample` — an independent Efraimidis–Spirakis draw of 20
+    // docs per source, length-weighted, which is exactly the per-source
+    // token-budget allocation step of corpus mixing. The rank ≤ 20
+    // filter sits directly on the per-source window so WindowGroupLimit
+    // keeps a running top-20 per partition below any full sort.
+    "stratified_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = (sampleHash(col("doc_id"), 1000000L) + lit(1L)).cast("double") /
+        lit(1000001.0)
+      val w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+      docs(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          (-log(u) / col("n_chars")).as("sample_key"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),
+          bround(col("sample_key"), 12).as("sample_key"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -1826,6 +1871,31 @@ object LlmQueries {
          |         -ln((${sqlSampleHash("doc_id", 1000000L)} + 1) / 1000001e0) / n_chars AS sample_key
          |  FROM documents WHERE n_chars > 0
          |  ORDER BY sample_key, doc_id LIMIT 100)
-         |ORDER BY sample_key, doc_id""".stripMargin
+         |ORDER BY sample_key, doc_id""".stripMargin,
+
+    "contamination_score" -> {
+      val grams8 = s"list_distinct(${TextOps.sqlGrams(8)})"
+      s"""WITH bg AS (
+         |  SELECT DISTINCT unnest($grams8) AS gram FROM documents WHERE doc_id < 5),
+         |cg AS (
+         |  SELECT doc_id, unnest($grams8) AS gram FROM documents WHERE doc_id >= 5)
+         |SELECT cg.doc_id, COUNT(*) AS n_grams, COUNT(bg.gram) AS n_hits,
+         |       round(CAST(COUNT(bg.gram) AS DOUBLE) / COUNT(*), 6) AS score
+         |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+         |GROUP BY cg.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "stratified_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id, n_chars,
+         |         -ln((${sqlSampleHash("doc_id", 1000000L)} + 1) / 1000001e0) / n_chars AS sample_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT source, doc_id, n_chars, rk, round(sample_key, 12) AS sample_key
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |                                   ORDER BY sample_key, doc_id) AS rk
+         |      FROM k)
+         |WHERE rk <= 20
+         |ORDER BY source, rk""".stripMargin
   )
 }
