@@ -68,6 +68,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
+    // The full line above grew past the driver's tail-capture window at
+    // 124+ queries (BENCH_r05 recorded parsed:null — the head of the line,
+    // with "metric":"total", was cut off). Print a compact summary line
+    // LAST so a bounded tail always retains a parseable headline record.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val slowest = top.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"queries_omitted":${results.size - top.size},"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

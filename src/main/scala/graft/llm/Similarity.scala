@@ -219,6 +219,20 @@ object Similarity {
     import graft.functions.VectorExpressions.vectorDot
     val spark = corpus.sparkSession
     import spark.implicits._
+    // fail FAST on a non-integral id column: the cast-to-long below would
+    // turn e.g. a string id into null, making `l_id < r_id` unknown and
+    // silently dropping every pair (empty result) — the same loud-failure
+    // discipline lshBuckets applies to dim mismatches, at plan time
+    corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"lshNearDupPairs: id column '$idCol' must be an integral type " +
+          s"(byte/short/int/long), got $other — a lossy cast would drop " +
+          "pairs silently")
+    }
     // one bucketing pass; the typed identity-map barrier keeps the
     // float→double cast, norm, and bucket per-VECTOR (CollapseProject
     // would otherwise inline them into the join output, per PAIR)

@@ -49,6 +49,14 @@ object CoreQueries {
     */
   private val PageRankIters = 3
 
+  /** Cut the rank iteration's lineage every N rounds. Each PageRank
+    * round rebinds `r` through a join+agg, so without a periodic cut the
+    * logical plan deepens linearly and Catalyst re-optimization cost
+    * grows per round — harmless at 3 iterations, pathological at 30+.
+    * Lazy (eager=false) so the cut costs nothing until the plan executes.
+    */
+  private val PageRankCheckpointStride = 5
+
   /** Oracle for `pagerank`: the same power iteration unrolled as a CTE
     * chain (DuckDB recursive CTEs reject aggregates in the recursive
     * term, and a fixed iteration count needs no recursion). Double
@@ -75,7 +83,7 @@ object CoreQueries {
     }.mkString(",\n")
     s"""$base,
        |$iters
-       |SELECT id AS p_partkey, round(r, 8) AS pagerank
+       |SELECT id AS p_partkey, floor(r * 1e8 + 5e-1) / 1e8 AS pagerank
        |FROM r$PageRankIters ORDER BY p_partkey""".stripMargin
   }
 
@@ -989,7 +997,7 @@ object CoreQueries {
       val n = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
       var r = deg.select(col("src").as("id")).crossJoin(n)
         .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
-      for (_ <- 1 to PageRankIters) {
+      for (i <- 1 to PageRankIters) {
         r = ed.join(r.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"),
             (col("r") * col("p")).cast(DecimalType(28, 18)).as("c"))
@@ -997,8 +1005,17 @@ object CoreQueries {
           .crossJoin(n)
           .select(col("id"),
             (lit(0.15) / col("n_nodes") + lit(0.85) * col("in_rank")).as("r"))
+        // periodic lineage cut so the plan stays O(stride) deep no matter
+        // how high PageRankIters is raised
+        if (i % PageRankCheckpointStride == 0 && i < PageRankIters)
+          r = r.localCheckpoint(false)
       }
-      r.select(col("id").as("p_partkey"), bround(col("r"), 8).as("pagerank"))
+      // floor(x*1e8+0.5)/1e8 (values non-negative) instead of bround:
+      // Spark bround is half-even, DuckDB round is half-away — a tie at
+      // the 8th decimal would hash-mismatch. Same bit-deterministic form
+      // bigram_logprob uses.
+      r.select(col("id").as("p_partkey"),
+          (floor(col("r") * lit(1e8) + lit(0.5)) / lit(1e8)).as("pagerank"))
         .orderBy("p_partkey")
     })
   )

@@ -58,6 +58,17 @@ object LlmQueries {
   private def sqlSampleHash(idExpr: String, buckets: Long): String =
     s"(($idExpr % $SampleHashPreMod) * $SampleHashMult) % $buckets"
 
+  /** Half-up rounding via floor(x·10^d + 0.5)/10^d — the bit-deterministic
+    * cross-engine form (Spark bround is half-even on the exact double
+    * value; DuckDB round is half-away after an x·10^d double product; the
+    * two genuinely diverge on near-tie values — hit at sf0.01 for
+    * bigram_logprob). floor is IEEE-exact on both engines for any sign,
+    * so this is safe for negative inputs too (ties go toward +∞).
+    */
+  private def roundHU(c: org.apache.spark.sql.Column,
+                      pow: Double): org.apache.spark.sql.Column =
+    floor(c * lit(pow) + lit(0.5)) / lit(pow)
+
   /** Per-source sampling rates (per-mille) for the mixture query — the
     * single source of truth both the Spark when-chain and the oracle's
     * CASE expression are generated from.
@@ -379,7 +390,7 @@ object LlmQueries {
           min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
         .withColumn("sil",
           when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
-            .otherwise(bround((col("b") - col("a")) / greatest(col("a"), col("b")), 9)))
+            .otherwise(roundHU((col("b") - col("a")) / greatest(col("a"), col("b")), 1e9)))
       ab.groupBy("label")
         .agg(count(lit(1)).as("n"),
           (sum(col("sil").cast("decimal(18,9)")).cast("double") / count(lit(1)))
@@ -392,7 +403,10 @@ object LlmQueries {
     // pass before shipping embeddings at corpus scale. Per-row transform
     // (scale = 127/max|x|, round-half-up via integer floor — no
     // banker's-rounding divergence across engines); zero vectors yield a
-    // null scale rather than a divide-by-zero.
+    // null scale rather than a divide-by-zero. The quantized vector is
+    // emitted as a comma-joined string (not array<int>) so the oracle
+    // harness can sort/hash the column — the array form stays available
+    // in-library via the same transform.
     "embedding_quantize" -> ((s, dir) => {
       embs(s, dir)
         .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("e"))
@@ -401,7 +415,10 @@ object LlmQueries {
           when(col("mx") === 0, lit(null).cast("double"))
             .otherwise(lit(127.0) / col("mx")))
         .select(col("vec_id"), col("scale"),
-          transform(col("e"), x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
+          array_join(
+            transform(col("e"),
+              x => floor(x * col("scale") + lit(0.5)).cast("int").cast("string")),
+            ",").as("q"))
         .orderBy("vec_id")
     }),
 
@@ -915,7 +932,10 @@ object LlmQueries {
       st.filter(col("tf") >= 5)
         .join(srcTot, "source").join(corp, "token").crossJoin(corpTot)
         .withColumn("lift",
-          bround((col("tf") / col("src_n")) / (col("ctf") / col("all_n")), 6))
+          // roundHU, not bround: the rounded lift feeds the rank ordering,
+          // so a single half-even/half-away tie flip would change which
+          // tokens are emitted, not just a digit
+          roundHU((col("tf") / col("src_n")) / (col("ctf") / col("all_n")), 1e6))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("source", "rank", "token", "tf", "lift")
@@ -1020,8 +1040,8 @@ object LlmQueries {
         .groupBy("source", "n_tokens", "vocab")
         .agg(sum("term").cast("double").as("h"))
         .select(col("source"), col("n_tokens"), col("vocab"),
-          bround(col("h"), 6).as("entropy"),
-          bround(col("h") / log(col("vocab").cast("double")), 6)
+          roundHU(col("h"), 1e6).as("entropy"),
+          roundHU(col("h") / log(col("vocab").cast("double")), 1e6)
             .as("norm_entropy"))
         .orderBy("source")
     }),
@@ -1044,7 +1064,7 @@ object LlmQueries {
         .orderBy("sample_key", "doc_id")
         .limit(100)
         .select(col("doc_id"), col("n_chars"),
-          bround(col("sample_key"), 12).as("sample_key"))
+          roundHU(col("sample_key"), 1e12).as("sample_key"))
         .orderBy("sample_key", "doc_id")
     }),
 
@@ -1089,7 +1109,7 @@ object LlmQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 20)
         .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),
-          bround(col("sample_key"), 12).as("sample_key"))
+          roundHU(col("sample_key"), 1e12).as("sample_key"))
         .orderBy("source", "rk")
     })
   )
@@ -1397,7 +1417,7 @@ object LlmQueries {
         |sil AS (
         |  SELECT label,
         |         CASE WHEN greatest(a, b) = 0.0 THEN 0.0
-        |              ELSE round((b - a) / greatest(a, b), 9) END AS sil
+        |              ELSE floor((b - a) / greatest(a, b) * 1e9 + 0.5) / 1e9 END AS sil
         |  FROM ab)
         |SELECT label, COUNT(*) AS n,
         |       CAST(SUM(CAST(sil AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_sil,
@@ -1412,7 +1432,7 @@ object LlmQueries {
         |              CASE WHEN mx = 0 THEN NULL ELSE 127.0 / mx END AS scale
         |       FROM m)
         |SELECT vec_id, scale,
-        |       list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q
+        |       array_to_string(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT)), ',') AS q
         |FROM sc
         |ORDER BY vec_id""".stripMargin,
 
@@ -1790,7 +1810,7 @@ object LlmQueries {
          |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS all_n FROM st),
          |scored AS (
          |  SELECT st.source, st.token, st.tf,
-         |         round((st.tf / srct.src_n) / (corp.ctf / tot.all_n), 6) AS lift
+         |         floor((st.tf / srct.src_n) / (corp.ctf / tot.all_n) * 1e6 + 0.5) / 1e6 AS lift
          |  FROM st JOIN srct USING (source) JOIN corp USING (token), tot
          |  WHERE st.tf >= 5)
          |SELECT source, rank, token, tf, lift FROM (
@@ -1857,15 +1877,15 @@ object LlmQueries {
          |             CAST(c.c AS DOUBLE) / t.n_tokens AS p
          |      FROM c JOIN t USING (source))
          |SELECT source, n_tokens, vocab,
-         |       round(CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy,
-         |       round(CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,18))) AS DOUBLE)
-         |             / ln(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
+         |       floor(CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,18))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS entropy,
+         |       floor(CAST(SUM(CAST(-(p * ln(p)) AS DECIMAL(28,18))) AS DOUBLE)
+         |             / ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS norm_entropy
          |FROM j
          |GROUP BY source, n_tokens, vocab
          |ORDER BY source""".stripMargin,
 
     "weighted_sample" ->
-      s"""SELECT doc_id, n_chars, round(sample_key, 12) AS sample_key
+      s"""SELECT doc_id, n_chars, floor(sample_key * 1e12 + 0.5) / 1e12 AS sample_key
          |FROM (
          |  SELECT doc_id, n_chars,
          |         -ln((${sqlSampleHash("doc_id", 1000000L)} + 1) / 1000001e0) / n_chars AS sample_key
@@ -1891,7 +1911,7 @@ object LlmQueries {
          |  SELECT source, doc_id, n_chars,
          |         -ln((${sqlSampleHash("doc_id", 1000000L)} + 1) / 1000001e0) / n_chars AS sample_key
          |  FROM documents WHERE n_chars > 0)
-         |SELECT source, doc_id, n_chars, rk, round(sample_key, 12) AS sample_key
+         |SELECT source, doc_id, n_chars, rk, floor(sample_key * 1e12 + 0.5) / 1e12 AS sample_key
          |FROM (SELECT *, row_number() OVER (PARTITION BY source
          |                                   ORDER BY sample_key, doc_id) AS rk
          |      FROM k)

@@ -134,6 +134,15 @@ object Io {
     * directory is only replaced after the compacted write succeeds
     * (same crash-safety contract as the month-partition replacement in
     * fin/Pipeline).
+    *
+    * Concurrency contract — SINGLE WRITER, NO CONCURRENT READERS of the
+    * same `path`: the rename(src→bak); rename(tmp→src) pair is not
+    * atomic, so a reader racing the swap can observe an absent dataset,
+    * and two concurrent compactions of one path race on the shared
+    * tmp/bak names. Crash recovery IS automated: a crash between the two
+    * renames strands the data under `.old_<name>` with `path` absent —
+    * on the next call we detect that state and restore the backup before
+    * proceeding, so a failed compaction heals itself on retry.
     */
   def compactParquet(spark: SparkSession, path: String, nFiles: Int,
                      sortCols: Seq[String] = Nil): Unit = {
@@ -142,6 +151,13 @@ object Io {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(src.getParent, s".compact_${src.getName}")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // recover from a crash in a previous swap window: src gone but the
+    // backup present → the backup is the authoritative data; restore it
+    val bak0 = new org.apache.hadoop.fs.Path(src.getParent, s".old_${src.getName}")
+    if (!fs.exists(src) && fs.exists(bak0)) {
+      if (!fs.rename(bak0, src))
+        sys.error(s"compactParquet: cannot restore stranded backup $bak0 to $src")
+    }
     val df = spark.read.parquet(path)
     val arranged =
       if (sortCols.isEmpty) df.repartition(nFiles)

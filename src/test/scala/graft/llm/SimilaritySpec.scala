@@ -159,4 +159,17 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === expected)
     assert(lsh.subsetOf(brute), "LSH candidates are a subset of exact pairs")
   }
+
+  test("lshNearDupPairs rejects a non-integral id column loudly, not emptily") {
+    import spark.implicits._
+    // a string id would cast to null long → l_id < r_id unknown → every
+    // pair silently dropped; the contract is a plan-time hard error
+    val e = Seq(("a", Array.fill(4)(1.0f)), ("b", Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 2, dim = 4)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
 }

@@ -274,7 +274,8 @@ class LlmQueriesSpec extends SparkSpec {
     out.foreach { r =>
       val e = src(r.getLong(0))
       val scale = r.getAs[Double]("scale")
-      val q = r.getSeq[Int](2)
+      // oracle-hashable form: comma-joined int string, not array<int>
+      val q = r.getString(2).split(",").map(_.toInt).toSeq
       val mx = e.map(math.abs).max
       assert(scale === 127.0 / mx)
       assert(q === e.map(x => math.floor(x * scale + 0.5).toInt))

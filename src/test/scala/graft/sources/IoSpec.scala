@@ -28,6 +28,26 @@ class IoSpec extends SparkSpec {
     assert(touched === 1, s"expected 1 file for a narrow range, got $touched")
   }
 
+  test("compactParquet restores a stranded .old_ backup from a crashed swap") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val dir = s"$base/t"
+    (0 until 100).map(i => (i.toLong, s"row$i")).toDF("k", "s")
+      .repartition(8).write.parquet(dir)
+    // simulate a crash between rename(src→bak) and rename(tmp→src):
+    // src absent, authoritative data stranded under .old_t
+    val src = new java.io.File(dir)
+    val bak = new java.io.File(s"$base/.old_t")
+    assert(src.renameTo(bak))
+    assert(!src.exists())
+    // next compaction must heal: restore the backup, then compact it
+    Io.compactParquet(spark, dir, nFiles = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    assert(back.agg(sum("k")).head.getLong(0) === 100L * 99 / 2)
+    assert(!bak.exists(), "backup consumed by the recovery+compaction")
+  }
+
   test("readParquetMerged surfaces late-added columns; the default read may drop them") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"

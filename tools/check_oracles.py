@@ -17,11 +17,26 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 def canon(df):
+    # Serialize any non-scalar object cell (list, tuple, ndarray, nested)
+    # to a JSON string so sort_values/factorize never see an unhashable
+    # value, and list-vs-ndarray representations compare equal.
     df = df.reindex(sorted(df.columns), axis=1)
+    def _ser(v):
+        if v is None or isinstance(v, (str, bytes, int, float, bool)):
+            return v
+        def _default(o):
+            if hasattr(o, "item") and not hasattr(o, "__len__"):
+                return o.item()  # numpy scalar → python scalar
+            if hasattr(o, "__iter__"):
+                return list(o)
+            return str(o)
+        try:
+            return json.dumps(v, default=_default)
+        except TypeError:
+            return str(v)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                                str(type(v)).endswith("ndarray'>") else v)
+            df[c] = df[c].apply(_ser)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
