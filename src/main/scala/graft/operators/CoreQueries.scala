@@ -583,8 +583,9 @@ object CoreQueries {
     // lowest-value tiebreak instead of mode(), whose tie choice is
     // engine-defined (the same class of cross-engine trap as HALF_UP vs
     // HALF_EVEN rounding). Median buffers each group's values during the
-    // exact percentile — fine for a 3-group output; at 100 TB swap in
-    // approx_percentile (same tiering as winsorize_stats). The mode side
+    // exact percentile — fine for a 3-group output; the 100 TB tier is
+    // [[ApproxTiers.medianMode]] (bounded quantile sketch, spec-bounded
+    // against this exact form in ApproxTiersSpec). The mode side
     // is two partial-agg-friendly aggregations; interpolation at even
     // counts is (a+b)/2 on integral doubles — exact on both engines.
     "median_mode" -> ((s, dir) => {
@@ -770,8 +771,8 @@ object CoreQueries {
     // per-column stats together, then stack() melts to long form
     // map-side — no second scan, no per-column jobs. Exact
     // count_distinct over N columns costs an Expand (N× shuffle rows);
-    // the 100 TB tier swaps in approx_count_distinct (HLL — same
-    // tiering as corpus_stats). min/max cast to string AFTER
+    // the 100 TB tier is [[ApproxTiers.tableProfile]] (HLL, no Expand —
+    // plan-asserted in ApproxTiersSpec). min/max cast to string AFTER
     // aggregating, so each engine formats one value, not a column.
     "table_profile" -> ((s, dir) => {
       val aggs = ProfileCols.flatMap { c => Seq(

@@ -232,8 +232,9 @@ object EventQueries {
     // outlier-capping pass run before value aggregates feed models.
     // The stats side OUTPUT is group-cardinality-sized (joined back
     // onto the stream), but exact `percentile` buffers each group's
-    // values in its aggregation buffer — at corpus scale swap in
-    // approx_percentile (constant memory, same plan shape); the exact
+    // values in its aggregation buffer — the corpus-scale tier is
+    // [[ApproxTiers.winsorizeStats]] (constant-memory sketch band, same
+    // clamp/sum semantics, error-bounded in ApproxTiersSpec); the exact
     // form is kept registered because it interpolates bit-identically
     // to DuckDB's quantile_cont. Clamped sums go through the same
     // decimal-exact path as every other money sum.
@@ -421,9 +422,10 @@ object EventQueries {
     // equi-WIDTH profile is value_histogram; this is its
     // constant-population dual. Exact tier: one shuffle on event_type +
     // a per-type sort. At 100 TB a single event_type is a single
-    // partition's sort — switch the bin edges to approx_percentile and
-    // bin per-row (the same exact/approx tiering as winsorize_stats and
-    // mad_outliers document).
+    // partition's sort — the scale tier is
+    // [[ApproxTiers.equidepthHistogram]]: approx_percentile bin edges +
+    // per-row binning, no window at all (plan-asserted in
+    // ApproxTiersSpec).
     "equidepth_histogram" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("value", "event_id")
       events(s, dir)
