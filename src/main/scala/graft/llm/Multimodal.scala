@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   * with per-partition setup cost, not expressible as Catalyst
   * expressions).
   *
-  * The actual codec (JPEG/PNG/WAV decode) is NOT implemented — this
-  * container has no imaging libraries. The seam is [[MediaCodec]]:
-  * [[FakeCodec]] is a deterministic stand-in that parses the 8-byte GRFT
-  * test header and synthesizes "pixels" from a byte rolling hash, so the
-  * Spark-side plumbing (schema, encoders, batch shape, partitioning) is
-  * fully real and tested; [[RealCodec]] marks where a production codec
-  * plugs in.
+  * The codec seam is [[MediaCodec]]: [[FakeCodec]] is a deterministic
+  * stand-in that parses the 8-byte GRFT test header and synthesizes
+  * "pixels" from a byte rolling hash, so the Spark-side plumbing (schema,
+  * encoders, batch shape, partitioning) is fully real and tested.
+  * [[RealCodec]] decodes the real uncompressed formats a bare JVM can
+  * handle with no libraries (P6 PPM, 24-bit BMP, PCM WAV); compressed
+  * formats (JPEG/PNG/MP3) still need an external binding at that seam —
+  * this environment ships no imaging/audio libraries.
   *
   * Scale notes: rows carry payloads of MBs — keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -76,13 +77,124 @@ object Multimodal {
     }
   }
 
-  /** Production codec seam — intentionally unimplemented here (no imaging
-    * libraries in this environment); swap in a JNI/Java codec binding.
+  /** Production codec for the uncompressed formats a pure JVM can decode
+    * with no libraries: binary PPM (P6) and 24-bit uncompressed BMP for
+    * images, PCM WAV for audio — dispatched on the container's own magic
+    * bytes, not the `kind` hint. Compressed formats (JPEG/PNG/MP3) still
+    * need an external codec binding and fail loudly here.
+    *
+    * Conventions: for images `n_samples` is the PIXEL count (w·h) and the
+    * checksum is the same 131-rolling-hash as [[FakeCodec]] over the
+    * decoded pixel bytes in display order (BMP bottom-up storage is
+    * normalized to top-down; byte order stays as stored, RGB for PPM /
+    * BGR for BMP). For audio `n_samples` is the PCM frame count and the
+    * checksum runs over the raw data chunk.
     */
   object RealCodec extends MediaCodec {
-    def decode(kind: String, bytes: Array[Byte]): Decoded =
-      throw new NotImplementedError(
-        "RealCodec requires an imaging/audio library; use FakeCodec in tests")
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def roll(cs0: Long, b: Array[Byte], from: Int, until: Int): Long = {
+      var cs = cs0; var i = from
+      while (i < until) { cs = (cs * 131 + (b(i) & 0xff)) % TextOps.HashP; i += 1 }
+      cs
+    }
+
+    def decode(kind: String, bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 2, "media payload too short for any container")
+      if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(kind, bytes)
+      else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(kind, bytes)
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+        decodeWav(kind, bytes)
+      else throw new IllegalArgumentException(
+        "RealCodec: unrecognized container (supported: P6 PPM, 24-bit " +
+          "uncompressed BMP, PCM WAV); compressed formats need an external " +
+          "codec binding")
+    }
+
+    /** P6 PPM: "P6" <ws> width <ws> height <ws> maxval <one ws> raw RGB. */
+    private def decodePpm(kind: String, b: Array[Byte]): Decoded = {
+      var i = 2
+      def nextInt(): Int = {
+        // skip whitespace and '#'-to-EOL comments between header tokens
+        var done = false
+        while (!done) {
+          while (i < b.length && (b(i) == ' ' || b(i) == '\t' ||
+            b(i) == '\n' || b(i) == '\r')) i += 1
+          if (i < b.length && b(i) == '#') {
+            while (i < b.length && b(i) != '\n') i += 1
+          } else done = true
+        }
+        var v = 0
+        require(i < b.length && b(i) >= '0' && b(i) <= '9', "bad PPM header")
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval > 0 && maxval < 256, s"PPM maxval $maxval unsupported (1 byte/channel only)")
+      i += 1 // exactly one whitespace byte separates maxval from raster
+      require(b.length - i >= w * h * 3, "PPM raster truncated")
+      Decoded(-1L, kind, w, h, w.toLong * h,
+        roll(0L, b, i, i + w * h * 3))
+    }
+
+    /** 24-bit uncompressed BMP (BITMAPINFOHEADER or larger); bottom-up
+      * rows (the default) are hashed in top-down display order.
+      */
+    private def decodeBmp(kind: String, b: Array[Byte]): Decoded = {
+      require(b.length >= 54, "BMP header truncated")
+      val dataOffset = le32(b, 10)
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      require(bpp == 24, s"BMP bpp $bpp unsupported (24-bit only)")
+      require(compression == 0, "compressed BMP unsupported")
+      val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      require(b.length >= dataOffset + rowSize.toLong * h, "BMP raster truncated")
+      var cs = 0L
+      var row = 0
+      while (row < h) {
+        val storedRow = if (topDown) row else h - 1 - row
+        val start = dataOffset + storedRow * rowSize
+        cs = roll(cs, b, start, start + w * 3) // padding bytes excluded
+        row += 1
+      }
+      Decoded(-1L, kind, w, h, w.toLong * h, cs)
+    }
+
+    /** PCM WAV: RIFF chunk walk to fmt + data; frames = data / blockAlign. */
+    private def decodeWav(kind: String, b: Array[Byte]): Decoded = {
+      var i = 12
+      var channels = 0; var bits = 0
+      var nSamples = -1L; var cs = 0L
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, i + 4)
+        if (id == "fmt ") {
+          require(le16(b, i + 8) == 1, "non-PCM WAV unsupported")
+          channels = le16(b, i + 10)
+          bits = le16(b, i + 22)
+        } else if (id == "data") {
+          require(channels > 0 && bits > 0, "WAV data chunk before fmt")
+          val end = math.min(i + 8 + size, b.length)
+          nSamples = (end - (i + 8)).toLong / (channels * bits / 8)
+          cs = roll(0L, b, i + 8, end)
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(nSamples >= 0, "WAV has no data chunk")
+      Decoded(-1L, kind, 0, 0, nSamples, cs)
+    }
   }
 
   /** Read a media DataFrame as the typed Dataset. */
