@@ -1018,12 +1018,113 @@ object CoreQueries {
       r.select(col("id").as("p_partkey"),
           (floor(col("r") * lit(1e8) + lit(0.5)) / lit(1e8)).as("pagerank"))
         .orderBy("p_partkey")
+    }),
+
+    // L104 — Theil–Sen robust trend: median of all pairwise slopes of the
+    // monthly revenue series — the outlier-immune answer to "is revenue
+    // trending up", which one anomalous month cannot drag the way OLS
+    // would. The facts aggregate to a CALENDAR-sized series first; the
+    // pairwise fan-out is months², also calendar-bounded, built by a
+    // broadcast nested-loop over the month-cardinality aggregate (the
+    // hint is over an Aggregate — never a fact). Slopes are doubles over
+    // decimal-exact revenue; the median interpolates identically to
+    // DuckDB's quantile_cont (doc_len_quantiles precedent) and rounds
+    // via the bit-deterministic floor form.
+    "theilsen_trend" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(decSum(col("o_totalprice"), 2).as("rev"))
+        .withColumn("idx",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+      val a = m.select(col("idx").as("i"), col("rev").as("ri"))
+      val b = m.select(col("idx").as("j"), col("rev").as("rj"))
+      val nMonths = broadcast(m.agg(count(lit(1)).as("n_months")))
+      broadcast(a).join(b, col("i") < col("j"))
+        .select(((col("rj") - col("ri")) / (col("j") - col("i"))).as("slope"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5)").as("med"))
+        .crossJoin(nMonths)
+        .select(col("n_months"), col("n_pairs"),
+          (floor(col("med") * lit(1e6) + lit(0.5)) / lit(1e6)).as("slope_median"))
+    }),
+
+    // L105 — per-node clustering coefficient on the part co-purchase
+    // graph: 2·triangles(v) / (deg(v)·(deg(v)−1)) — the local-density
+    // companion to the global triangle_count, the standard "is this node
+    // in a clique or a hub" graph feature. The UNWEIGHTED distinct edge
+    // set (src < dst) comes from the same basket equi-join as pagerank
+    // (bounded by basket size, never cross-order); wedges are the
+    // adjacency self-joined on the CENTER vertex (an equi-join; Σdeg²
+    // rows, the inherent wedge count), and each wedge confirms closure
+    // with one more equi-join against the oriented edge set. Keyed
+    // shuffles only — no cartesian anywhere — and the output is
+    // node-cardinality-sized.
+    "clustering_coeff" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .localCheckpoint(false) // reused 3x: adjacency twice + closure probe
+      val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("degree"))
+      val wedges = adj.as("x")
+        .join(adj.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("v"), col("x.dst").as("a"), col("y.dst").as("b"))
+      val tri = wedges
+        .join(e, wedges("a") === e("src") && wedges("b") === e("dst"))
+        .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+      deg.filter(col("degree") >= 2)
+        .join(tri, deg("src") === tri("v"), "left")
+        .select(col("src").as("p_partkey"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("coeff",
+          floor(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1))
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+        .orderBy("p_partkey")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
 
     "pagerank" -> sqlPagerank,
+
+    "theilsen_trend" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT CAST(substr(month, 1, 4) AS BIGINT) * 12
+        |             + CAST(substr(month, 6, 2) AS BIGINT) AS idx, rev FROM m),
+        |p AS (SELECT (b.rev - a.rev) / (b.idx - a.idx) AS slope
+        |      FROM i a JOIN i b ON a.idx < b.idx)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS n_months,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       floor(quantile_cont(slope, 0.5) * 1e6 + 0.5) / 1e6 AS slope_median
+        |FROM p""".stripMargin,
+
+    "clustering_coeff" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b2.pk AS dst
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk),
+        |adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY src),
+        |w AS (SELECT x.src AS v, x.dst AS a, y.dst AS b
+        |      FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst),
+        |tri AS (SELECT w.v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |        FROM w JOIN e ON w.a = e.src AND w.b = e.dst GROUP BY w.v)
+        |SELECT deg.src AS p_partkey, deg.degree,
+        |       COALESCE(tri.n_triangles, 0) AS n_triangles,
+        |       floor(COALESCE(tri.n_triangles, 0) * 2e0
+        |             / (deg.degree * (deg.degree - 1)) * 1e6 + 0.5) / 1e6 AS coeff
+        |FROM deg LEFT JOIN tri ON deg.src = tri.v
+        |WHERE deg.degree >= 2
+        |ORDER BY p_partkey""".stripMargin,
     "month_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders

@@ -1111,6 +1111,173 @@ object LlmQueries {
         .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),
           roundHU(col("sample_key"), 1e12).as("sample_key"))
         .orderBy("source", "rk")
+    }),
+
+    // L98 — deterministic train/val/test split: the 80/10/10 hash split
+    // every training pipeline runs before anything else. Assignment is
+    // the shared overflow-safe sampling hash on doc_id (stable across
+    // runs, engines, and re-partitioning — never rand()), reported as
+    // per-(source, split) document/char counts so split balance per
+    // source is auditable. One map-side bucket expression + one
+    // grouped aggregate; the split column itself pushes down to any
+    // downstream filter.
+    "train_val_test_split" -> ((s, dir) => {
+      val b = sampleHash(col("doc_id"), 10L)
+      docs(s, dir)
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "split")
+    }),
+
+    // L99 — near-dup family SIZE distribution: how big do duplicate
+    // families get (the curation report behind "we removed X% as
+    // near-dups")? Reuses the LSH near-dup graph + pointer-doubling CC;
+    // singleton docs count as size-1 families via the left join. Two
+    // key-sized aggregations above the CC output — nothing new shuffles
+    // at fact scale.
+    "component_size_hist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.blockNearDups(d, "doc_id", "text", threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs.select("a_id", "b_id"))
+      d.join(comps, d("doc_id") === comps("id"), "left")
+        .withColumn("family", coalesce(col("comp"), col("doc_id")))
+        .groupBy("family").agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+        .orderBy("family_size")
+    }),
+
+    // L100 — inverted PHRASE index (posting lists) for the selective
+    // mid-frequency band: bigram term -> sorted doc-id list, the
+    // retrieval-index build step (bigrams, not unigrams: the phrase
+    // vocabulary is what carries selectivity). The df pre-pass bounds
+    // every collected posting list to the [3, 20] band BEFORE
+    // collect_list runs, so no aggregation buffer ever holds a
+    // stopphrase-sized posting list (at 100 TB the high-df band goes to
+    // a postings FILE format, never an in-row list — the band filter is
+    // that contract in miniature). Distinct (doc, term) pairs shuffle
+    // once; sort_array makes the list order deterministic.
+    "inverted_index" -> ((s, dir) => {
+      val post = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 2)).as("term"))
+      val band = post.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(3, 20))
+      post.join(band, "term")
+        .groupBy("term", "df")
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+        .orderBy("term")
+    }),
+
+    // L101 — BM25 retrieval (k1=1.2, b=0.75) for a fixed query-term set:
+    // the lexical-search scoring every retrieval/dedup-against-query
+    // pipeline needs. Per-(doc, term) tf rows exist only for the query
+    // terms (the isin filter pushes to the scan side of the explode);
+    // df and corpus stats are term- and 1-row-sized broadcast
+    // aggregates. Per-term scores round to 6dp BEFORE the decimal
+    // per-doc sum (the unigram_logprob recipe — JVM vs libm ln differ
+    // in the last ulp), and the top-50 is a total-ordered TakeOrdered,
+    // not a sort of the corpus.
+    "bm25_search" -> ((s, dir) => {
+      val terms = Seq("spark", "join", "window")
+      val k1 = 1.2; val bP = 0.75
+      val d = docs(s, dir)
+      val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl") / count(lit(1))).as("avgdl")))
+      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(df_, "token").join(dl, "doc_id").crossJoin(stats)
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("term_score",
+          roundHU(col("idf") * col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - bP) + lit(bP) * col("dl") / col("avgdl"))), 1e6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("term_score").cast("decimal(18,6)")).cast("double").as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(50)
+    }),
+
+    // L102 — Count-Min sketch heavy hitters: depth-4 x width-512
+    // counters over the token stream (buckets from the shared token
+    // hash re-hashed by the first 4 MinHash param pairs — one source of
+    // truth on both engines), then the top-20 exact tokens read their
+    // CMS estimate as min-over-rows. The counter table is 2048 cells
+    // regardless of corpus size — the whole point at 100 TB — and the
+    // estimate >= exact invariant is spec-asserted. The exact counts
+    // exist here only to exhibit the estimate side by side; a pure
+    // sketch deployment drops that vocabulary-sized aggregate.
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val width = 512L
+      val params = TextOps.MinhashParams.take(4)
+      val toks = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .withColumn("th", TextOps.tokenHash(col("token")))
+      def bucket(th: org.apache.spark.sql.Column, a: Long, b: Long) =
+        ((th * a + b) % TextOps.MinhashP) % width
+      val counters = toks.select(explode(array(
+        params.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("d"), bucket(col("th"), a, b).as("bk"))
+        }: _*)).as("cell"))
+        .groupBy(col("cell.d").as("d"), col("cell.bk").as("bk"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("token")).limit(20)
+        .withColumn("th", TextOps.tokenHash(col("token")))
+      top.select(col("token"), col("exact_cnt"), explode(array(
+          params.zipWithIndex.map { case ((a, b), i) =>
+            struct(lit(i).as("d"), bucket(col("th"), a, b).as("bk"))
+          }: _*)).as("cell"))
+        .select(col("token"), col("exact_cnt"),
+          col("cell.d").as("d"), col("cell.bk").as("bk"))
+        .join(counters, Seq("d", "bk"))
+        .groupBy("token", "exact_cnt")
+        .agg(min("cnt").as("cms_est"))
+        .orderBy(desc("exact_cnt"), col("token"))
+    }),
+
+    // L103 — pairwise KL divergence between per-source unigram
+    // distributions over the top-200 corpus tokens (add-one smoothing),
+    // the source-similarity diagnostic that actually measures
+    // DISTRIBUTION shift, not just vocabulary overlap (source_similarity)
+    // or diversity (source_entropy). Truncating to a top-K vocabulary is
+    // the standard practice that also bounds the grid: sources x 200
+    // cells, so every join after the one vocabulary-keyed count is
+    // key-sized. Per-cell terms round to 6dp before the decimal sum
+    // (ln parity), and smoothing keeps every cell nonzero so no
+    // log-of-zero asymmetry exists to diverge on.
+    "source_kl_divergence" -> ((s, dir) => {
+      val v = 200
+      val st = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val vocab = st.groupBy("token").agg(sum("c").as("ctf"))
+        .orderBy(desc("ctf"), col("token")).limit(v).select("token")
+      // smooth by the REALIZED vocab size, not the top-K cap: when the
+      // corpus vocabulary is smaller than K the distributions must still
+      // sum to 1 over the grid, or Gibbs' inequality (KL >= 0) breaks
+      val vsize = broadcast(vocab.agg(count(lit(1)).as("vsize")))
+      val grid = docs(s, dir).select("source").distinct()
+        .crossJoin(broadcast(vocab))
+      val cells = grid.join(st, Seq("source", "token"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = cells.groupBy("source").agg(sum("c").as("n"))
+      val p = cells.join(tot, "source").crossJoin(vsize)
+        .select(col("source"), col("token"),
+          ((col("c") + 1.0) / (col("n") + col("vsize"))).as("p"))
+      p.as("a").join(p.as("b"), Seq("token"))
+        .filter(col("a.source") =!= col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          roundHU(col("a.p") * log(col("a.p") / col("b.p")), 1e6).as("term"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("kl"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -1916,6 +2083,141 @@ object LlmQueries {
          |                                   ORDER BY sample_key, doc_id) AS rk
          |      FROM k)
          |WHERE rk <= 20
-         |ORDER BY source, rk""".stripMargin
+         |ORDER BY source, rk""".stripMargin,
+
+    "train_val_test_split" ->
+      s"""SELECT source,
+         |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT source, n_chars, ${sqlSampleHash("doc_id", 10L)} AS b FROM documents)
+         |GROUP BY source, split
+         |ORDER BY source, split""".stripMargin,
+
+    "component_size_hist" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id, MIN(comp) AS comp FROM (
+         |    SELECT src AS id, dst AS comp FROM reach
+         |    UNION SELECT src AS id, src AS comp FROM edges)
+         |  GROUP BY id),
+         |fam AS (
+         |  SELECT COALESCE(c.comp, d.doc_id) AS family,
+         |         CAST(COUNT(*) AS BIGINT) AS family_size
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |  GROUP BY 1)
+         |SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families
+         |FROM fam
+         |GROUP BY family_size
+         |ORDER BY family_size""".stripMargin,
+
+    "inverted_index" ->
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest($sqlBigrams) AS term FROM documents)),
+         |band AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM post GROUP BY term
+         |  HAVING COUNT(*) BETWEEN 3 AND 20)
+         |SELECT b.term, b.df,
+         |       array_to_string(list(p.doc_id ORDER BY p.doc_id), ',') AS postings
+         |FROM post p JOIN band b USING (term)
+         |GROUP BY b.term, b.df
+         |ORDER BY b.term""".stripMargin,
+
+    "bm25_search" ->
+      s"""WITH dl AS (SELECT doc_id, len($sqlTokens) AS dl FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
+         |  WHERE token IN ('spark', 'join', 'window')
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |               * tf.tf * 2.2
+         |               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         |               * 1e6 + 0.5) / 1e6 AS term_score
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |       CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |FROM scored
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 50""".stripMargin,
+
+    "cms_heavy_hitters" -> {
+      val width = 512L
+      val params = TextOps.MinhashParams.take(4)
+      def sqlBucket(th: String, a: Long, b: Long) =
+        s"(($th * $a + $b) % ${TextOps.MinhashP}) % $width"
+      val cellRows = params.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS d, ${sqlBucket("th", a, b)} AS bk, token FROM toks"
+      }.mkString("\n         |  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT token, ${sqlTokenHash("token")} AS th
+         |  FROM (SELECT unnest($sqlTokens) AS token FROM documents)),
+         |cells AS (
+         |  $cellRows),
+         |counters AS (
+         |  SELECT d, bk, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY d, bk),
+         |top AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+         |         ${sqlTokenHash("token")} AS th
+         |  FROM toks GROUP BY token
+         |  ORDER BY exact_cnt DESC, token LIMIT 20),
+         |probes AS (
+         |  ${params.zipWithIndex.map { case ((a, b), i) =>
+              s"SELECT token, exact_cnt, $i AS d, ${sqlBucket("th", a, b)} AS bk FROM top"
+            }.mkString("\n         |  UNION ALL ")})
+         |SELECT p.token, p.exact_cnt, MIN(c.cnt) AS cms_est
+         |FROM probes p JOIN counters c ON p.d = c.d AND p.bk = c.bk
+         |GROUP BY p.token, p.exact_cnt
+         |ORDER BY exact_cnt DESC, token""".stripMargin
+    },
+
+    "source_kl_divergence" ->
+      s"""WITH st AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY source, token),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, SUM(c) AS ctf FROM st GROUP BY token)
+         |  ORDER BY ctf DESC, token LIMIT 200),
+         |grid AS (
+         |  SELECT s.source, v.token
+         |  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN vocab v),
+         |cells AS (
+         |  SELECT g.source, g.token, COALESCE(st.c, 0) AS c
+         |  FROM grid g LEFT JOIN st ON g.source = st.source AND g.token = st.token),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source),
+         |p AS (
+         |  SELECT cells.source, cells.token,
+         |         (cells.c + 1.0) / (tot.n + (SELECT COUNT(*) FROM vocab)) AS p
+         |  FROM cells JOIN tot USING (source))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(SUM(CAST(floor(a.p * ln(a.p / b.p) * 1e6 + 0.5) / 1e6
+         |                     AS DECIMAL(18,6))) AS DOUBLE) AS kl
+         |FROM p a JOIN p b ON a.token = b.token AND a.source <> b.source
+         |GROUP BY a.source, b.source
+         |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -419,4 +419,40 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rr.forall(_ > 0))
     assert(math.abs(rr.sum - 1.0) < rr.length * 5e-9 + 1e-9)
   }
+
+  test("theilsen_trend: pair count is n_months choose 2; a linear series recovers its slope") {
+    import spark.implicits._
+    val row = CoreQueries.queries("theilsen_trend")(spark, dir).head()
+    val (nM, nP) = (row.getLong(0), row.getLong(1))
+    assert(nP === nM * (nM - 1) / 2)
+    // synthetic: revenue = 100/month exactly -> every pairwise slope 100
+    val work = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    (0 until 12).map { m =>
+      (m.toLong, java.sql.Timestamp.valueOf(f"2020-${m + 1}%02d-15 00:00:00"),
+        new java.math.BigDecimal((m + 1) * 100))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val lin = CoreQueries.queries("theilsen_trend")(spark, work).head()
+    assert(lin.getLong(0) === 12L && lin.getDouble(2) === 100.0)
+  }
+
+  test("clustering_coeff: a triangle plus a pendant vertex gets the textbook values") {
+    import spark.implicits._
+    // baskets: {1,2,3} pairwise connected (one order), plus order (3,4):
+    // nodes 1,2 sit in a closed triangle (coeff 1); node 3 has degree 3
+    // with 1 closed wedge of 3 (coeff 1/3); node 4 has degree 1 (dropped)
+    val work = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 3L), (200L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val got = CoreQueries.queries("clustering_coeff")(spark, work).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "degree-1 node 4 excluded")
+    assert(got(1L) === ((2L, 1L, 1.0)) && got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L)._1 === 3L && got(3L)._2 === 1L)
+    assert(math.abs(got(3L)._3 - 1.0 / 3) < 1e-6)
+    // real data: coefficients live in [0, 1]
+    val real = CoreQueries.queries("clustering_coeff")(spark, dir).collect()
+    assert(real.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }

@@ -283,6 +283,67 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("cms_heavy_hitters: the sketch never undercounts and is near-exact at this width") {
+    val rows = LlmQueries.queries("cms_heavy_hitters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"$tok: CMS $est undercounts exact $exact")
+    }
+    // 31-token vocabulary vs 4x512 counters: collisions are rare enough
+    // that most estimates are exact
+    assert(rows.count { case (_, e, c) => e === c } >= 15)
+  }
+
+  test("bm25_search: scores positive, ordered, and only query-term docs returned") {
+    val rows = LlmQueries.queries("bm25_search")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(_._3 > 0.0), "BM25 of a matched doc is positive")
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 3), "1..3 query terms matched")
+    assert(rows.map(-_._3).toSeq === rows.map(-_._3).sorted.toSeq, "descending order")
+  }
+
+  test("train_val_test_split partitions every doc and train dominates") {
+    val rows = LlmQueries.queries("train_val_test_split")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(bySplit.values.sum === total, "splits partition the corpus exactly")
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L),
+      "80/10/10 hash split: train holds the bulk")
+  }
+
+  test("inverted_index: posting list length equals df, ids sorted") {
+    val rows = LlmQueries.queries("inverted_index")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids.length === df, s"$term: ${ids.length} postings vs df $df")
+      assert(ids === ids.sorted, s"$term: postings must be sorted")
+    }
+  }
+
+  test("component_size_hist: sizes x families account for every document") {
+    val rows = LlmQueries.queries("component_size_hist")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(rows.map { case (size, n) => size * n }.sum === total)
+    assert(rows.exists(_._1 === 1L), "singleton families exist")
+  }
+
+  test("source_kl_divergence: full ordered-pair grid, non-negative up to rounding") {
+    val rows = LlmQueries.queries("source_kl_divergence")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    val nSrc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length === nSrc * (nSrc - 1), "every ordered pair, no self-pairs")
+    // Gibbs' inequality: KL >= 0; per-term 1e-6 rounding can dip a hair below
+    assert(rows.forall { case (_, kl) => kl >= -1e-4 },
+      s"negative KL beyond rounding: ${rows.filter(_._2 < -1e-4).take(3).toSeq}")
+  }
+
   test("dedup_keep_best keeps one survivor per normalized text (score, fewest chars, id)") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-best").toString

@@ -22,7 +22,10 @@ def canon(df):
     # value, and list-vs-ndarray representations compare equal.
     df = df.reindex(sorted(df.columns), axis=1)
     def _ser(v):
-        if v is None or isinstance(v, (str, bytes, int, float, bool)):
+        # only SEQUENCE cells need serializing (unhashable in sort/factorize);
+        # scalars like datetime.date/Decimal must stay as-is — astype(str)
+        # renders them identically on both sides, json.dumps would not
+        if not isinstance(v, (list, tuple)) and not hasattr(v, "ndim"):
             return v
         def _default(o):
             if hasattr(o, "item") and not hasattr(o, "__len__"):
