@@ -435,6 +435,65 @@ object EventQueries {
         .orderBy("event_type", "b")
     }),
 
+    // L106 — cohort retention triangle: the week-granular successor of
+    // user_retention's single split — users cohorted by first-touch
+    // week, then distinct-user counts per (cohort, week offset). The
+    // classic growth-analytics table. Distinct (user, week) activity
+    // first (one shuffle on user-sized keys), first-touch as a
+    // partial-agg'd MIN, and the final rollup is calendar²-sized.
+    "retention_cohorts" -> ((s, dir) => {
+      val wkUs = 604800000000L
+      val uw = events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $wkUs").as("wk"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(count(lit(1)).as("n_users")) // distinct by uw's construction
+        .orderBy("cohort_wk", "offset_wk")
+    }),
+
+    // L107 — audience overlap (exact Jaccard of event-type user sets):
+    // which behaviors share users — the segmentation/feature-correlation
+    // probe. Distinct (type, user) pairs, intersections from one
+    // user-keyed self-join (types-per-user is O(1), so the per-user
+    // fan-out is bounded), set sizes from a type-cardinality aggregate;
+    // |A∪B| = |A|+|B|−|A∩B| avoids ever materializing unions.
+    "user_set_jaccard" -> ((s, dir) => {
+      val ut = events(s, dir).select(col("event_type"), col("user_id")).distinct()
+      val sz = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sz.select(col("event_type").as("type_a"), col("n").as("na")), "type_a")
+        .join(sz.select(col("event_type").as("type_b"), col("n").as("nb")), "type_b")
+        .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("n_both"),
+          (floor(col("n_both") / (col("na") + col("nb") - col("n_both"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // L108 — top event paths (3-step sequence mining): the most common
+    // event-type trigrams along each user's timeline — the lightweight
+    // behavioral-motif summary before funnel design. One lead window per
+    // user (keyed by a data-growing column, partitions scale out), paths
+    // aggregate map-side, global top-10 is a TakeOrdered under a total
+    // order — no corpus sort.
+    "event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -705,6 +764,47 @@ object EventQueries {
          |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          |FROM s
          |GROUP BY user_id, sid
-         |ORDER BY user_id, session_start_us""".stripMargin
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT f.cohort_wk, uw.wk - f.cohort_wk AS offset_wk,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY f.cohort_wk, offset_wk
+        |ORDER BY cohort_wk, offset_wk""".stripMargin,
+
+    "user_set_jaccard" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, sa.n AS na, sb.n AS nb, i.n_both,
+        |       floor(i.n_both / (sa.n + sb.n - i.n_both) * 1e6 + 0.5) / 1e6 AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON i.type_a = sa.event_type
+        |JOIN sz sb ON i.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "event_paths" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e
+        |WHERE e3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 10""".stripMargin
   )
 }

@@ -1242,6 +1242,25 @@ object LlmQueries {
         .orderBy(desc("exact_cnt"), col("token"))
     }),
 
+    // L109 — per-source dedup-rate report: documents vs distinct
+    // normalized texts per source, with the duplicate fraction — the
+    // source-quality table curation reads before assigning mixture
+    // weights (a source that is 40% self-copies gets down-weighted or
+    // re-crawled). Normalization is the dedup_keep_best key; one
+    // grouped aggregate with a distinct count (HLL-swappable at the
+    // corpus_stats tier), rate rounded via the bit-deterministic form.
+    "dedup_rate_by_source" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      docs(s, dir).withColumn("norm", norm)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          roundHU(lit(1.0) - col("n_unique") / col("n_docs"), 1e6).as("dup_rate"))
+        .orderBy("source")
+    }),
+
     // L103 — pairwise KL divergence between per-source unigram
     // distributions over the top-200 corpus tokens (add-one smoothing),
     // the source-similarity diagnostic that actually measures
@@ -2192,6 +2211,15 @@ object LlmQueries {
          |GROUP BY p.token, p.exact_cnt
          |ORDER BY exact_cnt DESC, token""".stripMargin
     },
+
+    "dedup_rate_by_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_unique,
+        |       floor((1.0 - COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |              / COUNT(*)) * 1e6 + 0.5) / 1e6 AS dup_rate
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "source_kl_divergence" ->
       s"""WITH st AS (
