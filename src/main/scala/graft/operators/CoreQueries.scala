@@ -64,6 +64,52 @@ object CoreQueries {
     * parses them as DOUBLE, not DECIMAL — decimal division there would
     * diverge from Spark's double arithmetic.
     */
+  /** The PageRank plan, iteration-parameterized so the registered query
+    * (PageRankIters) and the checkpoint-stride spec (iters > stride; see
+    * CoreQueriesSpec) run the SAME code — the periodic lineage cut is
+    * exercised by a test, not dead until someone raises the constant.
+    */
+  private[operators] def pagerankPlan(s: SparkSession, dir: String,
+                                      iters: Int): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("wt"))
+    val deg = e.groupBy("src").agg(sum("wt").as("wsum"))
+      .localCheckpoint(false)
+    val ed = e.join(deg, "src")
+      .select(col("src"), col("dst"),
+        (col("wt").cast("double") / col("wsum")).as("p"))
+      .localCheckpoint(false)
+    val n = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    var r = deg.select(col("src").as("id")).crossJoin(n)
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (i <- 1 to iters) {
+      r = ed.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          (col("r") * col("p")).cast(DecimalType(28, 18)).as("c"))
+        .groupBy("id").agg(sum("c").cast("double").as("in_rank"))
+        .crossJoin(n)
+        .select(col("id"),
+          (lit(0.15) / col("n_nodes") + lit(0.85) * col("in_rank")).as("r"))
+      // periodic lineage cut so the plan stays O(stride) deep no matter
+      // how high the iteration count is raised
+      if (i % PageRankCheckpointStride == 0 && i < iters)
+        r = r.localCheckpoint(false)
+    }
+    // floor(x*1e8+0.5)/1e8 (values non-negative) instead of bround:
+    // Spark bround is half-even, DuckDB round is half-away — a tie at
+    // the 8th decimal would hash-mismatch. Same bit-deterministic form
+    // bigram_logprob uses.
+    r.select(col("id").as("p_partkey"),
+        (floor(col("r") * lit(1e8) + lit(0.5)) / lit(1e8)).as("pagerank"))
+      .orderBy("p_partkey")
+  }
+
   private def sqlPagerank: String = {
     val base =
       """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -980,45 +1026,7 @@ object CoreQueries {
     // distributed aggregate — nothing rank-sized touches the driver).
     // Per-node contribution sums route through DECIMAL(28,18) so the
     // order-sensitive double additions match the oracle bit-for-bit.
-    "pagerank" -> ((s, dir) => {
-      val baskets = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = baskets.as("a")
-        .join(baskets.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .agg(count(lit(1)).as("wt"))
-      val deg = e.groupBy("src").agg(sum("wt").as("wsum"))
-        .localCheckpoint(false)
-      val ed = e.join(deg, "src")
-        .select(col("src"), col("dst"),
-          (col("wt").cast("double") / col("wsum")).as("p"))
-        .localCheckpoint(false)
-      val n = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
-      var r = deg.select(col("src").as("id")).crossJoin(n)
-        .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
-      for (i <- 1 to PageRankIters) {
-        r = ed.join(r.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"),
-            (col("r") * col("p")).cast(DecimalType(28, 18)).as("c"))
-          .groupBy("id").agg(sum("c").cast("double").as("in_rank"))
-          .crossJoin(n)
-          .select(col("id"),
-            (lit(0.15) / col("n_nodes") + lit(0.85) * col("in_rank")).as("r"))
-        // periodic lineage cut so the plan stays O(stride) deep no matter
-        // how high PageRankIters is raised
-        if (i % PageRankCheckpointStride == 0 && i < PageRankIters)
-          r = r.localCheckpoint(false)
-      }
-      // floor(x*1e8+0.5)/1e8 (values non-negative) instead of bround:
-      // Spark bround is half-even, DuckDB round is half-away — a tie at
-      // the 8th decimal would hash-mismatch. Same bit-deterministic form
-      // bigram_logprob uses.
-      r.select(col("id").as("p_partkey"),
-          (floor(col("r") * lit(1e8) + lit(0.5)) / lit(1e8)).as("pagerank"))
-        .orderBy("p_partkey")
-    }),
+    "pagerank" -> ((s, dir) => pagerankPlan(s, dir, PageRankIters)),
 
     // L104 — Theil–Sen robust trend: median of all pairwise slopes of the
     // monthly revenue series — the outlier-immune answer to "is revenue

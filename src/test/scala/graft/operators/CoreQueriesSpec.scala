@@ -420,6 +420,22 @@ class CoreQueriesSpec extends SparkSpec {
     assert(math.abs(rr.sum - 1.0) < rr.length * 5e-9 + 1e-9)
   }
 
+  test("pagerank checkpoint stride: a 7-iteration run crosses the lineage cut and converges on the ring") {
+    import spark.implicits._
+    // same 4-ring as the fixpoint test: uniform 1/4 is exact at any
+    // damping, so 7 iterations (crossing the stride-5 localCheckpoint)
+    // must still return exactly 0.25 everywhere — proving the cut
+    // changes the PLAN depth, never the numbers
+    val work = java.nio.file.Files.createTempDirectory("graft-pr7").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 4L), (40L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val ring = CoreQueries.pagerankPlan(spark, work, iters = 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ring === Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25))
+  }
+
   test("theilsen_trend: pair count is n_months choose 2; a linear series recovers its slope") {
     import spark.implicits._
     val row = CoreQueries.queries("theilsen_trend")(spark, dir).head()
