@@ -1028,6 +1028,33 @@ object CoreQueries {
     // order-sensitive double additions match the oracle bit-for-bit.
     "pagerank" -> ((s, dir) => pagerankPlan(s, dir, PageRankIters)),
 
+    // L110 — functional-dependency discovery over a fixed candidate-pair
+    // list: does column A determine column B (schema/data-contract
+    // profiling — an FD that silently breaks is how surrogate keys and
+    // denormalized dims rot). Per pair: group by the determinant, count
+    // distinct dependents per key (one keyed shuffle each, both columns
+    // pruned at the scan), then a 1-row rollup; the P results union to a
+    // P-row report. No multi-column count_distinct Expand anywhere.
+    "fd_discovery" -> ((s, dir) => {
+      val candidates = Seq(
+        ("o_orderkey", "o_custkey"),    // key → anything: holds
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"), // non-key: expected to fail
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderstatus", "o_orderpriority"))
+      val o = t(s, dir, "orders")
+      candidates.map { case (det, dep) =>
+        o.groupBy(det).agg(countDistinct(col(dep)).as("ndep"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+            max("ndep").as("max_dep_per_key"))
+          .select(lit(det).as("det_col"), lit(dep).as("dep_col"),
+            col("n_keys"), col("n_violating_keys"), col("max_dep_per_key"),
+            (col("n_violating_keys") === 0).as("fd_holds"))
+      }.reduce(_ unionAll _)
+        .orderBy("det_col", "dep_col")
+    }),
+
     // L104 — Theil–Sen robust trend: median of all pairwise slopes of the
     // monthly revenue series — the outlier-immune answer to "is revenue
     // trending up", which one anomalous month cannot drag the way OLS
@@ -1122,6 +1149,22 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
 
     "pagerank" -> sqlPagerank,
+
+    "fd_discovery" -> {
+      val candidates = Seq(
+        ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderstatus"), ("o_custkey", "o_orderpriority"),
+        ("o_orderstatus", "o_orderpriority"))
+      candidates.map { case (det, dep) =>
+        s"""SELECT '$det' AS det_col, '$dep' AS dep_col,
+           |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+           |       MAX(ndep) AS max_dep_per_key,
+           |       SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+           |FROM (SELECT $det, CAST(COUNT(DISTINCT $dep) AS BIGINT) AS ndep
+           |      FROM orders GROUP BY $det)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY det_col, dep_col")
+    },
 
     "theilsen_trend" ->
       """WITH m AS (

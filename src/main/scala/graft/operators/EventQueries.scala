@@ -494,6 +494,54 @@ object EventQueries {
         .limit(10)
     }),
 
+    // L111 — PSI drift (population stability index) per event_type
+    // between the first and second half of the time range: the standard
+    // "did this feature's distribution shift between training and
+    // serving" monitor. Value axis binned into 10 equi-width bins over
+    // GLOBAL bounds (a broadcast 1-row aggregate — bins comparable
+    // across types and periods); the type × period × bin counts land on
+    // a types×20 grid (left join fills empty bins), add-one smoothing
+    // keeps every log finite, and per-bin terms round to 6dp before the
+    // decimal per-type sum (ln parity). One fact shuffle total.
+    "psi_drift" -> ((s, dir) => {
+      val b = broadcast(events(s, dir).agg(
+        min("ts_us").as("lo"), max("ts_us").as("hi"),
+        min("value").as("vlo"), max("value").as("vhi")))
+      val binned = events(s, dir).crossJoin(b)
+        .select(col("event_type"),
+          when(col("ts_us") * 2 < col("lo") + col("hi"), "a").otherwise("b")
+            .as("period"),
+          least(lit(9L), when(col("vhi") === col("vlo"), 0L).otherwise(
+            floor((col("value") - col("vlo")) /
+              ((col("vhi") - col("vlo")) / 10.0)))).as("bin"))
+      val counts = binned.groupBy("event_type", "period", "bin")
+        .agg(count(lit(1)).as("c"))
+      val grid = events(s, dir).select("event_type").distinct()
+        .crossJoin(s.range(0, 10).select(col("id").as("bin")))
+      val cells = grid
+        .join(counts.filter(col("period") === "a")
+          .select(col("event_type"), col("bin"), col("c").as("ca")),
+          Seq("event_type", "bin"), "left")
+        .join(counts.filter(col("period") === "b")
+          .select(col("event_type"), col("bin"), col("c").as("cb")),
+          Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      cells.join(tot, "event_type")
+        .select(col("event_type"),
+          (floor(((col("ca") + 1.0) / (col("na") + 10) -
+            (col("cb") + 1.0) / (col("nb") + 10)) *
+            log(((col("ca") + 1.0) / (col("na") + 10)) /
+              ((col("cb") + 1.0) / (col("nb") + 10))) * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("term"))
+        .groupBy("event_type")
+        .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"))
+        .orderBy("event_type")
+    }),
+
     // Batch sessionization via native session_window (30-minute gap):
     // session spans [min ts, max ts + gap)
     "event_sessions" -> ((s, dir) => {
@@ -765,6 +813,42 @@ object EventQueries {
          |FROM s
          |GROUP BY user_id, sid
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "psi_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |g AS (SELECT MIN(us) AS lo, MAX(us) AS hi,
+        |             MIN(value) AS vlo, MAX(value) AS vhi FROM e),
+        |binned AS (
+        |  SELECT event_type,
+        |         CASE WHEN us * 2 < g.lo + g.hi THEN 'a' ELSE 'b' END AS period,
+        |         least(9, CASE WHEN g.vhi = g.vlo THEN 0
+        |                       ELSE CAST(floor((value - g.vlo) / ((g.vhi - g.vlo) / 10.0)) AS BIGINT) END) AS bin
+        |  FROM e CROSS JOIN g),
+        |counts AS (SELECT event_type, period, bin, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM binned GROUP BY 1, 2, 3),
+        |grid AS (SELECT t.event_type, b.bin
+        |         FROM (SELECT DISTINCT event_type FROM events) t
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |cells AS (
+        |  SELECT grid.event_type, grid.bin,
+        |         COALESCE(a.c, 0) AS ca, COALESCE(bb.c, 0) AS cb
+        |  FROM grid
+        |  LEFT JOIN counts a ON a.event_type = grid.event_type
+        |                     AND a.bin = grid.bin AND a.period = 'a'
+        |  LEFT JOIN counts bb ON bb.event_type = grid.event_type
+        |                      AND bb.bin = grid.bin AND bb.period = 'b'),
+        |tot AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+        |               CAST(SUM(cb) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT cells.event_type,
+        |         floor(((cells.ca + 1.0) / (tot.na + 10) - (cells.cb + 1.0) / (tot.nb + 10))
+        |               * ln(((cells.ca + 1.0) / (tot.na + 10)) / ((cells.cb + 1.0) / (tot.nb + 10)))
+        |               * 1e6 + 0.5) / 1e6 AS term
+        |  FROM cells JOIN tot USING (event_type))
+        |SELECT event_type, CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi
+        |FROM terms
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "retention_cohorts" ->
       """WITH uw AS (

@@ -436,6 +436,16 @@ class CoreQueriesSpec extends SparkSpec {
     assert(ring === Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25))
   }
 
+  test("fd_discovery: key-determined FDs hold, non-key pairs report violations") {
+    val got = SparkEntry.queries("fd_discovery")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(5), r.getLong(3))).toMap
+    assert(got(("o_orderkey", "o_custkey"))._1, "the primary key determines every column")
+    assert(got(("o_orderkey", "o_orderstatus"))._1)
+    assert(!got(("o_custkey", "o_orderstatus"))._1, "customers place orders in many statuses")
+    assert(got(("o_custkey", "o_orderstatus"))._2 > 0, "violating keys counted")
+  }
+
   test("theilsen_trend: pair count is n_months choose 2; a linear series recovers its slope") {
     import spark.implicits._
     val row = CoreQueries.queries("theilsen_trend")(spark, dir).head()

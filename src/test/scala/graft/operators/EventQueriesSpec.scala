@@ -321,4 +321,27 @@ class EventQueriesSpec extends SparkSpec {
     assert(got(8L) === ((1L, 10.0, 10.0)))
     assert(got.values.map(_._1).sum === 10L)
   }
+
+  test("psi_drift: identical halves score ~0, a shifted half scores high") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    def ns(minute: Int): Long = minute * 60e9.toLong
+    // 'stable': same value distribution (1..10) in both time halves →
+    // PSI ≈ 0 (only smoothing noise). 'shifted': first half 1..10,
+    // second half 91..100 → mass moves across bins, PSI large.
+    val stable = (1 to 20).map(i =>
+      (i.toLong, ns(i), 1L, "stable", "{}", (i % 10 + 1).toDouble))
+    val shifted = (1 to 20).map(i =>
+      (100L + i, ns(i), 1L, "shifted", "{}",
+        if (i <= 10) (i % 10 + 1).toDouble else (90 + i % 10 + 1).toDouble))
+    (stable ++ shifted)
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val psi = EventQueries.queries("psi_drift")(spark, work).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi.keySet === Set("stable", "shifted"))
+    assert(psi("stable") < 0.3, s"stable distribution must score low: ${psi("stable")}")
+    assert(psi("shifted") > 1.0, s"a wholesale shift must score high: ${psi("shifted")}")
+    assert(psi("shifted") > 5 * psi("stable"))
+  }
 }
