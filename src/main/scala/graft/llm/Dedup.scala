@@ -322,6 +322,47 @@ object Dedup {
     confirmJaccard(prefixFilterPairs(sets, idCol, threshold), sets, idCol, threshold)
   }
 
+  /** Sorted-neighborhood near-dup blocking (the Hernández–Stolfo SNM
+    * method, the classic record-linkage alternative to LSH): sort the
+    * corpus by a normalized key, compare each doc only with the next
+    * `window − 1` docs in sort order, confirm candidates at exact
+    * jaccard ≥ threshold. Recall is by construction limited to pairs
+    * whose normalized texts sort near each other — the standard SNM
+    * trade: O(n·window) candidates for near-dups that agree on their
+    * leading content (edits later in the doc), zero for pairs that
+    * diverge at token one (LSH's territory).
+    *
+    * Scale shape: the sort key's first `blockChars` chars are the
+    * partition key, so the row_number window is per-block, never
+    * global (no single-partition WindowExec); the neighbor join is a
+    * pure equi-join on (block, position) — each doc EXPLODES to its
+    * `window − 1` forward positions rather than equi-joining on the
+    * block alone, so a hot block of B docs costs B·window join rows,
+    * not B². Pairs straddling a block boundary are missed; that is the
+    * documented blocking trade (run multiple passes with different
+    * keys when recall matters — same practice as multi-key SNM).
+    */
+  def sortedNeighborhoodDups(df: DataFrame, idCol: String, textCol: String,
+                             window: Int = 8, blockChars: Int = 8,
+                             threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("skey"))
+      .withColumn("blk", substring(col("skey"), 1, blockChars))
+    val rn = keyed.withColumn("rn",
+      row_number().over(W.partitionBy("blk").orderBy("skey", "id")))
+    // forward-position explode: candidate (a at rn, b at rn+i), i < window
+    val fwd = rn.select(col("blk"), col("id").as("l_id"),
+      explode(sequence(col("rn") + 1, col("rn") + (window - 1))).as("rn"))
+    val cand = fwd
+      .join(rn.select(col("blk"), col("rn"), col("id").as("r_id")),
+        Seq("blk", "rn"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"))
+    confirmJaccard(cand, shingleHashSets(df, idCol, textCol), idCol, threshold)
+  }
+
   /** All pairs with jaccard ≥ threshold via a distributed block self-join —
     * the registered exact path. Exact all-pairs similarity is inherently
     * O(n²) COMPUTE; what must never be O(n²) is memory or a driver

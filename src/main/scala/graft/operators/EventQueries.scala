@@ -109,6 +109,33 @@ object EventQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // Linear multi-touch attribution: every purchase splits one unit of
+    // credit equally across the user's click/view/signup touches in the
+    // trailing 7 days; per-channel credit is the marketing-mix staple the
+    // last-touch-only conversion_window can't answer. Shape: one equi-join
+    // on user_id (fan-out bounded by per-user activity × the 7-day
+    // horizon), touch counting via a window keyed on the CONVERSION id
+    // (fine-grained, never global), per-share rounding to 6dp before the
+    // decimal sum so credit totals are order-independent cross-engine.
+    "linear_attribution" -> ((s, dir) => {
+      val e = events(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts_us").as("conv_us"))
+      val touch = e.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      conv.join(touch, Seq("user_id"))
+        .filter(col("ts_us") < col("conv_us") &&
+          col("conv_us") - col("ts_us") <= lit(WeekUs))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+        .withColumn("credit", floor(lit(1e6) / col("n") + lit(0.5)) / lit(1e6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("touches"),
+          countDistinct(col("conv_id")).as("conversions"),
+          decSum(col("credit")).as("credit"))
+        .orderBy("event_type")
+    }),
+
     // Rolling anomaly score: each value vs its user's trailing 10-event
     // window moments. The moments come from decimal-exact SUM and
     // SUM-of-squares over the frame — v² is a single IEEE product
@@ -813,6 +840,22 @@ object EventQueries {
          |FROM s
          |GROUP BY user_id, sid
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "linear_attribution" ->
+      s"""WITH c AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS us
+         |           FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_type, epoch_us(ts) AS us
+         |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+         |j AS (SELECT c.conv_id, t.event_type
+         |      FROM c JOIN t ON c.user_id = t.user_id
+         |       AND t.us < c.us AND c.us - t.us <= $WeekUs),
+         |n AS (SELECT conv_id, event_type,
+         |             COUNT(*) OVER (PARTITION BY conv_id) AS n FROM j)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS touches,
+         |       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS conversions,
+         |       CAST(SUM(CAST(floor(1e6 / n + 0.5) / 1e6 AS DECIMAL(18,6)))
+         |            AS DOUBLE) AS credit
+         |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "psi_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),

@@ -273,6 +273,17 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Sorted-neighborhood blocking (SNM) over the FULL corpus: candidates
+    // are docs within 7 sort positions of each other inside an 8-char
+    // normalized-prefix block — O(n·window) candidates, per-block windows
+    // (no global sort partition), pure equi neighbor join. Complements
+    // lsh_near_dup/prefix_near_dup as the third blocking family.
+    "sorted_neighborhood_dup" -> ((s, dir) => {
+      Dedup.sortedNeighborhoodDups(docs(s, dir), "doc_id", "text",
+          window = 8, blockChars = 8, threshold = 0.25)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Exact cosine top-k: broadcast query set, one corpus scan
     "cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1506,6 +1517,30 @@ object LlmQueries {
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |         ${sqlJaccard("a", "b")} AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.25
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "sorted_neighborhood_dup" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS skey
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, substr(skey, 1, 8) AS blk,
+         |         row_number() OVER (PARTITION BY substr(skey, 1, 8)
+         |                            ORDER BY skey, doc_id) AS rn
+         |  FROM k),
+         |cand AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |         greatest(a.doc_id, b.doc_id) AS b_id
+         |  FROM r a JOIN r b
+         |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 7),
+         |sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)
+         |SELECT * FROM (
+         |  SELECT c.a_id, c.b_id, ${sqlJaccard("a", "b")} AS jaccard
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.a_id
+         |  JOIN sh b ON b.doc_id = c.b_id)
          |WHERE jaccard >= 0.25
          |ORDER BY a_id, b_id""".stripMargin,
 

@@ -322,6 +322,43 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === 10L)
   }
 
+  test("linear_attribution: credit splits equally across a conversion's " +
+       "touches and totals one unit per attributed conversion") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    def ns(minute: Long): Long = minute * 60e9.toLong
+    Seq(
+      // user 1: click+view precede TWO purchases → each purchase splits
+      // 1.0 across n=2 touches (0.5 each)
+      (1L, ns(1), 1L, "click", "{}", 0.0),
+      (2L, ns(2), 1L, "view", "{}", 0.0),
+      (3L, ns(10), 1L, "purchase", "{}", 9.99),
+      (4L, ns(12), 1L, "purchase", "{}", 5.0),
+      // user 2: one signup touch → full credit 1.0
+      (5L, ns(1), 2L, "signup", "{}", 0.0),
+      (6L, ns(5), 2L, "purchase", "{}", 3.0),
+      // user 3: purchase with no prior touch → contributes nothing
+      (7L, ns(1), 3L, "purchase", "{}", 1.0),
+      // user 4: click 8 days before the purchase → outside the 7-day
+      // horizon, excluded
+      (8L, ns(0), 4L, "click", "{}", 0.0),
+      (9L, ns(8L * 24 * 60), 4L, "purchase", "{}", 2.0),
+      // error events are never touches
+      (10L, ns(3), 1L, "error", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("linear_attribution")(spark, work)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      "click" -> ((2L, 2L, 1.0)),
+      "view" -> ((2L, 2L, 1.0)),
+      "signup" -> ((1L, 1L, 1.0))))
+    // invariant: total credit = number of conversions with ≥1 touch
+    assert(got.values.map(_._3).sum === 3.0)
+  }
+
   test("psi_drift: identical halves score ~0, a shifted half scores high") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-psi").toString

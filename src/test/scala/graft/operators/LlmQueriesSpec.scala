@@ -575,4 +575,24 @@ class LlmQueriesSpec extends SparkSpec {
     assert(got.toSeq === expected)
     assert(!got.contains(999L))
   }
+
+  test("sorted_neighborhood_dup: finds prefix-sharing near-dups, misses " +
+       "pairs that diverge at token one (the documented SNM trade)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-snm").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "a", 45L),
+      // same block (skey collapses the double space), one word edited:
+      // bigram shingles intersect 6 of union 8 → jaccard 0.75
+      (2L, "alpha  beta gamma delta epsilon zeta eta iota", "en", "a", 45L),
+      // just as similar to doc 1 (0.75) but diverges at the FIRST token →
+      // different 8-char block → SNM never compares them
+      (3L, "omega beta gamma delta epsilon zeta eta theta", "en", "a", 45L),
+      (4L, "completely unrelated text with no shingle overlap", "en", "a", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("sorted_neighborhood_dup")(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.75)))
+  }
 }
