@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -35,6 +35,70 @@ object CoreQueries {
 
   private def decSum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Bucket count for [[exclusivePrefix]] — constant, so the coarse
+    * bucket-rollup window is a constant-size single partition at any SF.
+    */
+  private val CumBuckets = 1024
+
+  /** Two-phase global running sum (the scalable form of
+    * `SUM(...) OVER (ORDER BY value)`): value-range buckets computed from
+    * a broadcast 1-row bounds aggregate partition the ordered domain,
+    * per-bucket totals roll up through a CumBuckets-row window (single
+    * partition of CONSTANT size), and the carry joins back so the fine
+    * window is partitioned BY bucket — a global cumulative sum with no
+    * data-sized single-partition WindowExec anywhere. Equal values always
+    * land in the same bucket (the bucket is a function of the value), so
+    * tie groups never straddle the carry boundary.
+    *
+    * Input: one row per DISTINCT value. Output: input columns plus
+    * `cum_<c>` = the EXCLUSIVE prefix sum of `c` over strictly-smaller
+    * values (ties share a row, so inclusive = exclusive + own).
+    * Oracles express the same thing as a plain ordered window — the
+    * two-phase split is pure execution strategy, not semantics.
+    */
+  private[operators] def exclusivePrefix(perValue: DataFrame, valueCol: String,
+                                         sumCols: Seq[String],
+                                         tieCols: Seq[String] = Nil): DataFrame = {
+    val bounds = broadcast(perValue.agg(
+      min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi")))
+    val bkt = perValue.crossJoin(bounds)
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol) - col("lo")).cast("double") * CumBuckets /
+              (col("hi") - col("lo")).cast("double")).cast("long"),
+            lit(CumBuckets - 1L))))
+      .drop("lo", "hi")
+    val coarse = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryTot = bkt.groupBy("bkt")
+      .agg(sum(col(sumCols.head)).as(s"t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"t_$c")): _*)
+    val carried = carryTot.select(col("bkt") +: sumCols.map(c =>
+      coalesce(sum(col(s"t_$c")).over(coarse), lit(0L)).as(s"carry_$c")): _*)
+    val fine = Window.partitionBy("bkt")
+      .orderBy((valueCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bkt.join(carried, "bkt")
+      .select(perValue.columns.toIndexedSeq.map(col) ++ sumCols.map(c =>
+        (col(s"carry_$c") + coalesce(sum(col(c)).over(fine), lit(0L)))
+          .as(s"cum_$c")): _*)
+  }
+
+  /** SQL-standard `ntile(k)` computed from a 1-based unique rank and the
+    * total row count — the first `n mod k` tiles take `n/k + 1` rows, the
+    * rest `n/k`. Lets a global ntile run on two-phase [[exclusivePrefix]]
+    * ranks instead of a data-sized single-task window; positive-domain
+    * double floor-division is exact below 2^52 rows.
+    */
+  private def ntileExpr(rnk: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long")
+    val rem = n % k
+    when(rnk <= (q + 1) * rem,
+      (floor((rnk - 1) / (q + 1)) + 1).cast("long"))
+      .otherwise((rem + floor((rnk - (q + 1) * rem - 1) / q) + 1).cast("long"))
+  }
 
   /** Columns profiled by `table_profile` — the single source of truth the
     * Spark aggregate list and the oracle's UNION ALL are generated from.
@@ -1143,6 +1207,129 @@ object CoreQueries {
           floor(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1))
             * lit(1e6) + lit(0.5)) / lit(1e6))
         .orderBy("p_partkey")
+    }),
+
+    // L114 — chi-square independence test: is order status independent of
+    // order priority (the categorical-association sibling of corr_pricing;
+    // in a pipeline this is the "does split correlate with label" audit).
+    // Shape: ONE fact shuffle into the 15-cell contingency table; margins,
+    // N and dof all derive from that cell table (key-sized aggregates and
+    // broadcast 1-row cross joins). Expected counts use double margins
+    // (rs*cs would overflow BIGINT at 100 TB row counts); per-cell terms
+    // round 6dp before the decimal sum, (o−e)² written as an explicit
+    // product — pow() cross-engine parity is not guaranteed, x*x is.
+    "chi2_independence" -> ((s, dir) => {
+      val obs = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // reused: margins, N, dof
+      val rowT = obs.groupBy("st").agg(sum("n").as("rs"))
+      val colT = obs.groupBy("pr").agg(sum("n").as("cs"))
+      val nTot = broadcast(obs.agg(sum("n").as("nn")))
+      val dof = broadcast(
+        rowT.agg(count(lit(1)).as("nr"))
+          .crossJoin(colT.agg(count(lit(1)).as("nc")))
+          .select(((col("nr") - 1) * (col("nc") - 1)).as("dof")))
+      obs.join(rowT, "st").join(colT, "pr").crossJoin(nTot)
+        .withColumn("e", col("rs").cast("double") * col("cs") / col("nn"))
+        .withColumn("term",
+          floor((col("n") - col("e")) * (col("n") - col("e")) / col("e")
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+        .agg(sum("n").as("n_total"),
+          sum(col("term").cast(DecimalType(18, 6))).cast("double").as("chi2"))
+        .crossJoin(dof)
+        .select(col("n_total"), col("dof"), col("chi2"))
+    }),
+
+    // L115 — Gini coefficient of customer revenue concentration (the
+    // inequality summary behind "how head-heavy is this corpus/market").
+    // Facts pre-aggregate per customer (one keyed shuffle), per-distinct-
+    // value counts feed the two-phase exclusivePrefix — so the global
+    // rank arithmetic runs with NO data-sized single-partition window.
+    // Tie-exact rank sum: a k-way tie at value x holding ranks r0+1..r0+k
+    // contributes x·(k·r0 + k(k+1)/2) — integer arithmetic plus one IEEE
+    // product per row, identical cross-engine; sums route through decimal.
+    "gini_concentration" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(decSum(col("o_totalprice"), 2).as("rev"))
+      val perValue = rev.groupBy("rev").agg(count(lit(1)).as("cnt"))
+      exclusivePrefix(perValue, "rev", Seq("cnt"))
+        .select(col("cnt"),
+          (col("rev") * col("cnt")).cast(DecimalType(28, 6)).as("tot"),
+          (col("rev") * (col("cnt") * col("cum_cnt") +
+            col("cnt") * (col("cnt") + 1) / 2))
+            .cast(DecimalType(28, 6)).as("rs"))
+        .agg(sum("cnt").as("n"), sum("tot").cast("double").as("t"),
+          sum("rs").cast("double").as("s"))
+        .select(col("n").as("n_customers"),
+          (floor(col("t") * 100 + lit(0.5)) / 100).as("total_rev"),
+          (floor((col("s") * 2 / (col("n") * col("t")) -
+            (col("n") + lit(1.0)) / col("n")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("gini"))
+    }),
+
+    // L116 — RFM customer segmentation: recency/frequency/monetary
+    // quartiles, the classic marketing-ops partition of a customer base.
+    // The fact table flows ONLY through the per-customer keyed aggregate,
+    // and the three global ntiles are computed EXACTLY without any
+    // customer-sized single-task window: two-phase exclusivePrefix ranks
+    // (descending metrics rank on the negated value, ties broken by
+    // custkey) feed the closed-form ntileExpr — SQL-standard tile splits,
+    // reproduced by the oracle's plain ntile() under the same total
+    // order. Three keyed self-joins on custkey re-assemble the tiles.
+    "rfm_segments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val maxd = broadcast(o.agg(max("o_orderdate").as("maxd")))
+      val cust = o.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_d"), count(lit(1)).as("freq"),
+          decSum(col("o_totalprice"), 2).as("mon"))
+        .crossJoin(maxd)
+        .withColumn("recency", datediff(col("maxd"), col("last_d")))
+        .localCheckpoint(false) // reused by the three rank passes
+      val n = broadcast(cust.agg(count(lit(1)).as("n")))
+      def tiles(v: Column, out: String): DataFrame =
+        exclusivePrefix(
+          cust.select(col("o_custkey"), v.as("v"), lit(1L).as("one")),
+          "v", Seq("one"), tieCols = Seq("o_custkey"))
+          .crossJoin(n)
+          .select(col("o_custkey"),
+            ntileExpr(col("cum_one") + 1, col("n"), 4).as(out))
+      cust.select("o_custkey", "mon")
+        .join(tiles(col("recency").cast("long"), "r_q"), "o_custkey")
+        .join(tiles(-col("freq"), "f_q"), "o_custkey")
+        .join(tiles(-col("mon"), "m_q"), "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          (floor(decSum(col("mon"), 2) / count(lit(1)) * 100 + lit(0.5)) / 100)
+            .as("avg_monetary"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
+    // L117 — two-sample Kolmogorov–Smirnov statistic: does the urgent-
+    // priority price distribution differ from the rest (the numeric
+    // distribution-shift test next to psi_drift's binned PSI — KS is
+    // bin-free, evaluated at every observed value). Per-value group
+    // counts (one fact shuffle), CDFs via the two-phase exclusivePrefix
+    // (no data-sized window), D = max |F1−F2| as a plain max aggregate.
+    // Per-row division is IEEE-identical cross-engine; the max is rounded
+    // once at the end.
+    "ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_totalprice").as("v"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
+      val perValue = o.groupBy("v")
+        .agg(sum("g1").as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+      val tot = broadcast(perValue.agg(
+        sum("c1").as("n1"), sum("c2").as("n2")))
+      exclusivePrefix(perValue, "v", Seq("c1", "c2"))
+        .crossJoin(tot)
+        .select(col("n1"), col("n2"),
+          abs((col("cum_c1") + col("c1")).cast("double") / col("n1") -
+            (col("cum_c2") + col("c2")).cast("double") / col("n2")).as("d"))
+        .groupBy("n1", "n2")
+        .agg(max("d").as("dmax"))
+        .select(col("n1"), col("n2"),
+          (floor(col("dmax") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks_stat"))
     })
   )
 
@@ -1707,6 +1894,83 @@ object CoreQueries {
         |SELECT status, COUNT(*) AS n_customers,
         |       CAST(SUM(delta) AS DOUBLE) AS spend_delta
         |FROM d GROUP BY status
-        |ORDER BY status""".stripMargin
+        |ORDER BY status""".stripMargin,
+
+    "chi2_independence" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT st, SUM(n) AS rs FROM obs GROUP BY st),
+        |ct AS (SELECT pr, SUM(n) AS cs FROM obs GROUP BY pr),
+        |nt AS (SELECT SUM(n) AS nn FROM obs),
+        |dof AS (SELECT ((SELECT COUNT(*) FROM rt) - 1)
+        |             * ((SELECT COUNT(*) FROM ct) - 1) AS dof),
+        |terms AS (
+        |  SELECT obs.n, CAST(rt.rs AS DOUBLE) * ct.cs / nt.nn AS e
+        |  FROM obs JOIN rt USING (st) JOIN ct USING (pr) CROSS JOIN nt)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |       (SELECT CAST(dof AS BIGINT) FROM dof) AS dof,
+        |       CAST(SUM(CAST(floor((n - e) * (n - e) / e * 1e6 + 0.5) / 1e6
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+        |FROM terms""".stripMargin,
+
+    "gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |pv AS (SELECT rev, CAST(COUNT(*) AS BIGINT) AS cnt FROM rev GROUP BY 1),
+        |pre AS (
+        |  SELECT rev, cnt,
+        |         COALESCE(SUM(cnt) OVER (ORDER BY rev
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cnt
+        |  FROM pv),
+        |agg AS (
+        |  SELECT SUM(cnt) AS n,
+        |         CAST(SUM(CAST(rev * cnt AS DECIMAL(28,6))) AS DOUBLE) AS t,
+        |         CAST(SUM(CAST(rev * (cnt * cum_cnt + cnt * (cnt + 1) / 2)
+        |                       AS DECIMAL(28,6))) AS DOUBLE) AS s
+        |  FROM pre)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |       floor(t * 100 + 0.5) / 100 AS total_rev,
+        |       floor((s * 2 / (n * t) - (n + 1.0) / n) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM agg""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        |cust AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_d,
+        |         CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT o_custkey, mon,
+        |         CAST(ntile(4) OVER (ORDER BY
+        |           date_diff('day', CAST(last_d AS DATE), CAST(maxd AS DATE)),
+        |           o_custkey) AS BIGINT) AS r_q,
+        |         CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+        |         CAST(ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS BIGINT) AS m_q
+        |  FROM cust, mx)
+        |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       floor(CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |             * 100 + 0.5) / 100 AS avg_monetary
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "ks_test" ->
+      """WITH o AS (
+        |  SELECT o_totalprice AS v,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        |  FROM orders),
+        |pv AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+        |              CAST(SUM(1 - g1) AS BIGINT) AS c2
+        |       FROM o GROUP BY 1),
+        |cdf AS (SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+        |               SUM(c2) OVER (ORDER BY v) AS f2 FROM pv),
+        |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       floor(MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2))
+        |             * 1e6 + 0.5) / 1e6 AS ks_stat
+        |FROM cdf, tot GROUP BY n1, n2""".stripMargin
   )
 }

@@ -48,11 +48,18 @@ class PlanAuditSpec extends SparkSpec {
     *    bounded input (the window sits above a month-keyed groupBy);
     *  - pareto_frontier: the global skyline stage consumes only the
     *    union of per-month LOCAL skylines (two-phase skyline: expected
-    *    O(log rows) frontier points per month), never the raw fact.
+    *    O(log rows) frontier points per month), never the raw fact;
+    *  - gini_concentration / ks_test / rfm_segments: the only
+    *    unpartitioned window is CoreQueries.exclusivePrefix's coarse
+    *    bucket rollup — CumBuckets (1024) rows, CONSTANT at any SF (the
+    *    fine running-sum window is partitioned by bucket); WindowBounds-
+    *    Spec asserts every global window in these plans sits above the
+    *    bkt-grouped aggregate.
     * Anything else with an empty partitionSpec must fail this sweep.
     */
   private val GlobalWindowAllowlist =
-    Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier")
+    Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
+      "gini_concentration", "ks_test", "rfm_segments")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

@@ -481,4 +481,75 @@ class CoreQueriesSpec extends SparkSpec {
     val real = CoreQueries.queries("clustering_coeff")(spark, dir).collect()
     assert(real.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("chi2_independence: a proportional contingency scores exactly zero") {
+    import spark.implicits._
+    // status×priority counts A:(X=2,Y=4), B:(X=3,Y=6) — column shares
+    // identical across rows, so every observed cell equals its expected
+    // count and chi2 must be exactly 0 with dof (2−1)(2−1) = 1
+    val work = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+    (Seq.fill(2)(("A", "X")) ++ Seq.fill(4)(("A", "Y")) ++
+      Seq.fill(3)(("B", "X")) ++ Seq.fill(6)(("B", "Y")))
+      .toDF("o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val r = CoreQueries.queries("chi2_independence")(spark, work).head()
+    assert(r.getLong(0) === 15L && r.getLong(1) === 1L && r.getDouble(2) === 0.0)
+  }
+
+  test("gini_concentration: perfect equality scores 0, full concentration (n-1)/n") {
+    import spark.implicits._
+    val eq = java.nio.file.Files.createTempDirectory("graft-gini-eq").toString
+    Seq((1L, 250.0), (2L, 250.0), (3L, 250.0), (4L, 250.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$eq/orders.parquet")
+    val a = CoreQueries.queries("gini_concentration")(spark, eq).head()
+    assert(a.getLong(0) === 4L && a.getDouble(1) === 1000.0 &&
+      a.getDouble(2) === 0.0)
+
+    val cc = java.nio.file.Files.createTempDirectory("graft-gini-cc").toString
+    Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 1000.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$cc/orders.parquet")
+    val b = CoreQueries.queries("gini_concentration")(spark, cc).head()
+    assert(b.getDouble(2) === 0.75, "one customer holding all revenue → (n−1)/n")
+  }
+
+  test("ks_test: identical group distributions score 0, disjoint ranges 1") {
+    import spark.implicits._
+    val same = java.nio.file.Files.createTempDirectory("graft-ks0").toString
+    (Seq(10.0, 20.0, 30.0).map(("1-URGENT", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("5-LOW", _)))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$same/orders.parquet")
+    val a = CoreQueries.queries("ks_test")(spark, same).head()
+    assert(a.getLong(0) === 3L && a.getLong(1) === 3L && a.getDouble(2) === 0.0)
+
+    val disj = java.nio.file.Files.createTempDirectory("graft-ks1").toString
+    (Seq(1.0, 2.0).map(("1-URGENT", _)) ++
+      Seq(10.0, 20.0).map(("5-LOW", _)))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$disj/orders.parquet")
+    val b = CoreQueries.queries("ks_test")(spark, disj).head()
+    assert(b.getDouble(2) === 1.0, "non-overlapping supports → D = 1")
+  }
+
+  test("rfm_segments: aligned R/F/M orderings put each customer on the diagonal") {
+    import spark.implicits._
+    // customer k places k orders of 100·k each on day k — so recency,
+    // frequency and monetary all rank customers 4,3,2,1 → each lands in
+    // the (i,i,i) diagonal segment alone with avg_monetary = its own total
+    val work = java.nio.file.Files.createTempDirectory("graft-rfm").toString
+    (1 to 4).flatMap { k =>
+      Seq.fill(k)((k.toLong,
+        java.sql.Timestamp.valueOf(f"1995-01-0$k%d 00:00:00"), 100.0 * k))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+    val got = CoreQueries.queries("rfm_segments")(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === Map(
+      (1L, 1L, 1L) -> ((1L, 1600.0)), (2L, 2L, 2L) -> ((1L, 900.0)),
+      (3L, 3L, 3L) -> ((1L, 400.0)), (4L, 4L, 4L) -> ((1L, 100.0))))
+  }
 }

@@ -62,4 +62,31 @@ class WindowBoundsSpec extends SparkSpec {
     assert(r10 <= 3 * r1 + 20,
       s"skyline grew $r1 -> $r10 while orders grew $o1 -> $o10")
   }
+
+  test("exclusivePrefix users' only global windows sit above the constant-size " +
+       "bucket rollup") {
+    // gini_concentration / ks_test / rfm_segments are allowlisted for an
+    // unpartitioned WindowExec on the strength of "it's the CumBuckets-row
+    // coarse rollup, constant at any SF". Assert that structurally: every
+    // empty-partitionSpec window in their physical plans must have the
+    // bkt-grouped aggregate as a descendant (so its input is bucket-
+    // cardinality-bounded, never data-sized).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (name <- Seq("gini_concentration", "ks_test", "rfm_segments")) {
+      val plan = SparkEntry.queries(name)(spark, Sf10).queryExecution.sparkPlan
+      val globals = plan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty, s"$name: expected the coarse rollup window")
+      globals.foreach { w =>
+        val bktAgg = w.child.collect {
+          case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("bkt")) => a
+        }
+        assert(bktAgg.nonEmpty,
+          s"$name: a global window is NOT the bucket rollup:\n$w")
+      }
+    }
+  }
 }
