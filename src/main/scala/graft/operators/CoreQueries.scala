@@ -121,6 +121,70 @@ object CoreQueries {
     */
   private val PageRankCheckpointStride = 5
 
+  /** Label-propagation iteration count — single source of truth for the
+    * Spark loop and the oracle's unrolled CTE chain. Fixed (not
+    * convergence-tested) so the "approximate" community assignment has
+    * ONE exact answer every engine reproduces.
+    */
+  private val LpaIters = 4
+
+  /** L118 — synchronous label propagation (community detection) over the
+    * part co-purchase graph. Deterministic update: each node adopts the
+    * neighbor label with the highest count, ties to the SMALLEST label —
+    * a total order, so every round is reproducible. Scale shape: one
+    * edge⨝label equi-join + keyed count per round, the pick window is
+    * partitioned BY node (never global), and each round ends in a lazy
+    * localCheckpoint so plan depth stays O(1) per iteration no matter
+    * how high `iters` is raised (same discipline as pagerank's stride).
+    */
+  private[operators] def lpaPlan(s: SparkSession, dir: String,
+                                 iters: Int): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .localCheckpoint(false) // reused every round
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      lbl = e.join(lbl.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(desc("cnt"), col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(false)
+    }
+    lbl.select(col("node").as("p_partkey"), col("lbl").as("community"))
+      .orderBy("p_partkey")
+  }
+
+  /** Oracle for `label_propagation`: the same synchronous update unrolled
+    * as a CTE chain, one (count, pick) pair per round.
+    */
+  private def sqlLpa: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""c$i AS (SELECT e.src AS node, l${i - 1}.lbl, COUNT(*) AS cnt
+         |        FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |          SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |                   ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+       |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds
+       |SELECT node AS p_partkey, lbl AS community
+       |FROM l$LpaIters ORDER BY 1""".stripMargin
+  }
+
   /** Oracle for `pagerank`: the same power iteration unrolled as a CTE
     * chain (DuckDB recursive CTEs reject aggregates in the recursive
     * term, and a fixed iteration count needs no recursion). Double
@@ -1313,6 +1377,9 @@ object CoreQueries {
     // (no data-sized window), D = max |F1−F2| as a plain max aggregate.
     // Per-row division is IEEE-identical cross-engine; the max is rounded
     // once at the end.
+    // L118 — see lpaPlan's doc above.
+    "label_propagation" -> ((s, dir) => lpaPlan(s, dir, LpaIters)),
+
     "ks_test" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_totalprice").as("v"),
@@ -1336,6 +1403,8 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
 
     "pagerank" -> sqlPagerank,
+
+    "label_propagation" -> sqlLpa,
 
     "fd_discovery" -> {
       val candidates = Seq(

@@ -136,6 +136,52 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Kaplan–Meier signup→purchase survival curve, censoring-aware: users
+    // who never purchase after signup are censored at the corpus horizon
+    // instead of silently dropped (the time-to-event table conversion_window
+    // can't produce — dropping censored users biases conversion time low).
+    // Deaths-before-censoring at-risk convention; the curve is emitted as
+    // cumulative LOG-survival (per-step ln(1−d/n) rounded 6dp into a
+    // decimal running sum — exp() cross-engine parity is unguaranteed, so
+    // the exponential is left to the reader). Scale shape: user-keyed
+    // aggregates, then per-duration rows through the two-phase
+    // exclusivePrefix — both the at-risk counts and the running log-sum
+    // avoid any data-sized single-task window.
+    "kaplan_meier" -> ((s, dir) => {
+      val e = events(s, dir)
+      val maxTs = broadcast(e.agg(max("ts_us").as("max_us")))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_us"))
+      val fp = su.join(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us").as("p_us")),
+          Seq("user_id"))
+        .filter(col("p_us") > col("s_us"))
+        .groupBy("user_id").agg(min("p_us").as("fp_us"))
+      val subj = su.join(fp, Seq("user_id"), "left").crossJoin(maxTs)
+        .select(
+          when(col("fp_us").isNotNull,
+            expr("(fp_us - s_us) div 3600000000"))
+            .otherwise(expr("(max_us - s_us) div 3600000000")).as("t_hr"),
+          col("fp_us").isNotNull.cast("long").as("d"))
+      val pv = subj.groupBy("t_hr")
+        .agg(sum("d").as("ev"), (count(lit(1)) - sum("d")).as("cen"))
+      val nTot = broadcast(pv.agg(sum(col("ev") + col("cen")).as("n_subj")))
+      val km = CoreQueries.exclusivePrefix(pv, "t_hr", Seq("ev", "cen"))
+        .crossJoin(nTot)
+        .withColumn("n_risk", col("n_subj") - col("cum_ev") - col("cum_cen"))
+        .filter(col("ev") > 0) // the curve steps at event times only
+        .select(col("t_hr"), col("n_risk"), col("ev"), col("cen"),
+          when(col("n_risk") > col("ev"),
+            floor(log(lit(1.0) - col("ev").cast("double") / col("n_risk"))
+              * lit(1e6) + lit(0.5)) / lit(1e6))
+            .otherwise(lit(null)).cast(DecimalType(18, 6)).as("term"))
+      CoreQueries.exclusivePrefix(km, "t_hr", Seq("term"))
+        .select(col("t_hr"), col("n_risk"), col("ev"), col("cen"),
+          (col("cum_term") + col("term")).cast("double").as("log_surv"))
+        .orderBy("t_hr")
+    }),
+
     // Rolling anomaly score: each value vs its user's trailing 10-event
     // window moments. The moments come from decimal-exact SUM and
     // SUM-of-squares over the frame — v² is a single IEEE product
@@ -856,6 +902,46 @@ object EventQueries {
          |       CAST(SUM(CAST(floor(1e6 / n + 0.5) / 1e6 AS DECIMAL(18,6)))
          |            AS DOUBLE) AS credit
          |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "kaplan_meier" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |mx AS (SELECT MAX(us) AS max_us FROM e),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.us) AS fp_us
+        |       FROM e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > su.s_us GROUP BY 1),
+        |subj AS (
+        |  SELECT CASE WHEN fp.fp_us IS NOT NULL
+        |              THEN (fp.fp_us - su.s_us) // 3600000000
+        |              ELSE (mx.max_us - su.s_us) // 3600000000 END AS t_hr,
+        |         CASE WHEN fp.fp_us IS NOT NULL THEN 1 ELSE 0 END AS d
+        |  FROM su LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+        |pv AS (SELECT t_hr, CAST(SUM(d) AS BIGINT) AS ev,
+        |              CAST(COUNT(*) - SUM(d) AS BIGINT) AS cen
+        |       FROM subj GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(ev + cen) AS BIGINT) AS n_subj FROM pv),
+        |pre AS (
+        |  SELECT t_hr, ev, cen,
+        |         COALESCE(SUM(ev) OVER (ORDER BY t_hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_ev,
+        |         COALESCE(SUM(cen) OVER (ORDER BY t_hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cen
+        |  FROM pv),
+        |km AS (
+        |  SELECT t_hr, n_subj - cum_ev - cum_cen AS n_risk, ev, cen,
+        |         CASE WHEN n_subj - cum_ev - cum_cen > ev
+        |              THEN CAST(floor(ln(1.0 - CAST(ev AS DOUBLE)
+        |                     / (n_subj - cum_ev - cum_cen)) * 1e6 + 0.5) / 1e6
+        |                   AS DECIMAL(18,6))
+        |              ELSE NULL END AS term
+        |  FROM pre CROSS JOIN nt
+        |  WHERE ev > 0)
+        |SELECT t_hr, CAST(n_risk AS BIGINT) AS n_risk, ev, cen,
+        |       CASE WHEN term IS NULL THEN NULL  -- d = n: S hits 0, ln −inf
+        |            ELSE CAST(SUM(term) OVER (ORDER BY t_hr) AS DOUBLE)
+        |       END AS log_surv
+        |FROM km ORDER BY t_hr""".stripMargin,
 
     "psi_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),

@@ -49,8 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     *  - pareto_frontier: the global skyline stage consumes only the
     *    union of per-month LOCAL skylines (two-phase skyline: expected
     *    O(log rows) frontier points per month), never the raw fact;
-    *  - gini_concentration / ks_test / rfm_segments: the only
-    *    unpartitioned window is CoreQueries.exclusivePrefix's coarse
+    *  - gini_concentration / ks_test / rfm_segments / kaplan_meier: the
+    *    only unpartitioned window is CoreQueries.exclusivePrefix's coarse
     *    bucket rollup — CumBuckets (1024) rows, CONSTANT at any SF (the
     *    fine running-sum window is partitioned by bucket); WindowBounds-
     *    Spec asserts every global window in these plans sits above the
@@ -59,7 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val GlobalWindowAllowlist =
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
-      "gini_concentration", "ks_test", "rfm_segments")
+      "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

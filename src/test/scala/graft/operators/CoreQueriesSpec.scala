@@ -533,6 +533,22 @@ class CoreQueriesSpec extends SparkSpec {
     assert(b.getDouble(2) === 1.0, "non-overlapping supports → D = 1")
   }
 
+  test("label_propagation: two disjoint triangles converge to their min-id labels") {
+    import spark.implicits._
+    // deterministic LPA (max count, ties to smallest label) on a clique
+    // converges to the clique's minimum node id within two rounds; two
+    // disjoint triangles must therefore split into exactly two
+    // communities labeled by their smallest members
+    val work = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 5L), (200L, 6L), (200L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    val got = CoreQueries.queries("label_propagation")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("rfm_segments: aligned R/F/M orderings put each customer on the diagonal") {
     import spark.implicits._
     // customer k places k orders of 100·k each on day k — so recency,

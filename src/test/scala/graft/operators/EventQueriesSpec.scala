@@ -359,6 +359,39 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.values.map(_._3).sum === 3.0)
   }
 
+  test("kaplan_meier: censored users stay at risk, pre-signup purchases " +
+       "don't convert, and the log-survival steps match hand-computed KM") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-km").toString
+    def h(hours: Long): Long = hours * 3600L * 1000 * 1000 * 1000 // ns
+    Seq(
+      // u1: signup at 0, purchase at +1h → event at t=1
+      (1L, h(0), 1L, "signup", "{}", 0.0),
+      (2L, h(1), 1L, "purchase", "{}", 9.0),
+      // u2: signup at 0, purchase at +2h → event at t=2
+      (3L, h(0), 2L, "signup", "{}", 0.0),
+      (4L, h(2), 2L, "purchase", "{}", 5.0),
+      // u3: signup at 0, never purchases → censored at the +5h horizon
+      (5L, h(0), 3L, "signup", "{}", 0.0),
+      // u4: purchase BEFORE signup — not a conversion → censored at +3h
+      (6L, h(1), 4L, "purchase", "{}", 2.0),
+      (7L, h(2), 4L, "signup", "{}", 0.0),
+      // horizon pin: last event in the corpus at +5h
+      (8L, h(5), 9L, "view", "{}", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val got = EventQueries.queries("kaplan_meier")(spark, work).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+      .toMap
+    // 4 subjects: deaths at t=1 (n=4) and t=2 (n=3), censors at 3 and 5.
+    // log S(1) = round6(ln(3/4)) = −0.287682
+    // log S(2) = −0.287682 + round6(ln(2/3)) = −0.693147
+    assert(got === Map(
+      1L -> ((4L, 1L, 0L, -0.287682)),
+      2L -> ((3L, 1L, 0L, -0.693147))))
+  }
+
   test("psi_drift: identical halves score ~0, a shifted half scores high") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-psi").toString

@@ -73,7 +73,8 @@ class WindowBoundsSpec extends SparkSpec {
     // cardinality-bounded, never data-sized).
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    for (name <- Seq("gini_concentration", "ks_test", "rfm_segments")) {
+    for (name <- Seq("gini_concentration", "ks_test", "rfm_segments",
+        "kaplan_meier")) {
       val plan = SparkEntry.queries(name)(spark, Sf10).queryExecution.sparkPlan
       val globals = plan.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty => w
