@@ -344,7 +344,19 @@ object Dedup {
     */
   def sortedNeighborhoodDups(df: DataFrame, idCol: String, textCol: String,
                              window: Int = 8, blockChars: Int = 8,
-                             threshold: Double): DataFrame = {
+                             threshold: Double): DataFrame =
+    confirmJaccard(
+      sortedNeighborhoodCandidates(df, idCol, textCol, window, blockChars),
+      shingleHashSets(df, idCol, textCol), idCol, threshold)
+
+  /** The SNM candidate generator alone: (a_id, b_id) pairs within
+    * `window` sort positions inside an equal `blockChars`-char
+    * normalized-prefix block. Shared by [[sortedNeighborhoodDups]]
+    * (jaccard confirm) and the edit-distance confirm path.
+    */
+  def sortedNeighborhoodCandidates(df: DataFrame, idCol: String,
+                                   textCol: String, window: Int,
+                                   blockChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val keyed = df
       .select(col(idCol).cast("long").as("id"),
@@ -355,12 +367,11 @@ object Dedup {
     // forward-position explode: candidate (a at rn, b at rn+i), i < window
     val fwd = rn.select(col("blk"), col("id").as("l_id"),
       explode(sequence(col("rn") + 1, col("rn") + (window - 1))).as("rn"))
-    val cand = fwd
+    fwd
       .join(rn.select(col("blk"), col("rn"), col("id").as("r_id")),
         Seq("blk", "rn"))
       .select(least(col("l_id"), col("r_id")).as("a_id"),
         greatest(col("l_id"), col("r_id")).as("b_id"))
-    confirmJaccard(cand, shingleHashSets(df, idCol, textCol), idCol, threshold)
   }
 
   /** All pairs with jaccard ≥ threshold via a distributed block self-join —
@@ -515,6 +526,41 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+  }
+
+  /** Asymmetric containment near-dup: |A∩B| / |A| (and / |B|) over the
+    * distinct shingle sets — catches SUBSET duplication (one doc embedded
+    * inside another), which jaccard structurally under-scores: a 100-word
+    * doc fully contained in a 10 000-word doc has jaccard ≈ 0.01 but
+    * containment 1.0, so every jaccard-thresholded path (LSH, prefix,
+    * SNM) is blind to it. Candidates come from [[invertedIndexPairs]] —
+    * pairs sharing ≥1 shingle with document frequency ≤ dfCap, the
+    * standard df-capped posting join: recall is exact for any pair whose
+    * overlap contains at least one sub-hot shingle (a pair ALL of whose
+    * shared shingles are corpus-hot carries boilerplate overlap, not
+    * containment signal — the documented trade). A pair survives when
+    * max(containment_a, containment_b) ≥ threshold.
+    */
+  def containmentDups(df: DataFrame, idCol: String, textCol: String,
+                      dfCap: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = shingleHashSets(df, idCol, textCol)
+    val sa = sets.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
+    val sb = sets.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    invertedIndexPairs(df, idCol, textCol, dfCap)
+      .join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .mapPartitions(_.flatMap { case (a, b, shA, shB) =>
+        val x = shA.toArray; java.util.Arrays.sort(x)
+        val y = shB.toArray; java.util.Arrays.sort(y)
+        val inter = sortedIntersectCount(x, y)
+        val cA = inter.toDouble / x.length
+        val cB = inter.toDouble / y.length
+        if (math.max(cA, cB) >= threshold) Some((a, b, cA, cB)) else None
+      })
+      .toDF("a_id", "b_id", "containment_a", "containment_b")
   }
 
   /** All-pairs jaccard ≥ threshold — exactness baseline for tests and

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.llm.{Dedup, Similarity, TextOps}
 import graft.llm.TextOps._
 
@@ -83,6 +84,34 @@ object LlmQueries {
     * prefilters); this gate is the count-fraction analog.
     */
   private val RepMinMass = 10
+
+  /** BM25 (k1=1.2, b=0.75) document scores for the fixed query terms —
+    * shared by `bm25_search` and `rrf_fusion`. tf rows exist only for
+    * query terms, df/corpus stats are term- and 1-row-sized broadcasts,
+    * per-term scores round 6dp before the decimal per-doc sum (ln
+    * parity). Output: (doc_id, n_terms, bm25), unordered/unlimited — the
+    * callers pick their own top-k via TakeOrdered.
+    */
+  private def bm25Scored(d: DataFrame): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val k1 = 1.2; val bP = 0.75
+    val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl")))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df_, "token").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_score",
+        roundHU(col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - bP) + lit(bP) * col("dl") / col("avgdl"))), 1e6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term_score").cast("decimal(18,6)")).cast("double").as("bm25"))
+  }
 
   /** Per-doc repetition fractions + keep flag (shared by
     * `repetition_score` and the curation pipeline). Null fractions (no
@@ -282,6 +311,128 @@ object LlmQueries {
       Dedup.sortedNeighborhoodDups(docs(s, dir), "doc_id", "text",
           window = 8, blockChars = 8, threshold = 0.25)
         .orderBy("a_id", "b_id")
+    }),
+
+    // Edit-distance near-dup confirm over the SNM candidates: sim =
+    // 1 − lev(a,b)/max(len) on the whitespace-normalized texts — the
+    // character-level confirm the token-shingle families can't express
+    // (transpositions/small in-word edits shred shingles but cost few
+    // edits). Levenshtein is unit-cost on both engines; the per-pair
+    // O(len²) DP is the confirm cost, bounded by the SNM candidate
+    // count O(n·window) — never all-pairs.
+    "edit_distance_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val norm = d.select(col("doc_id").cast("long").as("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      Dedup.sortedNeighborhoodCandidates(d, "doc_id", "text",
+          window = 8, blockChars = 8)
+        .join(norm.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
+        .join(norm.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          roundHU(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 1e6).as("edit_sim"))
+        .filter(col("edit_sim") >= 0.4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Containment near-dup (|A∩B|/|A|): subset-duplication detector —
+    // the asymmetric metric jaccard is structurally blind to (a short doc
+    // fully embedded in a long one). df-capped inverted-index candidates,
+    // exact set confirm; see Dedup.containmentDups for the recall trade.
+    "containment_dup" -> ((s, dir) => {
+      Dedup.containmentDups(docs(s, dir), "doc_id", "text",
+          dfCap = 50, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Reciprocal-rank fusion of the lexical (BM25 top-50) and vector
+    // (cosine-vs-query-0 top-50) rankings — the standard hybrid-retrieval
+    // combiner: rrf(d) = Σ_lists 1/(60+rank_d). Ranks inside each
+    // 50-row candidate list come from a join-count (rows strictly ahead
+    // in the list's total order + 1) — constant-size comparisons, no
+    // global window anywhere; the lists themselves are TakeOrdered
+    // top-ks, so nothing data-sized ever sorts globally.
+    "rrf_fusion" -> ((s, dir) => {
+      val b50 = bm25Scored(docs(s, dir))
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id").as("id"), col("bm25"))
+        .localCheckpoint(false) // both sides of the rank self-join
+      val bRank = b50.as("x").join(b50.as("y"),
+          col("y.bm25") > col("x.bm25") ||
+            (col("y.bm25") === col("x.bm25") && col("y.id") < col("x.id")),
+          "left")
+        .groupBy(col("x.id").as("id"))
+        .agg((count(col("y.id")) + 1).as("bm25_rank"))
+      val e = embs(s, dir)
+      val cRank = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("rank").as("cos_rank"))
+      bRank.join(cRank, Seq("id"), "full")
+        .select(col("id").as("doc_id"), col("bm25_rank"), col("cos_rank"),
+          roundHU(
+            coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)),
+            1e6).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+    }),
+
+    // Rank-frequency Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    // top-200 corpus tokens — the one-number lexical-health summary (a
+    // natural corpus sits near −1; synthetic/boilerplate text flattens).
+    // Ranks within the 200-row TakeOrdered list come from a join-count
+    // (no global window); ln terms round 6dp, the closed-form OLS runs
+    // on decimal sums of the rounded terms.
+    "zipf_slope" -> ((s, dir) => {
+      val top = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token")).limit(200)
+        .localCheckpoint(false) // both sides of the rank self-join
+      val ranked = top.as("x").join(top.as("y"),
+          col("y.cnt") > col("x.cnt") ||
+            (col("y.cnt") === col("x.cnt") && col("y.token") < col("x.token")),
+          "left")
+        .groupBy(col("x.token").as("token"), col("x.cnt").as("cnt"))
+        .agg((count(col("y.token")) + 1).as("rank"))
+      val terms = ranked.select(
+        roundHU(log(col("rank").cast("double")), 1e6).as("x"),
+        roundHU(log(col("cnt").cast("double")), 1e6).as("y"))
+      terms.select(col("x"), col("y"),
+          (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(28, 12))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(28, 12))).cast("double").as("sy"),
+          sum(col("xy").cast(DecimalType(28, 12))).cast("double").as("sxy"),
+          sum(col("xx").cast(DecimalType(28, 12))).cast("double").as("sxx"))
+        .select(col("n").as("n_terms"),
+          roundHU((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 1e6).as("slope"),
+          roundHU((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 1e6).as("intercept"))
+    }),
+
+    // Per-document token Shannon entropy — the repetitiveness/diversity
+    // quality signal (low entropy = templated or repeated text): one
+    // doc-keyed shuffle into (doc, token) counts, per-token −p·ln p
+    // rounded 6dp into a decimal per-doc sum. Zero-token docs carry no
+    // distribution and are excluded (entropy of nothing is undefined,
+    // not 0).
+    "doc_token_entropy" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("n"),
+          roundHU(-(col("c") / col("n")) * log(col("c") / col("n")), 1e6)
+            .as("term"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_tokens"),
+          sum(col("term").cast(DecimalType(18, 6))).cast("double")
+            .as("entropy"))
+        .orderBy("doc_id")
     }),
 
     // Exact cosine top-k: broadcast query set, one corpus scan
@@ -1191,29 +1342,10 @@ object LlmQueries {
     // per-doc sum (the unigram_logprob recipe — JVM vs libm ln differ
     // in the last ulp), and the top-50 is a total-ordered TakeOrdered,
     // not a sort of the corpus.
-    "bm25_search" -> ((s, dir) => {
-      val terms = Seq("spark", "join", "window")
-      val k1 = 1.2; val bP = 0.75
-      val d = docs(s, dir)
-      val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
-      val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-        (sum("dl") / count(lit(1))).as("avgdl")))
-      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      tf.join(df_, "token").join(dl, "doc_id").crossJoin(stats)
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("term_score",
-          roundHU(col("idf") * col("tf") * (k1 + 1) /
-            (col("tf") + lit(k1) * (lit(1 - bP) + lit(bP) * col("dl") / col("avgdl"))), 1e6))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("term_score").cast("decimal(18,6)")).cast("double").as("bm25"))
+    "bm25_search" -> ((s, dir) =>
+      bm25Scored(docs(s, dir))
         .orderBy(desc("bm25"), col("doc_id"))
-        .limit(50)
-    }),
+        .limit(50)),
 
     // L102 — Count-Min sketch heavy hitters: depth-4 x width-512
     // counters over the token stream (buckets from the shared token
@@ -1543,6 +1675,136 @@ object LlmQueries {
          |  JOIN sh b ON b.doc_id = c.b_id)
          |WHERE jaccard >= 0.25
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "edit_distance_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, skey, substr(skey, 1, 8) AS blk,
+        |         row_number() OVER (PARTITION BY substr(skey, 1, 8)
+        |                            ORDER BY skey, doc_id) AS rn
+        |  FROM k),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+        |         greatest(a.doc_id, b.doc_id) AS b_id
+        |  FROM r a JOIN r b
+        |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 7)
+        |SELECT * FROM (
+        |  SELECT c.a_id, c.b_id,
+        |         floor((1.0 - CAST(levenshtein(ka.skey, kb.skey) AS DOUBLE)
+        |                / greatest(len(ka.skey), len(kb.skey))) * 1e6 + 0.5)
+        |           / 1e6 AS edit_sim
+        |  FROM cand c JOIN k ka ON ka.doc_id = c.a_id
+        |              JOIN k kb ON kb.doc_id = c.b_id)
+        |WHERE edit_sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "containment_dup" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |kept AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle,
+         |           COUNT(*) OVER (PARTITION BY shingle) AS df FROM post)
+         |  WHERE df <= 50),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id,
+         |         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |         len(sa.sh) AS la, len(sb.sh) AS lb
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |              JOIN sh sb ON sb.doc_id = c.b_id)
+         |SELECT a_id, b_id, CAST(inter AS DOUBLE) / la AS containment_a,
+         |       CAST(inter AS DOUBLE) / lb AS containment_b
+         |FROM pairs
+         |WHERE greatest(CAST(inter AS DOUBLE) / la,
+         |               CAST(inter AS DOUBLE) / lb) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "rrf_fusion" ->
+      s"""WITH dl AS (SELECT doc_id, len($sqlTokens) AS dl FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
+         |  WHERE token IN ('spark', 'join', 'window')
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |               * tf.tf * 2.2
+         |               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         |               * 1e6 + 0.5) / 1e6 AS term_score
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |b AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |  FROM scored GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |br AS (SELECT doc_id AS id,
+         |              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |                   AS BIGINT) AS bm25_rank FROM b),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |      FROM embeddings),
+         |cs AS (SELECT c.vec_id AS id, ${sqlCos("q", "c")} AS cos
+         |       FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |cr AS (SELECT id, cos_rank FROM (
+         |         SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+         |                         AS BIGINT) AS cos_rank FROM cs)
+         |       WHERE cos_rank <= 50),
+         |f AS (SELECT COALESCE(br.id, cr.id) AS doc_id, br.bm25_rank, cr.cos_rank
+         |      FROM br FULL OUTER JOIN cr ON br.id = cr.id)
+         |SELECT doc_id, bm25_rank, cos_rank,
+         |       floor((COALESCE(1.0 / (60 + bm25_rank), 0.0)
+         |              + COALESCE(1.0 / (60 + cos_rank), 0.0)) * 1e6 + 0.5)
+         |         / 1e6 AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
+         |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 200),
+         |rk AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token)
+         |                        AS BIGINT) AS rank FROM top),
+         |terms AS (
+         |  SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+         |         floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+         |  FROM rk),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+         |  FROM terms)
+         |SELECT n AS n_terms,
+         |       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+         |         / 1e6 AS slope,
+         |       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         |             * 1e6 + 0.5) / 1e6 AS intercept
+         |FROM agg""".stripMargin,
+
+    "doc_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM tok GROUP BY 1, 2),
+         |n AS (SELECT doc_id, c,
+         |             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         |      FROM c),
+         |t AS (SELECT doc_id, n,
+         |             floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+         |                   * 1e6 + 0.5) / 1e6 AS term
+         |      FROM n)
+         |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

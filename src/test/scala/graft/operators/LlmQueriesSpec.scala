@@ -576,6 +576,93 @@ class LlmQueriesSpec extends SparkSpec {
     assert(!got.contains(999L))
   }
 
+  test("edit_distance_dedup: one in-word edit scores 1 − 1/len; " +
+       "first-token divergence is never compared (SNM trade)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-edd").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "a", 22L),
+      // 1 substitution on a 22-char normalized string → 1 − 1/22
+      (2L, "alpha beta gamma delte", "en", "a", 22L),
+      // similar but diverges at the first token → different block
+      (3L, "omega beta gamma delta", "en", "a", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("edit_distance_dedup")(spark, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.954545)))
+  }
+
+  test("containment_dup: a doc fully embedded in another scores " +
+       "containment 1.0 despite low jaccard") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    Seq(
+      // doc 2's 3 bigram shingles are a strict subset of doc 1's 10
+      (1L, "a b c d e f g h i j k", "en", "a", 21L),
+      (2L, "c d e f", "en", "a", 7L),
+      (3L, "entirely different content here", "en", "a", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("containment_dup")(spark, work)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0.3, 1.0)),
+      "jaccard here is 3/10 — below any dedup threshold; containment_b = 1")
+  }
+
+  test("rrf_fusion: reciprocal ranks add across the lexical and vector " +
+       "lists, and a one-list doc still scores") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rrf").toString
+    Seq(
+      (1L, "spark join window", "en", "a", 17L), // bm25 rank 1
+      (2L, "spark aaa bbb", "en", "a", 13L),     // bm25 rank 2
+      (3L, "ccc ddd eee", "en", "a", 11L))       // lexical miss
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // the query vector
+      (1L, Array(1.0f, 0.1f), 0),   // cos rank 1
+      (2L, Array(1.0f, 1.0f), 0),   // cos rank 2
+      (3L, Array(0.0f, 1.0f), 0))   // cos rank 3
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val got = LlmQueries.queries("rrf_fusion")(spark, work).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // rrf(1) = 1/61 + 1/61, rrf(2) = 1/62 + 1/62, rrf(3) = 0 + 1/63
+    assert(got.toSeq === Seq((1L, 0.032787), (2L, 0.032258), (3L, 0.015873)))
+  }
+
+  test("zipf_slope: a 2-point exact power law fits slope −1") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    // counts 4 and 2 at ranks 1 and 2: ln-space points (0, ln4), (ln2, ln2)
+    // lie exactly on y = ln4 − x, so OLS must return slope −1 exactly
+    // (the 6dp-rounded ln2/ln4 terms keep the collinearity: ln4 = 2·ln2
+    // survives rounding since round(ln4) = 1.386294 = 2 × 0.693147)
+    Seq((1L, "aa aa aa aa bb bb", "en", "a", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val r = LlmQueries.queries("zipf_slope")(spark, work).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === -1.0)
+    assert(r.getDouble(2) === 1.386294)
+  }
+
+  test("doc_token_entropy: uniform 2-token doc scores ln 2, " +
+       "single-token doc scores 0") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq((1L, "x x y y", "en", "a", 7L), (2L, "z", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = LlmQueries.queries("doc_token_entropy")(spark, work).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // 2 × round6(−0.5·ln 0.5) = 2 × 0.346574 (vs ln 2 = 0.693147…)
+    assert(got === Map(1L -> ((4L, 0.693148)), 2L -> ((1L, 0.0))))
+  }
+
   test("sorted_neighborhood_dup: finds prefix-sharing near-dups, misses " +
        "pairs that diverge at token one (the documented SNM trade)") {
     import spark.implicits._
