@@ -1171,6 +1171,33 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN index-quality evaluation: recall@10 of the LSH path against the
+    // exact ranking, per query — the metric that decides whether an
+    // approximate index is shippable (an ANN path without a recall
+    // harness is a silent-quality liability at 100 TB, where nobody can
+    // eyeball results). Both rankings are deterministic, so the recall
+    // table itself has one exact answer. left-semi intersect on
+    // (query, neighbor), two key-sized aggregates.
+    "ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false) // reused: denominator + intersect
+      val approx = Similarity.annTopK(e, q, "vec_id", "embedding",
+          k = 10, nPlanes = 4, dim = 64, probeRadius = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6))
+        .orderBy("query_id")
+    }),
+
     // IVF ANN (deterministic k-means coarse quantizer, multiprobe) —
     // approximate recall (asserted in ScalaTest) but deterministic
     // retrieval: seeded decimal-exact k-means, so DuckDB-oracled too.
@@ -1501,6 +1528,56 @@ object LlmQueries {
        |  FROM cand)
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for `ann_recall`: the exact top-k (cosine_topk's form) and
+    * the LSH top-k ([[lshAnnOracle]]'s form) intersected per query.
+    */
+  private def annRecallOracle(nPlanes: Int, dim: Int, k: Int): String = {
+    val hp = Similarity.hyperplanes(nPlanes, dim)
+    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
+    def proj(i: Int) =
+      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
+    val bucketExpr = (0 until nPlanes).map(i =>
+      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
+    val flips = (Seq(0L) ++ (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM exs)
+       |  WHERE rank <= $k),
+       |b AS (
+       |  SELECT vec_id, e,
+       |       $bucketExpr AS bucket
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id AS query_id, e, xor(bucket, flip) AS probe
+       |  FROM b, unnest($flips) AS t(flip)
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $k),
+       |h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+       |n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |      FROM ex GROUP BY 1)
+       |SELECT n.query_id, n.n_exact,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_exact * 1e6 + 0.5)
+       |         / 1e6 AS recall
+       |FROM n LEFT JOIN h ON n.query_id = h.query_id
+       |ORDER BY n.query_id""".stripMargin
   }
 
   /** Oracle for `lsh_cosine_near_dup`: same deterministic hyperplane
@@ -2345,6 +2422,8 @@ object LlmQueries {
          |ORDER BY doc_id, rank""".stripMargin,
 
     "ann_lsh_topk" -> lshAnnOracle(nPlanes = 4, dim = 64, k = 10),
+
+    "ann_recall" -> annRecallOracle(nPlanes = 4, dim = 64, k = 10),
 
     "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
 

@@ -576,6 +576,22 @@ class LlmQueriesSpec extends SparkSpec {
     assert(!got.contains(999L))
   }
 
+  test("ann_recall: per-query recall is n_hit/n_exact in [0,1] against the " +
+       "exact ranking, one row per query") {
+    val got = LlmQueries.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (0L until 10L), "one row per query vector")
+    got.foreach { case (q, nExact, nHit, recall) =>
+      assert(nExact === 10L, s"query $q: full exact top-10 expected")
+      assert(nHit >= 0L && nHit <= nExact)
+      val expect = math.floor(nHit.toDouble / nExact * 1e6 + 0.5) / 1e6
+      assert(recall === expect, s"query $q recall mismatch")
+    }
+    // the LSH index is useful at all only if it finds SOMETHING
+    assert(got.map(_._3).sum > 0, "zero total hits — index broken")
+  }
+
   test("edit_distance_dedup: one in-word edit scores 1 − 1/len; " +
        "first-token divergence is never compared (SNM trade)") {
     import spark.implicits._
