@@ -28,7 +28,8 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet is TIMESTAMP(NANOS) — unreadable without this conf
+    // legacy-generation events.parquet is TIMESTAMP(NANOS) — unreadable
+    // without this conf; a no-op on the TIMESTAMP(MICROS) generation
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // warm up the JVM (codegen, parquet readers) and ALL file indexes so
     // per-query timings measure the queries, not first-touch session cost

@@ -648,14 +648,14 @@ object CoreQueries {
 
     // Streaming-shaped batch analog: tumbling 1h event-time window aggregation
     // over the events table (SURVEY.md §2.9 stretch; batch windowing here,
-    // Structured Streaming variant in graft.streaming). The events table
-    // carries TIMESTAMP(NANOS) parquet, which Spark only reads as long via
-    // the legacy conf; integer-divide to micros (double division would lose
-    // precision above 2^53).
+    // Structured Streaming variant in graft.streaming). Event time comes
+    // from the schema-adaptive EventTime helper — the testdata has shipped
+    // `ts` as both nanos-long and TIMESTAMP_NTZ across generations.
     "event_window_agg" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      val ev = t(s, dir, "events")
+      ev
+        .withColumn("ts_us", timestamp_micros(graft.sources.EventTime.tsUs(ev)))
         .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), decSum(col("value"), 6).as("total_value"))
         .select(

@@ -10,12 +10,12 @@ import org.apache.spark.sql.types.DecimalType
   * clickstream-shaped operations a training-data pipeline runs next to
   * document processing.
   *
-  * Timestamps: events.parquet carries TIMESTAMP(NANOS), which Spark only
-  * reads as long under the legacy conf; `ts div 1000` truncates to micros
-  * exactly as DuckDB's native nanos→micros conversion does (verified
-  * empirically — both truncate, neither rounds), so micros-long outputs
-  * compare bit-for-bit. All windows order by (ts_us, event_id) for a
-  * total order under timestamp ties.
+  * Timestamps: `ts_us` (micros since epoch) is derived schema-adaptively
+  * by [[graft.sources.EventTime]] — the testdata has shipped `ts` as both
+  * TIMESTAMP(NANOS) (nanos-long under the legacy conf) and
+  * TIMESTAMP(MICROS) (TIMESTAMP_NTZ) across generations, and DuckDB's
+  * `epoch_us(ts)` matches both encodings bit-for-bit. All windows order
+  * by (ts_us, event_id) for a total order under timestamp ties.
   *
   * Scale notes: the lag/session windows shuffle once on user_id (the
   * natural key); session analysis uses Spark's native session_window
@@ -41,8 +41,8 @@ object EventQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts_us", graft.sources.EventTime.tsUs(df))
   }
 
   private def decSum(c: org.apache.spark.sql.Column, scale: Int = 6) =

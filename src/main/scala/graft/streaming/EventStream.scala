@@ -244,19 +244,20 @@ object EventStream {
       .start(path)
 
   /** Read an events parquet path as a file stream (schema pinned — a
-    * streaming source never infers; TIMESTAMP(NANOS) surfaces as long
-    * under the legacy conf, converted to micros with integer division).
-    * File-stream sources require a directory, so a single-file path is
-    * streamed via its parent + pathGlobFilter.
+    * streaming source never infers; the `ts` encoding varies across
+    * testdata generations and is normalized to a proper TIMESTAMP by the
+    * schema-adaptive [[graft.sources.EventTime]] helper). File-stream
+    * sources require a directory, so a single-file path is streamed via
+    * its parent + pathGlobFilter.
     */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
+    val batch = spark.read.parquet(path)
     val f = new java.io.File(path)
-    val reader = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(batch.schema)
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(path)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    src.withColumn("ts", graft.sources.EventTime.tsTimestamp(batch))
   }
 }

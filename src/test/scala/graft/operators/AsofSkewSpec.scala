@@ -64,8 +64,8 @@ class AsofSkewSpec extends SparkSpec {
     assert(out.length > 0)
     // reference: collect purchases, resolve each error event by scan
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.withColumn("us", graft.sources.EventTime.tsUs(raw))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("user_id", "us").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap

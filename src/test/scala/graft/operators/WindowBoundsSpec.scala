@@ -22,12 +22,11 @@ class WindowBoundsSpec extends SparkSpec {
 
   test("cumulative_users window input is calendar-bounded, not SF-bounded") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // raw events carry nanos-as-long `ts`; EventQueries derives ts_us
-    val dayNs = 86400000000000L
+    val dayUs = 86400000000L
     def spanDays(dir: String): Long = {
-      val mm = spark.read.parquet(s"$dir/events.parquet")
-        .agg(min(expr(s"ts div $dayNs")), max(expr(s"ts div $dayNs")))
-        .head()
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val us = graft.sources.EventTime.tsUs(raw)
+      val mm = raw.agg(min(floor(us / dayUs)), max(floor(us / dayUs))).head()
       mm.getLong(1) - mm.getLong(0) + 1
     }
     val (r1, r10) = (rows("cumulative_users", Sf1), rows("cumulative_users", Sf10))

@@ -227,9 +227,8 @@ class EventStreamSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: ["))
     // append mode emits only watermark-finalized windows: a subset of the
     // batch aggregate over the same data
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = raw.withColumn("ts", graft.sources.EventTime.tsTimestamp(raw))
     val batchKeys = windowedAgg(batch).collect()
       .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
         r.getAs[Long]("n"))).toSet
