@@ -317,20 +317,37 @@ object LlmQueries {
     // 1 − lev(a,b)/max(len) on the whitespace-normalized texts — the
     // character-level confirm the token-shingle families can't express
     // (transpositions/small in-word edits shred shingles but cost few
-    // edits). Levenshtein is unit-cost on both engines; the per-pair
-    // O(len²) DP is the confirm cost, bounded by the SNM candidate
-    // count O(n·window) — never all-pairs.
+    // edits). Two prunes keep the per-pair cost bounded: (1) the
+    // length band — lev(a,b) ≥ |len(a)−len(b)|, so any pair whose
+    // length gap already exceeds the edit budget (sim ≥ 0.4 ⟺
+    // lev ≤ 0.6·maxlen; +1 absorbs the 6dp-rounding slack) can never
+    // qualify and is dropped before any DP runs; (2) the surviving
+    // pairs run the bit-parallel Myers DP (`LevenshteinFast`,
+    // functions/EditDistance.scala) — exact unit-cost Levenshtein at
+    // O(m·n/64) word ops. NOT the thresholded band DP: at a 0.4 floor
+    // the budget is 0.6·maxlen, so the band covers ~all of the matrix
+    // and the row-min early exit never fires — measured ~16% where
+    // the bit-vector kernel is ~10×. Output is row-identical to the
+    // plain-levenshtein form (same DP semantics, same final filter).
+    // Candidates stay O(n·window) from the SNM blocking — never
+    // all-pairs.
     "edit_distance_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val norm = d.select(col("doc_id").cast("long").as("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      val la = length(col("ta"))
+      val lb = length(col("tb"))
+      val maxLen = greatest(la, lb)
+      val budget = (ceil(maxLen * lit(0.6)) + lit(1)).cast("int")
       Dedup.sortedNeighborhoodCandidates(d, "doc_id", "text",
           window = 8, blockChars = 8)
         .join(norm.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
         .join(norm.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
+        .filter(abs(la - lb) <= budget)
+        .withColumn("lev",
+          graft.functions.EditDistance.levenshteinFast(col("ta"), col("tb")))
         .select(col("a_id"), col("b_id"),
-          roundHU(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
-            greatest(length(col("ta")), length(col("tb"))), 1e6).as("edit_sim"))
+          roundHU(lit(1.0) - col("lev").cast("double") / maxLen, 1e6).as("edit_sim"))
         .filter(col("edit_sim") >= 0.4)
         .orderBy("a_id", "b_id")
     }),
