@@ -73,10 +73,12 @@ object Bench {
     // 124+ queries (BENCH_r05 recorded parsed:null — the head of the line,
     // with "metric":"total", was cut off). Print a compact summary line
     // LAST so a bounded tail always retains a parseable headline record.
+    // Named "summary", not "total", so a consumer aggregating by metric
+    // key never double-counts the run (r6 advice).
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
     val slowest = top.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"queries_omitted":${results.size - top.size},"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"queries_omitted":${results.size - top.size},"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,6 +62,25 @@ object Dedup {
     java.lang.Math.floorMod(h, nBlocks.toLong).toInt
   }
 
+  /** Plan-time fail-fast for id columns about to be `cast("long")`: a
+    * non-integral id (string, decimal, …) would cast to null and silently
+    * drop every pair — the silent-corruption trap [[Similarity]] guards
+    * its LSH path against; every dedup entry point applies the same
+    * discipline through this helper.
+    */
+  private[llm] def requireIntegralId(df: DataFrame, idCol: String,
+                                     caller: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$caller: id column '$idCol' must be an integral type " +
+          s"(byte/short/int/long), got $other — a lossy cast would drop " +
+          "pairs silently")
+    }
+
   /** Typed fast path: per-doc distinct bigram-shingle hash sets computed
     * in a tight JVM loop. Arithmetic is IDENTICAL to the declarative
     * [[TextOps.shingleHashes]] (verified by spec).
@@ -70,6 +89,7 @@ object Dedup {
                                    textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol, "shingleHashSets")
     // widen ONLY under-partitioned inputs (a 2-file local corpus must
     // not serialize the shingle loop onto 2 cores); an unconditional
     // repartition would full-shuffle a corpus that already has plenty
@@ -358,6 +378,7 @@ object Dedup {
                                    textCol: String, window: Int,
                                    blockChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
+    requireIntegralId(df, idCol, "sortedNeighborhoodCandidates")
     val keyed = df
       .select(col(idCol).cast("long").as("id"),
         regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("skey"))

@@ -16,10 +16,11 @@ import org.apache.spark.sql.types._
   * stand-in that parses the 8-byte GRFT test header and synthesizes
   * "pixels" from a byte rolling hash, so the Spark-side plumbing (schema,
   * encoders, batch shape, partitioning) is fully real and tested.
-  * [[RealCodec]] decodes the real uncompressed formats a bare JVM can
-  * handle with no libraries (P6 PPM, 24-bit BMP, PCM WAV); compressed
-  * formats (JPEG/PNG/MP3) still need an external binding at that seam —
-  * this environment ships no imaging/audio libraries.
+  * [[RealCodec]] decodes real formats with zero external dependencies:
+  * JPEG/PNG/GIF via the JDK's own `javax.imageio` (standard library —
+  * no binding needed), plus hand-rolled P6 PPM / 24-bit BMP / PCM WAV
+  * for the containers ImageIO lacks. Compressed audio/video (MP3/MP4)
+  * still needs an external codec at that seam.
   *
   * Scale notes: rows carry payloads of MBs — keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -77,18 +78,26 @@ object Multimodal {
     }
   }
 
-  /** Production codec for the uncompressed formats a pure JVM can decode
-    * with no libraries: binary PPM (P6) and 24-bit uncompressed BMP for
-    * images, PCM WAV for audio — dispatched on the container's own magic
-    * bytes, not the `kind` hint. Compressed formats (JPEG/PNG/MP3) still
-    * need an external codec binding and fail loudly here.
+  /** Production codec, pure JVM, zero external dependencies: JPEG, PNG
+    * and GIF decode through the JDK's standard `javax.imageio`; binary
+    * PPM (P6) and 24-bit uncompressed BMP have hand decoders (ImageIO
+    * has no PPM reader and this avoids its BMP edge cases); PCM WAV is a
+    * RIFF chunk walk. All dispatched on the container's own magic bytes,
+    * not the `kind` hint. Compressed audio/video (MP3/MP4) still needs
+    * an external codec binding and fails loudly here.
     *
     * Conventions: for images `n_samples` is the PIXEL count (w·h) and the
     * checksum is the same 131-rolling-hash as [[FakeCodec]] over the
     * decoded pixel bytes in display order (BMP bottom-up storage is
     * normalized to top-down; byte order stays as stored, RGB for PPM /
-    * BGR for BMP). For audio `n_samples` is the PCM frame count and the
-    * checksum runs over the raw data chunk.
+    * BGR for BMP / packed-sRGB R,G,B for the ImageIO formats). For audio
+    * `n_samples` is the PCM frame count and the checksum runs over the
+    * raw data chunk.
+    *
+    * Robustness: header-declared sizes are validated in Long arithmetic
+    * before any allocation or indexing — a malicious header (negative or
+    * overflowing dims/chunk sizes) must die as IllegalArgumentException,
+    * never hang an executor or return garbage silently.
     */
   object RealCodec extends MediaCodec {
 
@@ -104,17 +113,48 @@ object Multimodal {
     }
 
     def decode(kind: String, bytes: Array[Byte]): Decoded = {
-      require(bytes.length >= 2, "media payload too short for any container")
+      require(bytes.length >= 3, "media payload too short for any container")
       if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(kind, bytes)
       else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(kind, bytes)
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N')
+        decodeImageIo(kind, bytes) // PNG
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        decodeImageIo(kind, bytes) // JPEG
+      else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+        decodeImageIo(kind, bytes) // GIF
       else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
         bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
         decodeWav(kind, bytes)
       else throw new IllegalArgumentException(
-        "RealCodec: unrecognized container (supported: P6 PPM, 24-bit " +
-          "uncompressed BMP, PCM WAV); compressed formats need an external " +
-          "codec binding")
+        "RealCodec: unrecognized container (supported: JPEG, PNG, GIF, " +
+          "P6 PPM, 24-bit uncompressed BMP, PCM WAV); compressed " +
+          "audio/video needs an external codec binding")
+    }
+
+    /** JPEG/PNG/GIF via the JDK's standard `javax.imageio` — checksum
+      * over packed-sRGB (R,G,B) bytes in display order, matching the
+      * display-order convention of the hand decoders.
+      */
+    private def decodeImageIo(kind: String, b: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      require(img != null, "ImageIO failed to decode a recognized image container")
+      val w = img.getWidth
+      val h = img.getHeight
+      var cs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          cs = (cs * 131 + ((p >> 16) & 0xff)) % TextOps.HashP
+          cs = (cs * 131 + ((p >> 8) & 0xff)) % TextOps.HashP
+          cs = (cs * 131 + (p & 0xff)) % TextOps.HashP
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(-1L, kind, w, h, w.toLong * h, cs)
     }
 
     /** P6 PPM: "P6" <ws> width <ws> height <ws> maxval <one ws> raw RGB. */
@@ -139,10 +179,14 @@ object Multimodal {
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       require(maxval > 0 && maxval < 256, s"PPM maxval $maxval unsupported (1 byte/channel only)")
+      require(w > 0 && h > 0, s"PPM dims ${w}x$h must be positive")
       i += 1 // exactly one whitespace byte separates maxval from raster
-      require(b.length - i >= w * h * 3, "PPM raster truncated")
+      // size math in Long: 50000x50000x3 overflows Int, which would let
+      // a malicious header pass the truncation guard and hash nothing
+      val rasterLen = w.toLong * h * 3
+      require(b.length - i >= rasterLen, "PPM raster truncated")
       Decoded(-1L, kind, w, h, w.toLong * h,
-        roll(0L, b, i, i + w * h * 3))
+        roll(0L, b, i, i + rasterLen.toInt))
     }
 
     /** 24-bit uncompressed BMP (BITMAPINFOHEADER or larger); bottom-up
@@ -159,20 +203,30 @@ object Multimodal {
       val compression = le32(b, 30)
       require(bpp == 24, s"BMP bpp $bpp unsupported (24-bit only)")
       require(compression == 0, "compressed BMP unsupported")
-      val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-      require(b.length >= dataOffset + rowSize.toLong * h, "BMP raster truncated")
+      require(w > 0 && hRaw != 0 && hRaw != Int.MinValue,
+        s"BMP dims ${w}x$hRaw must be positive width, non-zero height")
+      require(dataOffset >= 54 && dataOffset < b.length,
+        s"BMP data offset $dataOffset outside payload")
+      val rowSize = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      require(b.length >= dataOffset + rowSize * h, "BMP raster truncated")
       var cs = 0L
       var row = 0
       while (row < h) {
         val storedRow = if (topDown) row else h - 1 - row
-        val start = dataOffset + storedRow * rowSize
+        // guards above bound dataOffset + rowSize*h ≤ b.length: Int-safe
+        val start = (dataOffset + storedRow * rowSize).toInt
         cs = roll(cs, b, start, start + w * 3) // padding bytes excluded
         row += 1
       }
       Decoded(-1L, kind, w, h, w.toLong * h, cs)
     }
 
-    /** PCM WAV: RIFF chunk walk to fmt + data; frames = data / blockAlign. */
+    /** PCM WAV: RIFF chunk walk to fmt + data; frames = data / blockAlign.
+      * Chunk sizes are attacker-controlled le32s: a negative size (or one
+      * overflowing the remaining buffer) must fail loudly — the naive
+      * `i += 8 + size` walk would step backward or stall, hanging the
+      * executor in an infinite loop instead of erroring.
+      */
     private def decodeWav(kind: String, b: Array[Byte]): Decoded = {
       var i = 12
       var channels = 0; var bits = 0
@@ -180,17 +234,22 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = le32(b, i + 4)
+        require(size >= 0, s"WAV chunk '$id' has negative size $size")
+        require(i + 8 + size.toLong <= b.length,
+          s"WAV chunk '$id' size $size overflows the remaining payload")
         if (id == "fmt ") {
           require(le16(b, i + 8) == 1, "non-PCM WAV unsupported")
           channels = le16(b, i + 10)
           bits = le16(b, i + 22)
         } else if (id == "data") {
           require(channels > 0 && bits > 0, "WAV data chunk before fmt")
-          val end = math.min(i + 8 + size, b.length)
+          val end = i + 8 + size
           nSamples = (end - (i + 8)).toLong / (channels * bits / 8)
           cs = roll(0L, b, i + 8, end)
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        val next = i + 8 + size + (size & 1) // chunks are word-aligned
+        require(next > i, s"WAV chunk walk must advance (chunk '$id' at $i)")
+        i = next
       }
       require(nSamples >= 0, "WAV has no data chunk")
       Decoded(-1L, kind, 0, 0, nSamples, cs)

@@ -223,16 +223,7 @@ object Similarity {
     // turn e.g. a string id into null, making `l_id < r_id` unknown and
     // silently dropping every pair (empty result) — the same loud-failure
     // discipline lshBuckets applies to dim mismatches, at plan time
-    corpus.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"lshNearDupPairs: id column '$idCol' must be an integral type " +
-          s"(byte/short/int/long), got $other — a lossy cast would drop " +
-          "pairs silently")
-    }
+    Dedup.requireIntegralId(corpus, idCol, "lshNearDupPairs")
     // one bucketing pass; the typed identity-map barrier keeps the
     // float→double cast, norm, and bucket per-VECTOR (CollapseProject
     // would otherwise inline them into the join output, per PAIR)

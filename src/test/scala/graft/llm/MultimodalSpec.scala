@@ -119,6 +119,108 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RealCodec.decode("audio", bad) }
   }
 
+  /** Render a deterministic RGB test card and return (image, its
+    * display-order packed-sRGB R,G,B byte stream for the expected hash).
+    */
+  private def testCard(w: Int, h: Int): (java.awt.image.BufferedImage, Seq[Int]) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y) % 256 << 16) | ((y * 83) % 256 << 8) | ((x * 11 + y * 29) % 256))
+    val bytes = for (y <- 0 until h; x <- 0 until w;
+                     b <- { val p = img.getRGB(x, y)
+                            Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) })
+      yield b
+    (img, bytes)
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must ship a $fmt writer")
+    out.toByteArray
+  }
+
+  test("RealCodec decodes PNG via javax.imageio to exact pixels") {
+    val (img, expected) = testCard(5, 4)
+    val png = encode(img, "png")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P', "fixture really is a PNG")
+    val d = RealCodec.decode("image", png)
+    assert(d.width === 5 && d.height === 4 && d.n_samples === 20L)
+    // PNG is lossless: the checksum must equal the source-pixel hash
+    assert(d.checksum === roll(expected))
+  }
+
+  test("RealCodec decodes JPEG via javax.imageio (lossy: dims exact, hash stable)") {
+    val (img, _) = testCard(16, 9)
+    val jpg = encode(img, "jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "fixture really is a JPEG")
+    val d1 = RealCodec.decode("image", jpg)
+    val d2 = RealCodec.decode("image", jpg)
+    assert(d1.width === 16 && d1.height === 9 && d1.n_samples === 144L)
+    assert(d1.checksum === d2.checksum, "decode must be deterministic")
+  }
+
+  test("RealCodec decodes PNG and JPEG through decodeAll and featureize plumbing") {
+    import spark.implicits._
+    val (img, expected) = testCard(6, 6)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "image", encode(img, "png"), Some(6), Some(6), None),
+      MediaRow(2L, "image", encode(img, "jpg"), Some(6), Some(6), None)))
+    val decoded = decodeAll(rows, RealCodec).collect().sortBy(_.media_id)
+    assert(decoded.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(decoded.forall(d => d.width == 6 && d.height == 6 && d.n_samples == 36L))
+    assert(decoded(0).checksum === roll(expected), "PNG round-trips exactly")
+    val feats = featureize(rows, dim = 8).collect()
+    assert(feats.length === 2 && feats.forall(_.feature.length == 8))
+  }
+
+  // ---- malicious-header hardening: fail loudly, never hang or lie ----
+
+  test("WAV with a negative or overflowing chunk size fails loudly, never loops") {
+    val data = Seq(1, 0, 2, 0)
+    def chunk(id: String, payload: Seq[Int]): Seq[Int] =
+      id.map(_.toInt) ++ Seq(payload.length & 0xff, (payload.length >> 8) & 0xff, 0, 0) ++ payload
+    val fmt = Seq(1, 0, 2, 0, 0x80, 0x3e, 0, 0, 0, 0xfa, 0, 0, 4, 0, 16, 0)
+    val body = "WAVE".map(_.toInt) ++ chunk("fmt ", fmt) ++ chunk("data", data)
+    val wav = ("RIFF".map(_.toInt) ++
+      Seq(body.length & 0xff, (body.length >> 8) & 0xff, 0, 0) ++ body)
+      .map(_.toByte).toArray
+    // fmt chunk size -> 0xFFFFFFFF (-1): the naive walk would step backward
+    val negSize = wav.clone()
+    (16 until 20).foreach(i => negSize(i) = 0xff.toByte)
+    intercept[IllegalArgumentException] { RealCodec.decode("audio", negSize) }
+    // fmt chunk size -8: 8 + size == 0, the walk would stall in place
+    val stall = wav.clone()
+    stall(16) = 0xf8.toByte; stall(17) = 0xff.toByte
+    stall(18) = 0xff.toByte; stall(19) = 0xff.toByte
+    intercept[IllegalArgumentException] { RealCodec.decode("audio", stall) }
+    // data chunk size overflowing the remaining payload must be loud too
+    val overflow = wav.clone()
+    overflow(wav.length - data.length - 4) = 0x7f.toByte
+    intercept[IllegalArgumentException] { RealCodec.decode("audio", overflow) }
+  }
+
+  test("PPM/BMP with overflowing or non-positive header dims fail loudly") {
+    // 50000*50000*3 overflows Int to negative: the old guard passed and
+    // returned a garbage Decoded silently
+    val ppm = "P6\n50000 50000\n255\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException] { RealCodec.decode("image", ppm) }
+    val zero = "P6\n0 3\n255\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException] { RealCodec.decode("image", zero) }
+    // BMP with negative le32 width
+    val b = new Array[Byte](60)
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(10, 54); le32(14, 40); le32(18, -5); le32(22, 1)
+    b(28) = 24
+    intercept[IllegalArgumentException] { RealCodec.decode("image", b) }
+  }
+
   test("RealCodec flows through the distributed decode path and rejects unknowns") {
     import spark.implicits._
     val px = Seq.tabulate(27)(i => i * 7 % 256) // 3x3 PPM
