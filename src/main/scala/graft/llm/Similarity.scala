@@ -383,8 +383,17 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
-              iters: Int = 2): DataFrame = {
-    val cs = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+              iters: Int = 2): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      ivfCentroids(corpus, idCol, vecCol, nClusters, iters), nProbe)
+
+  /** [[ivfTopK]] against a prebuilt codebook — the production shape (an
+    * IVF index trains once and serves many queries/probe settings; a
+    * recall sweep over nProbe must not re-run k-means per point).
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, cs: Array[Array[Double]],
+                  nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cluster", clusterOf(col("cv"), cs))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))

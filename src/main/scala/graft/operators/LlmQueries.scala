@@ -145,22 +145,29 @@ object LlmQueries {
     * (assign → means → coalesce-empty-clusters) round per iteration, then
     * corpus assignment, query multiprobe, and cosine ranking.
     */
-  private def ivfAnnOracle(nClusters: Int, nProbe: Int, k: Int, iters: Int): String = {
-    // squared-L2 rank score vs centroid list `c` of aliased relation s:
-    // ‖c‖² − 2·v·c, the same fold order as the Spark/JVM side
-    def score(vecExpr: String) =
-      s"list_sum(list_transform(s.c, x -> x*x)) - 2.0 * " +
-        s"list_sum(list_transform(list_zip($vecExpr, s.c), p -> p[1]*p[2]))"
-    def assignCte(name: String, centPrev: String) =
-      s"""$name AS (
-         |  SELECT vec_id, cl FROM (
-         |    SELECT v.vec_id, s.cl,
-         |           row_number() OVER (PARTITION BY v.vec_id
-         |             ORDER BY ${score("v.e")}, s.cl) AS rn
-         |    FROM v CROSS JOIN $centPrev s)
-         |  WHERE rn = 1)"""
+  // squared-L2 rank score vs centroid list `c` of aliased relation s:
+  // ‖c‖² − 2·v·c, the same fold order as the Spark/JVM side
+  private def ivfScore(vecExpr: String) =
+    s"list_sum(list_transform(s.c, x -> x*x)) - 2.0 * " +
+      s"list_sum(list_transform(list_zip($vecExpr, s.c), p -> p[1]*p[2]))"
+
+  private def ivfAssignCte(name: String, centPrev: String) =
+    s"""$name AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT v.vec_id, s.cl,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${ivfScore("v.e")}, s.cl) AS rn
+       |    FROM v CROSS JOIN $centPrev s)
+       |  WHERE rn = 1)"""
+
+  /** The shared IVF WITH-body: seeds, `iters` Lloyd rounds, and the final
+    * corpus assignment CTE (`assign`; centroids in `cent$iters`). Assumes
+    * a CTE `v(vec_id, e)` is already in scope. See [[ivfAnnOracle]] for
+    * why each step is exactly reproducible.
+    */
+  private def ivfChainCtes(nClusters: Int, iters: Int): String = {
     val rounds = (1 to iters).map { t =>
-      s"""${assignCte(s"a$t", s"cent${t - 1}")},
+      s"""${ivfAssignCte(s"a$t", s"cent${t - 1}")},
          |m$t AS (
          |  SELECT cl, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
          |  FROM (SELECT a$t.cl, unnest(v.e) AS val, generate_subscripts(v.e, 1) AS pos
@@ -171,31 +178,144 @@ object LlmQueries {
          |  SELECT s.cl, COALESCE(c$t.c, s.c) AS c
          |  FROM cent${t - 1} s LEFT JOIN c$t USING (cl))"""
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |cent0 AS (
+    s"""cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nClusters)),
        |$rounds,
-       |${assignCte("assign", s"cent$iters")},
-       |probes AS (
+       |${ivfAssignCte("assign", s"cent$iters")}""".stripMargin
+  }
+
+  /** Query multiprobe + candidate CTEs for the IVF chain: `$prefix_ap`
+    * holds the approximate (query_id, neighbor_id) top-k.
+    */
+  private def ivfApCtes(prefix: String, nProbe: Int, k: Int, iters: Int): String =
+    s"""${prefix}_probes AS (
        |  SELECT vec_id AS query_id, e, cl FROM (
        |    SELECT v.vec_id, v.e, s.cl,
        |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${score("v.e")}, s.cl) AS rn
+       |             ORDER BY ${ivfScore("v.e")}, s.cl) AS rn
        |    FROM v CROSS JOIN cent$iters s
        |    WHERE v.vec_id < 10)
        |  WHERE rn <= $nProbe),
-       |cand AS (
+       |${prefix}_cand AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
-       |  FROM probes q
+       |  FROM ${prefix}_probes q
        |  JOIN (SELECT v.vec_id, v.e, assign.cl FROM v JOIN assign USING (vec_id)) c
-       |    ON c.cl = q.cl AND c.vec_id <> q.query_id)
-       |SELECT query_id, rank, neighbor_id, cos FROM (
-       |  SELECT query_id, neighbor_id, cos,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM cand)
-       |WHERE rank <= $k
+       |    ON c.cl = q.cl AND c.vec_id <> q.query_id),
+       |${prefix}_ap AS (
+       |  SELECT query_id, neighbor_id, cos, rank FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ${prefix}_cand)
+       |  WHERE rank <= $k)""".stripMargin
+
+  private def ivfAnnOracle(nClusters: Int, nProbe: Int, k: Int, iters: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${ivfChainCtes(nClusters, iters)},
+       |${ivfApCtes("p", nProbe, k, iters)}
+       |SELECT query_id, rank, neighbor_id, cos FROM p_ap
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Exact per-query top-k CTEs (`ex`), assuming `v` in scope. */
+  private def exactTopKCtes(k: Int): String =
+    s"""exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM exs)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** Oracle for `ann_ivf_recall`: [[exactTopKCtes]] ∩ the IVF top-k,
+    * per-query recall — the IVF twin of [[annRecallOracle]].
+    */
+  private def ivfRecallOracle(nClusters: Int, nProbe: Int, k: Int, iters: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${exactTopKCtes(k)},
+       |${ivfChainCtes(nClusters, iters)},
+       |${ivfApCtes("p", nProbe, k, iters)},
+       |h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |      FROM ex JOIN p_ap USING (query_id, neighbor_id) GROUP BY 1),
+       |n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |      FROM ex GROUP BY 1)
+       |SELECT n.query_id, n.n_exact,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_exact * 1e6 + 0.5)
+       |         / 1e6 AS recall
+       |FROM n LEFT JOIN h ON n.query_id = h.query_id
+       |ORDER BY n.query_id""".stripMargin
+
+  /** LSH bucket + probe CTEs for one Hamming radius: `${prefix}_ap` holds
+    * the approximate (query_id, neighbor_id) top-k. Assumes the shared
+    * `b(vec_id, e, bucket)` CTE is in scope.
+    */
+  private def lshApCtes(prefix: String, nPlanes: Int, radius: Int, k: Int): String = {
+    def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
+      if (r == 0) Seq(Seq.empty)
+      else bits.combinations(r).toSeq ++ combos(bits, r - 1)
+    val flips = combos(0 until nPlanes, radius)
+      .map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
+      .mkString("[", ", ", "]")
+    s"""${prefix}_q AS (
+       |  SELECT vec_id AS query_id, e, xor(bucket, flip) AS probe
+       |  FROM b, unnest($flips) AS t(flip)
+       |  WHERE vec_id < 10),
+       |${prefix}_cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+       |  FROM ${prefix}_q q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id),
+       |${prefix}_ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ${prefix}_cand)
+       |  WHERE rank <= $k)""".stripMargin
+  }
+
+  /** Oracle for `ann_tuning_curve`: one micro-averaged recall row per
+    * (index family, knob value). Micro-average = SUM(hits)/SUM(exact) —
+    * integer sums, one division, no float-accumulation order.
+    */
+  private def annTuningCurveOracle(nPlanes: Int, dim: Int, k: Int,
+                                   nClusters: Int, iters: Int): String = {
+    val hp = Similarity.hyperplanes(nPlanes, dim)
+    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
+    def proj(i: Int) =
+      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
+    val bucketExpr = (0 until nPlanes).map(i =>
+      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
+    val radii = Seq(0, 1, 2)
+    val probes = Seq(1, 2, 4, 8)
+    val lshCtes = radii.map(r => lshApCtes(s"l$r", nPlanes, r, k)).mkString(",\n")
+    val ivfAps = probes.map(p => ivfApCtes(s"i$p", p, k, iters)).mkString(",\n")
+    def hitCte(prefix: String) =
+      s"""${prefix}_h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM ex JOIN ${prefix}_ap USING (query_id, neighbor_id))""".stripMargin
+    val hits = (radii.map(r => hitCte(s"l$r")) ++ probes.map(p => hitCte(s"i$p")))
+      .mkString(",\n")
+    def pointSelect(family: String, param: Int, prefix: String) =
+      s"""SELECT '$family' AS family, CAST($param AS BIGINT) AS param,
+         |       n.n_exact, h.n_hit,
+         |       floor(CAST(h.n_hit AS DOUBLE) / n.n_exact * 1e6 + 0.5) / 1e6 AS recall
+         |FROM n, ${prefix}_h h""".stripMargin
+    val points = (radii.map(r => pointSelect("lsh_radius", r, s"l$r")) ++
+      probes.map(p => pointSelect("ivf_nprobe", p, s"i$p")))
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${exactTopKCtes(k)},
+       |b AS (
+       |  SELECT vec_id, e,
+       |       $bucketExpr AS bucket
+       |  FROM v),
+       |$lshCtes,
+       |${ivfChainCtes(nClusters, iters)},
+       |$ivfAps,
+       |$hits,
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
+       |SELECT family, param, n_exact, n_hit, recall FROM (
+       |$points)
+       |ORDER BY family, param""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1223,6 +1343,66 @@ object LlmQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 10, nClusters = 16, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF index-quality evaluation: recall@10 of the IVF path against
+    // the exact ranking, per query — the ship/no-ship metric ann_recall
+    // provides for the LSH index, closing the gap where the IVF index
+    // had no measured recall. Deterministic retrieval (seeded
+    // decimal-exact k-means) ⇒ the recall table has one exact answer.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false) // reused: denominator + intersect
+      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, nClusters = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6))
+        .orderBy("query_id")
+    }),
+
+    // The tuning curve an operator actually reads before shipping an ANN
+    // index: micro-averaged recall@10 as a function of the knob that
+    // buys candidates — LSH probe radius (0/1/2) and IVF nProbe
+    // (1/2/4/8) — in one chart-ready table. Micro-average =
+    // sum(hits)/sum(exact): integer sums then ONE division, so there is
+    // no float-accumulation order for the two engines to disagree on.
+    // Each point reuses the checkpointed exact ranking; the 7 index
+    // probes share the bucketed/bucket-equi join shapes of their parent
+    // queries (never all-pairs).
+    "ann_tuning_curve" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false)
+      def point(family: String, param: Int, approx: DataFrame): DataFrame =
+        exact.join(approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact"))) // 1-row × 1-row
+          .select(lit(family).as("family"), lit(param).cast("long").as("param"),
+            col("n_exact"), col("n_hit"),
+            roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6).as("recall"))
+      val lsh = Seq(0, 1, 2).map(r => point("lsh_radius", r,
+        Similarity.annTopK(e, q, "vec_id", "embedding", k = 10,
+          nPlanes = 4, dim = 64, probeRadius = r)))
+      // one codebook, four probe settings — a recall sweep must not
+      // re-run k-means per point
+      val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nClusters = 16, iters = 2)
+      val ivf = Seq(1, 2, 4, 8).map(p => point("ivf_nprobe", p,
+        Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 10, cs, nProbe = p)))
+      (lsh ++ ivf).reduce(_.union(_)).orderBy("family", "param")
     }),
 
     // L94 — per-source unigram distribution entropy (nats) + the
@@ -2443,6 +2623,11 @@ object LlmQueries {
     "ann_recall" -> annRecallOracle(nPlanes = 4, dim = 64, k = 10),
 
     "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "ann_ivf_recall" -> ivfRecallOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "ann_tuning_curve" -> annTuningCurveOracle(nPlanes = 4, dim = 64, k = 10,
+      nClusters = 16, iters = 2),
 
     "source_entropy" ->
       s"""WITH c AS (

@@ -64,12 +64,15 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
     *  - ann_ivf_topk: seeded k-means coarse quantizer — the codebook is
-    *    O(nClusters·dim) driver state by design (IVF's contract).
-    * (Verified empirically: with this set emptied, ann_ivf_topk is the
-    * ONLY query that runs non-footer jobs at construction time.)
+    *    O(nClusters·dim) driver state by design (IVF's contract);
+    *  - ann_ivf_recall / ann_tuning_curve: the same codebook, built once
+    *    per IVF probe point (the exact-top-k localCheckpoint both reuse
+    *    is lazy and runs at execution, not construction).
+    * (Verified empirically: with this set emptied, these are the ONLY
+    * queries that run non-footer jobs at construction time.)
     */
   private val ConstructionJobsAllowlist =
-    Set("ann_ivf_topk")
+    Set("ann_ivf_topk", "ann_ivf_recall", "ann_tuning_curve")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {

@@ -172,4 +172,27 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("integral"))
   }
+
+  test("ivf recall is sensitive to nProbe: non-decreasing, full probe = exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+        nClusters = 16, nProbe = nProbe)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (ivf & brute).size.toDouble / brute.size
+    }
+    val curve = Seq(1, 4, 16).map(p => p -> recallAt(p))
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(ra <= rb, s"recall must not drop when probing more cells: " +
+        s"nProbe $pa -> $ra but $pb -> $rb")
+    }
+    assert(curve.last._2 === 1.0,
+      "probing every cell IS the exact scan - recall must be 1")
+    assert(curve.head._2 < 1.0,
+      "nProbe=1 must actually approximate on scattered vectors " +
+        "(if this fails the knob is dead and the curve meaningless)")
+  }
 }
