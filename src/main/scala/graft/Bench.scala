@@ -40,7 +40,11 @@ object Bench {
     // optional comma-separated query filter for isolating one timing
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // oracled queries + the bench-only sketch tiers (the actual 100 TB
+    // path of the four buffer-heavy profiling queries — sketch-valued so
+    // never oracled, but a perf regression must show here)
+    val results = (SparkEntry.queries ++ graft.operators.ApproxTiers.benchQueries)
+      .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
@@ -69,6 +73,69 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
+    // ---- streaming throughput probes ----------------------------------
+    // The streaming surface is correctness-specced (DedupStreamSpec /
+    // EventStreamSpec) but was never timed; feed the sf corpus through a
+    // MemoryStream and report rows/s for the two stateful hot paths. A
+    // probe failure must never kill the batch bench → its own error field.
+    // Skipped under SPARK_GRAFT_BENCH_ONLY (targeted timing runs).
+    val streamLine = if (only.nonEmpty) "" else try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      def probe(name: String)(run: () => (Long, Double)): String = {
+        val (rows, secs) = run()
+        val rate = if (secs > 0) rows / secs else -1.0
+        s""""$name":{"rows":$rows,"secs":$secs,"rows_per_s":${rate.toLong}}"""
+      }
+      val dedup = probe("dedup_stream") { () =>
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        val rows = raw
+          .withColumn("ts", graft.sources.EventTime.tsTimestamp(raw))
+          .select(col("event_id"), col("ts"), col("user_id"))
+          .as[(Long, java.sql.Timestamp, Long)]
+          .sort("event_id").take(100000).toSeq
+        val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val ck = java.nio.file.Files.createTempDirectory("graft-bench-ck").toString
+        val q = graft.streaming.EventStream
+          .dedupStream(mem.toDF().toDF("event_id", "ts", "user_id"), Seq("event_id"))
+          .writeStream.format("noop").option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(25000).foreach { chunk =>
+            mem.addData(chunk); q.processAllAvailable()
+          }
+          (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
+        } finally q.stop()
+      }
+      val gate = probe("near_dup_gate") { () =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[graft.streaming.DedupStream.Doc]
+          .sort("doc_id").collect().toSeq
+        val mem = MemoryStream[graft.streaming.DedupStream.Doc]
+        val ck = java.nio.file.Files.createTempDirectory("graft-bench-ck").toString
+        val q = graft.streaming.DedupStream
+          .nearDupVerdicts(mem.toDS(), threshold = 0.5)
+          .writeStream.format("noop").option("checkpointLocation", ck)
+          .outputMode("update").start() // flatMapGroupsWithState is Update-mode
+        try {
+          val t0 = System.nanoTime()
+          docs.grouped(1000).foreach { chunk =>
+            mem.addData(chunk); q.processAllAvailable()
+          }
+          (docs.size.toLong, (System.nanoTime() - t0) / 1e9)
+        } finally q.stop()
+      }
+      s"""{"metric":"streaming_throughput",$dedup,$gate,"sf":"$sfDir"}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"metric":"streaming_throughput","error":"${jsonEscape(
+          (e.getClass.getName + ": " + Option(e.getMessage).getOrElse("")).take(200))}"}"""
+    }
+    if (streamLine.nonEmpty) println(streamLine)
     // The full line above grew past the driver's tail-capture window at
     // 124+ queries (BENCH_r05 recorded parsed:null — the head of the line,
     // with "metric":"total", was cut off). Print a compact summary line

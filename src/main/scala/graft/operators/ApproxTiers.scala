@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -107,5 +107,29 @@ object ApproxTiers {
       .agg(min("lo").as("lo"), min("hi").as("hi"), count(lit(1)).as("n"),
         decSum(col(valCol)).as("raw_sum"), decSum(col("w")).as("win_sum"))
       .orderBy(groupCol)
+  }
+
+  /** Bench-only registrations of the sketch tiers, on the SAME inputs as
+    * their exact twins. Sketch-valued, so no DuckDB oracle (ApproxTiersSpec
+    * bounds them against the exact tier instead) — but graft.Bench times
+    * them every round, so a perf regression in the actual 100 TB path
+    * shows in BENCH_r* rather than hiding behind the oracle-exact tier.
+    */
+  val benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def events(s: SparkSession, dir: String): DataFrame = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+    }
+    Map(
+      "table_profile_approx" -> ((s, dir) =>
+        tableProfile(s.read.parquet(s"$dir/orders.parquet"),
+          CoreQueries.ProfileCols, rsd = 0.05)),
+      "median_mode_approx" -> ((s, dir) =>
+        medianMode(s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_returnflag", "l_quantity")),
+      "equidepth_histogram_approx" -> ((s, dir) =>
+        equidepthHistogram(events(s, dir), "event_type", "value", bins = 8)),
+      "winsorize_stats_approx" -> ((s, dir) =>
+        winsorizeStats(events(s, dir), "event_type", "value")))
   }
 }

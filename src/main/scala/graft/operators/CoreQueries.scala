@@ -101,10 +101,43 @@ object CoreQueries {
   }
 
   /** Columns profiled by `table_profile` — the single source of truth the
-    * Spark aggregate list and the oracle's UNION ALL are generated from.
+    * Spark aggregate list, the oracle's UNION ALL, and the approx tier's
+    * bench twin are generated from.
     */
-  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private[operators] val ProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Block-size ceiling `fuzzy_name_match` enforces: pair compute per
+    * block is |block|², so 1000 rows ≈ 10⁶ residual levenshteins — the
+    * largest a single task should ever absorb before the blocking key
+    * must widen.
+    */
+  val FuzzyMatchMaxBlock: Long = 1000L
+
+  /** Plan-embedded enforcement of a blocked operator's "blocks stay
+    * bounded" contract: every row is joined to its block's row count and
+    * passes through an `assert_true` — the first block exceeding
+    * `maxBlock` fails the JOB with a message naming the offending block,
+    * instead of silently going quadratic in a straggler task. Cost: one
+    * partial-agg-friendly count per block (block-cardinality relation,
+    * broadcast back) — noise next to the Σ|block|² pair compute it
+    * bounds. Output rows/schema are unchanged (the assert column is
+    * always null and dropped).
+    */
+  def blockSizeGuard(df: DataFrame, blockCols: Seq[String], maxBlock: Long,
+                     op: String): DataFrame = {
+    val counts = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__block_n"))
+    val msg = concat(
+      lit(s"$op: blocking contract violated - block ("),
+      concat_ws(", ", blockCols.map(c => col(c).cast("string")): _*),
+      lit(") holds "), col("__block_n").cast("string"),
+      lit(s" rows > maxBlock=$maxBlock; widen the blocking key"))
+    df.join(counts, blockCols)
+      .withColumn("__guard", assert_true(col("__block_n") <= maxBlock, msg))
+      .filter(col("__guard").isNull) // always true; keeps the assert in the plan
+      .drop("__block_n", "__guard")
+  }
 
   /** PageRank power-iteration count — the single source of truth both the
     * Spark loop and the oracle's unrolled CTE chain are generated from.
@@ -732,15 +765,18 @@ object CoreQueries {
     // (brand, size) blocks, so the self-join is a hash equi-join with
     // the codegen'd levenshtein kernel evaluated as a residual on those
     // pairs only. Pair compute is Σ|block|²: the blocking key is part of
-    // the operator's CONTRACT and must be chosen so blocks stay bounded
-    // as the table grows — here (brand, size) holds tens of rows per
-    // block at bench SFs; a 100 TB deployment widens the key (e.g. a
-    // name-prefix attribute) exactly as production linkage pipelines do,
-    // trading recall for bounded blocks. Distance 1-3 keeps true
-    // variants and drops exact duplicates (dedup_exact's job).
+    // the operator's CONTRACT and [[blockSizeGuard]] ENFORCES it in the
+    // plan — a block exceeding FuzzyMatchMaxBlock rows fails the job
+    // loudly instead of silently going quadratic; a 100 TB deployment
+    // widens the key (e.g. a name-prefix attribute) exactly as
+    // production linkage pipelines do, trading recall for bounded
+    // blocks. Distance 1-3 keeps true variants and drops exact
+    // duplicates (dedup_exact's job).
     "fuzzy_name_match" -> ((s, dir) => {
       val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
-      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      val guarded = blockSizeGuard(p, Seq("p_brand", "p_size"),
+        FuzzyMatchMaxBlock, "fuzzy_name_match")
+      val a = guarded.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
         col("p_brand"), col("p_size"))
       val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
         col("p_brand"), col("p_size"))

@@ -124,6 +124,35 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 3L, 1L)))
   }
 
+  test("fuzzy_name_match block-size contract is enforced, not documented") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-fuzzy-skew").toString
+    // one block deliberately over the ceiling: the guard must fail the
+    // job with the offending block named, never silently go quadratic
+    val n = (CoreQueries.FuzzyMatchMaxBlock + 1).toInt
+    val skewed = (1 to n).map(i => (i.toLong, s"name $i", "Brand#HOT", 1)) ++
+      Seq((100000L, "lonely part", "Brand#COLD", 2))
+    skewed.toDF("p_partkey", "p_name", "p_brand", "p_size")
+      .write.mode("overwrite").parquet(s"$work/part.parquet")
+    val ex = intercept[Exception] {
+      CoreQueries.queries("fuzzy_name_match")(spark, work).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("blocking contract violated") && m.contains("Brand#HOT")),
+      s"guard must name the offending block, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("blockSizeGuard passes bounded blocks through unchanged") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "B1"), (2L, "b", "B1"), (3L, "c", "B2"))
+      .toDF("id", "name", "blk")
+    val out = CoreQueries.blockSizeGuard(df, Seq("blk"), maxBlock = 2L, "test")
+    assert(out.columns.toSeq === Seq("blk", "id", "name"))
+    assert(out.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("median_mode: interpolated median and lowest-value mode tiebreak") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-med").toString
