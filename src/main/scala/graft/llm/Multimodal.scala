@@ -318,10 +318,47 @@ object Multimodal {
     }
   }
 
+  /** Real pixel resampling for ImageIO-decodable payloads (JPEG/PNG/GIF):
+    * decode, scale the longer side down to `maxSide` preserving aspect
+    * ratio (bilinear), re-encode as PNG (lossless, deterministic on a
+    * given JDK). Rows whose payload is not an ImageIO container (GRFT
+    * test containers, WAV audio, PPM/BMP hand formats) pass through
+    * unchanged — resampling is only defined where a full decoder exists.
+    * Per-partition imperative loop like [[decodeAll]]: the codec cost
+    * dominates, media rows never collect.
+    */
+  def resizePixels(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide) r
+      else {
+        val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+        val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt))
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        r.copy(bytes = buf.toByteArray,
+          meta_width = Some(w), meta_height = Some(h))
+      }
+    })
+  }
+
   /** Metadata-level resize: recompute target dimensions preserving aspect
-    * ratio. Pixel resampling itself is codec territory (see [[RealCodec]]);
-    * the returned frame keeps the original payload with updated metadata,
-    * which is what downstream shuffles/sinks see anyway.
+    * ratio without touching pixels — the cheap planning pass when only
+    * downstream sizing matters ([[resizePixels]] is the real resampler
+    * for ImageIO-decodable payloads).
     */
   def resizeMeta(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession

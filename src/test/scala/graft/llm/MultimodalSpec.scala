@@ -174,6 +174,31 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length === 2 && feats.forall(_.feature.length == 8))
   }
 
+  test("resizePixels resamples ImageIO payloads and passes others through") {
+    import spark.implicits._
+    val (big, _) = testCard(200, 100)
+    val (small, _) = testCard(40, 20)
+    val grft = FakeCodec.encodeHeader("image", 64, 48) ++ Array[Byte](1, 2, 3, 4)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "image", encode(big, "png"), Some(200), Some(100), None),
+      MediaRow(2L, "image", encode(big, "jpg"), Some(200), Some(100), None),
+      MediaRow(3L, "image", encode(small, "png"), Some(40), Some(20), None),
+      MediaRow(4L, "image", grft, Some(64), Some(48), None)))
+    val out = resizePixels(rows, maxSide = 100).collect().sortBy(_.media_id)
+    // both oversized payloads shrink to 100x50 and re-decode at that size
+    Seq(out(0), out(1)).foreach { r =>
+      assert(r.meta_width === Some(100) && r.meta_height === Some(50))
+      val d = RealCodec.decode("image", r.bytes)
+      assert(d.width === 100 && d.height === 50)
+    }
+    // within-bound and non-ImageIO payloads are byte-identical pass-throughs
+    assert(out(2).bytes.toSeq === encode(small, "png").toSeq)
+    assert(out(3).bytes.toSeq === grft.toSeq)
+    // deterministic: re-running produces identical bytes
+    val out2 = resizePixels(rows, maxSide = 100).collect().sortBy(_.media_id)
+    assert(out.map(_.bytes.toSeq).toSeq === out2.map(_.bytes.toSeq).toSeq)
+  }
+
   // ---- malicious-header hardening: fail loudly, never hang or lie ----
 
   test("WAV with a negative or overflowing chunk size fails loudly, never loops") {
