@@ -26,6 +26,14 @@ class ApproxTiersSpec extends SparkSpec {
   }
   private def plan(df: DataFrame) = df.queryExecution.sparkPlan
 
+  test("benchQueries: every bench-only tier runs and produces rows") {
+    // the bench map is outside the Verify contract, so a broken entry
+    // would otherwise surface only as a BENCH_r* error field
+    ApproxTiers.benchQueries.foreach { case (name, fn) =>
+      assert(fn(spark, Sf).count() > 0, name)
+    }
+  }
+
   test("table_profile approx tier: no Expand (the exact tier has one); HLL within 4 sigma") {
     val exact = SparkEntry.queries("table_profile")(spark, Sf)
     val approx = ApproxTiers.tableProfile(orders, ProfileCols, rsd = 0.05)
