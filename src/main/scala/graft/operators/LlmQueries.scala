@@ -1271,6 +1271,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode canonicalization (NFC, UAX #15) via the codegen'd
+    // UnicodeNormalize expression — the canonicalization pass that must
+    // precede any hashing dedup ('café' precomposed vs 'cafe'+U+0301
+    // are byte-different, so every exact/shingle/fingerprint family
+    // silently misses the duplicate until the text is normalized). The
+    // synthetic corpus is ASCII, so a decomposed suffix is appended to
+    // make the normalization observable; DuckDB's nfc_normalize
+    // implements the identical fully-specified algorithm ⇒ oracled.
+    // Per-row, no shuffle beyond the output sort.
+    "unicode_nfc" -> ((s, dir) => {
+      // 'cafe' + COMBINING ACUTE written as an escape so no editor or
+      // tooling can silently precompose the source literal
+      val withSuffix = concat(col("text"), lit(" cafe\u0301"))
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.functions.UnicodeNormalize.nfc(withSuffix).as("norm_text"),
+        (length(withSuffix) -
+          length(graft.functions.UnicodeNormalize.nfc(withSuffix)))
+          .cast("long").as("chars_folded"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document (smooth idf, rounded for cross-engine
     // float stability; rank ties broken on the rounded value + term)
     "tfidf_top_terms" -> ((s, dir) => {
@@ -2598,6 +2620,14 @@ object LlmQueries {
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
         |       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "unicode_nfc" ->
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' cafe' || chr(769)) AS norm_text,
+        |       CAST(length(text || ' cafe' || chr(769))
+        |            - length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT) AS chars_folded
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
