@@ -782,7 +782,10 @@ object CoreQueries {
         col("p_brand"), col("p_size"))
       a.join(b, Seq("p_brand", "p_size"))
         .filter(col("a_key") < col("b_key"))
-        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        // bit-parallel Myers kernel (≡ levenshtein, property-proven in
+        // EditDistanceSpec) — same win as edit_distance_dedup's confirm
+        .withColumn("dist", graft.functions.EditDistance
+          .levenshteinFast(col("a_name"), col("b_name")).cast("long"))
         .filter(col("dist").between(1, 3))
         .select("a_key", "b_key", "a_name", "b_name", "dist")
         .orderBy("a_key", "b_key")

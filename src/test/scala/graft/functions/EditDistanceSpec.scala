@@ -53,7 +53,11 @@ class EditDistanceSpec extends SparkSpec {
       ("a" * 128, "b" * 128) -> 128,
       ("a" * 129, "a" * 64 + "b" + "a" * 64) -> 1,
       ("naïve café", "naive cafe") -> 2,
-      ("日本語テキスト", "日本語のテキスト") -> 1
+      ("日本語テキスト", "日本語のテキスト") -> 1,
+      // supplementary plane: each emoji is ONE code point (a surrogate
+      // pair in UTF-16) — distance must count code points, not chars
+      ("a😀b", "ab") -> 1,
+      ("😀😁", "😀😂") -> 1
     )
     cases.foreach { case ((a, b), want) =>
       assert(MyersLev.distance(a, b) === want, s"'$a' vs '$b'")
