@@ -416,10 +416,22 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 4, dim: Int = 64,
-              probeRadius: Int = 1): DataFrame = {
-    val hp = hyperplanes(nPlanes, dim)
-    val c = lshBuckets(corpus, idCol, vecCol, nPlanes, dim)
-      .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("bucket"))
+              probeRadius: Int = 1): DataFrame =
+    annTopKWith(
+      lshBuckets(corpus, idCol, vecCol, nPlanes, dim)
+        .select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("bucket")),
+      lshBuckets(queries, idCol, vecCol, nPlanes, dim)
+        .select(col(idCol).as("query_id"), col("v").as("qv"), col("bucket")),
+      k, nPlanes, probeRadius)
+
+  /** [[annTopK]] against prebuilt bucket tables — the production shape
+    * (an LSH index is bucketed once and serves many queries/probe
+    * radii; a recall sweep must not re-bucket the corpus per point).
+    * `corpusBuckets` = (neighbor_id, cv, bucket), `queryBuckets` =
+    * (query_id, qv, bucket), both as produced by [[lshBuckets]].
+    */
+  def annTopKWith(corpusBuckets: DataFrame, queryBuckets: DataFrame,
+                  k: Int, nPlanes: Int, probeRadius: Int): DataFrame = {
     // enumerate probe buckets: the query bucket plus all buckets within
     // the Hamming radius (bit flips enumerated at plan time)
     val flips: Seq[Long] = {
@@ -428,10 +440,9 @@ object Similarity {
         else bits.combinations(r).toSeq ++ combos(bits, r - 1)
       combos(0 until nPlanes, probeRadius).map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
     }
-    val q = lshBuckets(queries, idCol, vecCol, nPlanes, dim)
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("bucket"))
+    val q = queryBuckets
       .withColumn("bucket", explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
-    c.join(broadcast(q), Seq("bucket"))
+    corpusBuckets.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(

@@ -1415,9 +1415,16 @@ object LlmQueries {
           .select(lit(family).as("family"), lit(param).cast("long").as("param"),
             col("n_exact"), col("n_hit"),
             roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6).as("recall"))
+      // one bucketed index, three probe radii (annTopKWith mirrors
+      // ivfTopKWith: the index is built once, the knob only widens probes)
+      val cb = Similarity.lshBuckets(e, "vec_id", "embedding", 4, 64)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
+        .localCheckpoint(false)
+      val qb = Similarity.lshBuckets(q, "vec_id", "embedding", 4, 64)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+        .localCheckpoint(false)
       val lsh = Seq(0, 1, 2).map(r => point("lsh_radius", r,
-        Similarity.annTopK(e, q, "vec_id", "embedding", k = 10,
-          nPlanes = 4, dim = 64, probeRadius = r)))
+        Similarity.annTopKWith(cb, qb, k = 10, nPlanes = 4, probeRadius = r)))
       // one codebook, four probe settings — a recall sweep must not
       // re-run k-means per point
       val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
