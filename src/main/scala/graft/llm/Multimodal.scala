@@ -132,27 +132,59 @@ object Multimodal {
           "audio/video needs an external codec binding")
     }
 
+    /** Raster ceiling for ImageIO decodes: 64 MP (8192×8192 RGB ≈ 256 MB)
+      * — the most a single executor task should ever allocate for one
+      * row. A hostile header declaring huge dims must die on this check,
+      * BEFORE `ImageIO.read` allocates the raster.
+      */
+    val MaxImagePixels: Long = 64L * 1024 * 1024
+
+    /** Header-only dimension probe + bounded full decode. The reader API
+      * reads width/height from the container header without decoding, so
+      * a 70-byte payload claiming 40000×40000 is rejected with
+      * IllegalArgumentException instead of an executor-killing OOM.
+      * Memory-cached input stream (no ImageIO temp-file disk cache).
+      */
+    private[llm] def readImageBounded(b: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "ImageIO has no reader for this container")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          require(w > 0 && h > 0, s"image dims ${w}x$h must be positive")
+          require(w.toLong * h <= MaxImagePixels,
+            s"image dims ${w}x$h exceed the $MaxImagePixels-pixel ceiling")
+          val img = reader.read(0)
+          require(img != null, "ImageIO failed to decode a recognized image container")
+          img
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
     /** JPEG/PNG/GIF via the JDK's standard `javax.imageio` — checksum
       * over packed-sRGB (R,G,B) bytes in display order, matching the
-      * display-order convention of the hand decoders.
+      * display-order convention of the hand decoders. Pixels come from
+      * one bulk row-major `getRGB` (single sRGB conversion pass), not
+      * per-pixel calls.
       */
     private def decodeImageIo(kind: String, b: Array[Byte]): Decoded = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      require(img != null, "ImageIO failed to decode a recognized image container")
+      val img = readImageBounded(b)
       val w = img.getWidth
       val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var cs = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          cs = (cs * 131 + ((p >> 16) & 0xff)) % TextOps.HashP
-          cs = (cs * 131 + ((p >> 8) & 0xff)) % TextOps.HashP
-          cs = (cs * 131 + (p & 0xff)) % TextOps.HashP
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        cs = (cs * 131 + ((p >> 16) & 0xff)) % TextOps.HashP
+        cs = (cs * 131 + ((p >> 8) & 0xff)) % TextOps.HashP
+        cs = (cs * 131 + (p & 0xff)) % TextOps.HashP
+        i += 1
       }
       Decoded(-1L, kind, w, h, w.toLong * h, cs)
     }
@@ -170,12 +202,17 @@ object Multimodal {
             while (i < b.length && b(i) != '\n') i += 1
           } else done = true
         }
-        var v = 0
+        // accumulate in Long with an explicit cap: Int accumulation
+        // would wrap a hostile "4294967297" to 1 and slip past the
+        // positive-dims guard below
+        var v = 0L
         require(i < b.length && b(i) >= '0' && b(i) <= '9', "bad PPM header")
         while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-          v = v * 10 + (b(i) - '0'); i += 1
+          v = v * 10 + (b(i) - '0')
+          require(v <= Int.MaxValue, s"PPM header value $v overflows Int")
+          i += 1
         }
-        v
+        v.toInt
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       require(maxval > 0 && maxval < 256, s"PPM maxval $maxval unsupported (1 byte/channel only)")
@@ -238,13 +275,21 @@ object Multimodal {
         require(i + 8 + size.toLong <= b.length,
           s"WAV chunk '$id' size $size overflows the remaining payload")
         if (id == "fmt ") {
+          // the PCM fmt chunk is 16 bytes; reading channel/bit fields
+          // from a shorter chunk would index into the NEXT chunk's bytes
+          require(size >= 16, s"WAV fmt chunk size $size < 16")
           require(le16(b, i + 8) == 1, "non-PCM WAV unsupported")
           channels = le16(b, i + 10)
           bits = le16(b, i + 22)
         } else if (id == "data") {
           require(channels > 0 && bits > 0, "WAV data chunk before fmt")
+          val bytesPerFrame = channels * bits / 8
+          // bits 1..7 with one channel gives 0 bytes/frame — a crafted
+          // header must fail loudly, not divide by zero
+          require(bytesPerFrame > 0,
+            s"WAV frame size 0 (channels=$channels, bits=$bits)")
           val end = i + 8 + size
-          nSamples = (end - (i + 8)).toLong / (channels * bits / 8)
+          nSamples = (end - (i + 8)).toLong / bytesPerFrame
           cs = roll(0L, b, i + 8, end)
         }
         val next = i + 8 + size + (size & 1) // chunks are word-aligned
@@ -318,22 +363,34 @@ object Multimodal {
     }
   }
 
-  /** Real pixel resampling for ImageIO-decodable payloads (JPEG/PNG/GIF):
-    * decode, scale the longer side down to `maxSide` preserving aspect
-    * ratio (bilinear), re-encode as PNG (lossless, deterministic on a
-    * given JDK). Rows whose payload is not an ImageIO container (GRFT
-    * test containers, WAV audio, PPM/BMP hand formats) pass through
-    * unchanged — resampling is only defined where a full decoder exists.
-    * Per-partition imperative loop like [[decodeAll]]: the codec cost
-    * dominates, media rows never collect.
+  /** Real pixel resampling for JPEG/PNG/GIF payloads (dispatched on the
+    * SAME magic-byte allowlist as [[RealCodec]]'s ImageIO path, so the
+    * two agree on which formats are "ImageIO territory"): decode through
+    * the dimension-bounded reader, scale the longer side down to
+    * `maxSide` preserving aspect ratio (bilinear), re-encode as PNG
+    * (lossless, deterministic on a given JDK). Everything else — GRFT
+    * test containers, WAV audio, and the PPM/BMP hand formats with
+    * their own checksum conventions — passes through byte-identical
+    * (NOT magic-sniffed by ImageIO, which would silently transcode BMP
+    * via the JDK's own BMP reader). A payload whose magic matches but
+    * whose body fails to decode also passes through unchanged: resize
+    * is a best-effort transform; [[decodeAll]] with [[RealCodec]] is
+    * the loud validation path. Per-partition imperative loop like
+    * [[decodeAll]]: the codec cost dominates, media rows never collect.
     */
   def resizePixels(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
+    def imageIoMagic(b: Array[Byte]): Boolean =
+      b.length >= 3 &&
+        (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N') ||
+          ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+          (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
     media.mapPartitions(_.map { r =>
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-        catch { case _: java.io.IOException => null }
+        if (!imageIoMagic(r.bytes)) null
+        else try RealCodec.readImageBounded(r.bytes)
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide) r
       else {
         val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)

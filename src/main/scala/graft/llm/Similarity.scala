@@ -233,12 +233,7 @@ object Similarity {
       .as[(Long, Seq[Double], Double, Long)].map(identity)
       .toDF("id", "v", "nrm", "bucket")
     // probe set: identity + every bit-flip combination up to the radius
-    val flips: Seq[Long] = {
-      def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
-        if (r == 0) Seq(Seq.empty)
-        else bits.combinations(r).toSeq ++ combos(bits, r - 1)
-      combos(0 until nPlanes, probeRadius).map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
-    }
+    val flips = hammingFlips(nPlanes, probeRadius)
     val left = b
       .select(col("id").as("l_id"), col("v").as("lv"), col("nrm").as("ln"),
         explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
@@ -430,16 +425,23 @@ object Similarity {
     * `corpusBuckets` = (neighbor_id, cv, bucket), `queryBuckets` =
     * (query_id, qv, bucket), both as produced by [[lshBuckets]].
     */
+  /** All XOR masks within Hamming distance `radius` of a bucket id (the
+    * identity mask included) — the plan-time probe enumeration shared by
+    * [[annTopKWith]] and the DuckDB oracles (single source of truth: a
+    * drifted copy would silently desynchronize index and oracle).
+    */
+  def hammingFlips(nPlanes: Int, radius: Int): Seq[Long] = {
+    def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
+      if (r == 0) Seq(Seq.empty)
+      else bits.combinations(r).toSeq ++ combos(bits, r - 1)
+    combos(0 until nPlanes, radius).map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
+  }
+
   def annTopKWith(corpusBuckets: DataFrame, queryBuckets: DataFrame,
                   k: Int, nPlanes: Int, probeRadius: Int): DataFrame = {
     // enumerate probe buckets: the query bucket plus all buckets within
     // the Hamming radius (bit flips enumerated at plan time)
-    val flips: Seq[Long] = {
-      def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
-        if (r == 0) Seq(Seq.empty)
-        else bits.combinations(r).toSeq ++ combos(bits, r - 1)
-      combos(0 until nPlanes, probeRadius).map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
-    }
+    val flips = hammingFlips(nPlanes, probeRadius)
     val q = queryBuckets
       .withColumn("bucket", explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
     corpusBuckets.join(broadcast(q), Seq("bucket"))

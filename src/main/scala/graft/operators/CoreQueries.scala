@@ -121,22 +121,31 @@ object CoreQueries {
     * instead of silently going quadratic in a straggler task. Cost: one
     * partial-agg-friendly count per block (block-cardinality relation,
     * broadcast back) — noise next to the Σ|block|² pair compute it
-    * bounds. Output rows/schema are unchanged (the assert column is
-    * always null and dropped).
+    * bounds. Output rows, schema and column order are unchanged: the
+    * count join is null-SAFE (null-keyed rows survive) and the assert
+    * column is always null and projected away.
     */
   def blockSizeGuard(df: DataFrame, blockCols: Seq[String], maxBlock: Long,
                      op: String): DataFrame = {
+    // the counts relation derives from df (a self-join): rename its key
+    // columns so the join condition references unambiguous attributes
+    val keyed = blockCols.map(c => c -> s"__bk_$c")
     val counts = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__block_n"))
+      .select(keyed.map { case (c, a) => col(c).as(a) } :+ col("__block_n"): _*)
+    // null-SAFE join: groupBy emits a count row for a null block key, and
+    // a plain equi-join would silently DROP every null-keyed input row —
+    // the exact silent-data-loss class this guard exists to prevent
+    val cond = keyed.map { case (c, a) => df(c) <=> counts(a) }.reduce(_ && _)
     val msg = concat(
       lit(s"$op: blocking contract violated - block ("),
-      concat_ws(", ", blockCols.map(c => col(c).cast("string")): _*),
+      concat_ws(", ", blockCols.map(c => coalesce(df(c).cast("string"), lit("null"))): _*),
       lit(") holds "), col("__block_n").cast("string"),
       lit(s" rows > maxBlock=$maxBlock; widen the blocking key"))
-    df.join(counts, blockCols)
+    df.join(counts, cond, "left")
       .withColumn("__guard", assert_true(col("__block_n") <= maxBlock, msg))
       .filter(col("__guard").isNull) // always true; keeps the assert in the plan
-      .drop("__block_n", "__guard")
+      .select(df.columns.map(df(_)): _*) // original columns, original order
   }
 
   /** PageRank power-iteration count — the single source of truth both the

@@ -252,11 +252,8 @@ object LlmQueries {
     * `b(vec_id, e, bucket)` CTE is in scope.
     */
   private def lshApCtes(prefix: String, nPlanes: Int, radius: Int, k: Int): String = {
-    def combos(bits: Seq[Int], r: Int): Seq[Seq[Int]] =
-      if (r == 0) Seq(Seq.empty)
-      else bits.combinations(r).toSeq ++ combos(bits, r - 1)
-    val flips = combos(0 until nPlanes, radius)
-      .map(_.map(1L << _).foldLeft(0L)(_ ^ _)).distinct
+    // probe masks from the SAME enumerator the Spark index uses
+    val flips = Similarity.hammingFlips(nPlanes, radius)
       .mkString("[", ", ", "]")
     s"""${prefix}_q AS (
        |  SELECT vec_id AS query_id, e, xor(bucket, flip) AS probe
@@ -266,8 +263,8 @@ object LlmQueries {
        |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
        |  FROM ${prefix}_q q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id),
        |${prefix}_ap AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
+       |  SELECT query_id, neighbor_id, cos, rank FROM (
+       |    SELECT query_id, neighbor_id, cos,
        |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |    FROM ${prefix}_cand)
        |  WHERE rank <= $k)""".stripMargin
@@ -279,12 +276,6 @@ object LlmQueries {
     */
   private def annTuningCurveOracle(nPlanes: Int, dim: Int, k: Int,
                                    nClusters: Int, iters: Int): String = {
-    val hp = Similarity.hyperplanes(nPlanes, dim)
-    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
-    def proj(i: Int) =
-      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
-    val bucketExpr = (0 until nPlanes).map(i =>
-      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
     val radii = Seq(0, 1, 2)
     val probes = Seq(1, 2, 4, 8)
     val lshCtes = radii.map(r => lshApCtes(s"l$r", nPlanes, r, k)).mkString(",\n")
@@ -304,10 +295,7 @@ object LlmQueries {
       .mkString("\nUNION ALL\n")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |${exactTopKCtes(k)},
-       |b AS (
-       |  SELECT vec_id, e,
-       |       $bucketExpr AS bucket
-       |  FROM v),
+       |${lshBucketCte(nPlanes, dim)},
        |$lshCtes,
        |${ivfChainCtes(nClusters, iters)},
        |$ivfAps,
@@ -1716,86 +1704,55 @@ object LlmQueries {
   private def sqlJaccard(a: String, b: String): String =
     s"len(list_intersect($a.sh, $b.sh)) / CAST(NULLIF(len(list_distinct(list_concat($a.sh, $b.sh))), 0) AS DOUBLE)"
 
-  /** Oracle for `ann_lsh_topk`: the LSH index is deterministic end to end
-    * — fixed hyperplanes ([[Similarity.hyperplanes]], embedded here as
-    * literal weight lists), sign-of-projection buckets, plan-time probe
-    * enumeration — so "approximate" still has one exact answer and a full
-    * SQL oracle. Projections use the same strict left fold as the Spark
-    * HOF dot, so the sign test agrees bit-for-bit.
+  /** DuckDB expression for the LSH bucket id of CTE `v`'s vector `e`,
+    * generated from the SAME hyperplanes as the Spark index — the single
+    * source of truth all three LSH oracles share (a drifted copy would
+    * silently desynchronize index and oracle). Locale-free formatting:
+    * f"$x%.1f" renders "-10,0" under comma-decimal default locales,
+    * silently corrupting the SQL list literal; weights are whole numbers
+    * by construction, so integer + ".0" is exact and locale-safe.
     */
-  private def lshAnnOracle(nPlanes: Int, dim: Int, k: Int): String = {
+  private def lshBucketSqlExpr(nPlanes: Int, dim: Int): String = {
     val hp = Similarity.hyperplanes(nPlanes, dim)
-    // locale-free formatting: f"$x%.1f" renders "-10,0" under comma-
-    // decimal default locales, silently corrupting the SQL list literal.
-    // Weights are whole numbers by construction, so integer + ".0" is
-    // exact and locale-safe.
     def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
     def proj(i: Int) =
       s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
-    val bucketExpr = (0 until nPlanes).map(i =>
+    (0 until nPlanes).map(i =>
       s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
-    // probe set for Hamming radius 1: the bucket itself + one flip per plane
-    val flips = (Seq(0L) ++ (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |b AS (
-       |  SELECT vec_id, e,
-       |       $bucketExpr AS bucket
-       |  FROM v),
-       |q AS (
-       |  SELECT vec_id AS query_id, e, xor(bucket, flip) AS probe
-       |  FROM b, unnest($flips) AS t(flip)
-       |  WHERE vec_id < 10),
-       |cand AS (
-       |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
-       |  FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id)
-       |SELECT query_id, rank, neighbor_id, cos FROM (
-       |  SELECT query_id, neighbor_id, cos,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM cand)
-       |WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Oracle for `ann_recall`: the exact top-k (cosine_topk's form) and
-    * the LSH top-k ([[lshAnnOracle]]'s form) intersected per query.
-    */
-  private def annRecallOracle(nPlanes: Int, dim: Int, k: Int): String = {
-    val hp = Similarity.hyperplanes(nPlanes, dim)
-    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
-    def proj(i: Int) =
-      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
-    val bucketExpr = (0 until nPlanes).map(i =>
-      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
-    val flips = (Seq(0L) ++ (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |exs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
-       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-       |ex AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |    FROM exs)
-       |  WHERE rank <= $k),
-       |b AS (
+  /** Shared LSH bucket CTE (`b`), assuming `v` in scope. */
+  private def lshBucketCte(nPlanes: Int, dim: Int): String =
+    s"""b AS (
        |  SELECT vec_id, e,
-       |       $bucketExpr AS bucket
-       |  FROM v),
-       |q AS (
-       |  SELECT vec_id AS query_id, e, xor(bucket, flip) AS probe
-       |  FROM b, unnest($flips) AS t(flip)
-       |  WHERE vec_id < 10),
-       |cand AS (
-       |  SELECT q.query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
-       |  FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.query_id),
-       |ap AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |    FROM cand)
-       |  WHERE rank <= $k),
+       |       ${lshBucketSqlExpr(nPlanes, dim)} AS bucket
+       |  FROM v)""".stripMargin
+
+  /** Oracle for `ann_lsh_topk`: the LSH index is deterministic end to end
+    * — fixed hyperplanes ([[Similarity.hyperplanes]], embedded as literal
+    * weight lists by [[lshBucketSqlExpr]]), sign-of-projection buckets,
+    * plan-time probe enumeration ([[Similarity.hammingFlips]]) — so
+    * "approximate" still has one exact answer and a full SQL oracle.
+    * Projections use the same strict left fold as the Spark HOF dot, so
+    * the sign test agrees bit-for-bit.
+    */
+  private def lshAnnOracle(nPlanes: Int, dim: Int, k: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${lshBucketCte(nPlanes, dim)},
+       |${lshApCtes("p", nPlanes, radius = 1, k)}
+       |SELECT query_id, rank, neighbor_id, cos FROM p_ap
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for `ann_recall`: [[exactTopKCtes]] ∩ the LSH top-k
+    * ([[lshApCtes]]), per-query recall.
+    */
+  private def annRecallOracle(nPlanes: Int, dim: Int, k: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${exactTopKCtes(k)},
+       |${lshBucketCte(nPlanes, dim)},
+       |${lshApCtes("p", nPlanes, radius = 1, k)},
        |h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-       |      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+       |      FROM ex JOIN p_ap USING (query_id, neighbor_id) GROUP BY 1),
        |n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
        |      FROM ex GROUP BY 1)
        |SELECT n.query_id, n.n_exact,
@@ -1804,7 +1761,6 @@ object LlmQueries {
        |         / 1e6 AS recall
        |FROM n LEFT JOIN h ON n.query_id = h.query_id
        |ORDER BY n.query_id""".stripMargin
-  }
 
   /** Oracle for `lsh_cosine_near_dup`: same deterministic hyperplane
     * buckets as [[lshAnnOracle]]; the candidate predicate is bucket
@@ -1815,17 +1771,8 @@ object LlmQueries {
     */
   private def lshPairOracle(nPlanes: Int, dim: Int, threshold: String,
                             radius: Int): String = {
-    val hp = Similarity.hyperplanes(nPlanes, dim)
-    def lst(w: Array[Double]) = w.map(x => s"${x.toLong}.0").mkString("[", ", ", "]")
-    def proj(i: Int) =
-      s"list_sum(list_transform(list_zip(v.e, ${lst(hp(i))}), p -> p[1]*p[2]))"
-    val bucketExpr = (0 until nPlanes).map(i =>
-      s"(CASE WHEN ${proj(i)} > 0 THEN ${1L << i} ELSE 0 END)").mkString("\n       + ")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |b AS (
-       |  SELECT vec_id, e,
-       |       $bucketExpr AS bucket
-       |  FROM v)
+       |${lshBucketCte(nPlanes, dim)}
        |SELECT * FROM (
        |  SELECT a.vec_id AS a_id, c.vec_id AS b_id, ${sqlCos("a", "c")} AS cos
        |  FROM b a JOIN b c

@@ -225,6 +225,71 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { RealCodec.decode("audio", overflow) }
   }
 
+  test("ImageIO decode rejects huge declared dims BEFORE allocating the raster") {
+    // a tiny PNG whose IHDR claims 40000x40000: the header-only dim
+    // probe must throw IllegalArgumentException, never OOM the executor
+    val (img, _) = testCard(4, 4)
+    val png = encode(img, "png")
+    // IHDR starts at byte 16: width(4) height(4) big-endian
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val huge = png.clone()
+    Array.copy(be32(40000), 0, huge, 16, 4)
+    Array.copy(be32(40000), 0, huge, 20, 4)
+    val ex = intercept[IllegalArgumentException] { RealCodec.decode("image", huge) }
+    assert(ex.getMessage.contains("ceiling") || ex.getMessage.contains("reader"),
+      s"must die on the dim ceiling, got: ${ex.getMessage}")
+  }
+
+  test("PPM header values that overflow Int fail loudly instead of wrapping") {
+    // 4294967297 mod 2^32 = 1 would slip past the positive-dims guard
+    val wrap = "P6\n4294967297 1\n255\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](1, 2, 3)
+    val ex = intercept[IllegalArgumentException] { RealCodec.decode("image", wrap) }
+    assert(ex.getMessage.contains("overflows Int"))
+  }
+
+  test("WAV with zero-byte frames or a short fmt chunk fails loudly") {
+    def chunk(id: String, payload: Seq[Int]): Seq[Int] =
+      id.map(_.toInt) ++ Seq(payload.length & 0xff, (payload.length >> 8) & 0xff, 0, 0) ++ payload
+    def wav(fmt: Seq[Int]): Array[Byte] = {
+      val data = Seq(1, 0, 2, 0)
+      val body = "WAVE".map(_.toInt) ++ chunk("fmt ", fmt) ++ chunk("data", data)
+      ("RIFF".map(_.toInt) ++
+        Seq(body.length & 0xff, (body.length >> 8) & 0xff, 0, 0) ++ body)
+        .map(_.toByte).toArray
+    }
+    // bits=4, channels=1: bytesPerFrame = 0 — must not divide by zero
+    val fmt4bit = Seq(1, 0, 1, 0, 0x80, 0x3e, 0, 0, 0, 0xfa, 0, 0, 4, 0, 4, 0)
+    val ex1 = intercept[IllegalArgumentException] { RealCodec.decode("audio", wav(fmt4bit)) }
+    assert(ex1.getMessage.contains("frame size 0"))
+    // fmt chunk declaring only 2 bytes: field reads would leave the chunk
+    val ex2 = intercept[IllegalArgumentException] { RealCodec.decode("audio", wav(Seq(1, 0))) }
+    assert(ex2.getMessage.contains("fmt chunk size"))
+  }
+
+  test("resizePixels leaves BMP payloads untouched (ImageIO would transcode them)") {
+    import spark.implicits._
+    // a big 24-bit BMP the JDK's own BMP reader COULD decode: the magic
+    // allowlist must pass it through byte-identical, preserving the BGR
+    // checksum convention
+    val w = 150; val h = 120; val rowSize = ((w * 3 + 3) / 4) * 4
+    val b = new Array[Byte](54 + rowSize * h)
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, b.length); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h)
+    b(26) = 1; b(28) = 24; le32(30, 0)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "image", b, Some(w), Some(h), None)))
+    val out = resizePixels(rows, maxSide = 100).collect()
+    assert(out.head.bytes.toSeq === b.toSeq,
+      "BMP is hand-decoder territory - resize must not silently transcode it")
+  }
+
   test("PPM/BMP with overflowing or non-positive header dims fail loudly") {
     // 50000*50000*3 overflows Int to negative: the old guard passed and
     // returned a garbage Decoded silently

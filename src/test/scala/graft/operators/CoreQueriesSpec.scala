@@ -144,13 +144,25 @@ class CoreQueriesSpec extends SparkSpec {
       s"guard must name the offending block, got: ${messages(ex).mkString(" | ")}")
   }
 
-  test("blockSizeGuard passes bounded blocks through unchanged") {
+  test("blockSizeGuard passes bounded blocks through unchanged, incl. null keys") {
     import spark.implicits._
-    val df = Seq((1L, "a", "B1"), (2L, "b", "B1"), (3L, "c", "B2"))
+    val df = Seq((1L, "a", Some("B1")), (2L, "b", Some("B1")),
+      (3L, "c", Some("B2")), (4L, "d", None: Option[String]))
       .toDF("id", "name", "blk")
     val out = CoreQueries.blockSizeGuard(df, Seq("blk"), maxBlock = 2L, "test")
-    assert(out.columns.toSeq === Seq("blk", "id", "name"))
-    assert(out.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(out.columns.toSeq === df.columns.toSeq, "schema and order unchanged")
+    // the null-keyed row must SURVIVE (a plain equi-join would drop it)
+    assert(out.collect().map(_.getAs[Long]("id")).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // and an over-ceiling NULL block must still fire the guard
+    val nulls = (1 to 3).map(i => (i.toLong, s"n$i", None: Option[String]))
+      .toDF("id", "name", "blk")
+    val ex = intercept[Exception] {
+      CoreQueries.blockSizeGuard(nulls, Seq("blk"), maxBlock = 2L, "test").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("blocking contract violated")))
   }
 
   test("median_mode: interpolated median and lowest-value mode tiebreak") {
