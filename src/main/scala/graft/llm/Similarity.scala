@@ -388,7 +388,20 @@ object Similarity {
     */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, cs: Array[Array[Double]],
-                  nProbe: Int): DataFrame = {
+                  nProbe: Int): DataFrame =
+    ivfCandidatesWith(corpus, queries, idCol, vecCol, cs, nProbe)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+
+  /** The raw candidate set the IVF probe examines — (query_id,
+    * neighbor_id, cos) BEFORE the top-k rank; the cost axis of a
+    * recall/nProbe sweep (see [[annCandidatesWith]]).
+    */
+  def ivfCandidatesWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, cs: Array[Array[Double]],
+                        nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cluster", clusterOf(col("cv"), cs))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
@@ -397,10 +410,7 @@ object Similarity {
     c.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .select("query_id", "neighbor_id", "cos")
   }
 
   /** Approximate top-k: candidates are corpus vectors whose bucket is
@@ -438,7 +448,20 @@ object Similarity {
   }
 
   def annTopKWith(corpusBuckets: DataFrame, queryBuckets: DataFrame,
-                  k: Int, nPlanes: Int, probeRadius: Int): DataFrame = {
+                  k: Int, nPlanes: Int, probeRadius: Int): DataFrame =
+    annCandidatesWith(corpusBuckets, queryBuckets, nPlanes, probeRadius)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+
+  /** The raw candidate set the LSH probe examines — (query_id,
+    * neighbor_id, cos) BEFORE the top-k rank. Exposed so recall
+    * evaluations can report the COST axis (candidates scanned per
+    * query) next to recall: that pair is the actual tuning trade.
+    */
+  def annCandidatesWith(corpusBuckets: DataFrame, queryBuckets: DataFrame,
+                        nPlanes: Int, probeRadius: Int): DataFrame = {
     // enumerate probe buckets: the query bucket plus all buckets within
     // the Hamming radius (bit flips enumerated at plan time)
     val flips = hammingFlips(nPlanes, probeRadius)
@@ -447,9 +470,6 @@ object Similarity {
     corpusBuckets.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .select("query_id", "neighbor_id", "cos")
   }
 }

@@ -282,14 +282,16 @@ object LlmQueries {
     val ivfAps = probes.map(p => ivfApCtes(s"i$p", p, k, iters)).mkString(",\n")
     def hitCte(prefix: String) =
       s"""${prefix}_h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
-         |  FROM ex JOIN ${prefix}_ap USING (query_id, neighbor_id))""".stripMargin
+         |  FROM ex JOIN ${prefix}_ap USING (query_id, neighbor_id)),
+         |${prefix}_cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM ${prefix}_cand)""".stripMargin
     val hits = (radii.map(r => hitCte(s"l$r")) ++ probes.map(p => hitCte(s"i$p")))
       .mkString(",\n")
     def pointSelect(family: String, param: Int, prefix: String) =
       s"""SELECT '$family' AS family, CAST($param AS BIGINT) AS param,
-         |       n.n_exact, h.n_hit,
+         |       n.n_exact, h.n_hit, c.n_cand,
          |       floor(CAST(h.n_hit AS DOUBLE) / n.n_exact * 1e6 + 0.5) / 1e6 AS recall
-         |FROM n, ${prefix}_h h""".stripMargin
+         |FROM n, ${prefix}_h h, ${prefix}_cn c""".stripMargin
     val points = (radii.map(r => pointSelect("lsh_radius", r, s"l$r")) ++
       probes.map(p => pointSelect("ivf_nprobe", p, s"i$p")))
       .mkString("\nUNION ALL\n")
@@ -301,7 +303,7 @@ object LlmQueries {
        |$ivfAps,
        |$hits,
        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
-       |SELECT family, param, n_exact, n_hit, recall FROM (
+       |SELECT family, param, n_exact, n_hit, n_cand, recall FROM (
        |$points)
        |ORDER BY family, param""".stripMargin
   }
@@ -1381,11 +1383,13 @@ object LlmQueries {
     }),
 
     // The tuning curve an operator actually reads before shipping an ANN
-    // index: micro-averaged recall@10 as a function of the knob that
-    // buys candidates — LSH probe radius (0/1/2) and IVF nProbe
-    // (1/2/4/8) — in one chart-ready table. Micro-average =
-    // sum(hits)/sum(exact): integer sums then ONE division, so there is
-    // no float-accumulation order for the two engines to disagree on.
+    // index: micro-averaged recall@10 AND the cost that bought it
+    // (total candidates examined) as a function of the knob — LSH probe
+    // radius (0/1/2) and IVF nProbe (1/2/4/8) — in one chart-ready
+    // table. Recall without cost is half a curve: the knob's whole
+    // trade is candidates-for-recall. Micro-average = sum(hits)/
+    // sum(exact): integer sums then ONE division, so there is no
+    // float-accumulation order for the two engines to disagree on.
     // Each point reuses the checkpointed exact ranking; the 7 index
     // probes share the bucketed/bucket-equi join shapes of their parent
     // queries (never all-pairs).
@@ -1395,13 +1399,15 @@ object LlmQueries {
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(false)
-      def point(family: String, param: Int, approx: DataFrame): DataFrame =
+      def point(family: String, param: Int, approx: DataFrame,
+                cand: DataFrame): DataFrame =
         exact.join(approx.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hit"))
           .crossJoin(exact.agg(count(lit(1)).as("n_exact"))) // 1-row × 1-row
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
           .select(lit(family).as("family"), lit(param).cast("long").as("param"),
-            col("n_exact"), col("n_hit"),
+            col("n_exact"), col("n_hit"), col("n_cand"),
             roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6).as("recall"))
       // one bucketed index, three probe radii (annTopKWith mirrors
       // ivfTopKWith: the index is built once, the knob only widens probes)
@@ -1412,13 +1418,15 @@ object LlmQueries {
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
         .localCheckpoint(false)
       val lsh = Seq(0, 1, 2).map(r => point("lsh_radius", r,
-        Similarity.annTopKWith(cb, qb, k = 10, nPlanes = 4, probeRadius = r)))
+        Similarity.annTopKWith(cb, qb, k = 10, nPlanes = 4, probeRadius = r),
+        Similarity.annCandidatesWith(cb, qb, nPlanes = 4, probeRadius = r)))
       // one codebook, four probe settings — a recall sweep must not
       // re-run k-means per point
       val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
         nClusters = 16, iters = 2)
       val ivf = Seq(1, 2, 4, 8).map(p => point("ivf_nprobe", p,
-        Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 10, cs, nProbe = p)))
+        Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 10, cs, nProbe = p),
+        Similarity.ivfCandidatesWith(e, q, "vec_id", "embedding", cs, nProbe = p)))
       (lsh ++ ivf).reduce(_.union(_)).orderBy("family", "param")
     }),
 
