@@ -217,6 +217,11 @@ object Multimodal {
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       require(maxval > 0 && maxval < 256, s"PPM maxval $maxval unsupported (1 byte/channel only)")
       require(w > 0 && h > 0, s"PPM dims ${w}x$h must be positive")
+      // same ceiling as readImageBounded — and it keeps every later size
+      // expression in Long range: w=h=Int.MaxValue makes w.toLong*h*3
+      // wrap Long (1.38e19 > 2^63-1) and slip past the truncation guard
+      require(w.toLong * h <= MaxImagePixels,
+        s"PPM dims ${w}x$h exceed the $MaxImagePixels-pixel ceiling")
       i += 1 // exactly one whitespace byte separates maxval from raster
       // size math in Long: 50000x50000x3 overflows Int, which would let
       // a malicious header pass the truncation guard and hash nothing
@@ -242,6 +247,10 @@ object Multimodal {
       require(compression == 0, "compressed BMP unsupported")
       require(w > 0 && hRaw != 0 && hRaw != Int.MinValue,
         s"BMP dims ${w}x$hRaw must be positive width, non-zero height")
+      // ceiling before any size math: rowSize*h with both dims near 2^31
+      // exceeds Long range, wrapping negative past the truncation guard
+      require(w.toLong * h <= MaxImagePixels,
+        s"BMP dims ${w}x$h exceed the $MaxImagePixels-pixel ceiling")
       require(dataOffset >= 54 && dataOffset < b.length,
         s"BMP data offset $dataOffset outside payload")
       val rowSize = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries

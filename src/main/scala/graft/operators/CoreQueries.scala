@@ -503,9 +503,12 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
-    // Q5-shaped 6-table star join: fact (lineitem) against five dims,
-    // every dim side broadcast (region→nation→supplier/customer chains
-    // collapse into broadcast hash joins; only the fact scans at scale)
+    // Q5-shaped 6-table star join. Only nation (25 rows) and region
+    // (5 rows) carry broadcast hints — they are constant-size at any SF.
+    // orders/customer/supplier all scale linearly with SF, so they stay
+    // unhinted: Catalyst/AQE broadcasts them at small SF and shuffles
+    // (or uses bucketed layout) at scale. A forced broadcast of a
+    // billion-row customer table is a guaranteed OOM at 100 TB.
     "region_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -513,11 +516,9 @@ object CoreQueries {
       val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      // orders is fact-sized: no broadcast hint — Catalyst broadcasts it
-      // at small SF and shuffles (or uses bucketed layout) at scale
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su),
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su,
           li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -527,11 +528,13 @@ object CoreQueries {
         .orderBy("r_name", "n_name")
     }),
 
-    // Dim-enrich rollup over the part table (broadcast dictionary join)
+    // Dim-enrich rollup over the part table. part scales linearly with
+    // SF (200k·SF rows) — no broadcast hint; AQE broadcasts it at small
+    // SF and falls back to a shuffle join when it outgrows the threshold.
     "brand_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part").select("p_partkey", "p_brand")
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           sum("l_quantity").as("sum_qty"))

@@ -430,8 +430,10 @@ object LlmQueries {
     // edits). Two prunes keep the per-pair cost bounded: (1) the
     // length band — lev(a,b) ≥ |len(a)−len(b)|, so any pair whose
     // length gap already exceeds the edit budget (sim ≥ 0.4 ⟺
-    // lev ≤ 0.6·maxlen; +1 absorbs the 6dp-rounding slack) can never
-    // qualify and is dropped before any DP runs; (2) the surviving
+    // lev ≤ 0.6·maxlen; the slack term 5e-7·maxlen+1 dominates the
+    // 6dp round-half-up boundary at ANY length — a fixed +1 alone
+    // only covers maxLen ≤ ~2M chars) can never qualify and is
+    // dropped before any DP runs; (2) the surviving
     // pairs run the bit-parallel Myers DP (`LevenshteinFast`,
     // functions/EditDistance.scala) — exact unit-cost Levenshtein at
     // O(m·n/64) word ops. NOT the thresholded band DP: at a 0.4 floor
@@ -448,7 +450,7 @@ object LlmQueries {
       val la = length(col("ta"))
       val lb = length(col("tb"))
       val maxLen = greatest(la, lb)
-      val budget = (ceil(maxLen * lit(0.6)) + lit(1)).cast("int")
+      val budget = (ceil(maxLen * lit(0.6 + 5e-7)) + lit(1)).cast("long")
       Dedup.sortedNeighborhoodCandidates(d, "doc_id", "text",
           window = 8, blockChars = 8)
         .join(norm.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")

@@ -33,10 +33,15 @@ class PlanAuditSpec extends SparkSpec {
   private val SfDir = "/root/testdata/sf0.001"
 
   /** Tables that grow without bound at 100 TB (facts / corpus / vectors).
-    * nation..part are star-schema dims — conventional broadcast sides.
+    * part/customer/supplier scale LINEARLY with SF in TPC-H — at the
+    * 100 TB target they are multi-billion-row tables, so a forced
+    * broadcast of any of them is a scale killer just like lineitem.
+    * Only nation (25 rows) and region (5 rows) are constant-size and
+    * remain conventional broadcast sides.
     */
   private val FactTables =
-    Set("lineitem", "orders", "events", "documents", "embeddings")
+    Set("lineitem", "orders", "events", "documents", "embeddings",
+      "part", "customer", "supplier")
 
   /** Queries whose unpartitioned window is over an input bounded by
     * construction, independent of SF (asserted row-bound specs live in
