@@ -69,4 +69,60 @@ object BloomMightContain {
     }
     ColumnBridge.column(BloomMightContain(bytes, ColumnBridge.expression(c)))
   }
+
+  /** Column API: Long-keyed probe against a `sparkContext.broadcast`
+    * Bloom filter. Use this (not the byte-embedding form above) when the
+    * filter is more than ~100 KB: embedded bytes ride in EVERY task
+    * binary (the >1 MiB task-size warnings Spark emits), while a
+    * broadcast ships to each executor once and tasks share it.
+    */
+  def mightContainLong(bloomBc: org.apache.spark.broadcast.Broadcast[BloomFilter],
+                       c: Column): Column =
+    ColumnBridge.column(BloomMightContainLong(bloomBc, ColumnBridge.expression(c)))
+}
+
+/** `might_contain(broadcast-bloom, long)` — Long-keyed membership probe
+  * against a Bloom filter shipped via `sparkContext.broadcast`, evaluated
+  * map-side inside whole-stage codegen.
+  *
+  * Same 100 TB role as [[BloomMightContain]] (prune a fan-out BEFORE the
+  * exchange; an exact equi-join after the filter keeps the composed
+  * operator exact, so hash collisions and Bloom false positives only
+  * cost a trickle of extra probe rows). Two differences: the key is a
+  * 64-bit hash (pair keys like graph edges hash with `xxhash64` on both
+  * build and probe sides), and the filter rides a Broadcast HANDLE, not
+  * embedded bytes — a multi-MB filter serialized into the expression
+  * tree would bloat every task binary past Spark's 1000 KiB guidance,
+  * while the broadcast is fetched once per executor.
+  */
+case class BloomMightContainLong(
+    bloomBc: org.apache.spark.broadcast.Broadcast[BloomFilter],
+    child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def nullSafeEval(v: Any): Any =
+    bloomBc.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the references array carries only the Broadcast handle; the filter
+    // itself is resolved lazily ON THE EXECUTOR (first row of each
+    // codegen instance) so the task binary stays handle-sized
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bfClass = classOf[BloomFilter].getName
+    val bf = ctx.addMutableState(bfClass, "bloomFilter")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |if ($bf == null) $bf = ($bfClass) $bcRef.value();
+      |${ev.value} = $bf.mightContainLong($v);
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

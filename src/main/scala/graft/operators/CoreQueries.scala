@@ -170,14 +170,24 @@ object CoreQueries {
     */
   private val LpaIters = 4
 
+  /** Cut the label iteration's lineage every N rounds (same role as
+    * [[PageRankCheckpointStride]]). Not every round: each lazy
+    * localCheckpoint compiles + materializes its plan EAGERLY at
+    * construction, so a per-round cut paid ~1 full AQE planning cycle
+    * per round — measured ~20% of LPA wall-clock at sf0.1.
+    */
+  private val LpaCheckpointStride = 2
+
   /** L118 — synchronous label propagation (community detection) over the
     * part co-purchase graph. Deterministic update: each node adopts the
     * neighbor label with the highest count, ties to the SMALLEST label —
     * a total order, so every round is reproducible. Scale shape: one
-    * edge⨝label equi-join + keyed count per round, the pick window is
-    * partitioned BY node (never global), and each round ends in a lazy
-    * localCheckpoint so plan depth stays O(1) per iteration no matter
-    * how high `iters` is raised (same discipline as pagerank's stride).
+    * edge⨝label equi-join + keyed count per round; the pick is a hash
+    * AGGREGATE (`max_by` over the (cnt, −lbl) struct order), not a
+    * row_number window — same argmax, no per-node sort, and partial
+    * aggregation combines map-side. Lineage is cut every
+    * [[LpaCheckpointStride]] rounds so plan depth stays bounded no
+    * matter how high `iters` is raised.
     */
   private[operators] def lpaPlan(s: SparkSession, dir: String,
                                  iters: Int): DataFrame = {
@@ -192,15 +202,15 @@ object CoreQueries {
       .localCheckpoint(false) // reused every round
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       lbl = e.join(lbl.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(desc("cnt"), col("lbl"))))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
-        .localCheckpoint(false)
+        .groupBy("node")
+        .agg(max_by(col("lbl"),
+          struct(col("cnt"), (-col("lbl")).as("neg"))).as("lbl"))
+      if (i % LpaCheckpointStride == 0 && i < iters)
+        lbl = lbl.localCheckpoint(false)
     }
     lbl.select(col("node").as("p_partkey"), col("lbl").as("community"))
       .orderBy("p_partkey")
@@ -249,14 +259,18 @@ object CoreQueries {
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
       .agg(count(lit(1)).as("wt"))
-    val deg = e.groupBy("src").agg(sum("wt").as("wsum"))
-      .localCheckpoint(false)
-    val ed = e.join(deg, "src")
+    // ONE checkpoint (the normalized edge list the rounds reuse), not
+    // two: a lazy localCheckpoint compiles + materializes eagerly at
+    // construction, so a separate deg checkpoint paid a full extra
+    // planning+execution cycle for a table the ed build derives anyway.
+    // Node set and count both come off the checkpointed ed below.
+    val ed = e.join(e.groupBy("src").agg(sum("wt").as("wsum")), "src")
       .select(col("src"), col("dst"),
         (col("wt").cast("double") / col("wsum")).as("p"))
       .localCheckpoint(false)
-    val n = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
-    var r = deg.select(col("src").as("id")).crossJoin(n)
+    val nodes = ed.select(col("src").as("id")).distinct()
+    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var r = nodes.crossJoin(n)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (i <- 1 to iters) {
       r = ed.join(r.withColumnRenamed("id", "src"), "src")
@@ -1308,7 +1322,23 @@ object CoreQueries {
           Seq("u"))
         .filter(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")))
+      // Bloom-prefilter the closure probe BEFORE its exchange: wedges
+      // outnumber triangles ~20:1 here (41M wedges → 1.9M triangles at
+      // sf0.1), so shuffling every wedge to the (a,b) join is the
+      // dominant cost of the whole query. The filter is built over the
+      // xxhash64 of each oriented edge by a distributed aggregate
+      // (`stat.bloomFilter`), capped at a FIXED 32M bits (4 MB) — driver
+      // and broadcast state stay constant at any SF; on graphs with far
+      // more edges the fpp degrades gracefully and the exact join below
+      // still confirms every survivor, so the operator stays exact
+      // (hash collisions likewise only add probe rows, never results).
+      // Broadcast HANDLE, not embedded bytes: see BloomMightContainLong.
+      val edgeBloom = s.sparkContext.broadcast(
+        oriented.select(xxhash64(col("u"), col("v")).as("k"))
+          .stat.bloomFilter("k", 4000000L, 1L << 25))
       val tris = wedges
+        .filter(graft.functions.BloomMightContain.mightContainLong(
+          edgeBloom, xxhash64(col("a"), col("b"))))
         .join(oriented.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
         .select(col("u"), col("a"), col("b"))
       val tri = tris
