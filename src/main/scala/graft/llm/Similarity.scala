@@ -302,26 +302,26 @@ object Similarity {
   // ---- IVF (inverted-file) ANN ----
 
   /** Array of the `nProbe` nearest centroids to `vec` as (score, idx)
-    * structs, ordered by squared-L2 distance (ties → lowest index).
-    * Centroids are plan-time literals; each distance is one codegen'd
-    * [[graft.functions.DotProduct]] against the row (‖c‖² − 2·v·c ranks
-    * identically to ‖v−c‖² since ‖v‖² is constant per row).
+    * structs, ordered by squared-L2 distance (ties → lowest index),
+    * via the codegen'd [[graft.functions.NearestCentroids]] probe
+    * (‖c‖² − 2·v·c ranks identically to ‖v−c‖² since ‖v‖² is constant
+    * per row). The codebook rides a BROADCAST handle, not plan
+    * literals: a literal codebook re-serializes into every task binary
+    * of every plan that probes it — the ann_tuning_curve probe sweep
+    * (7 unioned probe points) pushed task binaries past Spark's
+    * 1000 KiB guidance that way.
     */
-  private def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
-                               nProbe: Int): Column = {
-    import graft.functions.VectorExpressions.vectorDot
-    val scored = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * vectorDot(vec, cLit)).as("score"),
-        lit(i).as("idx"))
-    }: _*)
-    slice(array_sort(scored), 1, nProbe)
-  }
+  private def nearestCentroids(
+      vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int): Column =
+    graft.functions.VectorExpressions.nearestCentroids(bc, vec, nProbe)
 
   /** Column: index of the single nearest centroid. */
-  private def clusterOf(vec: Column, centroids: Array[Array[Double]]): Column =
-    element_at(nearestCentroids(vec, centroids, 1), 1).getField("idx")
+  private def clusterOf(
+      vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    element_at(nearestCentroids(vec, bc, 1), 1).getField("idx")
 
   /** Deterministic IVF coarse quantizer: Lloyd's k-means for a fixed
     * number of iterations from a deterministic seed (the `nClusters`
@@ -350,8 +350,12 @@ object Similarity {
         // requires. Sum-then-cast-then-divide (not decimal division):
         // exact sum → one double rounding → one IEEE divide, the exact
         // sequence an external oracle reproduces
+        // per-round broadcast of the evolving codebook (k·dim doubles;
+        // torn down with the session, negligible vs re-literalizing it
+        // into every assignment task)
+        val cbc = v.sparkSession.sparkContext.broadcast(centroids)
         val means = v
-          .withColumn("cluster", clusterOf(col("v"), centroids))
+          .withColumn("cluster", clusterOf(col("v"), cbc))
           .select(col("cluster"), posexplode(col("v")))
           .groupBy("cluster", "pos")
           .agg((sum(col("col").cast("decimal(38,18)")).cast("double") / count(lit(1)))
@@ -402,11 +406,12 @@ object Similarity {
   def ivfCandidatesWith(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, cs: Array[Array[Double]],
                         nProbe: Int): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cs)
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cluster", clusterOf(col("cv"), cs))
+      .withColumn("cluster", clusterOf(col("cv"), bc))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("cluster",
-        explode(transform(nearestCentroids(col("qv"), cs, nProbe), s => s.getField("idx"))))
+        explode(transform(nearestCentroids(col("qv"), bc, nProbe), s => s.getField("idx"))))
     c.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
