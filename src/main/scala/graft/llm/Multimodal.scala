@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * encoders, batch shape, partitioning) is fully real and tested.
   * [[RealCodec]] decodes real formats with zero external dependencies:
   * JPEG/PNG/GIF via the JDK's own `javax.imageio` (standard library —
-  * no binding needed), plus hand-rolled P6 PPM / 24-bit BMP / PCM WAV
-  * for the containers ImageIO lacks. Compressed audio/video (MP3/MP4)
-  * still needs an external codec at that seam.
+  * no binding needed), hand-rolled P6 PPM / 24-bit BMP / PCM WAV for
+  * the containers ImageIO lacks, and A-law/µ-law (G.711) WAV through
+  * `javax.sound.sampled`'s built-in companding converters. MP3/MP4
+  * remain the boundary: OpenJDK ships no SPI for them, so they need an
+  * external codec binding at this seam and fail loudly until one is
+  * plugged in.
   *
   * Scale notes: rows carry payloads of MBs — keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -287,7 +290,20 @@ object Multimodal {
           // the PCM fmt chunk is 16 bytes; reading channel/bit fields
           // from a shorter chunk would index into the NEXT chunk's bytes
           require(size >= 16, s"WAV fmt chunk size $size < 16")
-          require(le16(b, i + 8) == 1, "non-PCM WAV unsupported")
+          val audioFormat = le16(b, i + 8)
+          // companded telephony WAVs (A-law = 6, µ-law = 7) decode via
+          // the JDK's own javax.sound.sampled conversion — still zero
+          // external dependencies. The chunk walk above has already
+          // validated the container structure, so the delegate never
+          // sees an unwalkable payload. Everything else (ADPCM, MP3-in-
+          // WAV fmt 0x55, extensible...) has no JDK codec and fails
+          // loudly here, same as before.
+          if (audioFormat == 6 || audioFormat == 7)
+            return decodeWavCompanded(kind, b)
+          require(audioFormat == 1,
+            s"WAV audio format $audioFormat unsupported (PCM=1 exact; " +
+              "A-law=6/mu-law=7 via javax.sound.sampled; compressed " +
+              "formats need an external codec binding)")
           channels = le16(b, i + 10)
           bits = le16(b, i + 22)
         } else if (id == "data") {
@@ -307,6 +323,53 @@ object Multimodal {
       }
       require(nSamples >= 0, "WAV has no data chunk")
       Decoded(-1L, kind, 0, 0, nSamples, cs)
+    }
+
+    /** Frame ceiling for the companded-audio delegate: 2^26 frames
+      * (≈ 22 min of stereo 16-bit at 48 kHz decodes to 256 MB) — same
+      * role as [[MaxImagePixels]]: a hostile header must die on this
+      * check, not on an allocation.
+      */
+    val MaxAudioFrames: Long = 1L << 26
+
+    /** A-law / µ-law WAV via `javax.sound.sampled`: convert to
+      * PCM_SIGNED and hash the DECODED stream in bounded 64 KB chunks
+      * (never materializing the expanded audio), n_samples = frame
+      * count. Companding tables are bit-exact by spec (G.711), so the
+      * checksum is deterministic. Malformed-but-walkable payloads
+      * surface as UnsupportedAudioFileException/IOException — loud,
+      * matching the decoder contract.
+      */
+    private def decodeWavCompanded(kind: String, b: Array[Byte]): Decoded = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val declaredFrames = in.getFrameLength
+        require(declaredFrames >= 0 && declaredFrames <= MaxAudioFrames,
+          s"WAV declares $declaredFrames frames, over the $MaxAudioFrames ceiling")
+        val src = in.getFormat
+        val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val dec = AudioSystem.getAudioInputStream(pcm, in)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var cs = 0L
+          var total = 0L
+          var n = dec.read(buf)
+          while (n > 0) {
+            cs = roll(cs, buf, 0, n)
+            total += n
+            // belt over the declared-frames suspender: a lying header
+            // must not let the converted stream grow unbounded
+            require(total <= MaxAudioFrames * pcm.getFrameSize,
+              "companded WAV decoded past its declared frame count")
+            n = dec.read(buf)
+          }
+          Decoded(-1L, kind, 0, 0, total / pcm.getFrameSize, cs)
+        } finally dec.close()
+      } finally in.close()
     }
   }
 

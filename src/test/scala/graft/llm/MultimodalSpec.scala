@@ -327,4 +327,53 @@ class MultimodalSpec extends SparkSpec {
       RealCodec.decode("image", Array[Byte](1, 2, 3))
     }
   }
+
+  /** Build a minimal single-chunk-pair WAV with an arbitrary fmt tag. */
+  private def wavWithFormat(audioFormat: Int, channels: Int, bits: Int,
+                            data: Seq[Int]): Array[Byte] = {
+    def chunk(id: String, payload: Seq[Int]): Seq[Int] =
+      id.map(_.toInt) ++ Seq(payload.length & 0xff, (payload.length >> 8) & 0xff, 0, 0) ++ payload
+    val blockAlign = math.max(1, channels * bits / 8)
+    val rate = 8000
+    val byteRate = rate * blockAlign
+    val fmt = Seq(audioFormat & 0xff, (audioFormat >> 8) & 0xff,
+      channels & 0xff, (channels >> 8) & 0xff,
+      rate & 0xff, (rate >> 8) & 0xff, (rate >> 16) & 0xff, 0,
+      byteRate & 0xff, (byteRate >> 8) & 0xff, (byteRate >> 16) & 0xff, 0,
+      blockAlign & 0xff, (blockAlign >> 8) & 0xff, bits & 0xff, (bits >> 8) & 0xff)
+    val body = "WAVE".map(_.toInt) ++ chunk("fmt ", fmt) ++ chunk("data", data)
+    ("RIFF".map(_.toInt) ++
+      Seq(body.length & 0xff, (body.length >> 8) & 0xff, 0, 0) ++ body)
+      .map(_.toByte).toArray
+  }
+
+  test("mu-law WAV decodes through javax.sound.sampled, bit-deterministic") {
+    // G.711: mu-law byte 0xFF decodes to PCM 0, so an all-0xFF payload
+    // hashes to exactly 0 — a hand-computable expectation through the
+    // JDK's converter (131-rolling-hash of all-zero bytes stays 0)
+    val silent = wavWithFormat(7, channels = 1, bits = 8, data = Seq.fill(10)(0xff))
+    val d = RealCodec.decode("audio", silent)
+    assert(d.n_samples === 10L, "one mu-law byte per mono frame")
+    assert(d.checksum === 0L, "0xFF mu-law = PCM silence = zero hash")
+    // non-silent payload: deterministic across decodes, nonzero
+    val tone = wavWithFormat(7, channels = 1, bits = 8,
+      data = Seq.tabulate(16)(i => (i * 9 + 1) % 256))
+    val t1 = RealCodec.decode("audio", tone)
+    val t2 = RealCodec.decode("audio", tone)
+    assert(t1.n_samples === 16L && t1.checksum === t2.checksum)
+    assert(t1.checksum !== 0L)
+  }
+
+  test("A-law WAV decodes; MP3-in-WAV and ADPCM still fail loudly") {
+    val alaw = wavWithFormat(6, channels = 2, bits = 8,
+      data = Seq.tabulate(12)(i => (i * 41 + 3) % 256))
+    val d = RealCodec.decode("audio", alaw)
+    assert(d.n_samples === 6L, "two A-law bytes per stereo frame")
+    assert(d.width === 0 && d.height === 0)
+    val mp3InWav = wavWithFormat(0x55, channels = 1, bits = 0, data = Seq.fill(8)(0))
+    val e1 = intercept[IllegalArgumentException] { RealCodec.decode("audio", mp3InWav) }
+    assert(e1.getMessage.contains("external codec"))
+    val adpcm = wavWithFormat(2, channels = 1, bits = 4, data = Seq.fill(8)(0))
+    intercept[IllegalArgumentException] { RealCodec.decode("audio", adpcm) }
+  }
 }
