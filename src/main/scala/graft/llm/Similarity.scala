@@ -477,4 +477,61 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "cos")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    * near-duplicates ONLY within each cluster — a row is a duplicate iff
+    * some lower-id member of its own cluster sits at cosine ≥ threshold.
+    * Keep-lowest-id is the deterministic stand-in for the paper's
+    * keep-one-per-ε-ball; `dup_of` is the lowest-id such witness and
+    * `cos` its similarity (row_number over a_id, not max(cos), so the
+    * reported pair is a single well-defined one).
+    *
+    * Scale shape: this is THE trick that makes embedding dedup tractable
+    * at corpus scale — the quadratic comparison runs inside k-means
+    * cells, never across the corpus. k grows with the corpus so cell
+    * sizes stay bounded (n/k rows per cell ⇒ n·(n/k) pair work, linear
+    * in n at fixed cell size); the per-cell self-join shuffles on the
+    * cluster id only, and the codebook is an O(k·dim) broadcast handle
+    * exactly as in [[ivfTopKWith]]. Every step reuses the deterministic
+    * IVF machinery ([[ivfCentroids]] seeds/decimal means, the
+    * `nearest_centroids` assignment expression), so the "approximate"
+    * result has one exact answer an external oracle reproduces.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    val cs = ivfCentroids(corpus, idCol, vecCol, nClusters, iters)
+    semanticDedupWith(corpus, idCol, vecCol, threshold, cs)
+  }
+
+  /** (id, cluster) assignment of every corpus row against a codebook —
+    * the coarse-quantizer step of [[semanticDedupWith]]/[[ivfTopKWith]]
+    * exposed on its own (cluster-balance diagnostics, index persistence).
+    */
+  def clusterAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                         cs: Array[Array[Double]]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cs)
+    corpus.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("cluster", clusterOf(col("v"), bc).cast("long"))
+  }
+
+  /** [[semanticDedup]] against a prebuilt codebook — the production
+    * shape (dedup reruns on corpus deltas reuse the trained clustering).
+    */
+  def semanticDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double,
+                        cs: Array[Array[Double]]): DataFrame = {
+    val assigned = clusterAssignments(corpus, idCol, vecCol, cs)
+    val a = assigned.select(col("cluster"), col("id").as("dup_of"), col("v").as("av"))
+    val b = assigned.select(col("cluster"), col("id").as("vec_id"), col("v").as("bv"))
+    a.join(b, Seq("cluster"))
+      .filter(col("dup_of") < col("vec_id"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("dup_of")))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cluster", "dup_of", "cos")
+  }
 }

@@ -209,6 +209,29 @@ object LlmQueries {
        |    FROM ${prefix}_cand)
        |  WHERE rank <= $k)""".stripMargin
 
+  /** Oracle for `semantic_dedup`: the same deterministic k-means chain
+    * as [[ivfAnnOracle]] (seeds, decimal-exact Lloyd rounds, the
+    * `‖c‖²−2·v·c` assignment), then the within-cluster pair join and the
+    * keep-lowest-id witness pick — SemDeDup's cluster-scoped comparison
+    * reproduced as SQL.
+    */
+  private def semanticDedupOracle(nClusters: Int, iters: Int,
+                                  threshold: String): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${ivfChainCtes(nClusters, iters)},
+       |pairs AS (
+       |  SELECT ab.vec_id AS vec_id, aa.cl AS cluster, aa.vec_id AS dup_of,
+       |         ${sqlCos("a", "b")} AS cos
+       |  FROM assign aa JOIN assign ab ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
+       |  JOIN v a ON a.vec_id = aa.vec_id
+       |  JOIN v b ON b.vec_id = ab.vec_id),
+       |hit AS (
+       |  SELECT vec_id, cluster, dup_of, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
+       |  FROM pairs WHERE cos >= $threshold)
+       |SELECT vec_id, cluster, dup_of, cos FROM hit WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   private def ivfAnnOracle(nClusters: Int, nProbe: Int, k: Int, iters: Int): String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |${ivfChainCtes(nClusters, iters)},
@@ -1432,6 +1455,19 @@ object LlmQueries {
       (lsh ++ ivf).reduce(_.union(_)).orderBy("family", "param")
     }),
 
+    // L133 — SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    // clustering + within-cluster cosine. THE corpus-scale embedding-
+    // dedup shape: the quadratic comparison runs inside k-means cells
+    // only (k grows with the corpus ⇒ bounded cells ⇒ linear total pair
+    // work), vs cosine_near_dup's exact-but-blocked global self-join.
+    // Deterministic end to end (seeded decimal-exact k-means, keep-
+    // lowest-id) ⇒ DuckDB-oracled despite being "approximate".
+    "semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+          threshold = 0.4, nClusters = 8, iters = 2)
+        .orderBy("vec_id")
+    }),
+
     // L94 — per-source unigram distribution entropy (nats) + the
     // ln(vocab)-normalized form: the corpus-diversity diagnostic run
     // before mixing sources into a training set (low entropy = templated
@@ -2617,6 +2653,9 @@ object LlmQueries {
     "ann_recall" -> annRecallOracle(nPlanes = 4, dim = 64, k = 10),
 
     "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "semantic_dedup" -> semanticDedupOracle(nClusters = 8, iters = 2,
+      threshold = "0.4"),
 
     "ann_ivf_recall" -> ivfRecallOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
 

@@ -195,4 +195,41 @@ class SimilaritySpec extends SparkSpec {
       "nProbe=1 must actually approximate on scattered vectors " +
         "(if this fails the knob is dead and the curve meaningless)")
   }
+
+  test("semanticDedup equals the cluster-scoped restriction of exact pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cs = Similarity.ivfCentroids(e, "vec_id", "embedding", nClusters = 8, iters = 2)
+    val cluster = Similarity.clusterAssignments(e, "vec_id", "embedding", cs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // SemDeDup's contract rebuilt independently: same-cluster exact pairs,
+    // each duplicate witnessed by its LOWEST-id partner, identical cosines
+    val expected = brute
+      .filter { case (a, b, _) => cluster(a) == cluster(b) }
+      .groupBy(_._2).map { case (b, ps) =>
+        val (a, _, cos) = ps.minBy(_._1)
+        (b, cluster(b), a, cos)
+      }.toSet
+    val got = Similarity.semanticDedupWith(e, "vec_id", "embedding", 0.4, cs)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("dup_of"), r.getAs[Double]("cos"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "threshold 0.4 must fire on the sf0.001 corpus " +
+      "(an empty result would make the oracle row vacuous)")
+    assert(got.forall { case (v, _, d, _) => d < v }, "witness id < dup id")
+  }
+
+  test("semanticDedup never pairs across clusters and is deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r1 = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.4, nClusters = 8, iters = 2).collect().toSeq
+    val r2 = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.4, nClusters = 8, iters = 2).collect().toSeq
+    assert(r1.toSet === r2.toSet, "seeded k-means + keep-lowest-id must be " +
+      "bit-reproducible run to run")
+    // one witness row per duplicate, never several
+    val ids = r1.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.size === ids.size)
+  }
 }
