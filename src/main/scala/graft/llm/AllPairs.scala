@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** All-pairs similarity search (APSS) over WEIGHTED sparse TF-IDF
+  * vectors — the Bayardo/Ma/Srikant "Scaling Up All Pairs Similarity
+  * Search" (WWW 2007) shape, re-expressed as keyed DataFrame joins.
+  *
+  * [[graft.llm.Dedup.prefixFilterPairs]] is the SET-similarity (jaccard)
+  * prefix filter; this is its weighted-cosine sibling: documents become
+  * L2-normalized TF-IDF vectors over their token space, and the exact
+  * pair set at cosine ≥ t is produced without ever forming all pairs.
+  *
+  * Prefix-filter principle (weighted form). Give terms a global total
+  * order. For a doc x sorted in that order, let
+  * `tail(x, i) = Σ_{j ≥ i} u_x(t_j) · maxw(t_j)` where `maxw(t)` is the
+  * corpus-wide max normalized weight of t — the best dot product any
+  * partner could still collect from x's suffix starting at i. Position i
+  * is in x's PREFIX iff `tail(x, i) ≥ t`. For a qualifying pair (x, y),
+  * let t* be the order-first shared term: if t* fell outside x's prefix,
+  * every shared term would sit in x's sub-t tail, so
+  * cos(x, y) ≤ tail(x, pos(t*)) < t — contradiction; symmetrically for
+  * y. So every qualifying pair shares a term inside BOTH prefixes, and
+  * the candidate equi-join on prefix postings has exact recall.
+  *
+  * That argument survives the cross-engine rounding spec because every
+  * step is monotone: per-term products are rounded half-up to 6dp
+  * (u·v ≤ u·maxw ⟹ round(u·v) ≤ round(u·maxw)), summed exactly in
+  * DECIMAL(18,6), and cast to double (monotone) — so the verified
+  * cosine can never exceed the tail bound that pruned a position, on
+  * either engine.
+  *
+  * Scale shape: tf/df/norms are vocabulary- and doc-keyed partial
+  * aggregates; the per-doc prefix scan is a window partitioned by
+  * doc_id (bounded by doc length, never corpus-sized); candidates come
+  * from a posting-list self-join on PREFIX terms only — the global
+  * term order is frequency-ascending, so hot (frequent, low-idf) terms
+  * fall out of almost every prefix and bucket sizes stay bounded;
+  * verification joins are candidate-set-sized. No stage is quadratic in
+  * the corpus.
+  */
+object AllPairs {
+
+  /** Half-up 6dp rounding — floor(x·1e6 + 0.5)/1e6, the engine-portable
+    * form used at every summation point (see LlmQueries.roundHU).
+    */
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** L2-normalized smooth-idf TF-IDF weights, one row per (doc, term):
+    * `u = round6(round6(tf · (ln((1+N)/(1+df)) + 1)) / norm)` with the
+    * norm an exact decimal sum of rounded squares. Output:
+    * (id, token, sdf, u).
+    */
+  def tfidfUnitWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Dedup.requireIntegralId(df, idCol, "tfidfUnitWeights")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // corpus size: a 1-row broadcast, same shape as bm25's stats side
+    val n = broadcast(df.agg(count(lit(1)).as("n")))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("sdf"))
+    val w = tf.join(dfc, "token").crossJoin(n)
+      .withColumn("w", r6(col("tf").cast("double") *
+        (log((lit(1L) + col("n")).cast("double") / (lit(1L) + col("sdf"))) + lit(1.0))))
+    val norms = w.groupBy("id")
+      .agg(sqrt(sum(dec(r6(col("w") * col("w")))).cast("double")).as("nrm"))
+    w.join(norms, "id")
+      .select(col("id"), col("token"), col("sdf"), r6(col("w") / col("nrm")).as("u"))
+  }
+
+  /** Exact all-pairs TF-IDF cosine at ≥ threshold, prefix-filtered.
+    * Output: (a_id, b_id, n_shared, cos), one row per qualifying pair
+    * with a_id < b_id.
+    */
+  def tfidfNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val u = tfidfUnitWeights(df, idCol, textCol)
+    // corpus-wide max normalized weight per term — the suffix bound's
+    // per-term cap; term-keyed, vocabulary-sized
+    val maxw = u.groupBy("token").agg(max("u").as("maxw"))
+    val contrib = u.join(maxw, "token")
+      .withColumn("tail", sum(dec(r6(col("u") * col("maxw")))).over(
+        Window.partitionBy("id")
+          .orderBy(col("sdf"), col("token"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val prefix = contrib.filter(col("tail").cast("double") >= lit(threshold))
+    val cand = prefix.select(col("token"), col("id").as("a_id"))
+      .join(prefix.select(col("token"), col("id").as("b_id")), Seq("token"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    // exact verification over ALL shared terms (not just prefix ones):
+    // candidate-keyed joins back to the full weight table
+    val ua = u.select(col("id").as("a_id"), col("token"), col("u").as("ua"))
+    val ub = u.select(col("id").as("b_id"), col("token"), col("u").as("ub"))
+    cand.join(ua, "a_id").join(ub, Seq("b_id", "token"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(dec(r6(col("ua") * col("ub")))).cast("double").as("cos"))
+      .filter(col("cos") >= lit(threshold))
+  }
+
+  /** The unfiltered quadratic baseline (posting-list join over ALL
+    * terms) — spec-only equivalence oracle for [[tfidfNearDupPairs]],
+    * never registered.
+    */
+  private[graft] def bruteForceTfidfPairs(df: DataFrame, idCol: String,
+                                          textCol: String,
+                                          threshold: Double): DataFrame = {
+    val u = tfidfUnitWeights(df, idCol, textCol)
+    val ua = u.select(col("id").as("a_id"), col("token"), col("u").as("ua"))
+    val ub = u.select(col("id").as("b_id"), col("token"), col("u").as("ub"))
+    ua.join(ub, "token")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(dec(r6(col("ua") * col("ub")))).cast("double").as("cos"))
+      .filter(col("cos") >= lit(threshold))
+  }
+}

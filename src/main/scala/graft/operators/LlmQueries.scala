@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{AllPairs, Dedup, Similarity, TextOps}
 import graft.llm.TextOps._
 
 /** LLM-training-data-pipeline queries over the shared `documents` /
@@ -432,6 +432,21 @@ object LlmQueries {
     "prefix_near_dup" -> ((s, dir) => {
       Dedup.prefixNearDups(docs(s, dir).filter(col("doc_id") < 500),
           "doc_id", "text", threshold = 0.25)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L134 — weighted all-pairs similarity search (Bayardo et al., WWW
+    // 2007): exact TF-IDF-cosine pairs at ≥ 0.9 with prefix-filtered
+    // candidates — the WEIGHTED sibling of prefix_near_dup's jaccard
+    // filter. Every stage is a keyed join/window (tf/df/norm partials,
+    // per-doc prefix window, prefix-posting equi-join, candidate-keyed
+    // verify); the frequency-ascending term order keeps hot terms out
+    // of prefixes so posting buckets stay bounded. The oracle computes
+    // naive all-pairs — identical rows BY THE EXACT-RECALL GUARANTEE,
+    // which the hash compare therefore proves mechanically.
+    "allpairs_tfidf" -> ((s, dir) => {
+      AllPairs.tfidfNearDupPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.9)
         .orderBy("a_id", "b_id")
     }),
 
@@ -1946,6 +1961,37 @@ object LlmQueries {
          |         ${sqlJaccard("a", "b")} AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.25
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // naive all-pairs posting join — row-identical to the registered
+    // prefix-filtered path by the exact-recall guarantee; every rounding
+    // point (6dp half-up → DECIMAL(18,6) sums → double) mirrors
+    // AllPairs.tfidfUnitWeights / tfidfNearDupPairs term for term
+    "allpairs_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS sdf FROM tf GROUP BY token),
+         |w AS (
+         |  SELECT tf.doc_id, tf.token,
+         |         floor(CAST(tf.tf AS DOUBLE) * (ln(CAST(1 + nn.n AS DOUBLE) / (1 + dfc.sdf)) + 1.0) * 1e6 + 0.5) / 1e6 AS w
+         |  FROM tf JOIN dfc USING (token), nn),
+         |nrm AS (
+         |  SELECT doc_id,
+         |         sqrt(CAST(SUM(CAST(floor(w*w*1e6 + 0.5)/1e6 AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |u AS (
+         |  SELECT w.doc_id, w.token, floor(w.w / nrm.nrm * 1e6 + 0.5)/1e6 AS u
+         |  FROM w JOIN nrm USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |         CAST(SUM(CAST(floor(a.u*b.u*1e6 + 0.5)/1e6 AS DECIMAL(18,6))) AS DOUBLE) AS cos
+         |  FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |WHERE cos >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
 
     "sorted_neighborhood_dup" ->
