@@ -166,19 +166,31 @@ object Dedup {
     * One explode (rows × nBands) + one shuffle on (band, h0, h1) — never
     * quadratic in the corpus.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
-    val nBands = MinhashParams.size / BandRows
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame =
+    lshCandidatesAt(sigs, idCol, BandRows)
+
+  /** [[lshCandidates]] at an explicit rows-per-band setting — the
+    * banding knob of the S-curve p(match) = 1 − (1 − j^r)^b. Smaller
+    * `bandRows` moves the curve left (recall↑, candidates↑); the
+    * tuning sweep (`lsh_tuning_curve`) measures exactly that trade.
+    * `bandRows` must divide the signature length; the signature table
+    * is reused across sweep points, only the bucketing re-runs.
+    */
+  def lshCandidatesAt(sigs: DataFrame, idCol: String, bandRows: Int): DataFrame = {
+    require(bandRows > 0 && MinhashParams.size % bandRows == 0,
+      s"bandRows $bandRows must divide the signature length ${MinhashParams.size}")
+    val nBands = MinhashParams.size / bandRows
     val bandStructs = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        col(s"mh${b * BandRows}").as("h0"),
-        col(s"mh${b * BandRows + 1}").as("h1"))
+      struct((lit(b).as("band") +:
+        (0 until bandRows).map(r => col(s"mh${b * bandRows + r}").as(s"h$r"))): _*)
     }: _*)
+    val keyCols = "band" +: (0 until bandRows).map(r => s"h$r")
     val bands = sigs
       .select(col(idCol), explode(bandStructs).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.h0"), col("bk.h1"))
-    val a = bands.select(col("band"), col("h0"), col("h1"), col(idCol).as("a_id"))
-    val b = bands.select(col("band"), col("h0"), col("h1"), col(idCol).as("b_id"))
-    a.join(b, Seq("band", "h0", "h1"))
+      .select(col(idCol) +: keyCols.map(k => col(s"bk.$k")): _*)
+    val a = bands.select(keyCols.map(col) :+ col(idCol).as("a_id"): _*)
+    val b = bands.select(keyCols.map(col) :+ col(idCol).as("b_id"): _*)
+    a.join(b, keyCols)
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()

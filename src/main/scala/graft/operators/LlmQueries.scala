@@ -407,6 +407,42 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L135 — MinHash-LSH banding tuning curve: candidates, precision and
+    // recall vs exact jaccard ≥ 0.5 ground truth for rows-per-band r ∈
+    // {1,2,4} (b = 8/r bands) — the dedup twin of ann_tuning_curve. The
+    // S-curve p = 1−(1−j^r)^b is theory; this measures what the knob
+    // actually buys on the corpus before a 100 TB run commits to a
+    // setting. Ground truth comes from the EXACT-recall prefix-filter
+    // path (never all-pairs); the signature table is computed once and
+    // every sweep point re-buckets it (one explode + keyed self-join per
+    // point, the lsh_near_dup shape).
+    "lsh_tuning_curve" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+        .localCheckpoint(false)
+      val truth = Dedup.confirmJaccard(
+          Dedup.prefixFilterPairs(sigs, "doc_id", threshold = 0.5),
+          sigs, "doc_id", threshold = 0.5)
+        .select("a_id", "b_id").localCheckpoint(false)
+      def point(r: Int): DataFrame = {
+        val cand = Dedup.lshCandidatesAt(sigs, "doc_id", bandRows = r)
+        val hits = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        cand.agg(count(lit(1)).as("n_cand"))                 // 1-row sides
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(hits)
+          .select(lit(r).cast("long").as("band_rows"),
+            lit(TextOps.MinhashParams.size / r).cast("long").as("n_bands"),
+            col("n_cand"), col("n_true"), col("n_hit"),
+            when(col("n_cand") > 0,
+              roundHU(col("n_hit").cast("double") / col("n_cand"), 1e6))
+              .as("precision"),
+            when(col("n_true") > 0,
+              roundHU(col("n_hit").cast("double") / col("n_true"), 1e6))
+              .as("recall"))
+      }
+      Seq(1, 2, 4).map(point).reduce(_.union(_)).orderBy("band_rows")
+    }),
+
     // n-gram jaccard all-pairs: exact semantics distributed via the block
     // self-join (row-identical to brute force, no driver collect). The
     // prefix-filtering path (prefix_near_dup below) is the sub-quadratic
@@ -1863,6 +1899,53 @@ object LlmQueries {
        |  FROM (SELECT doc_id, $sqlShingleHashes AS sh FROM documents))""".stripMargin
   }
 
+  /** Oracle for `lsh_tuning_curve`: ground truth = naive all-pairs
+    * jaccard ≥ t (row-identical to the Spark side's exact-recall prefix
+    * path); per rows-per-band r, the banding/bucket join of the
+    * [[sqlSigs]] signatures, then candidate/hit counts and the guarded
+    * precision/recall ratios. "precision" is quoted — a bare PRECISION
+    * is a type keyword.
+    */
+  private def lshTuningCurveOracle(rowsList: Seq[Int], threshold: String): String = {
+    val n = MinhashParams.size
+    def bandCtes(r: Int): String = {
+      val selects = (0 until n / r).map { b =>
+        val hs = (0 until r).map(i => s"mh${b * r + i} AS h$i").mkString(", ")
+        s"  SELECT doc_id, $b AS band, $hs FROM sigs"
+      }.mkString("\n  UNION ALL\n")
+      val eq = (0 until r).map(i => s"a.h$i = b.h$i").mkString(" AND ")
+      s"""bands$r AS (
+         |$selects
+         |),
+         |cand$r AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands$r a JOIN bands$r b
+         |    ON a.band = b.band AND $eq AND a.doc_id < b.doc_id),
+         |pt$r AS (
+         |  SELECT CAST($r AS BIGINT) AS band_rows,
+         |         CAST(${n / r} AS BIGINT) AS n_bands,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$r) AS n_cand,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |         (SELECT CAST(COUNT(*) AS BIGINT)
+         |          FROM truth t JOIN cand$r c USING (a_id, b_id)) AS n_hit)""".stripMargin
+    }
+    s"""WITH $sqlSigs,
+       |truth AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE ${sqlJaccard("a", "b")} >= $threshold),
+       |${rowsList.map(bandCtes).mkString(",\n")}
+       |SELECT band_rows, n_bands, n_cand, n_true, n_hit,
+       |       CASE WHEN n_cand > 0
+       |            THEN floor(CAST(n_hit AS DOUBLE) / n_cand * 1e6 + 0.5) / 1e6
+       |       END AS "precision",
+       |       CASE WHEN n_true > 0
+       |            THEN floor(CAST(n_hit AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6
+       |       END AS recall
+       |FROM (${rowsList.map(r => s"SELECT * FROM pt$r").mkString(" UNION ALL ")})
+       |ORDER BY band_rows""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "token_stats" ->
       s"""SELECT doc_id,
@@ -1941,6 +2024,8 @@ object LlmQueries {
          |  JOIN sigs sb ON sb.doc_id = b_id)
          |WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "lsh_tuning_curve" -> lshTuningCurveOracle(Seq(1, 2, 4), "0.5"),
 
     "ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)

@@ -191,4 +191,26 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)),
       "unrelated doc should be farther than the near-dup")
   }
+
+  test("lshCandidatesAt: banding knob nests candidate sets and validates rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(false)
+    def cands(r: Int) = Dedup.lshCandidatesAt(sigs, "doc_id", r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val c1 = cands(1); val c2 = cands(2); val c4 = cands(4)
+    // a full r-hash band match implies each of its sub-bands matched at
+    // finer settings, so coarser banding can only shrink the candidate set
+    assert(c4.subsetOf(c2), "r=4 candidates must nest inside r=2")
+    assert(c2.subsetOf(c1), "r=2 candidates must nest inside r=1")
+    assert(c1.size > c2.size && c2.size > c4.size,
+      "the knob must actually move candidate volume on real data")
+    // default delegation unchanged
+    assert(cands(TextOps.BandRows) ===
+      Dedup.lshCandidates(sigs, "doc_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshCandidatesAt(sigs, "doc_id", 3)
+    }
+    assert(ex.getMessage.contains("divide"))
+  }
 }
