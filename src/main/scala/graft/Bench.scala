@@ -166,7 +166,31 @@ object Bench {
           (docs.size.toLong, (System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       }
-      s"""{"metric":"streaming_throughput",$dedup,$gate,"sf":"$sfDir"}"""
+      val semGate = probe("semantic_gate") { () =>
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        // codebook trains offline in production; train outside the clock
+        val cs = graft.llm.Similarity.ivfCentroids(e, "vec_id", "embedding",
+          nClusters = 16, iters = 2)
+        val rows = e.select(col("vec_id"), col("embedding"))
+          .as[graft.streaming.SemanticGate.Vec]
+          .sort("vec_id").collect().toSeq
+        val mem = MemoryStream[graft.streaming.SemanticGate.Vec](
+          org.apache.spark.sql.Encoders.product[graft.streaming.SemanticGate.Vec],
+          streamSess)
+        val ck = java.nio.file.Files.createTempDirectory("graft-bench-ck").toString
+        val q = graft.streaming.SemanticGate
+          .verdicts(mem.toDS(), cs, threshold = 0.4)
+          .writeStream.format("noop").option("checkpointLocation", ck)
+          .outputMode("update").start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(1000).foreach { chunk =>
+            mem.addData(chunk); q.processAllAvailable()
+          }
+          (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
+        } finally q.stop()
+      }
+      s"""{"metric":"streaming_throughput",$dedup,$gate,$semGate,"sf":"$sfDir"}"""
     } catch {
       case e: Throwable =>
         s"""{"metric":"streaming_throughput","error":"${jsonEscape(

@@ -78,7 +78,12 @@ object AllPairs {
     */
   def tfidfNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
-    val u = tfidfUnitWeights(df, idCol, textCol)
+    // the weight table feeds FOUR plan subtrees (max-weight caps, the
+    // prefix window, both verification sides); checkpoint it once (lazy
+    // — materializes at first action, the ann_tuning_curve convention)
+    // instead of re-running the tokenize/tf/df/norm pipeline per use
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val u = tfidfUnitWeights(df, idCol, textCol).localCheckpoint(false)
     // corpus-wide max normalized weight per term — the suffix bound's
     // per-term cap; term-keyed, vocabulary-sized
     val maxw = u.groupBy("token").agg(max("u").as("maxw"))
@@ -88,11 +93,20 @@ object AllPairs {
           .orderBy(col("sdf"), col("token"))
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
     val prefix = contrib.filter(col("tail").cast("double") >= lit(threshold))
+    // pinned-width repartitions on the two expansion joins: their INPUTS
+    // are small (prefix postings, candidate ids) so AQE coalesces them
+    // to one partition — and then the multi-million-row join expansion
+    // runs in a single task (measured 10s+ of an 18s total at 1k docs).
+    // Pinning the exchange width keeps the expansion parallel; at
+    // cluster scale these joins shuffle anyway, so the hint costs
+    // nothing there.
     val cand = prefix.select(col("token"), col("id").as("a_id"))
+      .repartition(np, col("token"))
       .join(prefix.select(col("token"), col("id").as("b_id")), Seq("token"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+      .repartition(np, col("a_id"))
     // exact verification over ALL shared terms (not just prefix ones):
     // candidate-keyed joins back to the full weight table
     val ua = u.select(col("id").as("a_id"), col("token"), col("u").as("ua"))

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class SemanticGateSpec extends SparkSpec {
+  import SemanticGate._
+
+  private lazy val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+
+  private def trainedCodebook = {
+    val e = spark.read.parquet(embPath)
+    Similarity.ivfCentroids(e, "vec_id", "embedding", nClusters = 8, iters = 2)
+  }
+
+  test("JVM cell assignment is bit-identical to the batch nearest_centroids path") {
+    val e = spark.read.parquet(embPath)
+    val cs = trainedCodebook
+    val batchAssign = Similarity.clusterAssignments(e, "vec_id", "embedding", cs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val norms = cs.map(c => c.map(x => x * x).foldLeft(0.0)(_ + _))
+    val rows = e.collect()
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      val id = r.getAs[Long]("vec_id")
+      assert(SemanticGate.nearestCell(cs, norms, v).toLong === batchAssign(id),
+        s"vec $id assigned differently by stream vs batch")
+    }
+  }
+
+  test("gate invariants: admitted sets are pairwise below threshold per cell; " +
+    "rejects carry a valid admitted witness") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cs = trainedCodebook
+    val e = spark.read.parquet(embPath).orderBy("vec_id").collect()
+      .map(r => Vec(r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val mem = MemoryStream[Vec]
+    val verdictSink = new scala.collection.mutable.ArrayBuffer[GateVerdict]()
+    val q = SemanticGate.verdicts(mem.toDS(), cs, threshold = 0.4)
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[GateVerdict], _: Long) =>
+        verdictSink.synchronized { verdictSink ++= b.collect() }; ()
+      }
+      .start()
+    try {
+      // two micro-batches: the gate must remember admitted reps across them
+      val (first, second) = e.splitAt(e.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = verdictSink.toVector
+    assert(verdicts.map(_.vec_id).distinct.size === e.length, "one verdict per vector")
+    val admitted = verdicts.filter(!_.is_dup)
+    val rejected = verdicts.filter(_.is_dup)
+    assert(rejected.nonEmpty, "threshold 0.4 must fire on sf0.001 " +
+      "(cosine_near_dup finds pairs there; a silent all-admit proves nothing)")
+    // every reject's witness is an ADMITTED vector in the SAME cell at
+    // cosine >= threshold (recompute independently)
+    val vecsById = e.map(v => v.vec_id -> v.embedding.map(_.toDouble)).toMap
+    val admittedIds = admitted.map(_.vec_id).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.foldLeft(0.0)(_ + _)
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val cellOf = verdicts.map(v => v.vec_id -> v.cluster).toMap
+    rejected.foreach { r =>
+      assert(admittedIds.contains(r.dup_of), s"witness ${r.dup_of} must be admitted")
+      assert(cellOf(r.dup_of) === r.cluster, "witness must share the cell")
+      assert(cos(vecsById(r.vec_id), vecsById(r.dup_of)) >= 0.4, "witness cosine")
+      assert(r.cos >= 0.4)
+    }
+    // the ε-net guarantee: no two ADMITTED vectors in one cell at >= τ
+    // (nothing evicted at sf0.001 volumes with the default cap)
+    admitted.groupBy(_.cluster).filter(_._1 >= 0).foreach { case (cell, as) =>
+      val ids = as.map(_.vec_id)
+      for (i <- ids.indices; j <- i + 1 until ids.size) {
+        val c = cos(vecsById(ids(i)), vecsById(ids(j)))
+        assert(c < 0.4,
+          s"admitted pair (${ids(i)}, ${ids(j)}) in cell $cell at cosine $c")
+      }
+    }
+  }
+
+  test("zero-norm vectors pass structurally clean and never enter state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cs = trainedCodebook
+    val dim = cs.head.length
+    val mem = MemoryStream[Vec]
+    val verdictSink = new scala.collection.mutable.ArrayBuffer[GateVerdict]()
+    val q = SemanticGate.verdicts(mem.toDS(), cs, threshold = 0.4)
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[GateVerdict], _: Long) =>
+        verdictSink.synchronized { verdictSink ++= b.collect() }; ()
+      }
+      .start()
+    try {
+      mem.addData(Vec(1L, Array.fill(dim)(0f)), Vec(2L, Array.fill(dim)(0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(verdictSink.size === 2)
+    verdictSink.foreach { v =>
+      assert(v.cluster === -1 && !v.is_dup && v.dup_of === -1L,
+        "zero vectors are clean passes, not mutual dups")
+    }
+  }
+}
