@@ -499,6 +499,60 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L137 — ingestion-order novelty profile: per doc, the fraction of
+    // its distinct shingles whose FIRST corpus occurrence (lowest
+    // doc_id) is this doc — novelty 1.0 = fully new content, 0.0 =
+    // everything already seen. The curve an incremental-ingest pipeline
+    // watches to decide when a source is mined out (novelty decays →
+    // stop crawling it). Shingle-keyed min partial-agg + doc-keyed
+    // counts — both map-side combinable, nothing pairwise. Zero-shingle
+    // docs keep their row with null novelty (no evidence ≠ zero
+    // novelty).
+    "doc_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"))).as("shingle"))
+      val firstOwner = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      val perDoc = sh.join(firstOwner, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      docs(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_shingles") > 0,
+            roundHU(col("n_novel").cast("double") / col("n_shingles"), 1e6))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // L138 — vocabulary coverage curve: fraction of total corpus token
+    // mass covered by the top-v most frequent tokens, v ∈ {8,16,32,64}
+    // — the tokenizer-budget curve (how small a vocab still covers the
+    // corpus; the Zipf-mass complement of zipf_slope). The ranking
+    // window runs over the VOCABULARY-sized count table (never the
+    // corpus), same bounded-window class as vocab_growth; coverage
+    // points are 1-row aggregates crossed together.
+    "vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val ranked = counts.withColumn("rn",
+        row_number().over(Window.orderBy(desc("c"), col("token"))))
+        .localCheckpoint(false) // vocabulary-sized; reused by all 4 points
+      val total = ranked.agg(sum("c").as("n_tokens"))
+      def point(v: Int): DataFrame =
+        ranked.filter(col("rn") <= v).agg(sum("c").as("covered"))
+          .crossJoin(total) // 1-row × 1-row
+          .select(lit(v).cast("long").as("vocab_size"), col("n_tokens"),
+            coalesce(col("covered"), lit(0L)).as("covered"),
+            roundHU(coalesce(col("covered"), lit(0L)).cast("double") /
+              col("n_tokens"), 1e6).as("coverage"))
+      Seq(8, 16, 32, 64).map(point).reduce(_.union(_)).orderBy("vocab_size")
+    }),
+
     // Sorted-neighborhood blocking (SNM) over the FULL corpus: candidates
     // are docs within 7 sort positions of each other inside an 8-char
     // normalized-prefix block — O(n·window) candidates, per-block windows
@@ -2074,6 +2128,39 @@ object LlmQueries {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.25
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "doc_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sqlShingleHashes) AS shingle FROM documents),
+         |fo AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+         |pd AS (
+         |  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |         CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sh JOIN fo USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(pd.n_novel, 0) AS BIGINT) AS n_novel,
+         |       CASE WHEN pd.n_shingles > 0
+         |            THEN floor(CAST(pd.n_novel AS DOUBLE) / pd.n_shingles * 1e6 + 0.5) / 1e6
+         |       END AS novelty
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY token),
+         |ranked AS (
+         |  SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rn
+         |  FROM counts),
+         |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM ranked)
+         |SELECT CAST(t.v AS BIGINT) AS vocab_size, total.n_tokens,
+         |       CAST(COALESCE((SELECT SUM(c) FROM ranked WHERE rn <= t.v), 0) AS BIGINT) AS covered,
+         |       floor(CAST(COALESCE((SELECT SUM(c) FROM ranked WHERE rn <= t.v), 0) AS DOUBLE)
+         |             / total.n_tokens * 1e6 + 0.5) / 1e6 AS coverage
+         |FROM (VALUES (8), (16), (32), (64)) AS t(v), total
+         |ORDER BY vocab_size""".stripMargin,
 
     // naive all-pairs posting join — row-identical to the registered
     // prefix-filtered path by the exact-recall guarantee; every rounding

@@ -60,11 +60,15 @@ class PlanAuditSpec extends SparkSpec {
     *    fine running-sum window is partitioned by bucket); WindowBounds-
     *    Spec asserts every global window in these plans sits above the
     *    bkt-grouped aggregate.
+    *  - vocab_coverage: frequency rank over the VOCABULARY-sized token
+    *    count table (sits above the token groupBy; grows with distinct
+    *    tokens, not corpus rows — the vocab_growth class).
     * Anything else with an empty partitionSpec must fail this sweep.
     */
   private val GlobalWindowAllowlist =
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
-      "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier")
+      "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
+      "vocab_coverage")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

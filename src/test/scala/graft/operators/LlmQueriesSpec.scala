@@ -698,4 +698,46 @@ class LlmQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq((1L, 2L, 0.75)))
   }
+
+  test("doc_novelty credits first occurrence by ingestion order") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    Seq(
+      (1L, "a b c d", "en", "s", 7L),   // 3 bigrams, all first seen here
+      (2L, "a b c d", "en", "s", 7L),   // exact dup of 1 → novelty 0
+      (3L, "a b x y", "en", "s", 7L),   // shares "a b"; "b x","x y" new
+      (4L, "", "en", "s", 0L),          // no shingles → null novelty
+      (5L, "q", "en", "s", 1L))         // 1 token → 0 shingles → null
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("doc_novelty")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L), "every doc keeps a row")
+    assert(out(1L).getAs[Long]("n_shingles") === 3L)
+    assert(out(1L).getAs[Double]("novelty") === 1.0)
+    assert(out(2L).getAs[Double]("novelty") === 0.0)
+    assert(out(3L).getAs[Long]("n_novel") === 2L)
+    assert(math.abs(out(3L).getAs[Double]("novelty") - 0.666667) < 1e-9,
+      "2 of 3 shingles first-seen here, 6dp half-up")
+    assert(out(4L).isNullAt(out(4L).fieldIndex("novelty")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("novelty")))
+  }
+
+  test("vocab_coverage is a monotone curve reaching 1.0 once vocab covers all tokens") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    // 3 distinct tokens with mass 4/2/1: top-8 already covers everything
+    Seq((1L, "w w w w y y z", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val rows = LlmQueries.queries("vocab_coverage")(spark, work).collect()
+    assert(rows.map(_.getAs[Long]("vocab_size")).toSeq === Seq(8L, 16L, 32L, 64L))
+    assert(rows.forall(_.getAs[Long]("n_tokens") == 7L))
+    assert(rows.forall(_.getAs[Double]("coverage") == 1.0))
+    // real corpus: strictly monotone non-decreasing with vocab size
+    val sf = LlmQueries.queries("vocab_coverage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("vocab_size") -> r.getAs[Double]("coverage"))
+    assert(sf.sortBy(_._1).map(_._2).sliding(2).forall(s => s(0) <= s(1)))
+    assert(sf.forall(p => p._2 > 0.0 && p._2 <= 1.0))
+  }
 }
