@@ -67,6 +67,23 @@ class DedupPropsSpec extends SparkSpec {
     })
   }
 
+  test("weighted APSS (allpairs tfidf) ≡ naive posting join on random corpora") {
+    def quads(d: DataFrame): Set[(Long, Long, Long, Double)] =
+      d.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("cos"))).toSet
+    // cosine thresholds live higher than jaccard ones; include values
+    // near common pair cosines so the suffix-bound boundary is exercised
+    val apssGen = for {
+      c <- corpusGen
+      t <- Gen.oneOf(0.5, 0.7, 0.8, 0.9, 0.95)
+    } yield (c, t)
+    assertProp(forAll(apssGen) { case (c, t) =>
+      val corpus = df(c)
+      quads(AllPairs.tfidfNearDupPairs(corpus, "doc_id", "text", t)) ==
+        quads(AllPairs.bruteForceTfidfPairs(corpus, "doc_id", "text", t))
+    })
+  }
+
   test("prefix-filter exact recall when t·|s| is an exact integer (double-ceil trap)") {
     import spark.implicits._
     // Case 1: t = 0.1, |A| = 10 shingles, B ⊂ A with exactly 1 shared
