@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Round-over-round bench adjudication: diff two bench_per_query.json
+records (or a record vs a BENCH_r*.json tail line) and print per-query
+deltas, so "is the total move real or noise?" is answerable from
+artifacts instead of a re-measurement session (the r7 96->145s scare).
+
+Usage:
+  tools/bench_diff.py OLD.json NEW.json [--min-delta 0.5] [--min-ratio 1.5]
+
+Reads the {"queries": {name: secs}} map from each file (first JSON line
+holding one). Queries present in only one file are listed separately.
+A uniform inflation across families reads as machine load; isolated
+spikes read as plan regressions - the per-family summary at the bottom
+makes that call quickly.
+"""
+import json, sys
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+                return d
+    raise SystemExit(f"{path}: no JSON line with a 'queries' map")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
+                for a in sys.argv[1:] if a.startswith("--"))
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    min_delta = float(opts.get("min-delta", 0.5))
+    min_ratio = float(opts.get("min-ratio", 1.5))
+    old, new = load(args[0]), load(args[1])
+    oq = {k: v for k, v in old["queries"].items() if v >= 0}
+    nq = {k: v for k, v in new["queries"].items() if v >= 0}
+    print(f"old: total={sum(oq.values()):8.1f}s n={len(oq)} sf={old.get('sf')} iters={old.get('iters')}")
+    print(f"new: total={sum(nq.values()):8.1f}s n={len(nq)} sf={new.get('sf')} iters={new.get('iters')}")
+    shared = sorted(set(oq) & set(nq))
+    moved = []
+    for k in shared:
+        a, b = oq[k], nq[k]
+        d = b - a
+        r = b / a if a > 0 else float("inf")
+        if abs(d) >= min_delta and (r >= min_ratio or r <= 1 / min_ratio):
+            moved.append((d, r, k, a, b))
+    if moved:
+        print(f"\nmoved (|delta| >= {min_delta}s and ratio >= {min_ratio}x):")
+        for d, r, k, a, b in sorted(moved, key=lambda t: -abs(t[0])):
+            print(f"  {k:32s} {a:7.2f} -> {b:7.2f}  ({d:+6.2f}s, {r:5.2f}x)")
+    else:
+        print("\nno per-query moves past thresholds")
+    only_new = sorted(set(nq) - set(oq))
+    only_old = sorted(set(oq) - set(nq))
+    if only_new:
+        add = sum(nq[k] for k in only_new)
+        print(f"\nnew-only queries (+{add:.1f}s): " +
+              ", ".join(f"{k}={nq[k]:.2f}" for k in only_new))
+    if only_old:
+        print("\nremoved queries: " + ", ".join(only_old))
+    # uniform-inflation check: median ratio over shared queries
+    ratios = sorted(nq[k] / oq[k] for k in shared if oq[k] > 0.05)
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        print(f"\nmedian shared-query ratio: {med:.2f}x "
+              f"({'uniform shift - suspect machine/load' if med > 1.2 or med < 0.8 else 'flat'})")
+
+
+if __name__ == "__main__":
+    main()
