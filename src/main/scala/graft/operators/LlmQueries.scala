@@ -1586,6 +1586,29 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // L140 — codebook cell-balance diagnostic: members and share per
+    // k-means cell, EMPTY CELLS INCLUDED (an empty or elephant cell is
+    // exactly what this query exists to surface — it is the k-chooser
+    // for both IVF serving cost and SemDeDup's bounded-cell contract).
+    // One assignment scan + a k-row left join; the codebook is the same
+    // bounded construction-time artifact as the ann_ivf_* family.
+    "cluster_balance" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nClusters = 8, iters = 2)
+      val counts = Similarity.clusterAssignments(e, "vec_id", "embedding", cs)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("total"))
+      s.range(cs.length).toDF("cluster")
+        .join(counts, Seq("cluster"), "left")
+        .crossJoin(broadcast(total)) // 1-row side
+        .select(col("cluster"),
+          coalesce(col("n"), lit(0L)).as("n_members"),
+          roundHU(coalesce(col("n"), lit(0L)).cast("double") / col("total"), 1e6)
+            .as("share"))
+        .orderBy("cluster")
+    }),
+
     // L94 — per-source unigram distribution entropy (nats) + the
     // ln(vocab)-normalized form: the corpus-diversity diagnostic run
     // before mixing sources into a training set (low entropy = templated
@@ -2902,6 +2925,17 @@ object LlmQueries {
 
     "semantic_dedup" -> semanticDedupOracle(nClusters = 8, iters = 2,
       threshold = "0.4"),
+
+    "cluster_balance" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |${ivfChainCtes(nClusters = 8, iters = 2)},
+         |cnt AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cl),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM assign)
+         |SELECT s.cl AS cluster,
+         |       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_members,
+         |       floor(CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.total * 1e6 + 0.5) / 1e6 AS share
+         |FROM cent2 s LEFT JOIN cnt USING (cl), tot
+         |ORDER BY cluster""".stripMargin,
 
     "ann_ivf_recall" -> ivfRecallOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
 

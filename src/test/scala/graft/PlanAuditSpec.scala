@@ -77,9 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     *  - ann_ivf_recall / ann_tuning_curve: the same codebook, built once
     *    per IVF probe point (the exact-top-k localCheckpoint both reuse
     *    is lazy and runs at execution, not construction);
-    *  - semantic_dedup: SemDeDup trains the SAME O(nClusters·dim)
-    *    codebook before scoping the pair join to its cells — identical
-    *    bounded driver state, identical contract;
+    *  - semantic_dedup / cluster_balance: SemDeDup and the cell-balance
+    *    diagnostic train the SAME O(nClusters·dim) codebook before the
+    *    cell-keyed stage — identical bounded driver state, identical
+    *    contract;
     *  - clustering_coeff: the wedge-prune Bloom filter — a distributed
     *    `stat.bloomFilter` aggregate whose result is a FIXED 4 MB sketch
     *    at any SF. Spark runs it through async execution, so its result
@@ -92,7 +93,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val ConstructionJobsAllowlist =
     Set("ann_ivf_topk", "ann_ivf_recall", "ann_tuning_curve",
-      "semantic_dedup", "clustering_coeff")
+      "semantic_dedup", "cluster_balance", "clustering_coeff")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {

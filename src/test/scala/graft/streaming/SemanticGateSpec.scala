@@ -87,6 +87,40 @@ class SemanticGateSpec extends SparkSpec {
     }
   }
 
+  test("FIFO eviction degrades recall gracefully: an aged-out rep's dup re-admits, " +
+    "and a fresh rep's dup is still caught") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one-cell codebook so cell routing can't interfere with the
+    // eviction scenario under test
+    val cs = Array(Array.fill(4)(0.0))
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val mem = MemoryStream[Vec]
+    val verdictSink = new scala.collection.mutable.ArrayBuffer[GateVerdict]()
+    val q = SemanticGate.verdicts(mem.toDS(), cs, threshold = 0.9, maxPerCell = 2)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[GateVerdict], _: Long) =>
+        verdictSink.synchronized { verdictSink ++= b.collect() }; ()
+      }
+      .start()
+    try {
+      // fill the 2-slot FIFO: id 1 (x-axis), then two orthogonal reps
+      // that push it out
+      mem.addData(Vec(1L, v(1, 0, 0, 0))); q.processAllAvailable()
+      mem.addData(Vec(2L, v(0, 1, 0, 0))); q.processAllAvailable()
+      mem.addData(Vec(3L, v(0, 0, 1, 0))); q.processAllAvailable()
+      // id 1 has aged out → its exact copy re-admits (the documented
+      // finite-memory trade); id 3 is still in state → its copy rejects
+      mem.addData(Vec(4L, v(1, 0, 0, 0))); q.processAllAvailable()
+      mem.addData(Vec(5L, v(0, 0, 1, 0))); q.processAllAvailable()
+    } finally q.stop()
+    val byId = verdictSink.map(x => x.vec_id -> x).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => !byId(id).is_dup))
+    assert(!byId(4L).is_dup, "copy of an EVICTED rep must re-admit")
+    assert(byId(5L).is_dup && byId(5L).dup_of === 3L,
+      "copy of a still-resident rep must reject against it")
+  }
+
   test("zero-norm vectors pass structurally clean and never enter state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
