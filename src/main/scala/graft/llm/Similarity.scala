@@ -521,8 +521,15 @@ object Similarity {
     */
   def semanticDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
-                        cs: Array[Array[Double]]): DataFrame = {
-    val assigned = clusterAssignments(corpus, idCol, vecCol, cs)
+                        cs: Array[Array[Double]]): DataFrame =
+    semanticDedupOn(clusterAssignments(corpus, idCol, vecCol, cs), threshold)
+
+  /** The within-cell pair stage over an existing (id, v, cluster)
+    * assignment — split out so callers can interpose the cell-size
+    * guard (CoreQueries.blockSizeGuard) or a custom assignment between
+    * quantization and the quadratic stage.
+    */
+  def semanticDedupOn(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("id").as("dup_of"), col("v").as("av"))
     val b = assigned.select(col("cluster"), col("id").as("vec_id"), col("v").as("bv"))
     a.join(b, Seq("cluster"))

@@ -499,6 +499,36 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L141 — blocking-recall attribution: every TRUE near-dup pair
+    // (exact jaccard ≥ 0.5 via the exact-recall prefix path) flagged
+    // with whether each sub-quadratic CANDIDATE generator — MinHash-LSH
+    // banding, sorted-neighborhood windows — surfaced it. The table
+    // that tells you which blocking family to trust on THIS corpus
+    // before committing a 100 TB pass to one of them (complement of
+    // lsh_tuning_curve: that measures volume-for-recall of one family's
+    // knob; this attributes per-pair recall across families). Truth and
+    // flags are all keyed joins; nothing quadratic.
+    "near_dup_ensemble" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 1000)
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+        .localCheckpoint(false)
+      val truth = Dedup.confirmJaccard(
+        Dedup.prefixFilterPairs(sigs, "doc_id", threshold = 0.5),
+        sigs, "doc_id", threshold = 0.5)
+      val lshc = Dedup.lshCandidates(sigs, "doc_id")
+        .withColumn("by_lsh", lit(true))
+      val snmc = Dedup.sortedNeighborhoodCandidates(d, "doc_id", "text",
+          window = 8, blockChars = 8)
+        .distinct() // a left-join FLAG side must be key-unique
+        .withColumn("by_snm", lit(true))
+      truth.join(lshc, Seq("a_id", "b_id"), "left")
+        .join(snmc, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"), col("jaccard"),
+          coalesce(col("by_lsh"), lit(false)).as("by_lsh"),
+          coalesce(col("by_snm"), lit(false)).as("by_snm"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // L137 — ingestion-order novelty profile: per doc, the fraction of
     // its distinct shingles whose FIRST corpus occurrence (lowest
     // doc_id) is this doc — novelty 1.0 = fully new content, 0.0 =
@@ -1579,10 +1609,19 @@ object LlmQueries {
     // only (k grows with the corpus ⇒ bounded cells ⇒ linear total pair
     // work), vs cosine_near_dup's exact-but-blocked global self-join.
     // Deterministic end to end (seeded decimal-exact k-means, keep-
-    // lowest-id) ⇒ DuckDB-oracled despite being "approximate".
+    // lowest-id) ⇒ DuckDB-oracled despite being "approximate". The
+    // bounded-cell contract (k scales with n ⇒ cells stay small) is
+    // ENFORCED in the plan, not assumed: an elephant cell past maxBlock
+    // fails the job naming the cell (the L129 guard), instead of
+    // silently going quadratic in one straggler task.
     "semantic_dedup" -> ((s, dir) => {
-      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
-          threshold = 0.4, nClusters = 8, iters = 2)
+      val e = embs(s, dir)
+      val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nClusters = 8, iters = 2)
+      val assigned = CoreQueries.blockSizeGuard(
+        Similarity.clusterAssignments(e, "vec_id", "embedding", cs),
+        Seq("cluster"), maxBlock = 2048L, "semantic_dedup")
+      Similarity.semanticDedupOn(assigned, threshold = 0.4)
         .orderBy("vec_id")
     }),
 
@@ -2151,6 +2190,49 @@ object LlmQueries {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.25
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // truth from naive all-pairs (≡ the Spark side's exact-recall prefix
+    // path); candidate flags rebuilt from the SAME band and
+    // sorted-neighborhood fragments as lsh_near_dup /
+    // sorted_neighborhood_dup's oracles
+    "near_dup_ensemble" ->
+      s"""WITH ${sqlSigsBounded(1000)},
+         |truth AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |bands AS (
+         |${(0 until MinhashParams.size / BandRows).map(b =>
+             s"  SELECT doc_id, $b AS band, mh${b * BandRows} AS h0, mh${b * BandRows + 1} AS h1 FROM sigs")
+             .mkString("\n  UNION ALL\n")}
+         |),
+         |lshc AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+         |k AS (
+         |  SELECT doc_id,
+         |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS skey
+         |  FROM documents WHERE doc_id < 1000),
+         |r AS (
+         |  SELECT doc_id, substr(skey, 1, 8) AS blk,
+         |         row_number() OVER (PARTITION BY substr(skey, 1, 8)
+         |                            ORDER BY skey, doc_id) AS rn
+         |  FROM k),
+         |snmc AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+         |         greatest(a.doc_id, b.doc_id) AS b_id
+         |  FROM r a JOIN r b
+         |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 7)
+         |SELECT t.a_id, t.b_id, t.jaccard,
+         |       (lshc.a_id IS NOT NULL) AS by_lsh,
+         |       (snmc.a_id IS NOT NULL) AS by_snm
+         |FROM truth t
+         |LEFT JOIN lshc ON t.a_id = lshc.a_id AND t.b_id = lshc.b_id
+         |LEFT JOIN snmc ON t.a_id = snmc.a_id AND t.b_id = snmc.b_id
+         |ORDER BY t.a_id, t.b_id""".stripMargin,
 
     "doc_novelty" ->
       s"""WITH sh AS (

@@ -90,12 +90,18 @@ object SemanticGate {
       .mapPartitions { it =>
         val cents = bc.value
         val norms = cents.map(c => dot(c, c))
+        val dim = if (cents.isEmpty) 0 else cents(0).length
         it.map { r =>
+          // a ragged vector would silently TRUNCATE the JVM dot loops
+          // (the batch expressions null out on length mismatch) — route
+          // it to the structurally-clean cell with the zero vectors
+          // rather than let it poison a real cell's comparisons
           val v = new Array[Double](r.embedding.length)
           var i = 0
           while (i < v.length) { v(i) = r.embedding(i).toDouble; i += 1 }
-          val selfDot = dot(v, v)
-          val cell = if (selfDot == 0.0) -1 else nearestCell(cents, norms, v)
+          val cell =
+            if (v.length != dim || dot(v, v) == 0.0) -1
+            else nearestCell(cents, norms, v)
           CellVec(cell, r.vec_id, v)
         }
       }

@@ -72,7 +72,10 @@ class SemanticGateSpec extends SparkSpec {
     rejected.foreach { r =>
       assert(admittedIds.contains(r.dup_of), s"witness ${r.dup_of} must be admitted")
       assert(cellOf(r.dup_of) === r.cluster, "witness must share the cell")
-      assert(cos(vecsById(r.vec_id), vecsById(r.dup_of)) >= 0.4, "witness cosine")
+      // bit-exact: the gate's JVM loop is the same left fold /
+      // sqrt-product-divide sequence as the batch Similarity.cosine
+      assert(cos(vecsById(r.vec_id), vecsById(r.dup_of)) === r.cos,
+        "gate cosine must reproduce the batch fold bit-for-bit")
       assert(r.cos >= 0.4)
     }
     // the ε-net guarantee: no two ADMITTED vectors in one cell at >= τ
@@ -135,13 +138,16 @@ class SemanticGateSpec extends SparkSpec {
       }
       .start()
     try {
-      mem.addData(Vec(1L, Array.fill(dim)(0f)), Vec(2L, Array.fill(dim)(0f)))
+      mem.addData(Vec(1L, Array.fill(dim)(0f)), Vec(2L, Array.fill(dim)(0f)),
+        // ragged: would silently truncate the JVM dot loops if it
+        // reached a real cell
+        Vec(3L, Array.fill(dim / 2)(1f)))
       q.processAllAvailable()
     } finally q.stop()
-    assert(verdictSink.size === 2)
+    assert(verdictSink.size === 3)
     verdictSink.foreach { v =>
       assert(v.cluster === -1 && !v.is_dup && v.dup_of === -1L,
-        "zero vectors are clean passes, not mutual dups")
+        "zero and ragged vectors are clean passes, not mutual dups")
     }
   }
 }
