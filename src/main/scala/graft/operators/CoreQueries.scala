@@ -33,6 +33,14 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Session shuffle width, for PINNED repartitions whose partitioning a
+    * downstream stage must be able to reuse (an unpinned repartition is
+    * AQE-coalescible, which both breaks the reuse and can serialize a
+    * later join's expansion into one task — the allpairs_tfidf lesson).
+    */
+  private def shufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   private def decSum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
@@ -199,6 +207,11 @@ object CoreQueries {
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
+      // checkpoint PARTITIONED BY THE ROUND JOIN KEY: LogicalRDD keeps
+      // the hash partitioning, so every round's edge⨝label join reuses
+      // it and only the (small) label table shuffles — without this the
+      // full edge list re-exchanged every iteration
+      .repartition(shufflePartitions(s), col("dst"))
       .localCheckpoint(false) // reused every round
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
@@ -267,6 +280,10 @@ object CoreQueries {
     val ed = e.join(e.groupBy("src").agg(sum("wt").as("wsum")), "src")
       .select(col("src"), col("dst"),
         (col("wt").cast("double") / col("wsum")).as("p"))
+      // partitioned by the round join key (see lpaPlan): each power
+      // iteration reuses the checkpoint's hash partitioning instead of
+      // re-exchanging the edge list
+      .repartition(shufflePartitions(s), col("src"))
       .localCheckpoint(false)
     val nodes = ed.select(col("src").as("id")).distinct()
     val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
@@ -1316,6 +1333,10 @@ object CoreQueries {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"),
               col("ds").as("dv"))).as("o"))
         .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+        // partitioned by the wedge join key: both wedge sides read the
+        // checkpoint's partitioning instead of re-exchanging the
+        // oriented edge list twice
+        .repartition(shufflePartitions(s), col("u"))
         .localCheckpoint(false) // reused: two wedge sides + closure probe
       val wedges = oriented.select(col("u"), col("v").as("a"), col("dv").as("da"))
         .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
