@@ -683,6 +683,12 @@ object Dedup {
     // of replaying its plan per iteration
     val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .unionByName(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      // partitioned by the per-round join key so the checkpointed edge
+      // list is never re-exchanged inside the loop (the pagerank/LPA
+      // lesson; only the label table shuffles per round)
+      .repartition(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
