@@ -742,6 +742,34 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // L143 — hard-negative mining: per query vector, the top-5 most
+    // similar corpus vectors with a DIFFERENT label — the pairs that
+    // actually move a contrastive loss (easy negatives are already far;
+    // near-identical other-class items are the gradient). Same
+    // broadcast-queries + one-corpus-scan shape as cosine_topk, with
+    // the label inequality pushed into the join condition so unusable
+    // pairs never reach the per-query rank.
+    "hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        Similarity.toDouble(col("embedding")).as("cv"), col("label").as("n_label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          Similarity.toDouble(col("embedding")).as("qv"), col("label").as("q_label"))
+      import org.apache.spark.sql.expressions.Window
+      c.join(broadcast(q),
+          col("neighbor_id") =!= col("query_id") &&
+            col("n_label") =!= col("q_label"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(desc("cos"), col("neighbor_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("n_label").cast("long").as("neg_label"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding near-dup pairs above a cosine threshold: exact semantics,
     // distributed block self-join (codegen'd dot kernel, no driver collect)
     "cosine_near_dup" -> ((s, dir) => {
@@ -2463,6 +2491,20 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(c.label AS BIGINT) AS neg_label, ${sqlCos("q", "c")} AS cos
+         |  FROM v q JOIN v c
+         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+         |SELECT query_id, rank, neighbor_id, neg_label, cos FROM (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
     "cosine_near_dup" ->
