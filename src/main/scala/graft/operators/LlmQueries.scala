@@ -529,6 +529,72 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L144 — mixture rebalancing planner: corpus_mixture APPLIES fixed
+    // per-source rates; this computes them — given a uniform target
+    // share and a half-corpus token budget, the per-source sampling
+    // rate is min(1, target_tokens / n_tokens_s) (sources below their
+    // target are taken whole; the shortfall is visible as
+    // sampled < target). The planning step every mixture config is
+    // downstream of. One source-keyed count shuffle; shares/rates are
+    // 6dp half-up on both engines.
+    "mixture_rebalance" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("n_tokens"))
+      val tot = tok.agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n_sources"))
+      tok.crossJoin(broadcast(tot)) // 1-row side
+        .withColumn("natural_share",
+          roundHU(col("n_tokens").cast("double") / col("total"), 1e6))
+        // uniform target over a half-total token budget
+        .withColumn("target_tokens",
+          floor(col("total").cast("double") / lit(2.0) / col("n_sources"))
+            .cast("long"))
+        .withColumn("rate", roundHU(
+          least(lit(1.0),
+            col("target_tokens").cast("double") / col("n_tokens")), 1e6))
+        .withColumn("sampled_tokens",
+          floor(col("rate") * col("n_tokens")).cast("long"))
+        .select("source", "n_tokens", "natural_share", "target_tokens",
+          "rate", "sampled_tokens")
+        .orderBy("source")
+    }),
+
+    // L145 — embedding drift probe: per label, the cosine between the
+    // even-id and odd-id half-corpus centroids — the train/serve (or
+    // snapshot/snapshot) representation-shift check, run before trusting
+    // an index or classifier trained on the other half. Decimal-exact
+    // grouped means (the label_centroids machinery), then a label-keyed
+    // dim-join; drift = 1 − cos rounded 6dp.
+    "embedding_drift" -> ((s, dir) => {
+      val halves = embs(s, dir)
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2).as("half"),
+          posexplode(Similarity.toDouble(col("embedding"))))
+        .groupBy("label", "half", "pos")
+        .agg((sum(col("col").cast("decimal(38,7)")).cast("double") / count(lit(1)))
+          .as("m"))
+      val ev = halves.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("m").as("m0"))
+      val od = halves.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("m").as("m1"))
+      ev.join(od, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(
+          sum((floor(col("m0") * col("m1") * 1e12 + 0.5) / 1e12)
+            .cast("decimal(28,12)")).cast("double").as("dp"),
+          sum((floor(col("m0") * col("m0") * 1e12 + 0.5) / 1e12)
+            .cast("decimal(28,12)")).cast("double").as("n0"),
+          sum((floor(col("m1") * col("m1") * 1e12 + 0.5) / 1e12)
+            .cast("decimal(28,12)")).cast("double").as("n1"))
+        .select(col("label"),
+          roundHU(col("dp") / (sqrt(col("n0")) * sqrt(col("n1"))), 1e6)
+            .as("half_cos"),
+          roundHU(lit(1.0) - col("dp") / (sqrt(col("n0")) * sqrt(col("n1"))), 1e6)
+            .as("drift"))
+        .orderBy("label")
+    }),
+
     // L137 — ingestion-order novelty profile: per doc, the fraction of
     // its distinct shingles whose FIRST corpus occurrence (lowest
     // doc_id) is this doc — novelty 1.0 = fully new content, 0.0 =
@@ -2261,6 +2327,55 @@ object LlmQueries {
          |LEFT JOIN lshc ON t.a_id = lshc.a_id AND t.b_id = lshc.b_id
          |LEFT JOIN snmc ON t.a_id = snmc.a_id AND t.b_id = snmc.b_id
          |ORDER BY t.a_id, t.b_id""".stripMargin,
+
+    "mixture_rebalance" -> {
+      val target = "CAST(floor(CAST(tot.total AS DOUBLE) / 2.0 / tot.n_sources) AS BIGINT)"
+      val rate = s"floor(LEAST(1.0, CAST($target AS DOUBLE) / tok.n_tokens) * 1e6 + 0.5) / 1e6"
+      s"""WITH tok AS (
+         |  SELECT source, CAST(SUM(len($sqlTokens)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS n_sources
+         |  FROM tok)
+         |SELECT tok.source, tok.n_tokens,
+         |       floor(CAST(tok.n_tokens AS DOUBLE) / tot.total * 1e6 + 0.5) / 1e6 AS natural_share,
+         |       $target AS target_tokens,
+         |       $rate AS rate,
+         |       CAST(floor(($rate) * tok.n_tokens) AS BIGINT) AS sampled_tokens
+         |FROM tok, tot
+         |ORDER BY tok.source""".stripMargin
+    },
+
+    "embedding_drift" ->
+      """WITH v AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, half,
+        |         unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v),
+        |cm AS (
+        |  SELECT label, half, pos,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, half, pos),
+        |j AS (
+        |  SELECT a.label, a.m AS m0, b.m AS m1
+        |  FROM cm a JOIN cm b
+        |    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1),
+        |g AS (
+        |  SELECT label,
+        |         CAST(SUM(CAST(floor(m0*m1*1e12 + 0.5)/1e12 AS DECIMAL(28,12))) AS DOUBLE) AS dp,
+        |         CAST(SUM(CAST(floor(m0*m0*1e12 + 0.5)/1e12 AS DECIMAL(28,12))) AS DOUBLE) AS n0,
+        |         CAST(SUM(CAST(floor(m1*m1*1e12 + 0.5)/1e12 AS DECIMAL(28,12))) AS DOUBLE) AS n1
+        |  FROM j GROUP BY label)
+        |SELECT label,
+        |       floor(dp / (sqrt(n0) * sqrt(n1)) * 1e6 + 0.5) / 1e6 AS half_cos,
+        |       floor((1.0 - dp / (sqrt(n0) * sqrt(n1))) * 1e6 + 0.5) / 1e6 AS drift
+        |FROM g
+        |ORDER BY label""".stripMargin,
 
     "doc_novelty" ->
       s"""WITH sh AS (
