@@ -335,6 +335,14 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(idCol).orderBy(col("sdf"), col("shingle"))))
       .filter((col("sz") - col("rn") + 1) / col("sz") >= lit(threshold))
+      // pinned-width exchange on the join key: the prefix posting table
+      // is small enough for AQE to coalesce to one partition, which
+      // serializes the candidate-pair expansion below into a single
+      // task (the allpairs_tfidf lesson); pinning keeps the expansion
+      // parallel and both join sides reuse this one exchange
+      .repartition(
+        sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("shingle"))
     val a = prefix.select(col("shingle"), col(idCol).as("a_id"))
     val b = prefix.select(col("shingle"), col(idCol).as("b_id"))
     a.join(b, "shingle")
