@@ -595,6 +595,27 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // L146 — cross-source duplication matrix: near-dup pair counts per
+    // ORDERED source pair (src_a ≤ src_b lexically) — where duplicate
+    // mass actually flows between sources (mirrors-of-each-other vs
+    // internally-templated), the table that decides which source to
+    // drop when the mixture double-counts. Pairs from the LSH path
+    // (sub-quadratic), source lookup is two id-keyed joins, result is
+    // source²-bounded.
+    "cross_source_dup_matrix" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val pairs = Dedup.lshNearDups(docs(s, dir), "doc_id", "text",
+        threshold = 0.5)
+      pairs
+        .join(d.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(d.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // L137 — ingestion-order novelty profile: per doc, the fraction of
     // its distinct shingles whose FIRST corpus occurrence (lowest
     // doc_id) is this doc — novelty 1.0 = fully new content, 0.0 =
@@ -605,8 +626,12 @@ object LlmQueries {
     // docs keep their row with null novelty (no evidence ≠ zero
     // novelty).
     "doc_novelty" -> ((s, dir) => {
+      // the exploded shingle table feeds BOTH the first-owner aggregate
+      // and the per-doc join — checkpoint one pass of the (HOF-heavy)
+      // shingle hashing instead of recomputing it per consumer
       val sh = docs(s, dir)
         .select(col("doc_id"), explode(TextOps.shingleHashes(col("text"))).as("shingle"))
+        .localCheckpoint(false)
       val firstOwner = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
       val perDoc = sh.join(firstOwner, "shingle")
         .groupBy("doc_id")
@@ -2263,6 +2288,35 @@ object LlmQueries {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "lsh_tuning_curve" -> lshTuningCurveOracle(Seq(1, 2, 4), "0.5"), // doc_id < 1000 mirrored in the CTE
+
+    // pair set ≡ lsh_near_dup's oracle (bands candidates + exact jaccard
+    // confirm), then the source lookup and ordered-pair rollup
+    "cross_source_dup_matrix" ->
+      s"""WITH $sqlSigs,
+         |bands AS (
+         |${(0 until MinhashParams.size / BandRows).map(b =>
+             s"  SELECT doc_id, $b AS band, mh${b * BandRows} AS h0, mh${b * BandRows + 1} AS h1 FROM sigs")
+             .mkString("\n  UNION ALL\n")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, ${sqlJaccard("sa", "sb")} AS jaccard
+         |    FROM cand
+         |    JOIN sigs sa ON sa.doc_id = a_id
+         |    JOIN sigs sb ON sb.doc_id = b_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT least(da.source, db.source) AS src_a,
+         |       greatest(da.source, db.source) AS src_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = pairs.a_id
+         |JOIN documents db ON db.doc_id = pairs.b_id
+         |GROUP BY 1, 2
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents)
