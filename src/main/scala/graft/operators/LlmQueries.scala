@@ -616,6 +616,74 @@ object LlmQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // L147 — cross-modality coverage audit: docs without an embedding,
+    // embeddings without a doc, and the matched overlap — the
+    // referential-integrity check between a text store and a vector
+    // store that MUST run before any join-based curation (a silently
+    // half-embedded corpus biases every downstream semantic op). One
+    // full-outer id join reduced to a 1-row count table.
+    "modality_coverage" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"))
+        .withColumn("has_doc", lit(1L))
+      val v = embs(s, dir).select(col("vec_id").as("id"))
+        .withColumn("has_vec", lit(1L))
+      d.join(v, Seq("id"), "full_outer")
+        .agg(
+          sum(coalesce(col("has_doc"), lit(0L))).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0L))).as("n_vecs"),
+          sum(when(col("has_doc").isNotNull && col("has_vec").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("has_vec").isNull, 1L).otherwise(0L)).as("n_doc_only"),
+          sum(when(col("has_doc").isNull, 1L).otherwise(0L)).as("n_vec_only"))
+    }),
+
+    // L148 — hapax rate per source: the fraction of a source's token
+    // OCCURRENCES whose token appears exactly once in that source — the
+    // classic vocabulary-quality signal (high hapax mass = noisy/OCR
+    // text or genuinely diverse prose; near-zero = templated boilerplate).
+    // Two source×token-keyed aggregates, both partial-agg friendly.
+    "hapax_rate" -> ((s, dir) => {
+      val cnts = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      cnts.groupBy("source")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_token_rate",
+          roundHU(col("n_hapax").cast("double") / col("n_tokens"), 1e6))
+        .withColumn("hapax_vocab_rate",
+          roundHU(col("n_hapax").cast("double") / col("vocab"), 1e6))
+        .orderBy("source")
+    }),
+
+    // L149 — sequence-length buckets: doc counts and token mass per
+    // power-of-two token-length bucket, plus the padding waste of
+    // batching each bucket to its ceiling — the estimator behind every
+    // bucketed-batching config (pad-to-longest inside a 2^k bucket).
+    // The bucket comes from an INTEGER min-power join against a 40-row
+    // powers table, not 2^ceil(log2(n)): the ln-ratio form is inexact
+    // at exact powers of two and the two engines round it differently.
+    // One map-side length computation + a broadcast powers join + a
+    // bucket-keyed rollup.
+    "length_buckets" -> ((s, dir) => {
+      val len = docs(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val powers = broadcast(s.range(0, 40)
+        .select(expr("shiftleft(cast(1 as bigint), cast(id as int))").as("bucket")))
+      len.join(powers, col("bucket") >= col("n_tok"))
+        .groupBy("doc_id", "n_tok").agg(min("bucket").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          (sum(col("bucket")) - sum("n_tok")).as("pad_tokens"))
+        .withColumn("pad_frac",
+          roundHU(col("pad_tokens").cast("double") /
+            (col("pad_tokens") + col("n_tokens")), 1e6))
+        .orderBy("bucket")
+    }),
+
     // L137 — ingestion-order novelty profile: per doc, the fraction of
     // its distinct shingles whose FIRST corpus occurrence (lowest
     // doc_id) is this doc — novelty 1.0 = fully new content, 0.0 =
@@ -2381,6 +2449,54 @@ object LlmQueries {
          |LEFT JOIN lshc ON t.a_id = lshc.a_id AND t.b_id = lshc.b_id
          |LEFT JOIN snmc ON t.a_id = snmc.a_id AND t.b_id = snmc.b_id
          |ORDER BY t.a_id, t.b_id""".stripMargin,
+
+    "modality_coverage" ->
+      """WITH d AS (SELECT doc_id AS id, 1 AS has_doc FROM documents),
+        |v AS (SELECT vec_id AS id, 1 AS has_vec FROM embeddings),
+        |j AS (SELECT d.has_doc, v.has_vec FROM d FULL OUTER JOIN v USING (id))
+        |SELECT CAST(SUM(COALESCE(has_doc, 0)) AS BIGINT) AS n_docs,
+        |       CAST(SUM(COALESCE(has_vec, 0)) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CASE WHEN has_doc IS NOT NULL AND has_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       CAST(SUM(CASE WHEN has_vec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+        |       CAST(SUM(CASE WHEN has_doc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only
+        |FROM j""".stripMargin,
+
+    "hapax_rate" ->
+      s"""WITH cnts AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY source, token),
+         |g AS (
+         |  SELECT source,
+         |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS vocab,
+         |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM cnts GROUP BY source)
+         |SELECT source, n_tokens, vocab, n_hapax,
+         |       floor(CAST(n_hapax AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS hapax_token_rate,
+         |       floor(CAST(n_hapax AS DOUBLE) / vocab * 1e6 + 0.5) / 1e6 AS hapax_vocab_rate
+         |FROM g
+         |ORDER BY source""".stripMargin,
+
+    "length_buckets" ->
+      s"""WITH len AS (
+         |  SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tok
+         |  FROM documents
+         |  WHERE len($sqlTokens) > 0),
+         |powers AS (SELECT CAST(1 AS BIGINT) << CAST(i AS INTEGER) AS bucket FROM range(0, 40) t(i)),
+         |assigned AS (
+         |  SELECT doc_id, n_tok, MIN(bucket) AS bucket
+         |  FROM len JOIN powers ON bucket >= n_tok
+         |  GROUP BY doc_id, n_tok),
+         |g AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(bucket) - SUM(n_tok) AS BIGINT) AS pad_tokens
+         |  FROM assigned GROUP BY bucket)
+         |SELECT bucket, n_docs, n_tokens, pad_tokens,
+         |       floor(CAST(pad_tokens AS DOUBLE) / (pad_tokens + n_tokens) * 1e6 + 0.5) / 1e6 AS pad_frac
+         |FROM g
+         |ORDER BY bucket""".stripMargin,
 
     "mixture_rebalance" -> {
       val target = "CAST(floor(CAST(tot.total AS DOUBLE) / 2.0 / tot.n_sources) AS BIGINT)"
