@@ -91,6 +91,12 @@ object TextOps {
     */
   def bigrams(text: Column): Column = grams(text, 2)
 
+  /** General duplicates-kept n-grams (the [[bigrams]] builder at any n) —
+    * the Gopher duplicate-n-gram character-mass filters need the
+    * occurrence counts, so de-duplication would destroy the signal.
+    */
+  def ngramsKept(text: Column, n: Int): Column = grams(text, n)
+
   /** Word n-gram shingles of a text as "w1 w2 …" strings, de-duplicated. */
   def shingles(text: Column, n: Int = 2): Column =
     array_distinct(grams(text, n))

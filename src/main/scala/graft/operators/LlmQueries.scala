@@ -2094,6 +2094,271 @@ object LlmQueries {
         .groupBy("src_a", "src_b")
         .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("kl"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // L150 — the published Gopher quality-rule set (Rae et al. 2021,
+    // Table A1) as explicit per-rule verdicts: word-count window, mean
+    // word length 3-10, symbol-to-word ratio (# and ...) <= 0.1, bullet-
+    // start and ellipsis-end line fractions, >= 80% words alphabetic,
+    // >= 2 stop word occurrences. Distinct from quality_score (an
+    // in-house composite): this is the reference filter stack a corpus
+    // report cites rule-by-rule. Pure per-row map expressions — a single
+    // scan pass at any corpus size; thresholds compare the 6dp-rounded
+    // values so the keep bit is engine-stable. Divisions are guarded for
+    // the empty-token case (ANSI division errors, and the word-count
+    // rule already fails such docs).
+    "gopher_rules" -> ((s, dir) => {
+      val ts = tokens(col("text"))
+      val nW = size(ts).cast("long")
+      val charSum = aggregate(ts, lit(0L), (a, t) => a + length(t))
+      val meanLen = when(nW > 0, roundHU(charSum.cast("double") / nW, 1e6))
+      val symCnt =
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+      val symRatio = when(nW > 0, roundHU(symCnt.cast("double") / nW, 1e6))
+      val lines = split(col("text"), "\n")
+      val nL = size(lines).cast("long") // split yields >= 1 element always
+      val bulletFrac = roundHU(
+        size(filter(lines, l => l.substr(lit(1), lit(2)).isin("- ", "* ")))
+          .cast("double") / nL, 1e6)
+      val ellipsisFrac = roundHU(
+        size(filter(lines, l => l.endsWith(lit("...")))).cast("double") / nL, 1e6)
+      val alphaFrac =
+        when(nW > 0, roundHU(size(filter(ts, t => t.rlike("[A-Za-z]")))
+          .cast("double") / nW, 1e6))
+      val stopHits = stopwordHits(col("text")).cast("long")
+      docs(s, dir).select(
+        col("doc_id"),
+        nW.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stop_hits"))
+        .withColumn("keep",
+          col("n_words").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("bullet_line_frac") <= 0.9 &&
+            col("ellipsis_line_frac") <= 0.3 &&
+            col("alpha_word_frac") >= 0.8 &&
+            col("stop_hits") >= 2L)
+        .orderBy("doc_id")
+    }),
+
+    // L151 — first BPE merge step: corpus-wide adjacent character-pair
+    // frequencies inside whitespace words, top 20 (count desc, pair asc —
+    // a deterministic limit). The inner loop of byte-pair-encoding
+    // tokenizer training; one explode chain feeding a pair-keyed hash
+    // aggregate (map-side combinable) and a TakeOrdered top-k — no
+    // all-pairs, no window, no driver state beyond 20 rows.
+    "bpe_pair_counts" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(20)
+    }),
+
+    // L152 — concat-and-chunk packing fragmentation: when the corpus is
+    // concatenated in doc_id order and cut into fixed ctx_len sequences
+    // (the GPT-style packing that wastes no padding), how many docs get
+    // split across a sequence boundary, how many fragments a doc averages,
+    // and what the tail chunk wastes — per candidate context length. The
+    // doc's global start offset comes from the two-phase exclusivePrefix
+    // (no data-sized single-task window); fragments are pure integer/
+    // floor arithmetic per row, then one ctx_len-keyed rollup.
+    "packing_fragmentation" -> ((s, dir) => {
+      val perDoc = docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val withStart = CoreQueries.exclusivePrefix(perDoc, "doc_id", Seq("n_tok"))
+      val ctx = withStart
+        .withColumn("ctx_len", explode(array(lit(256L), lit(512L), lit(1024L))))
+      val frags = when(col("n_tok") > 0,
+        (floor((col("cum_n_tok") + col("n_tok") - 1).cast("double") / col("ctx_len")) -
+          floor(col("cum_n_tok").cast("double") / col("ctx_len")) + 1).cast("long"))
+        .otherwise(0L)
+      ctx.withColumn("frags", frags)
+        .groupBy("ctx_len")
+        .agg(
+          sum("n_tok").as("tot_tok"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("frags") >= 2, 1L).otherwise(0L)).as("n_docs_split"),
+          sum("frags").as("tot_frags"))
+        .select(
+          col("ctx_len"),
+          floor((col("tot_tok") + col("ctx_len") - 1).cast("double") / col("ctx_len"))
+            .cast("long").as("n_chunks"),
+          col("n_docs_split"),
+          roundHU(col("n_docs_split").cast("double") / col("n_docs"), 1e6)
+            .as("frac_docs_split"),
+          roundHU(col("tot_frags").cast("double") / col("n_docs"), 1e6)
+            .as("avg_fragments"),
+          (floor((col("tot_tok") + col("ctx_len") - 1).cast("double") / col("ctx_len"))
+            .cast("long") * col("ctx_len") - col("tot_tok")).as("tail_waste"))
+        .orderBy("ctx_len")
+    }),
+
+    // L153 — tokenizer fertility per (source, lang): tokens per doc and
+    // characters per token under the whitespace tokenizer — the
+    // compression-rate table a tokenizer/corpus pairing is judged by
+    // (fertility shifts across languages and sources are exactly what
+    // this surfaces). Per-row token stats, one (source, lang)-keyed
+    // partial agg; long sums, 6dp-rounded double ratios.
+    "token_fertility" -> ((s, dir) => {
+      val ts = tokens(col("text"))
+      docs(s, dir).select(col("source"), col("lang"),
+        size(ts).cast("long").as("n_tok"),
+        aggregate(ts, lit(0L), (a, t) => a + length(t)).as("n_tokchars"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tot_tok"),
+          sum("n_tokchars").as("tot_chars"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          roundHU(col("tot_tok").cast("double") / col("n_docs"), 1e6)
+            .as("tokens_per_doc"),
+          when(col("tot_tok") > 0,
+            roundHU(col("tot_chars").cast("double") / col("tot_tok"), 1e6))
+            .as("chars_per_token"))
+        .orderBy("source", "lang")
+    }),
+
+    // L154 — per-dimension embedding mean/variance: the dead-dimension
+    // and scale-imbalance audit run before quantization (embedding_quantize
+    // assumes per-dim ranges are live) or any metric index build. One
+    // posexplode + dim-keyed partial agg; sums routed through
+    // decimal(38,7) so shuffle merge order cannot perturb the doubles
+    // (the label_centroids contract), variance via E[x²]−E[x]² on the
+    // exact sums, 6dp-rounded.
+    "dimension_variance" -> ((s, dir) => {
+      embs(s, dir)
+        .select(posexplode(Similarity.toDouble(col("embedding"))))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("col").cast("decimal(38,7)")).cast("double").as("s1"),
+          sum((col("col") * col("col")).cast("decimal(38,7)")).cast("double").as("s2"))
+        .select(col("pos").cast("long").as("pos"), col("n"),
+          roundHU(col("s1") / col("n"), 1e6).as("mean"),
+          roundHU(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+            1e6).as("variance"))
+        .orderBy("pos")
+    }),
+
+    // L156 — b-bit MinHash similarity estimation (Li & König, CACM
+    // 2011): for every LSH candidate pair, the exact shingle jaccard
+    // next to the full 8-hash MinHash agreement estimate and the 1-bit
+    // estimate 2·(bit-agreement)−1 (storing only the lowest bit of each
+    // hash — 64× smaller sketches; the unbiased estimator clamps at 0).
+    // The sketch-budget calibration table: what resolution survives
+    // 1-bit compression on THIS corpus before a 100 TB run commits to a
+    // sketch width. Candidates from the banded bucket join (never
+    // all-pairs); estimates are per-row integer comparisons on the
+    // already-joined signature columns.
+    "bbit_minhash_sim" -> ((s, dir) => {
+      val k = TextOps.MinhashParams.size
+      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+      val cand = Dedup.lshCandidates(sigs, "doc_id")
+      val exact = Dedup.confirmJaccard(cand, sigs, "doc_id", threshold = 0.0)
+      val mhIdx = 0 until k
+      val sa = sigs.select(col("doc_id").as("a_id") +:
+        mhIdx.map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+      val sb = sigs.select(col("doc_id").as("b_id") +:
+        mhIdx.map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+      val agreeFull = mhIdx.map(i =>
+        when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val agreeBit = mhIdx.map(i =>
+        when(col(s"a_mh$i") % 2 === col(s"b_mh$i") % 2, 1L).otherwise(0L)).reduce(_ + _)
+      exact.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          roundHU(col("jaccard"), 1e6).as("jaccard"),
+          roundHU(agreeFull.cast("double") / k, 1e6).as("mh_est"),
+          roundHU(greatest(lit(0.0), agreeBit.cast("double") * 2 / k - 1), 1e6)
+            .as("bbit_est"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L157 — PMI collocations (Church & Hanks 1990): top word pairs by
+    // pointwise mutual information ln(p(ab)/(p(a)p(b))) over corpus
+    // bigram/unigram counts, with the standard count floor (>= 5) that
+    // keeps rare-pair noise out of the ranking. The collocation table
+    // behind tokenizer merge audits and stop-phrase mining. Two
+    // vocabulary-keyed aggregates, two vocabulary-sized joins (unhinted —
+    // AQE broadcasts at small SF), 1-row total aggregates broadcast;
+    // deterministic top-30 (pmi desc, bigram asc).
+    "pmi_collocations" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bg = d.select(explode(bigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = d.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nUni = broadcast(uni.agg(sum("c").as("n_uni")))
+      val nBi = broadcast(d.select(
+        greatest(size(tokens(col("text"))) - 1, lit(0)).cast("long").as("nb"))
+        .agg(sum("nb").as("n_bi")))
+      bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(nUni).crossJoin(nBi)
+        .select(col("bigram"), col("c_ab"),
+          roundHU(log((col("c_ab").cast("double") / col("n_bi")) /
+            ((col("c_a").cast("double") / col("n_uni")) *
+              (col("c_b").cast("double") / col("n_uni")))), 1e6).as("pmi"))
+        .orderBy(desc("pmi"), col("bigram"))
+        .limit(30)
+    }),
+
+    // L155 — Gopher duplicate-n-gram character coverage (Rae et al.
+    // 2021): per doc, the fraction of normalized characters COVERED by
+    // word 5-grams occurring >= 2 times within the doc — the de-
+    // overlapped form (interval union over occurrence spans, so the
+    // fraction is a true coverage in [0,1], unlike the occurrence-mass
+    // shortcut which exceeds 1 on heavy repetition). Spans come from
+    // per-doc token start offsets; the union is the classic sorted-
+    // interval sweep: new_cov = end − max(start−1, running max end).
+    // Every window is PARTITIONED BY doc_id (bounded by document
+    // length), gram counts are partial-agg friendly; nothing quadratic,
+    // nothing global.
+    "dup_ngram_chars" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p", "w")))
+      val wPre = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val starts = toks.select(col("doc_id"), col("p"),
+        (coalesce(sum(length(col("w")) + 1).over(wPre), lit(0L)) + 1)
+          .cast("long").as("start"))
+      val grams5 = d.select(col("doc_id"),
+        posexplode(ngramsKept(col("text"), 5)).as(Seq("p", "g")))
+      val occ = grams5.join(starts, Seq("doc_id", "p"))
+        .select(col("doc_id"), col("g"), col("start"),
+          (col("start") + length(col("g")) - 1).cast("long").as("end"))
+      val dupKeys = occ.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("doc_id", "g")
+      val wIv = Window.partitionBy("doc_id").orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val covered = occ.join(dupKeys, Seq("doc_id", "g"))
+        .withColumn("run_end", max("end").over(wIv))
+        .withColumn("cov", greatest(lit(0L),
+          col("end") - greatest(col("start") - 1, coalesce(col("run_end"), lit(0L)))))
+        .groupBy("doc_id").agg(sum("cov").as("dup_chars"))
+      val tot = d.select(col("doc_id"),
+        length(concat_ws(" ", tokens(col("text")))).cast("long").as("n_chars_norm"))
+      tot.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          col("n_chars_norm"),
+          when(col("n_chars_norm") > 0,
+            roundHU(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+              col("n_chars_norm"), 1e6))
+            .otherwise(0.0).as("dup_char_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3546,6 +3811,209 @@ object LlmQueries {
          |                     AS DECIMAL(18,6))) AS DOUBLE) AS kl
          |FROM p a JOIN p b ON a.token = b.token AND a.source <> b.source
          |GROUP BY a.source, b.source
-         |ORDER BY src_a, src_b""".stripMargin
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    "gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlTokens AS ts, string_split(text, chr(10)) AS ls, text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ts) > 0 THEN
+         |      floor(CAST(list_sum(list_transform(ts, w -> len(w))) AS DOUBLE)
+         |            / len(ts) * 1e6 + 0.5) / 1e6 END AS mean_word_len,
+         |    CASE WHEN len(ts) > 0 THEN
+         |      floor(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |            / len(ts) * 1e6 + 0.5) / 1e6 END AS symbol_ratio,
+         |    floor(CAST(len(list_filter(ls, l -> substr(l, 1, 2) IN ('- ', '* '))) AS DOUBLE)
+         |          / len(ls) * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
+         |    floor(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+         |          / len(ls) * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac,
+         |    CASE WHEN len(ts) > 0 THEN
+         |      floor(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         |            / len(ts) * 1e6 + 0.5) / 1e6 END AS alpha_word_frac,
+         |    CAST($sqlStopwordHits AS BIGINT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+         |       ellipsis_line_frac, alpha_word_frac, stop_hits,
+         |       (n_words BETWEEN 50 AND 100000
+         |        AND mean_word_len BETWEEN 3.0 AND 10.0
+         |        AND symbol_ratio <= 0.1
+         |        AND bullet_line_frac <= 0.9
+         |        AND ellipsis_line_frac <= 0.3
+         |        AND alpha_word_frac >= 0.8
+         |        AND stop_hits >= 2) AS keep
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_counts" ->
+      s"""SELECT p AS pair, COUNT(*) AS cnt
+         |FROM (
+         |  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) AS p
+         |  FROM (SELECT unnest($sqlTokens) AS w FROM documents)
+         |  WHERE len(w) >= 2)
+         |GROUP BY p
+         |ORDER BY cnt DESC, pair
+         |LIMIT 20""".stripMargin,
+
+    "packing_fragmentation" ->
+      s"""WITH td AS (
+         |  SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tok FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+         |  FROM td),
+         |x AS (
+         |  SELECT L.ctx_len, c.n_tok,
+         |         CASE WHEN c.n_tok > 0 THEN
+         |           CAST(floor(CAST(c.cum0 + c.n_tok - 1 AS DOUBLE) / L.ctx_len)
+         |                - floor(CAST(c.cum0 AS DOUBLE) / L.ctx_len) + 1 AS BIGINT)
+         |         ELSE 0 END AS frags
+         |  FROM cum c
+         |  CROSS JOIN (SELECT CAST(unnest([256, 512, 1024]) AS BIGINT) AS ctx_len) L),
+         |agg AS (
+         |  SELECT ctx_len,
+         |         CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN frags >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+         |         CAST(SUM(frags) AS BIGINT) AS tot_frags
+         |  FROM x GROUP BY ctx_len)
+         |SELECT ctx_len,
+         |       CAST(floor(CAST(tot_tok + ctx_len - 1 AS DOUBLE) / ctx_len) AS BIGINT) AS n_chunks,
+         |       n_docs_split,
+         |       floor(CAST(n_docs_split AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS frac_docs_split,
+         |       floor(CAST(tot_frags AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS avg_fragments,
+         |       CAST(floor(CAST(tot_tok + ctx_len - 1 AS DOUBLE) / ctx_len) AS BIGINT) * ctx_len
+         |         - tot_tok AS tail_waste
+         |FROM agg
+         |ORDER BY ctx_len""".stripMargin,
+
+    "token_fertility" ->
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |         CAST(len($sqlTokens) AS BIGINT) AS n_tok,
+         |         CAST(COALESCE(list_sum(list_transform($sqlTokens, w -> len(w))), 0) AS BIGINT) AS n_tokchars
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+         |         CAST(SUM(n_tokchars) AS BIGINT) AS tot_chars
+         |  FROM d GROUP BY source, lang)
+         |SELECT source, lang, n_docs,
+         |       floor(CAST(tot_tok AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS tokens_per_doc,
+         |       CASE WHEN tot_tok > 0 THEN
+         |         floor(CAST(tot_chars AS DOUBLE) / tot_tok * 1e6 + 0.5) / 1e6 END AS chars_per_token
+         |FROM a
+         |ORDER BY source, lang""".stripMargin,
+
+    "dimension_variance" ->
+      """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v),
+        |a AS (
+        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,7))) AS DOUBLE) AS s2
+        |  FROM ex GROUP BY pos)
+        |SELECT CAST(pos AS BIGINT) AS pos, n,
+        |       floor(s1 / n * 1e6 + 0.5) / 1e6 AS mean,
+        |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
+        |FROM a
+        |ORDER BY pos""".stripMargin,
+
+    "bbit_minhash_sim" ->
+      s"""WITH $sqlSigs,
+         |bands AS (
+         |${(0 until MinhashParams.size / BandRows).map(b =>
+             s"  SELECT doc_id, $b AS band, mh${b * BandRows} AS h0, mh${b * BandRows + 1} AS h1 FROM sigs")
+             .mkString("\n  UNION ALL\n")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT a_id, b_id,
+         |         ${sqlJaccard("sa", "sb")} AS jac,
+         |         ${(0 until MinhashParams.size).map(i =>
+                     s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS agree_full,
+         |         ${(0 until MinhashParams.size).map(i =>
+                     s"(CASE WHEN sa.mh$i % 2 = sb.mh$i % 2 THEN 1 ELSE 0 END)").mkString(" + ")} AS agree_bit
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id,
+         |       floor(jac * 1e6 + 0.5) / 1e6 AS jaccard,
+         |       floor(CAST(agree_full AS DOUBLE) / ${MinhashParams.size} * 1e6 + 0.5) / 1e6 AS mh_est,
+         |       floor(greatest(0.0, CAST(agree_bit AS DOUBLE) * 2 / ${MinhashParams.size} - 1) * 1e6 + 0.5) / 1e6 AS bbit_est
+         |FROM p
+         |WHERE jac IS NOT NULL
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "pmi_collocations" ->
+      s"""WITH bg AS (
+         |  SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |  FROM (SELECT unnest($sqlBigrams) AS g FROM documents)
+         |  GROUP BY g HAVING COUNT(*) >= 5),
+         |uni AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($sqlTokens) AS w FROM documents)
+         |  GROUP BY w),
+         |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+         |nb AS (
+         |  SELECT CAST(SUM(greatest(len($sqlTokens) - 1, 0)) AS BIGINT) AS n_bi
+         |  FROM documents)
+         |SELECT bg.bigram, bg.c_ab,
+         |       floor(ln((CAST(bg.c_ab AS DOUBLE) / nb.n_bi) /
+         |                ((CAST(ca.c AS DOUBLE) / nu.n_uni) *
+         |                 (CAST(cb.c AS DOUBLE) / nu.n_uni))) * 1e6 + 0.5) / 1e6 AS pmi
+         |FROM bg
+         |JOIN uni ca ON ca.w = split_part(bg.bigram, ' ', 1)
+         |JOIN uni cb ON cb.w = split_part(bg.bigram, ' ', 2)
+         |CROSS JOIN nu CROSS JOIN nb
+         |ORDER BY pmi DESC, bigram
+         |LIMIT 30""".stripMargin,
+
+    "dup_ngram_chars" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ts))) - 1 AS p, unnest(ts) AS w
+         |  FROM (SELECT doc_id, $sqlTokens AS ts FROM documents)),
+         |st AS (
+         |  SELECT doc_id, p,
+         |         CAST(COALESCE(SUM(len(w) + 1) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS start
+         |  FROM tok),
+         |gr AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(gs))) - 1 AS p, unnest(gs) AS g
+         |  FROM (SELECT doc_id, ${sqlGrams(5)} AS gs FROM documents)),
+         |occ AS (
+         |  SELECT gr.doc_id, gr.g, st.start,
+         |         st.start + len(gr.g) - 1 AS e
+         |  FROM gr JOIN st ON gr.doc_id = st.doc_id AND gr.p = st.p),
+         |dupk AS (SELECT doc_id, g FROM occ GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+         |cov AS (
+         |  SELECT occ.doc_id,
+         |         greatest(0, occ.e - greatest(occ.start - 1,
+         |           COALESCE(MAX(occ.e) OVER (PARTITION BY occ.doc_id
+         |             ORDER BY occ.start, occ.e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS cov
+         |  FROM occ JOIN dupk USING (doc_id, g)),
+         |dm AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_chars FROM cov GROUP BY doc_id),
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(len(array_to_string($sqlTokens, ' ')) AS BIGINT) AS n_chars_norm
+         |  FROM documents)
+         |SELECT t.doc_id,
+         |       COALESCE(dm.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+         |       t.n_chars_norm,
+         |       CASE WHEN t.n_chars_norm > 0 THEN
+         |         floor(CAST(COALESCE(dm.dup_chars, 0) AS DOUBLE) / t.n_chars_norm * 1e6 + 0.5) / 1e6
+         |       ELSE 0.0 END AS dup_char_frac
+         |FROM t LEFT JOIN dm USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

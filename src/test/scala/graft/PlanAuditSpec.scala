@@ -63,12 +63,15 @@ class PlanAuditSpec extends SparkSpec {
     *  - vocab_coverage: frequency rank over the VOCABULARY-sized token
     *    count table (sits above the token groupBy; grows with distinct
     *    tokens, not corpus rows — the vocab_growth class).
+    *  - packing_fragmentation: CoreQueries.exclusivePrefix's CumBuckets-
+    *    row coarse rollup again (the gini_concentration class; Window-
+    *    BoundsSpec asserts the structure).
     * Anything else with an empty partitionSpec must fail this sweep.
     */
   private val GlobalWindowAllowlist =
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
       "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
-      "vocab_coverage")
+      "vocab_coverage", "packing_fragmentation")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

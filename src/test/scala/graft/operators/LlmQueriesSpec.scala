@@ -740,4 +740,159 @@ class LlmQueriesSpec extends SparkSpec {
     assert(sf.sortBy(_._1).map(_._2).sliding(2).forall(s => s(0) <= s(1)))
     assert(sf.forall(p => p._2 > 0.0 && p._2 <= 1.0))
   }
+
+  test("gopher_rules: each published rule trips on exactly its own violation") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val stop7 = "the of and to in a an" // 7 words, 7 stopword hits
+    val docsSeq = Seq(
+      // all rules pass
+      (1L, stop7 + " " + Seq.fill(53)("word").mkString(" ")),
+      // word count 3 < 50 — only violation
+      (2L, "the of tiny"),
+      // mean word length 853/55 ≈ 15.5 > 10 — only violation
+      (3L, "the of " + Seq.fill(53)("abcdefghijklmnop").mkString(" ")),
+      // symbol ratio 48/60 = 0.8 > 0.1 — only violation ('#' inside
+      // alphabetic words, so the alpha rule still passes)
+      (4L, "the of " + Seq.fill(48)("xx#x").mkString(" ") + " " +
+        Seq.fill(10)("word").mkString(" ")),
+      // zero stopword hits — only violation
+      (5L, Seq.fill(60)("word").mkString(" ")),
+      // alpha fraction 35/55 ≈ 0.636 < 0.8 — only violation
+      (6L, "the the " + Seq.fill(33)("word").mkString(" ") + " " +
+        Seq.fill(20)("1234").mkString(" ")),
+      // every line bullet-started: 10/10 > 0.9
+      (7L, Seq.fill(10)("- the word word of word").mkString("\n")),
+      // 2 of 4 lines end with ellipsis: 0.5 > 0.3 (and only 2 '...'
+      // occurrences over 60 words keeps the symbol rule passing)
+      (8L, Seq(
+        "the of " + Seq.fill(13)("word").mkString(" ") + "...",
+        Seq.fill(15)("word").mkString(" "),
+        Seq.fill(15)("word").mkString(" ") + "...",
+        Seq.fill(15)("word").mkString(" ")).mkString("\n")))
+    docsSeq.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("gopher_rules")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("n_words") === 60L)
+    assert(out(1L).getAs[Long]("stop_hits") === 7L)
+    assert((2L to 8L).forall(id => !out(id).getAs[Boolean]("keep")))
+    assert(out(2L).getAs[Long]("n_words") === 3L)
+    assert(out(2L).getAs[Double]("mean_word_len") === 3.0, "boundary value passes")
+    assert(out(3L).getAs[Double]("mean_word_len") > 10.0)
+    assert(out(4L).getAs[Double]("symbol_ratio") === 0.8)
+    assert(out(4L).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out(5L).getAs[Long]("stop_hits") === 0L)
+    assert(out(6L).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(out(7L).getAs[Double]("bullet_line_frac") === 1.0)
+    assert(out(8L).getAs[Double]("ellipsis_line_frac") === 0.5)
+    assert(out(8L).getAs[Double]("symbol_ratio") <= 0.1)
+  }
+
+  test("bpe_pair_counts: adjacent char pairs count across words, " +
+       "deterministic top order") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // "ab" x2 -> ab,ab; "abc" -> ab,bc; "xy" -> xy; single chars skipped
+    Seq((1L, "ab ab abc q", "en", "s", 11L), (2L, "xy r", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val rows = LlmQueries.queries("bpe_pair_counts")(spark, work).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("ab", 3L), ("bc", 1L), ("xy", 1L)),
+      "count desc then pair asc; 1-char words contribute nothing")
+  }
+
+  test("packing_fragmentation: two 300-token docs split exactly as the " +
+       "chunk arithmetic predicts at each context length") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val t300 = Seq.fill(300)("w").mkString(" ")
+    Seq((1L, t300, "en", "s", 599L), (2L, t300, "en", "s", 599L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("packing_fragmentation")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // L=256: doc1 [0,299] spans chunks 0-1; doc2 [300,599] spans 1-2
+    assert(out(256L).getAs[Long]("n_chunks") === 3L)
+    assert(out(256L).getAs[Long]("n_docs_split") === 2L)
+    assert(out(256L).getAs[Double]("avg_fragments") === 2.0)
+    assert(out(256L).getAs[Long]("tail_waste") === 3L * 256 - 600)
+    // L=512: only doc2 [300,599] crosses the 512 boundary
+    assert(out(512L).getAs[Long]("n_docs_split") === 1L)
+    assert(out(512L).getAs[Double]("frac_docs_split") === 0.5)
+    assert(out(512L).getAs[Double]("avg_fragments") === 1.5)
+    assert(out(512L).getAs[Long]("n_chunks") === 2L)
+    // L=1024: everything fits in one chunk
+    assert(out(1024L).getAs[Long]("n_docs_split") === 0L)
+    assert(out(1024L).getAs[Double]("avg_fragments") === 1.0)
+    assert(out(1024L).getAs[Long]("tail_waste") === 1024L - 600)
+  }
+
+  test("token_fertility: per-(source,lang) tokens/doc and chars/token") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    Seq((1L, "ab cde", "en", "a", 6L), (2L, "a b c d", "en", "a", 7L),
+      (3L, "hello", "fr", "b", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("token_fertility")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "en")).getAs[Long]("n_docs") === 2L)
+    assert(out(("a", "en")).getAs[Double]("tokens_per_doc") === 3.0)
+    assert(out(("a", "en")).getAs[Double]("chars_per_token") === 1.5,
+      "(2+5 chars + 4 single chars) over 6 tokens")
+    assert(out(("b", "fr")).getAs[Double]("tokens_per_doc") === 1.0)
+    assert(out(("b", "fr")).getAs[Double]("chars_per_token") === 5.0)
+  }
+
+  test("dimension_variance: exact mean and E[x²]−E[x]² per dimension") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dimvar").toString
+    Seq((1L, Seq(1f, 2f), 0), (2L, Seq(3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val out = LlmQueries.queries("dimension_variance")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n") === 2L)
+    assert(out(0L).getAs[Double]("mean") === 2.0)
+    assert(out(0L).getAs[Double]("variance") === 1.0, "((1+9)/2) − 4")
+    assert(out(1L).getAs[Double]("mean") === 3.0)
+    assert(out(1L).getAs[Double]("variance") === 1.0)
+  }
+
+  test("dup_ngram_chars: interval-union coverage of duplicated 5-grams, " +
+       "never exceeding 1.0") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dupng").toString
+    Seq(
+      // "a b c d e" at token 3 and 10: spans [5,13] and [19,27] of 27
+      // normalized chars -> 18/27
+      (1L, "x y a b c d e q r a b c d e"),
+      // every 5-gram duplicated, spans tile the whole doc -> exactly 1.0
+      // (the occurrence-mass shortcut would report 99/29 ≈ 3.4 here)
+      (2L, "a b c d e a b c d e a b c d e"),
+      // single 5-gram, no duplicate -> 0
+      (3L, "one two three four five"),
+      // shorter than one 5-gram -> 0
+      (4L, "a b c"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("dup_ngram_chars")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("dup_chars") === 18L)
+    assert(out(1L).getAs[Long]("n_chars_norm") === 27L)
+    assert(out(1L).getAs[Double]("dup_char_frac") === 0.666667)
+    assert(out(2L).getAs[Double]("dup_char_frac") === 1.0)
+    assert(out(3L).getAs[Double]("dup_char_frac") === 0.0)
+    assert(out(4L).getAs[Double]("dup_char_frac") === 0.0)
+    val sf = LlmQueries.queries("dup_ngram_chars")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(sf.forall { r =>
+      val f = r.getAs[Double]("dup_char_frac"); f >= 0.0 && f <= 1.0
+    }, "coverage is a true fraction on the real corpus")
+  }
 }
