@@ -863,6 +863,54 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("bbit_minhash_sim: identical docs estimate 1.0 at every sketch " +
+       "width; estimates stay in [0,1] on the real corpus") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bbit").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val rows = LlmQueries.queries("bbit_minhash_sim")(spark, work).collect()
+    val ident = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(ident.getAs[Double]("jaccard") === 1.0)
+    assert(ident.getAs[Double]("mh_est") === 1.0)
+    assert(ident.getAs[Double]("bbit_est") === 1.0)
+    val sf = LlmQueries.queries("bbit_minhash_sim")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(sf.nonEmpty)
+    assert(sf.forall { r =>
+      val (j, m, b) = (r.getAs[Double]("jaccard"), r.getAs[Double]("mh_est"),
+        r.getAs[Double]("bbit_est"))
+      j >= 0 && j <= 1 && m >= 0 && m <= 1 && b >= 0 && b <= 1
+    })
+    // a pair the full sketch calls identical must also be bit-identical
+    assert(sf.filter(_.getAs[Double]("mh_est") == 1.0)
+      .forall(_.getAs[Double]("bbit_est") == 1.0))
+  }
+
+  test("pmi_collocations: hand corpus reproduces ln(p(ab)/(p(a)p(b))) " +
+       "and the count floor excludes rare pairs") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "foo bar" x5 passes the floor; "baz qux" x4 is excluded.
+    // pmi = ln((5/9) / ((5/18)*(5/18))) = ln(36/5)
+    val docsSeq = Seq.fill(5)("foo bar") ++ Seq.fill(4)("baz qux")
+    docsSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val rows = LlmQueries.queries("pmi_collocations")(spark, work).collect()
+    assert(rows.length === 1, "only the floor-passing bigram survives")
+    assert(rows.head.getString(0) === "foo bar")
+    assert(rows.head.getAs[Long]("c_ab") === 5L)
+    assert(rows.head.getAs[Double]("pmi") ===
+      math.floor(math.log(36.0 / 5) * 1e6 + 0.5) / 1e6)
+  }
+
   test("dup_ngram_chars: interval-union coverage of duplicated 5-grams, " +
        "never exceeding 1.0") {
     import spark.implicits._
