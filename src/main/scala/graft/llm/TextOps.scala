@@ -105,6 +105,30 @@ object TextOps {
   def shingleHashes(text: Column, n: Int = 2): Column =
     array_distinct(transform(shingles(text, n), tokenHash(_)))
 
+  /** Winnowing window width (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * guarantees any shared run of `WinnowWindow + 1` consecutive bigrams
+    * yields at least one shared fingerprint.
+    */
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprints: min hash of every [[WinnowWindow]]-wide
+    * window over the ORDERED (duplicates-kept) bigram hash sequence,
+    * de-duplicated — the MOSS document fingerprint. Short docs (< one
+    * window of bigrams) contribute their single overall min; empty docs
+    * an empty set. Pure per-row expression; the guard keeps
+    * `sequence(1, n-w+1)` from generating a DESCENDING range when
+    * n < w (Spark's sequence flips direction, it does not clamp).
+    */
+  def winnowFingerprints(text: Column): Column = {
+    val hs = transform(bigrams(text), tokenHash(_))
+    val n = size(hs)
+    val w = WinnowWindow
+    when(n === 0, array().cast("array<bigint>"))
+      .when(n < w, array(array_min(hs)))
+      .otherwise(array_distinct(transform(sequence(lit(1), n - (w - 1)),
+        j => array_min(slice(hs, j, lit(w))))))
+  }
+
   /** One MinHash value: min over the set of (a*x + b) % MinhashP. */
   def minhash(hashSet: Column, a: Long, b: Long): Column =
     array_min(transform(hashSet, x => (x * a + b) % MinhashP))
@@ -238,6 +262,18 @@ object TextOps {
     */
   def sqlFingerprint(th: String): String =
     s"CASE WHEN len($th) = 0 THEN NULL ELSE list_reduce($th, (a, b) -> (a*31 + b) % $HashP) END"
+
+  /** SQL: winnowing fingerprint set from an ordered bigram-hash-list
+    * expression `hs` (bind the hash list in a CTE first — the fragment
+    * references it several times). Mirrors [[winnowFingerprints]]:
+    * empty → [], under one window → overall min, else de-duplicated
+    * per-window mins.
+    */
+  def sqlWinnowFromHashes(hs: String): String =
+    s"CASE WHEN len($hs) = 0 THEN CAST([] AS BIGINT[]) " +
+      s"WHEN len($hs) < $WinnowWindow THEN [list_min($hs)] " +
+      s"ELSE list_distinct(list_transform(range(1, len($hs) - ${WinnowWindow - 2}), " +
+      s"j -> list_min($hs[j:j+${WinnowWindow - 1}]))) END"
 
   /** SQL: stopword hit count. */
   val sqlStopwordHits: String =

@@ -2248,6 +2248,89 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L158 — Cavnar–Trenkle character-trigram language identification
+    // (1994) evaluated as a confusion matrix: even-id docs train top-50
+    // trigram rank profiles per labeled lang; odd-id docs classify by
+    // out-of-place distance (sum |doc_rank − profile_rank| over the
+    // doc's top trigrams, missing → max penalty 50); output is the
+    // true×predicted count matrix — the eval table a lang-ID filter
+    // stage ships with. Profiles are vocabulary-bounded (rank windows
+    // partitioned by lang/doc_id, the vocab_coverage class); the
+    // distance join fans each doc's ≤50 trigrams by the lang dimension
+    // (bounded) and aggregates — nothing corpus-quadratic, no global
+    // window, no driver state.
+    "lang_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 50
+      val d = docs(s, dir)
+      val norm = concat(lit(" "), concat_ws(" ", tokens(col("text"))), lit(" "))
+      val tgs = when(length(norm) >= 3,
+        transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      val train = d.filter(col("doc_id") % 2 === 0)
+        .select(col("lang"), explode(tgs).as("tg"))
+        .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+      val profile = train
+        .withColumn("p_rank", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("c"), col("tg"))).cast("long"))
+        .filter(col("p_rank") <= K)
+        .select(col("lang").as("cand_lang"), col("tg"), col("p_rank"))
+      val docTg = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang").as("true_lang"), explode(tgs).as("tg"))
+        .groupBy("doc_id", "true_lang", "tg").agg(count(lit(1)).as("c"))
+      val docTop = docTg
+        .withColumn("d_rank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("c"), col("tg"))).cast("long"))
+        .filter(col("d_rank") <= K)
+      val langs = d.select(col("lang").as("cand_lang")).distinct()
+      val dist = docTop.crossJoin(broadcast(langs))
+        .join(profile, Seq("cand_lang", "tg"), "left")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(sum(coalesce(abs(col("d_rank") - col("p_rank")), lit(K.toLong)))
+          .as("dist"))
+      val pred = dist
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("dist"), col("cand_lang"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("true_lang"), col("cand_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
+    // L159 — winnowing candidate pairs (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003 — the MOSS fingerprint): per-window bigram-hash mins
+    // form each doc's fingerprint set; docs sharing >= 2 fingerprints
+    // are overlap candidates, scored by shared/min(|fps|) containment.
+    // The guarantee minhash lacks: any shared run of w+1 consecutive
+    // bigrams MUST surface a shared fingerprint — position-local, so it
+    // catches plagiarism-style partial overlap that whole-doc sketches
+    // dilute. Corpus-hot fingerprints (doc freq > 20, boilerplate) are
+    // dropped before the self-join — the df-cap that bounds every
+    // bucket, so pair work is Σ df² over capped buckets, never corpus².
+    "winnow_candidates" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fps = d.select(col("doc_id"),
+        explode(winnowFingerprints(col("text"))).as("fp"))
+      val dfCap = 20
+      val live = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("fp"), "fp")
+      val counts = d.select(col("doc_id"),
+        size(winnowFingerprints(col("text"))).cast("long").as("n_fp"))
+      val pairs = live.select(col("fp"), col("doc_id").as("a_id"))
+        .join(live.select(col("fp"), col("doc_id").as("b_id")), "fp")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs
+        .join(counts.select(col("doc_id").as("a_id"), col("n_fp").as("na")), "a_id")
+        .join(counts.select(col("doc_id").as("b_id"), col("n_fp").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("shared"),
+          roundHU(col("shared").cast("double") / least(col("na"), col("nb")), 1e6)
+            .as("overlap"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // L156 — b-bit MinHash similarity estimation (Li & König, CACM
     // 2011): for every LSH candidate pair, the exact shingle jaccard
     // next to the full 8-hash MinHash agreement estimate and the 1-bit
@@ -3924,6 +4007,73 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "lang_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         ' ' || array_to_string($sqlTokens, ' ') || ' ' AS norm
+         |  FROM documents),
+         |tg AS (
+         |  SELECT doc_id, lang,
+         |         unnest(CASE WHEN len(norm) >= 3
+         |           THEN list_transform(range(1, len(norm) - 1), i -> substr(norm, CAST(i AS INT), 3))
+         |           ELSE CAST([] AS VARCHAR[]) END) AS tg
+         |  FROM t),
+         |train AS (
+         |  SELECT lang, tg, COUNT(*) AS c FROM tg WHERE doc_id % 2 = 0
+         |  GROUP BY lang, tg),
+         |profile AS (
+         |  SELECT lang AS cand_lang, tg, p_rank FROM (
+         |    SELECT lang, tg,
+         |           CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS BIGINT) AS p_rank
+         |    FROM train) WHERE p_rank <= 50),
+         |doctg AS (
+         |  SELECT doc_id, lang AS true_lang, tg, COUNT(*) AS c FROM tg
+         |  WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, tg),
+         |doctop AS (
+         |  SELECT doc_id, true_lang, tg, d_rank FROM (
+         |    SELECT doc_id, true_lang, tg,
+         |           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tg) AS BIGINT) AS d_rank
+         |    FROM doctg) WHERE d_rank <= 50),
+         |langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+         |dist AS (
+         |  SELECT dt.doc_id, dt.true_lang, l.cand_lang,
+         |         SUM(COALESCE(abs(dt.d_rank - p.p_rank), 50)) AS dist
+         |  FROM doctop dt
+         |  CROSS JOIN langs l
+         |  LEFT JOIN profile p ON p.cand_lang = l.cand_lang AND p.tg = dt.tg
+         |  GROUP BY dt.doc_id, dt.true_lang, l.cand_lang),
+         |pred AS (
+         |  SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+         |    SELECT doc_id, true_lang, cand_lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand_lang) AS rn
+         |    FROM dist) WHERE rn = 1)
+         |SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM pred
+         |GROUP BY true_lang, pred_lang
+         |ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "winnow_candidates" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($sqlBigrams, t -> ${sqlTokenHash("t")}) AS hs
+         |  FROM documents),
+         |f AS (SELECT doc_id, ${sqlWinnowFromHashes("hs")} AS fps FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |live AS (
+         |  SELECT e.doc_id, e.fp FROM e
+         |  JOIN (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 20) d USING (fp)),
+         |cnt AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM f),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING COUNT(*) >= 2)
+         |SELECT p.a_id, p.b_id, p.shared,
+         |       floor(CAST(p.shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) * 1e6 + 0.5) / 1e6 AS overlap
+         |FROM p
+         |JOIN cnt ca ON ca.doc_id = p.a_id
+         |JOIN cnt cb ON cb.doc_id = p.b_id
+         |ORDER BY p.a_id, p.b_id""".stripMargin,
 
     "bbit_minhash_sim" ->
       s"""WITH $sqlSigs,

@@ -863,6 +863,58 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("lang_confusion: trigram-separable langs classify to the diagonal; " +
+       "a mislabeled doc lands off-diagonal") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-langc").toString
+    Seq(
+      (0L, "aaa aaa aaa", "aa"), // train aa
+      (1L, "aaa aaa aaa", "aa"), // test: matches the aa profile exactly
+      (2L, "bbb bbb bbb", "bb"), // train bb
+      (3L, "bbb bbb bbb", "bb"), // test -> bb
+      (5L, "bbb bbb bbb", "aa")) // test: labeled aa, reads as bb
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("lang_confusion")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(out === Map(("aa", "aa") -> 1L, ("aa", "bb") -> 1L, ("bb", "bb") -> 1L))
+  }
+
+  test("winnow_candidates: identical docs fully overlap; fingerprints are " +
+       "the distinct per-window minima") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val work = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val a = "p q r s t u v w x y"
+    Seq((1L, a), (2L, a), (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m0"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val rows = LlmQueries.queries("winnow_candidates")(spark, work).collect()
+    assert(rows.length === 1, "only the identical pair shares fingerprints")
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 2L)
+    assert(rows.head.getAs[Double]("overlap") === 1.0)
+    // structural check of the fingerprint builder: distinct window minima
+    // over the ordered bigram hashes, short docs collapse to one min
+    val probe = Seq("a b c d e f", "a b c").toDF("text")
+      .select(TextOps.winnowFingerprints(col("text")).as("fps"),
+        transform(TextOps.bigrams(col("text")), t => TextOps.tokenHash(t)).as("hs"))
+      .collect()
+    val (fps6, hs6) = (probe(0).getSeq[Long](0), probe(0).getSeq[Long](1))
+    assert(hs6.length === 5)
+    assert(fps6.toSet === Set(hs6.slice(0, 4).min, hs6.slice(1, 5).min))
+    val (fps3, hs3) = (probe(1).getSeq[Long](0), probe(1).getSeq[Long](1))
+    assert(fps3 === Seq(hs3.min), "short doc: single overall min")
+    // real-corpus sanity: overlap is a fraction, shared respects the floor
+    val sf = LlmQueries.queries("winnow_candidates")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(sf.forall { r =>
+      val o = r.getAs[Double]("overlap")
+      o > 0.0 && o <= 1.0 && r.getAs[Long]("shared") >= 2L
+    })
+  }
+
   test("bbit_minhash_sim: identical docs estimate 1.0 at every sketch " +
        "width; estimates stay in [0,1] on the real corpus") {
     import spark.implicits._
