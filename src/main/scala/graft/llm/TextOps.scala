@@ -111,6 +111,18 @@ object TextOps {
     */
   val WinnowWindow = 4
 
+  /** Evaluate-once binding for an expensive array expression that a
+    * lambda body must reference: Spark re-evaluates any NON-lambda-var
+    * expression appearing inside a HOF lambda once PER ELEMENT (there is
+    * no CSE across lambda iterations), so `slice(chain, j, w)` inside a
+    * per-window transform recomputes the whole chain n times — a silent
+    * O(n) → O(n²) blowup (measured 47× on winnowing). Wrapping the chain
+    * in a 1-element array and transforming binds it to a lambda VARIABLE,
+    * which is evaluated once per row and only read thereafter.
+    */
+  def bindOnce(expensive: Column, body: Column => Column): Column =
+    element_at(transform(array(expensive), body), 1)
+
   /** Winnowing fingerprints: min hash of every [[WinnowWindow]]-wide
     * window over the ORDERED (duplicates-kept) bigram hash sequence,
     * de-duplicated — the MOSS document fingerprint. Short docs (< one
@@ -118,15 +130,18 @@ object TextOps {
     * an empty set. Pure per-row expression; the guard keeps
     * `sequence(1, n-w+1)` from generating a DESCENDING range when
     * n < w (Spark's sequence flips direction, it does not clamp).
+    * The hash chain is [[bindOnce]]-bound — referenced naively from the
+    * per-window lambda it would re-evaluate once per window.
     */
   def winnowFingerprints(text: Column): Column = {
-    val hs = transform(bigrams(text), tokenHash(_))
-    val n = size(hs)
     val w = WinnowWindow
-    when(n === 0, array().cast("array<bigint>"))
-      .when(n < w, array(array_min(hs)))
-      .otherwise(array_distinct(transform(sequence(lit(1), n - (w - 1)),
-        j => array_min(slice(hs, j, lit(w))))))
+    bindOnce(transform(bigrams(text), tokenHash(_)), { hs =>
+      val n = size(hs)
+      when(n === 0, array().cast("array<bigint>"))
+        .when(n < w, array(array_min(hs)))
+        .otherwise(array_distinct(transform(sequence(lit(1), n - (w - 1)),
+          j => array_min(slice(hs, j, lit(w))))))
+    })
   }
 
   /** One MinHash value: min over the set of (a*x + b) % MinhashP. */

@@ -2263,10 +2263,14 @@ object LlmQueries {
       import org.apache.spark.sql.expressions.Window
       val K = 50
       val d = docs(s, dir)
-      val norm = concat(lit(" "), concat_ws(" ", tokens(col("text"))), lit(" "))
-      val tgs = when(length(norm) >= 3,
-        transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))
+      // bindOnce: substr(norm, i, 3) inside the per-position lambda would
+      // otherwise re-tokenize and re-concat the doc once PER position
+      val tgs = TextOps.bindOnce(
+        concat(lit(" "), concat_ws(" ", tokens(col("text"))), lit(" ")),
+        norm =>
+          when(length(norm) >= 3,
+            transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+            .otherwise(array().cast("array<string>")))
       val train = d.filter(col("doc_id") % 2 === 0)
         .select(col("lang"), explode(tgs).as("tg"))
         .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
@@ -2309,14 +2313,19 @@ object LlmQueries {
     // bucket, so pair work is Σ df² over capped buckets, never corpus².
     "winnow_candidates" -> ((s, dir) => {
       val d = docs(s, dir)
+      // lazy checkpoint: the fingerprint scan feeds the doc-freq count,
+      // both self-join sides, and the per-doc totals — materialize once
+      // (see corpus_curation)
       val fps = d.select(col("doc_id"),
         explode(winnowFingerprints(col("text"))).as("fp"))
+        .localCheckpoint(false)
       val dfCap = 20
       val live = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap).select("fp"), "fp")
-      val counts = d.select(col("doc_id"),
-        size(winnowFingerprints(col("text"))).cast("long").as("n_fp"))
+      // fingerprints are distinct per doc by construction, so the row
+      // count IS |fps|; docs with zero prints cannot appear in pairs
+      val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       val pairs = live.select(col("fp"), col("doc_id").as("a_id"))
         .join(live.select(col("fp"), col("doc_id").as("b_id")), "fp")
         .filter(col("a_id") < col("b_id"))
@@ -2343,7 +2352,12 @@ object LlmQueries {
     // already-joined signature columns.
     "bbit_minhash_sim" -> ((s, dir) => {
       val k = TextOps.MinhashParams.size
+      // lazy checkpoint: the signature scan feeds FOUR consumers (band
+      // bucketing, both confirm sides, both estimate sides) — without it
+      // the interpreted shingle+minhash chain replays per consumer
+      // (see corpus_curation)
       val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+        .localCheckpoint(false)
       val cand = Dedup.lshCandidates(sigs, "doc_id")
       val exact = Dedup.confirmJaccard(cand, sigs, "doc_id", threshold = 0.0)
       val mhIdx = 0 until k
