@@ -2248,6 +2248,79 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L160 — interpolated Kneser–Ney bigram surprisal (Kneser & Ney
+    // 1995; Chen & Goodman 1999), absolute discount D = 0.75: per doc,
+    // average −ln P_KN over its bigrams where P_KN(w2|w1) =
+    // max(c(w1w2)−D,0)/c(w1·) + (D/c(w1·))·N1+(w1·)·N1+(·w2)/N1+(··).
+    // The LM-quality scorer that fixes raw-count overconfidence on
+    // frequent-but-unproductive histories ("san francisco" inflating
+    // P(francisco|·)) — the standard corpus-filtering LM before neural
+    // scorers. All count tables are vocabulary-keyed partial aggs; the
+    // per-doc rollup routes 6dp-rounded terms through a decimal sum
+    // (the bigram_logprob contract). D = 0.75 is dyadic, so decimal-
+    // literal vs double intermediates agree bit-for-bit across engines.
+    "kneser_ney_logprob" -> ((s, dir) => {
+      val D = 0.75
+      val bgs = docs(s, dir)
+        .select(col("doc_id"), explode(bigrams(col("text"))).as("g"))
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .withColumn("w2", substring_index(col("g"), " ", -1))
+      val cb = bgs.groupBy("g").agg(count(lit(1)).as("cb"))
+      val types = cb.select(col("g"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+      val cw = bgs.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val fanout = types.groupBy("w1").agg(count(lit(1)).as("n1f"))
+      val cont = types.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val nTypes = broadcast(cb.agg(count(lit(1)).as("n_types")))
+      bgs.join(cb, "g").join(cw, "w1").join(fanout, "w1").join(cont, "w2")
+        .crossJoin(nTypes)
+        .withColumn("p",
+          greatest(col("cb") - D, lit(0.0)) / col("cw") +
+            (lit(D) / col("cw")) * col("n1f") *
+              (col("n1b").cast("double") / col("n_types")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(roundHU(-log(col("p")), 1e6).cast("decimal(18,6)")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          roundHU(col("ssum").cast("double") / col("n_bigrams"), 1e6)
+            .as("kn_surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // L161 — temperature-scaled mixture sampling (the multilingual
+    // α-sampling of mT5/XLM-R, α = 0.5): per-source inclusion rates
+    // r_i = min(1, B·p_i/n_i) with p_i ∝ √n_i and budget B = half the
+    // corpus tokens — boosts tail sources a uniform target (the
+    // mixture_rebalance planner) would leave starved, without letting
+    // the head dominate. α is fixed at 1/2 because IEEE sqrt is
+    // correctly rounded on every engine while pow(x, 0.3) is not — the
+    // deterministic member of the α family. The √-mass normalizer is
+    // decimal-routed (merge order), the per-doc gate is the shared
+    // overflow-safe sampling hash against floor(rate·1e6).
+    "temperature_mixture" -> ((s, dir) => {
+      val st = docs(s, dir).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val perSrc = st.groupBy("source").agg(sum("n_tok").as("n_src"))
+      val tot = broadcast(perSrc.agg(
+        sum(sqrt(col("n_src")).cast("decimal(38,7)")).cast("double").as("z"),
+        sum("n_src").as("n_total")))
+      val rates = perSrc.crossJoin(tot)
+        .select(col("source"), col("n_src"),
+          least(lit(1.0),
+            (floor(col("n_total") / 2).cast("double") *
+              (sqrt(col("n_src")) / col("z"))) / col("n_src")).as("rate"))
+      st.join(rates, "source")
+        .withColumn("keep",
+          sampleHash(col("doc_id"), 1000000L) < floor(col("rate") * 1e6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tok_sampled"),
+          roundHU(max(col("rate")), 1e6).as("rate"))
+        .orderBy("source")
+    }),
+
     // L158 — Cavnar–Trenkle character-trigram language identification
     // (1994) evaluated as a confusion matrix: even-id docs train top-50
     // trigram rank profiles per labeled lang; odd-id docs classify by
@@ -4021,6 +4094,59 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "kneser_ney_logprob" ->
+      s"""WITH bgs AS (
+         |  SELECT doc_id, g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents)),
+         |cb AS (SELECT g, COUNT(*) AS cb FROM bgs GROUP BY g),
+         |types AS (SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2 FROM cb),
+         |cw AS (SELECT w1, COUNT(*) AS cw FROM bgs GROUP BY w1),
+         |fanout AS (SELECT w1, COUNT(*) AS n1f FROM types GROUP BY w1),
+         |cont AS (SELECT w2, COUNT(*) AS n1b FROM types GROUP BY w2),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cb),
+         |p AS (
+         |  SELECT bgs.doc_id,
+         |         greatest(cb.cb - 0.75, 0.0) / cw.cw +
+         |           ((0.75 / cw.cw) * fanout.n1f) *
+         |             (CAST(cont.n1b AS DOUBLE) / nt.n_types) AS p
+         |  FROM bgs
+         |  JOIN cb USING (g)
+         |  JOIN cw USING (w1)
+         |  JOIN fanout USING (w1)
+         |  JOIN cont USING (w2)
+         |  CROSS JOIN nt)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       floor(CAST(SUM(CAST(floor(-ln(p) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE)
+         |             / COUNT(*) * 1e6 + 0.5) / 1e6 AS kn_surprisal
+         |FROM p
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "temperature_mixture" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, source, CAST(len($sqlTokens) AS BIGINT) AS n_tok FROM documents),
+         |ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_src FROM st GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(SUM(CAST(sqrt(n_src) AS DECIMAL(38,7))) AS DOUBLE) AS z,
+         |         CAST(SUM(n_src) AS BIGINT) AS n_total
+         |  FROM ps),
+         |rates AS (
+         |  SELECT ps.source, ps.n_src,
+         |         least(1.0, (floor(tot.n_total / 2) * (sqrt(ps.n_src) / tot.z)) / ps.n_src) AS rate
+         |  FROM ps CROSS JOIN tot),
+         |g AS (
+         |  SELECT st.source, st.n_tok, r.rate,
+         |         (${sqlSampleHash("st.doc_id", 1000000L)}) < floor(r.rate * 1e6) AS keep
+         |  FROM st JOIN rates r USING (source))
+         |SELECT source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tok_sampled,
+         |       floor(MAX(rate) * 1e6 + 0.5) / 1e6 AS rate
+         |FROM g
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     "lang_confusion" ->
       s"""WITH t AS (

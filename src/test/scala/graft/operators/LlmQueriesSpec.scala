@@ -863,6 +863,55 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("kneser_ney_logprob: hand corpus reproduces the interpolated " +
+       "discount formula term by term") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    // corpus bigrams: "x y" x3, "y x" x2, "z y" x1
+    // cw: x->3, y->2, z->1; types=3; N1+(w1.): all 1; N1+(.y)=2, N1+(.x)=1
+    Seq((1L, "x y x y x y"), (2L, "z y"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def pkn(cb: Long, cw: Long, n1f: Long, n1b: Long, nTypes: Long) =
+      math.max(cb - 0.75, 0.0) / cw + ((0.75 / cw) * n1f) * (n1b.toDouble / nTypes)
+    val pYX = pkn(3, 3, 1, 2, 3) // P(y|x) = 2.25/3 + 0.25*(2/3)
+    val pXY = pkn(2, 2, 1, 1, 3) // P(x|y) = 0.625 + 0.125
+    val pYZ = pkn(1, 1, 1, 2, 3) // P(y|z) = 0.25 + 0.5
+    val out = LlmQueries.queries("kneser_ney_logprob")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") === 5L)
+    assert(out(1L).getAs[Double]("kn_surprisal") ===
+      r6((3 * r6(-math.log(pYX)) + 2 * r6(-math.log(pXY))) / 5))
+    assert(out(2L).getAs[Double]("kn_surprisal") === r6(-math.log(pYZ)))
+  }
+
+  test("temperature_mixture: sqrt-mass rates cap at 1.0 for tail sources " +
+       "and gate head docs deterministically") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-temp").toString
+    // A: 8 docs x 8 tokens = 64; B: 2 docs x 2 tokens = 4.
+    // z = sqrt(64)+sqrt(4) = 10, budget = 34:
+    // rate_A = 34*(8/10)/64 = 0.425, rate_B = min(1, 34*(2/10)/4) = 1.0
+    val a = (1L to 8L).map(i => (i, Seq.fill(8)("w").mkString(" "), "en", "A"))
+    val b = Seq((9L, "w w", "en", "B"), (10L, "w w", "en", "B"))
+    (a ++ b).map { case (id, t, l, s0) => (id, t, l, s0, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("temperature_mixture")(spark, work).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("B").getAs[Double]("rate") === 1.0)
+    assert(out("B").getAs[Long]("n_sampled") === 2L)
+    assert(out("B").getAs[Long]("tok_sampled") === 4L)
+    assert(out("A").getAs[Double]("rate") === 0.425)
+    val gate = math.floor(34 * (8.0 / 10) / 64 * 1e6).toLong
+    val expectA = (1L to 8L).count(id =>
+      ((BigInt(id) % 100000007L) * BigInt(2654435761L)) % 1000000L < gate)
+    assert(out("A").getAs[Long]("n_sampled") === expectA.toLong)
+    assert(out("A").getAs[Long]("tok_sampled") === 8L * expectA)
+  }
+
   test("lang_confusion: trigram-separable langs classify to the diagonal; " +
        "a mislabeled doc lands off-diagonal") {
     import spark.implicits._
