@@ -2261,10 +2261,14 @@ object LlmQueries {
     // literal vs double intermediates agree bit-for-bit across engines.
     "kneser_ney_logprob" -> ((s, dir) => {
       val D = 0.75
+      // lazy checkpoint: the exploded bigram scan feeds the bigram/
+      // history counts AND the final scoring join — materialize once
+      // (see corpus_curation)
       val bgs = docs(s, dir)
         .select(col("doc_id"), explode(bigrams(col("text"))).as("g"))
         .withColumn("w1", substring_index(col("g"), " ", 1))
         .withColumn("w2", substring_index(col("g"), " ", -1))
+        .localCheckpoint(false)
       val cb = bgs.groupBy("g").agg(count(lit(1)).as("cb"))
       val types = cb.select(col("g"),
         substring_index(col("g"), " ", 1).as("w1"),
