@@ -118,6 +118,43 @@ object Io {
     finally out.close()
   }
 
+  /** S8: schema-enforced JSON-Lines scan — the interchange format
+    * crawl/training-data pipelines actually ingest. PERMISSIVE with a
+    * corrupt-record column: a malformed line becomes a row carrying the
+    * raw line in `corruptCol` with typed nulls elsewhere, so the DQ
+    * layer can count and quarantine bad lines instead of a job abort
+    * 80 TB into a read. Explicit schema — JSON inference is a full
+    * extra pass at scale (the §2.1 contract all scans here follow).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                corruptCol: String = "_corrupt_record"): DataFrame = {
+    if (!exists(spark, path)) throw new java.io.FileNotFoundException(s"Missing file: $path")
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
+  /** S8 sink: JSON-Lines, partition-preserving (one line per row — the
+    * shard format downstream tokenizer/training jobs stream).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** S9: schema-pinned ORC scan/sink — Spark's other native columnar
+    * format, kept at parity with the parquet path (predicate pushdown
+    * and column pruning work identically; useful when an upstream lake
+    * standardized on ORC).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    if (!exists(spark, path)) throw new java.io.FileNotFoundException(s"Missing file: $path")
+    spark.read.schema(schema).orc(path)
+  }
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** `_pick_col` schema tolerance: first candidate present in the frame
     * (reference: scripts/export_powerbi_star_schema.py:18-23).
     */

@@ -62,4 +62,26 @@ class TextOpsPropsSpec extends SparkSpec {
       }
     })
   }
+
+  test("winnowFingerprints equals the JVM sliding-min reference on " +
+       "arbitrary text (incl. the bindOnce evaluate-once path)") {
+    def jvmWinnow(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray
+      def h(tok: String): Long =
+        tok.foldLeft(0L)((a, c) => (a * 131 + c) % graft.llm.TextOps.HashP)
+      val hs = grams.map(h).toSeq
+      val w = graft.llm.TextOps.WinnowWindow
+      if (hs.isEmpty) Seq.empty
+      else if (hs.length < w) Seq(hs.min)
+      else hs.sliding(w).map(_.min).toSeq.distinct
+    }
+    assertProp(forAll(Gen.listOfN(4, textGen)) { texts =>
+      import spark.implicits._
+      val got = texts.toDF("text")
+        .select(graft.llm.TextOps.winnowFingerprints(col("text")).as("fps"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      got == texts.map(jvmWinnow)
+    })
+  }
 }

@@ -59,4 +59,48 @@ class IoSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("extra")), "old file null-fills")
     assert(rows(1).getDouble(rows(1).fieldIndex("extra")) === 9.5)
   }
+
+  test("JSONL round-trips; a malformed line lands in the corrupt column, " +
+       "not a job abort") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // write via the sink, then splice a hostile line into the directory
+    import spark.implicits._
+    Io.writeJsonl(Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      s"$work/docs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/docs/part-zz-manual.json"),
+      """{"doc_id": 3, "text": "gamma"}
+        |{"doc_id": BROKEN no json here
+        |""".stripMargin)
+    val back = Io.readJsonl(spark, s"$work/docs", schema).cache()
+    assert(back.filter(col("_corrupt_record").isNull).count() === 3)
+    val bad = back.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("_corrupt_record").contains("BROKEN"))
+    assert(back.filter(col("doc_id") === 2L).select("text")
+      .head().getString(0) === "beta")
+    // missing path fails fast like every strict scan here
+    intercept[java.io.FileNotFoundException] {
+      Io.readJsonl(spark, s"$work/nope", schema)
+    }
+  }
+
+  test("ORC round-trips with pushdown parity: filter reaches the scan") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    import spark.implicits._
+    Io.writeOrc((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), s"$work/t")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val back = Io.readOrc(spark, s"$work/t", schema).filter(col("k") === 42L)
+    assert(back.collect().map(_.getString(1)).toSeq === Seq("v42"))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("EqualTo(k,42)"),
+      s"ORC scan must push the predicate:\n$scan")
+  }
 }
