@@ -190,7 +190,33 @@ object Bench {
           (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       }
-      s"""{"metric":"streaming_throughput",$dedup,$gate,$semGate,"sf":"$sfDir"}"""
+      val mixGate = probe("mixture_gate") { () =>
+        import org.apache.spark.sql.functions.{size => asize, sum => asum}
+        val st = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            asize(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        // budgets = half of each source's token mass — the offline
+        // planning artifact the gate enforces (see MixtureStream)
+        val budgets = st.groupBy("source").agg(asum("n_tok").as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1) / 2).toMap
+        val rows = st.as[graft.streaming.MixtureStream.DocTokens]
+          .sort("doc_id").collect().toSeq
+        val mem = MemoryStream[graft.streaming.MixtureStream.DocTokens](
+          org.apache.spark.sql.Encoders.product[graft.streaming.MixtureStream.DocTokens],
+          streamSess)
+        val ck = java.nio.file.Files.createTempDirectory("graft-bench-ck").toString
+        val q = graft.streaming.MixtureStream.verdicts(mem.toDS(), budgets)
+          .writeStream.format("noop").option("checkpointLocation", ck)
+          .outputMode("update").start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(2500).foreach { chunk =>
+            mem.addData(chunk); q.processAllAvailable()
+          }
+          (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
+        } finally q.stop()
+      }
+      s"""{"metric":"streaming_throughput",$dedup,$gate,$semGate,$mixGate,"sf":"$sfDir"}"""
     } catch {
       case e: Throwable =>
         s"""{"metric":"streaming_throughput","error":"${jsonEscape(
