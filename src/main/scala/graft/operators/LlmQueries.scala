@@ -2248,6 +2248,62 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L163 — token burstiness (Church & Gale 1995): variance-to-mean
+    // ratio of per-doc counts for every token with df >= 10, top 30.
+    // VMR ≈ 1 is Poisson background; VMR >> 1 marks bursty/topical
+    // terms that concentrate in few docs — the adaptation signal behind
+    // boilerplate-vs-topic separation and df-banded posting decisions.
+    // Two vocabulary-keyed partial aggs (integer sums, so the doubles
+    // derive deterministically), deterministic top-30.
+    "token_burstiness" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = broadcast(d.agg(count(lit(1)).as("n_docs")))
+      val tc = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      tc.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("df") >= 10)
+        .crossJoin(n)
+        .select(col("w").as("token"), col("df"), col("s1").as("tf"),
+          roundHU(((col("s2").cast("double") / col("n_docs")) -
+            (col("s1").cast("double") / col("n_docs")) *
+              (col("s1").cast("double") / col("n_docs"))) /
+            (col("s1").cast("double") / col("n_docs")), 1e6).as("vmr"))
+        .orderBy(desc("vmr"), col("token"))
+        .limit(30)
+    }),
+
+    // L164 — dedup threshold sensitivity curve: pair count, docs dropped
+    // (the lowest-id-survivor loser rule of near_dedup_keep) and drop
+    // rate at jaccard thresholds {0.3, 0.5, 0.7, 0.9} — what the dedup
+    // knob actually costs in corpus mass BEFORE a 100 TB run commits to
+    // a setting (the volume sibling of lsh_tuning_curve's recall sweep).
+    // ONE block-join pass at the loosest threshold serves all four
+    // points (lazy-checkpointed); the per-threshold rollup is a 4-row
+    // explode + aggregate. Thresholds with zero pairs keep their row.
+    "dedup_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val ts = Seq(0.3, 0.5, 0.7, 0.9)
+      val pairs = Dedup.blockNearDups(d, "doc_id", "text", threshold = ts.min)
+        .localCheckpoint(false)
+      val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+      val counts = pairs
+        .withColumn("threshold", explode(array(ts.map(lit): _*)))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"))
+      ts.toDF("threshold").join(counts, Seq("threshold"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_dropped"))
+        .crossJoin(nDocs)
+        .select(col("threshold"), col("n_pairs"), col("n_dropped"),
+          roundHU(col("n_dropped").cast("double") / col("n_docs"), 1e6)
+            .as("drop_rate"))
+        .orderBy("threshold")
+    }),
+
     // L160 — interpolated Kneser–Ney bigram surprisal (Kneser & Ney
     // 1995; Chen & Goodman 1999), absolute discount D = 0.75: per doc,
     // average −ln P_KN over its bigrams where P_KN(w2|w1) =
@@ -4098,6 +4154,46 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "token_burstiness" ->
+      s"""WITH tc AS (
+         |  SELECT w, doc_id, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
+         |  GROUP BY w, doc_id),
+         |st AS (
+         |  SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS df,
+         |         CAST(SUM(c) AS BIGINT) AS s1,
+         |         CAST(SUM(c * c) AS BIGINT) AS s2
+         |  FROM tc GROUP BY w HAVING COUNT(*) >= 10),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT token, df, s1 AS tf,
+         |       floor(((CAST(s2 AS DOUBLE) / n_docs) -
+         |              (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs)) /
+         |             (CAST(s1 AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6 AS vmr
+         |FROM st CROSS JOIN nd
+         |ORDER BY vmr DESC, token
+         |LIMIT 30""".stripMargin,
+
+    "dedup_threshold_curve" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.3),
+         |ts AS (SELECT unnest(CAST([0.3, 0.5, 0.7, 0.9] AS DOUBLE[])) AS threshold),
+         |c AS (
+         |  SELECT ts.threshold,
+         |         CAST(COUNT(p.a_id) AS BIGINT) AS n_pairs,
+         |         CAST(COUNT(DISTINCT p.b_id) AS BIGINT) AS n_dropped
+         |  FROM ts LEFT JOIN pairs p ON p.jaccard >= ts.threshold
+         |  GROUP BY ts.threshold),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT threshold, n_pairs, n_dropped,
+         |       floor(CAST(n_dropped AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS drop_rate
+         |FROM c CROSS JOIN nd
+         |ORDER BY threshold""".stripMargin,
 
     "kneser_ney_logprob" ->
       s"""WITH bgs AS (

@@ -863,6 +863,55 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("token_burstiness: uniform token scores 0, concentrated token " +
+       "scores its exact variance-to-mean ratio; rare tokens filtered") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    // 12 docs: "u" once everywhere (Poissonless uniform -> vmr 0);
+    // "b" 4x in 10 docs, absent in 2 (bursty); "r" in 3 docs (df < 10)
+    val docsSeq = (1L to 12L).map { i =>
+      val b = if (i <= 10) " b b b b" else ""
+      val r = if (i <= 3) " r" else ""
+      (i, s"u$b$r")
+    }
+    docsSeq.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("token_burstiness")(spark, work).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("r"), "df 3 < 10 is filtered")
+    assert(out("u").getAs[Long]("df") === 12L)
+    assert(out("u").getAs[Double]("vmr") === 0.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (s1, s2, n) = (40.0, 160.0, 12.0)
+    assert(out("b").getAs[Double]("vmr") ===
+      r6((s2 / n - (s1 / n) * (s1 / n)) / (s1 / n)))
+  }
+
+  test("dedup_threshold_curve: one pair pass serves all four thresholds " +
+       "with exact pair/drop counts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-thresh").toString
+    Seq(
+      (1L, "a b c d"), (2L, "a b c d"),   // jaccard 1.0
+      (3L, "p q r s"), (4L, "p q r x"),   // bigram-shingle jaccard 0.5
+      (5L, "m n o"), (6L, "m n z"),       // jaccard 1/3
+      (7L, "solo w1 w2"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("dedup_threshold_curve")(spark, work).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(0.3).getAs[Long]("n_pairs") === 3L)
+    assert(out(0.3).getAs[Long]("n_dropped") === 3L)
+    assert(out(0.3).getAs[Double]("drop_rate") === r6(3.0 / 7))
+    assert(out(0.5).getAs[Long]("n_pairs") === 2L)
+    assert(out(0.7).getAs[Long]("n_pairs") === 1L, "only the identical pair")
+    assert(out(0.9).getAs[Long]("n_pairs") === 1L)
+    assert(out(0.9).getAs[Long]("n_dropped") === 1L)
+  }
+
   test("kneser_ney_logprob: hand corpus reproduces the interpolated " +
        "discount formula term by term") {
     import spark.implicits._
