@@ -2248,6 +2248,78 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L165 — Johnson–Lindenstrauss random projection (Achlioptas 2003,
+    // database-friendly ±1 signs): project the 64-d embeddings to 16
+    // dims with a HASH-DERIVED sign matrix — no materialized matrix, no
+    // driver state, the projection a 100 TB pipeline applies as a map
+    // (sign(i,j) recomputed per cell from integers). The sign hash is
+    // multiplicative-mod (NOT plain parity of an odd-multiplier product,
+    // which degenerates to a checkerboard ⇒ rank-2 projection);
+    // per-(vec, dim) sums are decimal-routed so merge order cannot
+    // perturb, and /√16 = /4 is exact.
+    "jl_projection" -> ((s, dir) => {
+      val k = 16
+      embs(s, dir)
+        .select(col("vec_id"), posexplode(Similarity.toDouble(col("embedding"))))
+        .select(col("vec_id"), col("pos"), col("col"),
+          explode(sequence(lit(0), lit(k - 1))).as("j"))
+        .withColumn("sgn",
+          when(((col("pos") * 16 + col("j") + 1) * lit(2654435761L)) % 1000003 % 2 === 0,
+            1.0).otherwise(-1.0))
+        .groupBy("vec_id", "j")
+        .agg(sum((col("sgn") * col("col")).cast("decimal(38,18)")).as("sdec"))
+        .select(col("vec_id"), col("j").cast("long").as("dim"),
+          roundHU(col("sdec").cast("double") / math.sqrt(k), 1e6).as("v"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // L166 — matrix-free top principal component by power iteration:
+    // two rounds of v ← X'X v over the embedding corpus with X never
+    // materialized — per round one vec-keyed dot shuffle and one
+    // dim-keyed sum shuffle (64 rows), the ONLY shapes that exist at
+    // 100 TB (the covariance matrix and the data both stay distributed;
+    // driver holds nothing — v itself is a 64-row frame end to end).
+    // Deterministic: seed = the min-vec_id embedding normalized; every
+    // reduction (dots, component sums, norms) decimal-routed; output is
+    // the 6dp loading vector plus the Rayleigh-quotient eigenvalue
+    // estimate λ = v·(X'Xv)/n on the final iterate.
+    "pca_power" -> ((s, dir) => {
+      val ex = embs(s, dir)
+        .select(col("vec_id"), posexplode(Similarity.toDouble(col("embedding"))))
+        .withColumnRenamed("col", "x")
+        .localCheckpoint(false)
+      val n = broadcast(embs(s, dir).agg(count(lit(1)).as("n_vecs")))
+      def normalize(v: DataFrame): DataFrame = {
+        val nrm = broadcast(v.agg(
+          sum((col("v") * col("v")).cast("decimal(38,18)")).cast("double").as("s2")))
+        v.crossJoin(nrm).select(col("pos"), (col("v") / sqrt(col("s2"))).as("v"))
+      }
+      val seedId = broadcast(ex.agg(min("vec_id").as("mid")))
+      var v = normalize(ex.crossJoin(seedId)
+        .filter(col("vec_id") === col("mid"))
+        .select(col("pos"), col("x").as("v")))
+      var lastW: DataFrame = null
+      for (_ <- 1 to 2) {
+        val d = ex.join(v, "pos")
+          .groupBy("vec_id")
+          .agg(sum((col("x") * col("v")).cast("decimal(38,18)")).cast("double").as("d"))
+        lastW = ex.join(d, "vec_id")
+          .groupBy("pos")
+          .agg(sum((col("d") * col("x")).cast("decimal(38,18)")).cast("double").as("v"))
+        v = normalize(lastW)
+      }
+      // λ = v·w on the final pair (v = w/‖w‖, so this is ‖w‖ = the
+      // power-iteration eigenvalue estimate of X'X), scaled /n to the
+      // per-vector variance the component explains
+      val eig = broadcast(v.join(lastW.withColumnRenamed("v", "w"), "pos")
+        .agg(sum((col("v") * col("w")).cast("decimal(38,18)")).cast("double").as("vw")))
+      v.crossJoin(eig).crossJoin(n)
+        .select(col("pos").cast("long").as("pos"),
+          roundHU(col("v"), 1e6).as("loading"),
+          roundHU(col("vw") / col("n_vecs"), 1e6).as("eigval"))
+        .orderBy("pos")
+    }),
+
     // L163 — token burstiness (Church & Gale 1995): variance-to-mean
     // ratio of per-doc counts for every token with df >= 10, top 30.
     // VMR ≈ 1 is Poisson background; VMR >> 1 marks bursty/topical
@@ -4153,6 +4225,57 @@ object LlmQueries {
         |       floor(s1 / n * 1e6 + 0.5) / 1e6 AS mean,
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
+        |ORDER BY pos""".stripMargin,
+
+    "jl_projection" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(e))) - 1 AS pos, unnest(e) AS x
+        |  FROM (SELECT vec_id, list_transform(embedding, u -> CAST(u AS DOUBLE)) AS e FROM embeddings)),
+        |pj AS (
+        |  SELECT ex.vec_id, jj.j, ex.x,
+        |         CASE WHEN ((ex.pos * 16 + jj.j + 1) * 2654435761) % 1000003 % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |       floor(CAST(SUM(CAST(sgn * x AS DECIMAL(38,18))) AS DOUBLE) / 4.0 * 1e6 + 0.5) / 1e6 AS v
+        |FROM pj
+        |GROUP BY vec_id, j
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "pca_power" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(e))) - 1 AS pos, unnest(e) AS x
+        |  FROM (SELECT vec_id, list_transform(embedding, u -> CAST(u AS DOUBLE)) AS e FROM embeddings)),
+        |seed AS (SELECT pos, x AS v FROM ex WHERE vec_id = (SELECT MIN(vec_id) FROM ex)),
+        |v0 AS (
+        |  SELECT pos, v / sqrt((SELECT CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) FROM seed)) AS v
+        |  FROM seed),
+        |d1 AS (
+        |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * v0.v AS DECIMAL(38,18))) AS DOUBLE) AS d
+        |  FROM ex JOIN v0 USING (pos) GROUP BY ex.vec_id),
+        |w1 AS (
+        |  SELECT ex.pos, CAST(SUM(CAST(d1.d * ex.x AS DECIMAL(38,18))) AS DOUBLE) AS v
+        |  FROM ex JOIN d1 USING (vec_id) GROUP BY ex.pos),
+        |v1 AS (
+        |  SELECT pos, v / sqrt((SELECT CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) FROM w1)) AS v
+        |  FROM w1),
+        |d2 AS (
+        |  SELECT ex.vec_id, CAST(SUM(CAST(ex.x * v1.v AS DECIMAL(38,18))) AS DOUBLE) AS d
+        |  FROM ex JOIN v1 USING (pos) GROUP BY ex.vec_id),
+        |w2 AS (
+        |  SELECT ex.pos, CAST(SUM(CAST(d2.d * ex.x AS DECIMAL(38,18))) AS DOUBLE) AS v
+        |  FROM ex JOIN d2 USING (vec_id) GROUP BY ex.pos),
+        |v2 AS (
+        |  SELECT pos, v / sqrt((SELECT CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) FROM w2)) AS v
+        |  FROM w2),
+        |eig AS (
+        |  SELECT CAST(SUM(CAST(v2.v * w2.v AS DECIMAL(38,18))) AS DOUBLE) AS vw
+        |  FROM v2 JOIN w2 USING (pos)),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        |       floor(v2.v * 1e6 + 0.5) / 1e6 AS loading,
+        |       floor(eig.vw / nv.n_vecs * 1e6 + 0.5) / 1e6 AS eigval
+        |FROM v2 CROSS JOIN eig CROSS JOIN nv
         |ORDER BY pos""".stripMargin,
 
     "token_burstiness" ->

@@ -863,6 +863,47 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("jl_projection: hash-sign projection matches the JVM formula and " +
+       "is not the degenerate checkerboard") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-jl").toString
+    Seq((7L, Seq(1f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    def sgn(pos: Int, j: Int): Double =
+      if (((pos * 16 + j + 1).toLong * 2654435761L) % 1000003 % 2 == 0) 1.0 else -1.0
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = LlmQueries.queries("jl_projection")(spark, work).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val j = r.getLong(1).toInt
+      assert(r.getDouble(2) === r6((sgn(0, j) * 1.0 + sgn(1, j) * 2.0) / 4.0),
+        s"dim $j")
+    }
+    // non-degenerate: the 16 signs of row 0 are not all equal and not a
+    // strict alternation (the checkerboard failure an odd-multiplier
+    // parity hash produces)
+    val signs = (0 until 16).map(j => sgn(0, j))
+    assert(signs.distinct.size === 2)
+    assert(signs.sliding(2).exists(s => s(0) == s(1)))
+  }
+
+  test("pca_power: dominant-axis toy corpus recovers the axis and its " +
+       "eigenvalue exactly") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    // X'X = [[18,0],[0,1]] -> top component e0, lambda/n = 18/3 = 6
+    Seq((1L, Seq(3f, 0f), 0), (2L, Seq(-3f, 0f), 0), (3L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val out = LlmQueries.queries("pca_power")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Double]("loading") === 1.0)
+    assert(out(1L).getAs[Double]("loading") === 0.0)
+    assert(out(0L).getAs[Double]("eigval") === 6.0)
+    assert(out(1L).getAs[Double]("eigval") === 6.0)
+  }
+
   test("token_burstiness: uniform token scores 0, concentrated token " +
        "scores its exact variance-to-mean ratio; rare tokens filtered") {
     import spark.implicits._
