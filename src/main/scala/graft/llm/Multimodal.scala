@@ -484,6 +484,93 @@ object Multimodal {
     })
   }
 
+  /** One 64-bit perceptual hash per image row. */
+  case class DHash(media_id: Long, dhash: Long)
+
+  /** Perceptual difference hash (dHash): decode, bilinear-shrink to a
+    * 9×8 luma thumbnail, set bit (y·8 + x) when the pixel right of
+    * (x, y) is strictly brighter — a gradient-sign fingerprint that
+    * survives re-encoding, mild noise and rescaling, which content
+    * checksums ([[Decoded.checksum]]) by design do not. The image
+    * analog of SimHash: Hamming-close dHashes are perceptual near-dups.
+    * Scope: the ImageIO formats (PNG/JPEG/GIF — same magic rule as
+    * [[resizePixels]], deterministic on a given JDK); the PPM/BMP/WAV
+    * hand formats are test containers with checksum semantics and yield
+    * no row, as does any undecodable payload (best-effort transform;
+    * [[decodeAll]] is the loud validation path). Per-partition loop,
+    * pixels never leave the executor.
+    */
+  def dHashes(media: Dataset[MediaRow]): Dataset[DHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def imageIoMagic(b: Array[Byte]): Boolean =
+      b.length >= 3 &&
+        (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N') ||
+          ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+          (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+    media.mapPartitions(_.flatMap { r =>
+      val img =
+        if (!imageIoMagic(r.bytes)) null
+        else try RealCodec.readImageBounded(r.bytes)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val thumb = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        def luma(x: Int, y: Int): Int = {
+          val p = thumb.getRGB(x, y)
+          (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(DHash(r.media_id, h))
+      }
+    })
+  }
+
+  /** Hamming-close dHash pairs: 4 exact-match 16-bit band buckets (any
+    * pair within Hamming 3 of 64 bits shares at least one band by
+    * pigeonhole — the [[graft.llm.Dedup.simhashNearDups]] blocking
+    * idea at image scale), `bit_count(xor)` confirms inside the join
+    * stage. Bucket join only — never all-pairs.
+    */
+  def dHashNearDups(hashes: Dataset[DHash], maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee recall only to Hamming 3 — widen the banding first")
+    import org.apache.spark.sql.functions._
+    val banded = hashes.toDF()
+      .select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+          .as("bk"))
+      .select(col("media_id"), col("dhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("a_id"), col("dhash").as("a_h"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("b_id"), col("dhash").as("b_h"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Metadata-level resize: recompute target dimensions preserving aspect
     * ratio without touching pixels — the cheap planning pass when only
     * downstream sizing matters ([[resizePixels]] is the real resampler

@@ -376,4 +376,44 @@ class MultimodalSpec extends SparkSpec {
     val adpcm = wavWithFormat(2, channels = 1, bits = 4, data = Seq.fill(8)(0))
     intercept[IllegalArgumentException] { RealCodec.decode("audio", adpcm) }
   }
+
+  test("dHash: re-encoded and lightly-perturbed images stay Hamming-close; " +
+       "structurally different images do not; non-images yield no hash") {
+    import spark.implicits._
+    import Multimodal._
+    val (card, _) = testCard(64, 48)
+    // same pixels through two encoders -> identical thumbnails -> equal hash
+    val png = encode(card, "png")
+    // light perturbation: one corner pixel flipped
+    val tweaked = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) tweaked.setRGB(x, y, card.getRGB(x, y))
+    tweaked.setRGB(0, 0, 0xffffff)
+    // structurally different: horizontal gradient vs the test card
+    val grad = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      grad.setRGB(x, y, (x * 4 << 16) | (x * 4 << 8) | (x * 4))
+    val rows = Seq(
+      MediaRow(1L, "image", png, None, None, None),
+      MediaRow(2L, "image", png, None, None, None),
+      MediaRow(3L, "image", encode(tweaked, "png"), None, None, None),
+      MediaRow(4L, "image", encode(grad, "png"), None, None, None),
+      MediaRow(5L, "text", "not an image".getBytes, None, None, None))
+    val hs = dHashes(rows.toDS()).collect().map(h => h.media_id -> h.dhash).toMap
+    assert(!hs.contains(5L), "non-image payloads yield no hash")
+    assert(hs(1L) === hs(2L), "byte-identical images hash identically")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 3,
+      "a one-pixel tweak moves the 9x8 gradient fingerprint at most slightly")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 10,
+      "a different structure is Hamming-far")
+    val pairs = dHashNearDups(dHashes(rows.toDS()), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    intercept[IllegalArgumentException] {
+      dHashNearDups(dHashes(rows.toDS()), maxHamming = 9)
+    }
+  }
 }
