@@ -2248,6 +2248,65 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L168 — robust per-dimension embedding statistics: exact median,
+    // IQR and Tukey-fence outlier count (|x − med| > 1.5·IQR) per
+    // dimension — the moment-free companion of dimension_variance
+    // (variance hides heavy tails; a dim with a tight IQR but fat
+    // outlier count needs clipping before int8 quantization). Exact
+    // type-7 interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, the median_mode parity), dim-keyed shuffles only.
+    "embedding_robust_stats" -> ((s, dir) => {
+      val ex = embs(s, dir)
+        .select(posexplode(Similarity.toDouble(col("embedding"))))
+        .localCheckpoint(false) // feeds the percentile pass AND the fence count
+      val stats = ex.groupBy("pos").agg(
+        percentile(col("col"), lit(0.5)).as("med"),
+        percentile(col("col"), lit(0.25)).as("q1"),
+        percentile(col("col"), lit(0.75)).as("q3"))
+      ex.join(stats, "pos")
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("m"), max(col("q3") - col("q1")).as("iqr"),
+          sum(when(abs(col("col") - col("med")) > (col("q3") - col("q1")) * 1.5, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("pos").cast("long").as("pos"), col("n"),
+          roundHU(col("m"), 1e6).as("median"),
+          roundHU(col("iqr"), 1e6).as("iqr"),
+          col("n_outliers"))
+        .orderBy("pos")
+    }),
+
+    // L169 — dedup survivorship shift: per-source token share BEFORE vs
+    // AFTER near-dedup (jaccard >= 0.5, lowest-id-survivor loser rule) —
+    // which sources lose mass to dedup, i.e. how the realized mixture
+    // drifts from the planned one after cleaning (a templated source
+    // can silently shrink 10× and starve its mixture slot). One block
+    // join for the losers, source-keyed rollups, broadcast 1-row totals.
+    "dedup_survivorship_shift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val losers = Dedup.blockNearDups(d, "doc_id", "text", threshold = 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      val st = d.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint(false) // feeds pre rollup, kept rollup, and totals
+      val kept = st.join(losers, Seq("doc_id"), "left_anti")
+      val tot = broadcast(st.agg(sum("n_tok").as("t_all")))
+      val totK = broadcast(kept.agg(sum("n_tok").as("t_kept")))
+      val pre = st.groupBy("source").agg(sum("n_tok").as("tok_pre"))
+      val post = kept.groupBy("source").agg(sum("n_tok").as("tok_post"))
+      pre.join(post, Seq("source"), "left")
+        .na.fill(0L, Seq("tok_post"))
+        .crossJoin(tot).crossJoin(totK)
+        .select(col("source"), col("tok_pre"), col("tok_post"),
+          roundHU(col("tok_pre").cast("double") / col("t_all"), 1e6)
+            .as("share_pre"),
+          roundHU(col("tok_post").cast("double") / col("t_kept"), 1e6)
+            .as("share_post"),
+          roundHU(col("tok_post").cast("double") / col("t_kept") -
+            col("tok_pre").cast("double") / col("t_all"), 1e6).as("shift"))
+        .orderBy("source")
+    }),
+
     // L165 — Johnson–Lindenstrauss random projection (Achlioptas 2003,
     // database-friendly ±1 signs): project the 64-d embeddings to 16
     // dims with a HASH-DERIVED sign matrix — no materialized matrix, no
@@ -4226,6 +4285,47 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "embedding_robust_stats" ->
+      """WITH ex AS (
+        |  SELECT unnest(generate_series(1, len(e))) - 1 AS pos, unnest(e) AS x
+        |  FROM (SELECT list_transform(embedding, u -> CAST(u AS DOUBLE)) AS e FROM embeddings)),
+        |stats AS (
+        |  SELECT pos, median(x) AS med,
+        |         quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+        |  FROM ex GROUP BY pos)
+        |SELECT CAST(ex.pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |       floor(MAX(med) * 1e6 + 0.5) / 1e6 AS median,
+        |       floor(MAX(q3 - q1) * 1e6 + 0.5) / 1e6 AS iqr,
+        |       CAST(SUM(CASE WHEN abs(x - med) > (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ex JOIN stats USING (pos)
+        |GROUP BY ex.pos
+        |ORDER BY pos""".stripMargin,
+
+    "dedup_survivorship_shift" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |st AS (SELECT doc_id, source, CAST(len($sqlTokens) AS BIGINT) AS n_tok FROM documents),
+         |kept AS (SELECT * FROM st WHERE doc_id NOT IN (SELECT b_id FROM pairs)),
+         |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_all FROM st),
+         |totk AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_kept FROM kept),
+         |pre AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_pre FROM st GROUP BY source),
+         |post AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_post FROM kept GROUP BY source)
+         |SELECT pre.source, pre.tok_pre,
+         |       COALESCE(post.tok_post, CAST(0 AS BIGINT)) AS tok_post,
+         |       floor(CAST(pre.tok_pre AS DOUBLE) / t_all * 1e6 + 0.5) / 1e6 AS share_pre,
+         |       floor(CAST(COALESCE(post.tok_post, 0) AS DOUBLE) / t_kept * 1e6 + 0.5) / 1e6 AS share_post,
+         |       floor((CAST(COALESCE(post.tok_post, 0) AS DOUBLE) / t_kept
+         |              - CAST(pre.tok_pre AS DOUBLE) / t_all) * 1e6 + 0.5) / 1e6 AS shift
+         |FROM pre
+         |LEFT JOIN post USING (source)
+         |CROSS JOIN tot CROSS JOIN totk
+         |ORDER BY pre.source""".stripMargin,
 
     "jl_projection" ->
       """WITH ex AS (

@@ -863,6 +863,44 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("embedding_robust_stats: exact type-7 quartiles and Tukey fence " +
+       "counts on a hand distribution with one fat outlier") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-robust").toString
+    // dim 0 values {1,2,3,4,100}: med 3, q1 2, q3 4, iqr 2; only 100
+    // breaches |x-3| > 3
+    Seq(1f, 2f, 3f, 4f, 100f).zipWithIndex
+      .map { case (v, i) => (i.toLong, Seq(v), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val r = LlmQueries.queries("embedding_robust_stats")(spark, work).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n") === 5L)
+    assert(r.head.getAs[Double]("median") === 3.0)
+    assert(r.head.getAs[Double]("iqr") === 2.0)
+    assert(r.head.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("dedup_survivorship_shift: the source losing its duplicate loses " +
+       "exactly the predicted token share") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-shift").toString
+    Seq((1L, "a b c", "A"), (2L, "a b c", "A"), (3L, "x y z", "B"))
+      .map { case (id, t, s0) => (id, t, "en", s0, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("dedup_survivorship_shift")(spark, work)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out("A").getAs[Long]("tok_pre") === 6L)
+    assert(out("A").getAs[Long]("tok_post") === 3L, "doc 2 lost to dedup")
+    assert(out("A").getAs[Double]("share_pre") === r6(6.0 / 9))
+    assert(out("A").getAs[Double]("share_post") === 0.5)
+    assert(out("A").getAs[Double]("shift") === r6(3.0 / 6 - 6.0 / 9))
+    assert(out("B").getAs[Double]("shift") === r6(3.0 / 6 - 3.0 / 9),
+      "the clean source GAINS share after dedup")
+  }
+
   test("jl_projection: hash-sign projection matches the JVM formula and " +
        "is not the degenerate checkerboard") {
     import spark.implicits._
