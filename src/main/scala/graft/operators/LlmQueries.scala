@@ -2248,6 +2248,64 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L170 — moving-average type-token ratio (MATTR, Covington &
+    // McFall 2010): mean distinct-fraction over sliding 25-token
+    // windows — the length-invariant lexical-diversity score (raw TTR
+    // collapses as docs grow; quality_score's diversity rule is the
+    // whole-doc form). Short docs take one window over everything;
+    // empty docs stay null. Per-row HOF with the token array
+    // bindOnce-bound (the winnowing lesson); per-window terms round to
+    // 6dp micro-units and sum as INTEGERS, so the window fold is
+    // order-proof across engines.
+    "mattr" -> ((s, dir) => {
+      val W = 25
+      val stats = TextOps.bindOnce(tokens(col("text")), { ts =>
+        val n = size(ts)
+        val nw = greatest(n - (W - 1), lit(1))
+        val terms = aggregate(sequence(lit(1), nw), lit(0L), (acc, j) => {
+          val win = slice(ts, j, lit(W))
+          acc + floor(size(array_distinct(win)).cast("double") / size(win) * 1e6
+            + 0.5).cast("long")
+        })
+        when(n === 0, lit(null).cast("array<double>"))
+          .otherwise(array(nw.cast("double"),
+            floor(terms.cast("double") / 1e6 / nw * 1e6 + 0.5) / 1e6))
+      })
+      docs(s, dir).select(col("doc_id"), stats.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).cast("long").as("n_windows"),
+          element_at(col("st"), 2).as("mattr"))
+        .orderBy("doc_id")
+    }),
+
+    // L171 — mixture α sweep: the per-source sampling rates of
+    // temperature_mixture at α ∈ {1/4, 1/2, 1} — the tuning curve a
+    // mixture config is chosen from (α→0 flattens toward uniform,
+    // α=1 is proportional). Every α here is a composition of IEEE
+    // sqrt (x^(1/4) = √√x) or the identity, so the whole sweep stays
+    // bit-deterministic where pow(x, 0.3) would not be; normalizers
+    // decimal-routed per α.
+    "mixture_alpha_sweep" -> ((s, dir) => {
+      val perSrc = docs(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("n_src"))
+      val tot = broadcast(perSrc.agg(sum("n_src").as("n_total")))
+      val powed = perSrc
+        .withColumn("alpha", explode(array(lit(0.25), lit(0.5), lit(1.0))))
+        .withColumn("pw",
+          when(col("alpha") === 0.25, sqrt(sqrt(col("n_src"))))
+            .when(col("alpha") === 0.5, sqrt(col("n_src")))
+            .otherwise(col("n_src").cast("double")))
+      val z = powed.groupBy("alpha")
+        .agg(sum(col("pw").cast("decimal(38,7)")).cast("double").as("z"))
+      powed.join(z, "alpha").crossJoin(tot)
+        .select(col("alpha"), col("source"), col("n_src"),
+          roundHU(least(lit(1.0),
+            (floor(col("n_total") / 2).cast("double") * (col("pw") / col("z"))) /
+              col("n_src")), 1e6).as("rate"))
+        .orderBy("alpha", "source")
+    }),
+
     // L168 — robust per-dimension embedding statistics: exact median,
     // IQR and Tukey-fence outlier count (|x − med| > 1.5·IQR) per
     // dimension — the moment-free companion of dimension_variance
@@ -4285,6 +4343,44 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "mattr" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ts) = 0 THEN NULL
+         |              ELSE greatest(len(ts) - 24, 1) END AS nw,
+         |         CASE WHEN len(ts) = 0 THEN NULL
+         |              ELSE CAST(list_sum(list_transform(range(1, greatest(len(ts) - 24, 1) + 1),
+         |                     j -> CAST(floor(CAST(len(list_distinct(ts[j:j+24])) AS DOUBLE)
+         |                               / len(ts[j:j+24]) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE)
+         |         END AS terms
+         |  FROM t)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+         |       floor(terms / 1e6 / nw * 1e6 + 0.5) / 1e6 AS mattr
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
+
+    "mixture_alpha_sweep" ->
+      s"""WITH ps AS (
+         |  SELECT source, CAST(SUM(CAST(len($sqlTokens) AS BIGINT)) AS BIGINT) AS n_src
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_total FROM ps),
+         |powed AS (
+         |  SELECT ps.source, ps.n_src, a.alpha,
+         |         CASE WHEN a.alpha = 0.25 THEN sqrt(sqrt(ps.n_src))
+         |              WHEN a.alpha = 0.5 THEN sqrt(ps.n_src)
+         |              ELSE CAST(ps.n_src AS DOUBLE) END AS pw
+         |  FROM ps CROSS JOIN (SELECT unnest(CAST([0.25, 0.5, 1.0] AS DOUBLE[])) AS alpha) a),
+         |z AS (SELECT alpha, CAST(SUM(CAST(pw AS DECIMAL(38,7))) AS DOUBLE) AS z
+         |      FROM powed GROUP BY alpha)
+         |SELECT p.alpha, p.source, p.n_src,
+         |       floor(least(1.0, (floor(tot.n_total / 2) * (p.pw / z.z)) / p.n_src)
+         |             * 1e6 + 0.5) / 1e6 AS rate
+         |FROM powed p
+         |JOIN z USING (alpha)
+         |CROSS JOIN tot
+         |ORDER BY p.alpha, p.source""".stripMargin,
 
     "embedding_robust_stats" ->
       """WITH ex AS (

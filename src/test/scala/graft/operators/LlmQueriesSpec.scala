@@ -863,6 +863,55 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("mattr: sliding 25-token windows; short docs one window; empty null") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-mattr").toString
+    Seq(
+      (1L, Seq.fill(30)("w").mkString(" ")),    // 6 windows, ttr 1/25 each
+      (2L, "a b c"),                            // one short window, ttr 1
+      (3L, "a a b b"),                          // one window, ttr 0.5
+      (4L, ""),                                 // null
+      (5L, Seq.tabulate(26)(i => if (i % 2 == 0) "x" else "y").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("mattr")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_windows") === 6L)
+    assert(out(1L).getAs[Double]("mattr") === 0.04)
+    assert(out(2L).getAs[Long]("n_windows") === 1L)
+    assert(out(2L).getAs[Double]("mattr") === 1.0)
+    assert(out(3L).getAs[Double]("mattr") === 0.5)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("mattr")))
+    assert(out(5L).getAs[Long]("n_windows") === 2L)
+    assert(out(5L).getAs[Double]("mattr") === 0.08)
+  }
+
+  test("mixture_alpha_sweep: alpha=1 equalizes rates at a half budget; " +
+       "alpha=1/4 reproduces the decimal-routed double arithmetic") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-alpha").toString
+    val a = (1L to 8L).map(i => (i, Seq.fill(8)("w").mkString(" "), "en", "A"))
+    val b = Seq((9L, "w w", "en", "B"), (10L, "w w", "en", "B"))
+    (a ++ b).map { case (id, t, l, s0) => (id, t, l, s0, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("mixture_alpha_sweep")(spark, work).collect()
+      .map(r => (r.getDouble(0), r.getString(1)) -> r.getAs[Double]("rate")).toMap
+    assert(out.size === 6)
+    // alpha=1: p_i proportional to n_i, so every rate is B/total = 0.5
+    assert(out((1.0, "A")) === 0.5 && out((1.0, "B")) === 0.5)
+    // alpha=1/2: the temperature_mixture case
+    assert(out((0.5, "A")) === 0.425 && out((0.5, "B")) === 1.0)
+    // alpha=1/4: replicate decimal(38,7) HALF_UP routing of the normalizer
+    def d7(x: Double) = BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    val z = (d7(math.sqrt(math.sqrt(64.0))) + d7(math.sqrt(math.sqrt(4.0)))).toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expA = r6(math.min(1.0, 34.0 * (math.sqrt(math.sqrt(64.0)) / z) / 64.0))
+    assert(out((0.25, "A")) === expA)
+    assert(out((0.25, "B")) === 1.0)
+  }
+
   test("embedding_robust_stats: exact type-7 quartiles and Tukey fence " +
        "counts on a hand distribution with one fat outlier") {
     import spark.implicits._
