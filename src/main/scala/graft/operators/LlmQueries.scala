@@ -2248,6 +2248,104 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L172 — windowed co-occurrence PMI (±4 tokens, the word2vec/GloVe
+    // context matrix): unordered token pairs co-occurring within the
+    // window, count >= 5, ranked by ln(p(ab)/(p(a)p(b))) — the
+    // collocation table pmi_collocations restricted to adjacency cannot
+    // see. Position join is (doc_id, pos+d)-keyed (the offset explode
+    // keeps it an equi-join — no range/theta join at corpus scale);
+    // pair-keyed aggregate, vocabulary joins unhinted, deterministic
+    // top-30.
+    "window_pmi" -> ((s, dir) => {
+      val W = 4
+      val tp = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "w")))
+        .localCheckpoint(false) // feeds both join sides, unigrams, totals
+      val ctx = tp
+        .withColumn("d", explode(sequence(lit(1), lit(W))))
+        .withColumn("p2", col("p") + col("d"))
+        .join(tp.select(col("doc_id"), col("p").as("p2"), col("w").as("w2")),
+          Seq("doc_id", "p2"))
+        .select(least(col("w"), col("w2")).as("wa"),
+          greatest(col("w"), col("w2")).as("wb"))
+      val pc = ctx.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = tp.groupBy("w").agg(count(lit(1)).as("c"))
+      val nUni = broadcast(uni.agg(sum("c").as("n_uni")))
+      val nPairs = broadcast(ctx.agg(count(lit(1)).as("n_pairs")))
+      pc.join(uni.select(col("w").as("wa"), col("c").as("c_a")), "wa")
+        .join(uni.select(col("w").as("wb"), col("c").as("c_b")), "wb")
+        .crossJoin(nUni).crossJoin(nPairs)
+        .select(col("wa"), col("wb"), col("c_ab"),
+          roundHU(log((col("c_ab").cast("double") / col("n_pairs")) /
+            ((col("c_a").cast("double") / col("n_uni")) *
+              (col("c_b").cast("double") / col("n_uni")))), 1e6).as("pmi"))
+        .orderBy(desc("pmi"), col("wa"), col("wb"))
+        .limit(30)
+    }),
+
+    // L173 — shard balance report: per-source shard count, max and mean
+    // token mass and the max/mean imbalance under token_shards' budget
+    // windows — the straggler predictor read before launching a
+    // training job over the shards (an imbalance of 2 means the slowest
+    // reader runs 2× the mean). Same per-source cumsum as token_shards,
+    // then source-keyed rollups only.
+    "shard_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val mass = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .withColumn("shard_id", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("source", "shard_id").agg(sum("n_tok").as("mass"))
+      mass.groupBy("source")
+        .agg(count(lit(1)).as("n_shards"),
+          sum("mass").as("tot"),
+          max("mass").as("max_mass"))
+        .select(col("source"), col("n_shards"), col("max_mass"),
+          roundHU(col("tot").cast("double") / col("n_shards"), 1e6)
+            .as("mean_mass"),
+          roundHU(col("max_mass").cast("double") /
+            (col("tot").cast("double") / col("n_shards")), 1e6).as("imbalance"))
+        .orderBy("source")
+    }),
+
+    // L174 — curation funnel: document counts surviving each stage of
+    // the corpus_curation pipeline (repetition → quality → exact dedup →
+    // near dedup) with retention vs the raw corpus — the audit report
+    // every cleaning run ships (a stage suddenly eating 40% of a source
+    // is how filter bugs and corpus shifts get caught). Reuses the
+    // exact stage plumbing of corpus_curation; counts are five 1-row
+    // aggregates unioned, so the funnel costs one extra pass over the
+    // (checkpointed) stage frames, not five pipelines.
+    "curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val s1 = d.join(repetitionFrame(d).select("doc_id", "keep"), Seq("doc_id"))
+        .filter(col("keep")).drop("keep")
+      val s2 = s1.filter(qualityScore >= 2).localCheckpoint(false)
+      val s3 = s2.join(Dedup.exact(s2, Seq("text"), "doc_id").select("doc_id"),
+        Seq("doc_id")).localCheckpoint(false)
+      val losers = Dedup.blockNearDups(s3, "doc_id", "text", threshold = 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      val s4 = s3.join(losers, Seq("doc_id"), "left_anti")
+      def stage(i: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"))
+      val tot = broadcast(d.agg(count(lit(1)).as("t")))
+      stage(0, "all", d)
+        .union(stage(1, "repetition", s1))
+        .union(stage(2, "quality", s2))
+        .union(stage(3, "exact_dedup", s3))
+        .union(stage(4, "near_dedup", s4))
+        .crossJoin(tot)
+        .select(col("stage"), col("stage_name"), col("n_docs"),
+          roundHU(col("n_docs").cast("double") / col("t"), 1e6).as("retention"))
+        .orderBy("stage")
+    }),
+
     // L170 — moving-average type-token ratio (MATTR, Covington &
     // McFall 2010): mean distinct-fraction over sliding 25-token
     // windows — the length-invariant lexical-diversity score (raw TTR
@@ -4343,6 +4441,108 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "window_pmi" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ts))) - 1 AS p, unnest(ts) AS w
+         |  FROM (SELECT doc_id, $sqlTokens AS ts FROM documents)),
+         |ctx AS (
+         |  SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+         |  FROM ex a JOIN ex b
+         |    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p + 1 AND a.p + 4),
+         |pc AS (
+         |  SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |  FROM ctx GROUP BY wa, wb HAVING COUNT(*) >= 5),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY w),
+         |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ctx)
+         |SELECT pc.wa, pc.wb, pc.c_ab,
+         |       floor(ln((CAST(pc.c_ab AS DOUBLE) / np.n_pairs) /
+         |                ((CAST(ca.c AS DOUBLE) / nu.n_uni) *
+         |                 (CAST(cb.c AS DOUBLE) / nu.n_uni))) * 1e6 + 0.5) / 1e6 AS pmi
+         |FROM pc
+         |JOIN uni ca ON ca.w = pc.wa
+         |JOIN uni cb ON cb.w = pc.wb
+         |CROSS JOIN nu CROSS JOIN np
+         |ORDER BY pmi DESC, wa, wb
+         |LIMIT 30""".stripMargin,
+
+    "shard_balance" ->
+      s"""WITH sh AS (
+         |  SELECT source, CAST(floor((cum - n_tok) / 2000.0) AS BIGINT) AS shard_id,
+         |         n_tok
+         |  FROM (
+         |    SELECT doc_id, source, len($sqlTokens) AS n_tok,
+         |           SUM(len($sqlTokens)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |    FROM documents)),
+         |m AS (
+         |  SELECT source, shard_id, CAST(SUM(n_tok) AS BIGINT) AS mass
+         |  FROM sh GROUP BY source, shard_id)
+         |SELECT source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shards,
+         |       CAST(MAX(mass) AS BIGINT) AS max_mass,
+         |       floor(CAST(SUM(mass) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_mass,
+         |       floor(CAST(MAX(mass) AS DOUBLE) /
+         |             (CAST(SUM(mass) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS imbalance
+         |FROM m
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH wf AS (
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_word_frac, SUM(c) AS n_words
+         |  FROM (SELECT doc_id, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
+         |        GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |gf AS (
+         |  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac, SUM(c) AS n_bigrams
+         |  FROM (SELECT doc_id, COUNT(*) AS c
+         |        FROM (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents)
+         |        GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |lf AS (
+         |  SELECT doc_id,
+         |         (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE) AS dup_line_frac
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+         |s1 AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d
+         |  LEFT JOIN wf USING (doc_id)
+         |  LEFT JOIN gf USING (doc_id)
+         |  JOIN lf USING (doc_id)
+         |  WHERE COALESCE(wf.top_word_frac <= 0.5 OR wf.n_words < $RepMinMass, TRUE)
+         |    AND COALESCE(gf.top_bigram_frac <= 0.2 OR gf.n_bigrams < $RepMinMass, TRUE)
+         |    AND COALESCE(lf.dup_line_frac <= 0.3, TRUE)),
+         |s2 AS (
+         |  SELECT * FROM s1
+         |  WHERE (CASE WHEN len($sqlTokens) BETWEEN 40 AND 1000 THEN 1 ELSE 0 END
+         |         + CASE WHEN $sqlStopwordHits > 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN list_max(list_transform($sqlTokens, t -> len(t))) <= 10 THEN 1 ELSE 0 END
+         |         + CASE WHEN len(list_distinct($sqlTokens)) * 3 >= len($sqlTokens) THEN 1 ELSE 0 END) >= 2),
+         |s3 AS (
+         |  SELECT s2.* FROM s2
+         |  JOIN (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY text) m USING (doc_id)),
+         |shs AS (SELECT doc_id, $sqlShingleHashes AS sh FROM s3),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT b_id FROM pairs)),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+         |x AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'repetition', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+         |  UNION ALL SELECT CAST(4 AS BIGINT), 'near_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM s4))
+         |SELECT x.stage, x.stage_name, x.n_docs,
+         |       floor(CAST(x.n_docs AS DOUBLE) / tot.t * 1e6 + 0.5) / 1e6 AS retention
+         |FROM x CROSS JOIN tot
+         |ORDER BY x.stage""".stripMargin,
 
     "mattr" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),

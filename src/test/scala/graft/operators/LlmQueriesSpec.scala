@@ -863,6 +863,66 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("window_pmi: alternating two-token doc yields the exact hand-counted " +
+       "pair table and PMI values") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-wpmi").toString
+    // "a b" x5: 30 window pairs -> (a,b) 16, (a,a) 7, (b,b) 7
+    Seq((1L, Seq.fill(5)("a b").mkString(" "), "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = LlmQueries.queries("window_pmi")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size === 3)
+    assert(rows(("a", "b")) === (16L, r6(math.log((16.0 / 30) / 0.25))))
+    assert(rows(("a", "a")) === (7L, r6(math.log((7.0 / 30) / 0.25))))
+    assert(rows(("b", "b")) === (7L, r6(math.log((7.0 / 30) / 0.25))))
+  }
+
+  test("shard_balance: three 1500-token docs under a 2000 budget give two " +
+       "shards with the predicted imbalance") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-shbal").toString
+    val t1500 = Seq.fill(1500)("w").mkString(" ")
+    Seq((1L, t1500), (2L, t1500), (3L, t1500))
+      .map { case (id, t) => (id, t, "en", "A", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val r = LlmQueries.queries("shard_balance")(spark, work).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_shards") === 2L, "docs 1+2 share shard 0")
+    assert(r.head.getAs[Long]("max_mass") === 3000L)
+    assert(r.head.getAs[Double]("mean_mass") === 2250.0)
+    assert(r.head.getAs[Double]("imbalance") ===
+      math.floor(3000.0 / 2250 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("curation_funnel: each stage drops exactly its designed victim") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val good = "the of " + (1 to 52).map(i => f"w$i%02d").mkString(" ")
+    val nearDup = good.split(" ").dropRight(2).mkString(" ") + " zz1 zz2"
+    Seq(
+      (1L, good),                            // survives everything
+      (2L, good),                            // exact duplicate -> exact stage
+      (3L, nearDup),                         // jaccard >= 0.5 to doc 1 -> near stage
+      (4L, Seq.fill(50)("spam").mkString(" ")), // repetition stage
+      (5L, "abcdefghijklmnop"))              // quality stage (score 1)
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("curation_funnel")(spark, work).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(0L) === (("all", 5L, 1.0)))
+    assert(out(1L) === (("repetition", 4L, 0.8)))
+    assert(out(2L) === (("quality", 3L, 0.6)))
+    assert(out(3L) === (("exact_dedup", 2L, 0.4)))
+    assert(out(4L) === (("near_dedup", 1L, 0.2)))
+  }
+
   test("mattr: sliding 25-token windows; short docs one window; empty null") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-mattr").toString
