@@ -627,6 +627,29 @@ object EventQueries {
           unix_micros(col("session_window.end")).as("session_end_us"),
           col("user_id"), col("n_events"), col("total_value"))
         .orderBy("user_id", "session_start_us")
+    }),
+
+    // Bot-rate profile: per user (>= 2 events), the exact median
+    // inter-arrival gap, the fraction of sub-second gaps, and a bot
+    // verdict (>= 20 events AND >= half the gaps under 1s) — the
+    // automated-traffic filter an event corpus runs before user-level
+    // analytics or training extraction (bot sessions poison retention,
+    // funnels and any per-user text). One user_id shuffle for the lag,
+    // user-keyed rollups; thresholds compare the 6dp-rounded fraction.
+    "bot_gap_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = events(s, dir)
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          median(col("gap_us")).as("median_gap_us"),
+          (floor(sum(when(col("gap_us") < 1000000L, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("fast_frac"))
+        .withColumn("is_bot", col("n_gaps") >= 19L && col("fast_frac") >= 0.5)
+        .orderBy("user_id")
     })
   )
 
@@ -1018,6 +1041,25 @@ object EventQueries {
         |WHERE e3 IS NOT NULL
         |GROUP BY 1
         |ORDER BY n DESC, path
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "bot_gap_profile" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       median(gap_us) AS median_gap_us,
+        |       floor(CAST(SUM(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*) * 1e6 + 0.5) / 1e6 AS fast_frac,
+        |       (COUNT(*) >= 19 AND
+        |        floor(CAST(SUM(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / COUNT(*) * 1e6 + 0.5) / 1e6 >= 0.5) AS is_bot
+        |FROM g
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

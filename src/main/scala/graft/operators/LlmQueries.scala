@@ -2248,6 +2248,30 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L175 — longest repeated n-gram sweep: per doc, the largest
+    // n ∈ {4, 8, 16, 32} at which some word n-gram occurs >= 2 times
+    // (0 = no repeat even at n=4) — the verbatim-repeat depth gauge
+    // separating phrase-level echo (4) from template/boilerplate blocks
+    // (16, 32), the signal the Gopher dup-n-gram fractions compress
+    // away. Four gram explodes with (doc, gram)-keyed counts — the
+    // doc-bounded, partial-agg-friendly alternative to a suffix array,
+    // which has no distributed form at corpus scale.
+    "max_rep_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val reps = Seq(4, 8, 16, 32).map { n =>
+        d.select(col("doc_id"), explode(ngramsKept(col("text"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("doc_id"), lit(n.toLong).as("n"))
+          .distinct()
+      }.reduce(_ union _)
+      d.select("doc_id")
+        .join(reps.groupBy("doc_id").agg(max("n").as("max_rep_n")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("max_rep_n"))
+        .orderBy("doc_id")
+    }),
+
     // L172 — windowed co-occurrence PMI (±4 tokens, the word2vec/GloVe
     // context matrix): unordered token pairs co-occurring within the
     // window, count >= 5, ranked by ln(p(ab)/(p(a)p(b))) — the
@@ -4441,6 +4465,21 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "max_rep_ngram" ->
+      s"""WITH r AS (
+         |${Seq(4, 8, 16, 32).map(n =>
+             s"""  SELECT doc_id, $n AS n FROM (
+                |    SELECT doc_id, g, COUNT(*) AS c
+                |    FROM (SELECT doc_id, unnest(${sqlGrams(n)}) AS g FROM documents)
+                |    GROUP BY doc_id, g)
+                |  WHERE c >= 2 GROUP BY doc_id""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT d.doc_id, CAST(COALESCE(MAX(r.n), 0) AS BIGINT) AS max_rep_n
+         |FROM documents d LEFT JOIN r USING (doc_id)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "window_pmi" ->
       s"""WITH ex AS (

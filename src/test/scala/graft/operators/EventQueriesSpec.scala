@@ -414,4 +414,27 @@ class EventQueriesSpec extends SparkSpec {
     assert(psi("shifted") > 1.0, s"a wholesale shift must score high: ${psi("shifted")}")
     assert(psi("shifted") > 5 * psi("stable"))
   }
+
+  test("bot_gap_profile: exact median gap, sub-second fraction, and the " +
+       "volume+velocity bot verdict") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bot").toString
+    def ns(sec: Double): Long = (sec * 1e9).toLong
+    // u1: human — gaps 0.5s and 9.5s; u2: 21 events 0.1s apart -> bot
+    val u1 = Seq((1L, ns(0), 1L), (2L, ns(0.5), 1L), (3L, ns(10), 1L))
+    val u2 = (0 until 21).map(i => (10L + i, ns(100 + i * 0.1), 2L))
+    (u1 ++ u2).map { case (id, t, u) => (id, t, u, "click", "{}", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    val out = EventQueries.queries("bot_gap_profile")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_gaps") === 2L)
+    assert(out(1L).getAs[Double]("median_gap_us") === 5000000.0,
+      "median of {0.5s, 9.5s} interpolates to 5s")
+    assert(out(1L).getAs[Double]("fast_frac") === 0.5)
+    assert(!out(1L).getAs[Boolean]("is_bot"), "velocity alone is not enough")
+    assert(out(2L).getAs[Long]("n_gaps") === 20L)
+    assert(out(2L).getAs[Double]("fast_frac") === 1.0)
+    assert(out(2L).getAs[Boolean]("is_bot"))
+  }
 }

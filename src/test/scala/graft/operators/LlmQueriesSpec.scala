@@ -863,6 +863,23 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("max_rep_ngram: repeat depth ladder — phrase, block, none, degenerate") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-maxrep").toString
+    Seq(
+      (1L, "a b c d a b c d x"),                       // 4-gram repeats, 8 does not
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ") * 1 + " " +
+        (1 to 8).map(i => s"t$i").mkString(" ")),      // 8-token block x2
+      (3L, "x y z"),                                   // too short for any repeat
+      (4L, "m m m m m"))                               // degenerate: "m m m m" x2
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("max_rep_ngram")(spark, work).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 4L, 2L -> 8L, 3L -> 0L, 4L -> 4L))
+  }
+
   test("window_pmi: alternating two-token doc yields the exact hand-counted " +
        "pair table and PMI values") {
     import spark.implicits._
