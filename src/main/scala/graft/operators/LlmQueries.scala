@@ -52,6 +52,31 @@ object LlmQueries {
   private val SampleHashPreMod = 100000007L
   private val SampleHashMult = 2654435761L
 
+  /** n-gram identity combiner for `max_rep_ngram`: fold (acc·M + h) mod P
+    * over the window's token hashes. acc < 2³¹ after the mod and
+    * M ≈ 2²⁰, so acc·M + h < 2⁵² — no ANSI overflow at any input. One
+    * Scala source generates both engines' arithmetic.
+    */
+  private val RepHashMult = 1000003L
+  private val RepHashMod = 2147483647L
+
+  /** SQL mirror of the per-row hash-gram builder (the [[TextOps.sqlGrams]]
+    * slice/zip structure over a bound `hs` token-hash list, with the
+    * [[RepHashMult]] combiner instead of string concat; same short-doc
+    * guard — DuckDB's negative slice stops wrap around from the end).
+    */
+  private def sqlHashGrams(n: Int): String = {
+    def bound(i: Int) = {
+      val drop = n - 1 - i
+      if (drop == 0) s"hs[${i + 1}:len(hs)]" else s"hs[${i + 1}:len(hs)-$drop]"
+    }
+    val acc = (1 until n).foldLeft(bound(0)) { (a, i) =>
+      s"list_transform(list_zip($a, ${bound(i)}), " +
+        s"s -> (s[1]*$RepHashMult + s[2]) % $RepHashMod)"
+    }
+    s"CASE WHEN len(hs) < $n THEN CAST([] AS BIGINT[]) ELSE $acc END"
+  }
+
   private def sampleHash(id: org.apache.spark.sql.Column,
                          buckets: Long): org.apache.spark.sql.Column =
     ((id % lit(SampleHashPreMod)) * lit(SampleHashMult)) % buckets
@@ -2253,22 +2278,38 @@ object LlmQueries {
     // (0 = no repeat even at n=4) — the verbatim-repeat depth gauge
     // separating phrase-level echo (4) from template/boilerplate blocks
     // (16, 32), the signal the Gopher dup-n-gram fractions compress
-    // away. Four gram explodes with (doc, gram)-keyed counts — the
-    // doc-bounded, partial-agg-friendly alternative to a suffix array,
-    // which has no distributed form at corpus scale.
+    // away. A within-doc repeat exists iff size(grams) >
+    // size(distinct(grams)), so the whole sweep is ONE per-row map over
+    // the bindOnce-bound TOKEN-HASH array — gram identity is the
+    // polynomial combination of token hashes (pure long arithmetic; the
+    // string-gram form spent its time concatenating 190-char 32-grams).
+    // Hash collisions are identical on both engines by construction
+    // (same integers), and at ~50 grams/doc against a 2³¹ modulus the
+    // false-repeat odds are ~1e-6 per doc. No explode, no shuffle —
+    // the doc-bounded distributed alternative to a suffix array.
     "max_rep_ngram" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val reps = Seq(4, 8, 16, 32).map { n =>
-        d.select(col("doc_id"), explode(ngramsKept(col("text"), n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2)
-          .select(col("doc_id"), lit(n.toLong).as("n"))
-          .distinct()
-      }.reduce(_ union _)
-      d.select("doc_id")
-        .join(reps.groupBy("doc_id").agg(max("n").as("max_rep_n")),
-          Seq("doc_id"), "left")
-        .na.fill(0L, Seq("max_rep_n"))
+      def hashGrams(hs: org.apache.spark.sql.Column, n: Int) =
+        (1 until n).foldLeft(
+          slice(hs, lit(1), greatest(size(hs) - (n - 1), lit(0)))) { (acc, i) =>
+          zip_with(acc,
+            slice(hs, lit(1 + i), greatest(size(hs) - (n - 1), lit(0))),
+            (a, b) => (a * lit(RepHashMult) + b) % lit(RepHashMod))
+        }
+      val maxRep = TextOps.bindOnce(
+        transform(tokens(col("text")), tokenHash(_)), { hs =>
+          def hasRep(n: Int) = {
+            val g = hashGrams(hs, n)
+            size(g) > size(array_distinct(g))
+          }
+          // a repeated n-gram implies a repeated 4-gram, so the cheap
+          // 4-gram check gates the deep builds (CaseWhen short-circuits
+          // per row; most docs exit here). The oracle mirrors the gate
+          // so hash-collision corner cases resolve identically.
+          when(!hasRep(4), 0L)
+            .otherwise(when(hasRep(32), 32L).when(hasRep(16), 16L)
+              .when(hasRep(8), 8L).otherwise(4L))
+        })
+      docs(s, dir).select(col("doc_id"), maxRep.as("max_rep_n"))
         .orderBy("doc_id")
     }),
 
@@ -2296,7 +2337,13 @@ object LlmQueries {
         .filter(col("c_ab") >= 5)
       val uni = tp.groupBy("w").agg(count(lit(1)).as("c"))
       val nUni = broadcast(uni.agg(sum("c").as("n_uni")))
-      val nPairs = broadcast(ctx.agg(count(lit(1)).as("n_pairs")))
+      // pair total is analytic — Σ_doc Σ_{d=1..W} max(0, n_tok − d) —
+      // so the explode+join pipeline runs exactly once (for pc)
+      val nPairs = broadcast(docs(s, dir)
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .select((1 to W).map(dd => greatest(col("n") - dd, lit(0L)))
+          .reduce(_ + _).as("np"))
+        .agg(sum("np").as("n_pairs")))
       pc.join(uni.select(col("w").as("wa"), col("c").as("c_a")), "wa")
         .join(uni.select(col("w").as("wb"), col("c").as("c_b")), "wb")
         .crossJoin(nUni).crossJoin(nPairs)
@@ -2346,8 +2393,10 @@ object LlmQueries {
     // (checkpointed) stage frames, not five pipelines.
     "curation_funnel" -> ((s, dir) => {
       val d = docs(s, dir)
+      // s1 checkpointed too: it feeds its own stage count AND s2's
+      // build — without it the repetition explode pass replays
       val s1 = d.join(repetitionFrame(d).select("doc_id", "keep"), Seq("doc_id"))
-        .filter(col("keep")).drop("keep")
+        .filter(col("keep")).drop("keep").localCheckpoint(false)
       val s2 = s1.filter(qualityScore >= 2).localCheckpoint(false)
       val s3 = s2.join(Dedup.exact(s2, Seq("text"), "doc_id").select("doc_id"),
         Seq("doc_id")).localCheckpoint(false)
@@ -4467,19 +4516,19 @@ object LlmQueries {
         |ORDER BY pos""".stripMargin,
 
     "max_rep_ngram" ->
-      s"""WITH r AS (
-         |${Seq(4, 8, 16, 32).map(n =>
-             s"""  SELECT doc_id, $n AS n FROM (
-                |    SELECT doc_id, g, COUNT(*) AS c
-                |    FROM (SELECT doc_id, unnest(${sqlGrams(n)}) AS g FROM documents)
-                |    GROUP BY doc_id, g)
-                |  WHERE c >= 2 GROUP BY doc_id""".stripMargin)
-             .mkString("\n  UNION ALL\n")}
-         |)
-         |SELECT d.doc_id, CAST(COALESCE(MAX(r.n), 0) AS BIGINT) AS max_rep_n
-         |FROM documents d LEFT JOIN r USING (doc_id)
-         |GROUP BY d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH h AS (SELECT doc_id, $sqlTokenHashes AS hs FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${Seq(4, 8, 16, 32).map(n =>
+              s"${sqlHashGrams(n)} AS g$n").mkString(",\n         ")}
+         |  FROM h)
+         |SELECT doc_id,
+         |       CAST(CASE WHEN NOT (len(g4) > len(list_distinct(g4))) THEN 0
+         |                 WHEN len(g32) > len(list_distinct(g32)) THEN 32
+         |                 WHEN len(g16) > len(list_distinct(g16)) THEN 16
+         |                 WHEN len(g8) > len(list_distinct(g8)) THEN 8
+         |                 ELSE 4 END AS BIGINT) AS max_rep_n
+         |FROM g
+         |ORDER BY doc_id""".stripMargin,
 
     "window_pmi" ->
       s"""WITH ex AS (
