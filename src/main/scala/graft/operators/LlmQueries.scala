@@ -1837,6 +1837,47 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // L177 — kNN label-noise audit (the agreement test behind Confident
+    // Learning-style cleaning): for each vector, the fraction of its 5
+    // nearest neighbors (cosine) sharing its label; majority
+    // disagreement flags a suspected mislabel. Exact kNN is corpus² —
+    // neighbors are scoped to the vector's k-means cell (the SemDeDup
+    // bounded-cell trick, blockSizeGuard-enforced), which is also what
+    // a production audit does: mislabels among near neighbors are
+    // precisely the within-cell ones. Cell-keyed pair join + per-vector
+    // bounded rank window; singleton-cell vectors have no neighbors and
+    // emit no row (explicitly visible in k_found < 5 otherwise).
+    "label_noise_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val kNn = 5
+      val e = embs(s, dir)
+      val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nClusters = 8, iters = 2)
+      val assigned = CoreQueries.blockSizeGuard(
+        Similarity.clusterAssignments(e, "vec_id", "embedding", cs),
+        Seq("cluster"), maxBlock = 2048L, "label_noise_knn")
+        .join(e.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      val a = assigned.select(col("cluster"), col("id").as("vec_id"),
+        col("v").as("av"), col("label").as("la"))
+      val b = assigned.select(col("cluster"), col("id").as("nb_id"),
+        col("v").as("bv"), col("label").as("lb"))
+      a.join(b, Seq("cluster"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .withColumn("cos", Similarity.cosine(col("av"), col("bv")))
+        .filter(!isnan(col("cos")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("cos"), col("nb_id"))))
+        .filter(col("rk") <= kNn)
+        .groupBy("vec_id", "la")
+        .agg(count(lit(1)).as("k_found"),
+          sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("k_same"))
+        .select(col("vec_id"), col("la").as("label"), col("k_found"),
+          roundHU(col("k_same").cast("double") / col("k_found"), 1e6)
+            .as("agreement"),
+          (col("k_same") * 2 < col("k_found")).as("suspect"))
+        .orderBy("vec_id")
+    }),
+
     // L140 — codebook cell-balance diagnostic: members and share per
     // k-means cell, EMPTY CELLS INCLUDED (an empty or elephant cell is
     // exactly what this query exists to surface — it is the k-chooser
@@ -4186,6 +4227,30 @@ object LlmQueries {
     "ann_recall" -> annRecallOracle(nPlanes = 4, dim = 64, k = 10),
 
     "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "label_noise_knn" ->
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |${ivfChainCtes(8, 2)},
+         |pairs AS (
+         |  SELECT aa.vec_id AS vec_id, ab.vec_id AS nb_id,
+         |         a.label AS la, b.label AS lb,
+         |         ${sqlCos("a", "b")} AS cos
+         |  FROM assign aa JOIN assign ab ON aa.cl = ab.cl AND aa.vec_id <> ab.vec_id
+         |  JOIN v a ON a.vec_id = aa.vec_id
+         |  JOIN v b ON b.vec_id = ab.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, la, lb,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk
+         |  FROM pairs WHERE cos IS NOT NULL)
+         |SELECT vec_id, la AS label,
+         |       CAST(COUNT(*) AS BIGINT) AS k_found,
+         |       floor(CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*) * 1e6 + 0.5) / 1e6 AS agreement,
+         |       (SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) * 2 < COUNT(*)) AS suspect
+         |FROM ranked
+         |WHERE rk <= 5
+         |GROUP BY vec_id, la
+         |ORDER BY vec_id""".stripMargin,
 
     "semantic_dedup" -> semanticDedupOracle(nClusters = 8, iters = 2,
       threshold = "0.4"),

@@ -96,7 +96,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val ConstructionJobsAllowlist =
     Set("ann_ivf_topk", "ann_ivf_recall", "ann_tuning_curve",
-      "semantic_dedup", "cluster_balance", "clustering_coeff")
+      "semantic_dedup", "cluster_balance", "clustering_coeff",
+      "label_noise_knn")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {

@@ -863,6 +863,38 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("label_noise_knn: a minority label inside a tight blob is flagged; " +
+       "the majority agrees with itself") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-noise").toString
+    // 30 identical vectors (one cell, all cosines 1.0, neighbor order =
+    // id order): ids 1-5 labeled 1, 6-30 labeled 0 — every label-0
+    // vector's top-5 neighbors are exactly ids 1..5
+    (1L to 30L).map(i => (i, Seq(3f, 4f), if (i <= 5) 1 else 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val out = LlmQueries.queries("label_noise_knn")(spark, work).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 30)
+    assert(out.values.forall(_.getAs[Long]("k_found") === 5L))
+    assert(out(1L).getAs[Double]("agreement") === 0.8,
+      "a label-1 vec sees 4 of its 5 lowest-id neighbors sharing label 1")
+    assert(!out(1L).getAs[Boolean]("suspect"))
+    assert(out(6L).getAs[Double]("agreement") === 0.0)
+    assert(out(6L).getAs[Boolean]("suspect"))
+    assert((6L to 30L).forall(out(_).getAs[Boolean]("suspect")),
+      "every majority-label vec's neighbor set here is the minority block")
+    // real corpus: verdict consistency and bounded agreement
+    val sf = LlmQueries.queries("label_noise_knn")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(sf.forall { r =>
+      val (k, a, sus) = (r.getAs[Long]("k_found"), r.getAs[Double]("agreement"),
+        r.getAs[Boolean]("suspect"))
+      k >= 1 && k <= 5 && a >= 0.0 && a <= 1.0 &&
+        (sus == (math.round(a * k) * 2 < k))
+    })
+  }
+
   test("max_rep_ngram: repeat depth ladder — phrase, block, none, degenerate") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-maxrep").toString
