@@ -1837,6 +1837,36 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // L178 — vector norm profile per label: exact quartiles of ‖v‖ plus
+    // zero-norm and Tukey-fence outlier counts — the index-health check
+    // run before any cosine machinery (zero norms NaN out of every
+    // cosine; extreme norms distort IP-metric ANN and quantizer
+    // training). Norms are per-row folds over the bound vector
+    // (decimal-free: a per-row ordered fold is already deterministic),
+    // label-keyed exact percentiles (the median_mode parity).
+    "vector_norm_profile" -> ((s, dir) => {
+      val norm = sqrt(aggregate(Similarity.toDouble(col("embedding")),
+        lit(0.0), (a, x) => a + x * x))
+      val n = embs(s, dir).select(col("label"), norm.as("nrm"))
+        .localCheckpoint(false) // feeds the percentile pass AND the fence count
+      val stats = n.groupBy("label").agg(
+        percentile(col("nrm"), lit(0.25)).as("q1"),
+        percentile(col("nrm"), lit(0.5)).as("med"),
+        percentile(col("nrm"), lit(0.75)).as("q3"))
+      n.join(stats, "label")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          max(col("med")).as("m"), max(col("q3") - col("q1")).as("iqr"),
+          sum(when(abs(col("nrm") - col("med")) > (col("q3") - col("q1")) * 1.5, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("label"), col("n"), col("n_zero"),
+          roundHU(col("m"), 1e6).as("median_norm"),
+          roundHU(col("iqr"), 1e6).as("iqr"),
+          col("n_outliers"))
+        .orderBy("label")
+    }),
+
     // L177 — kNN label-noise audit (the agreement test behind Confident
     // Learning-style cleaning): for each vector, the fraction of its 5
     // nearest neighbors (cosine) sharing its label; majority
@@ -4227,6 +4257,27 @@ object LlmQueries {
     "ann_recall" -> annRecallOracle(nPlanes = 4, dim = 64, k = 10),
 
     "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "vector_norm_profile" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         sqrt(CASE WHEN len(e) = 0 THEN 0.0
+        |              ELSE list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)
+        |              END) AS nrm
+        |  FROM (SELECT label, list_transform(embedding, u -> CAST(u AS DOUBLE)) AS e
+        |        FROM embeddings)),
+        |stats AS (
+        |  SELECT label, quantile_cont(nrm, 0.25) AS q1, median(nrm) AS med,
+        |         quantile_cont(nrm, 0.75) AS q3
+        |  FROM n GROUP BY label)
+        |SELECT n.label, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       floor(MAX(med) * 1e6 + 0.5) / 1e6 AS median_norm,
+        |       floor(MAX(q3 - q1) * 1e6 + 0.5) / 1e6 AS iqr,
+        |       CAST(SUM(CASE WHEN abs(nrm - med) > (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM n JOIN stats USING (label)
+        |GROUP BY n.label
+        |ORDER BY n.label""".stripMargin,
 
     "label_noise_knn" ->
       s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -863,6 +863,25 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("vector_norm_profile: 3-4-5 norms quantile exactly; zero vector and " +
+       "fat outlier counted") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-nrm").toString
+    // norms: {0, 5, 5, 5, 100}: med 5, q1 5, q3 5, iqr 0;
+    // fence |x-5| > 0 catches BOTH 0 and 100
+    Seq((1L, Seq(0f, 0f), 0), (2L, Seq(3f, 4f), 0), (3L, Seq(4f, 3f), 0),
+      (4L, Seq(5f, 0f), 0), (5L, Seq(60f, 80f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    val r = LlmQueries.queries("vector_norm_profile")(spark, work).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n") === 5L)
+    assert(r.head.getAs[Long]("n_zero") === 1L)
+    assert(r.head.getAs[Double]("median_norm") === 5.0)
+    assert(r.head.getAs[Double]("iqr") === 0.0)
+    assert(r.head.getAs[Long]("n_outliers") === 2L)
+  }
+
   test("label_noise_knn: a minority label inside a tight blob is flagged; " +
        "the majority agrees with itself") {
     import spark.implicits._
