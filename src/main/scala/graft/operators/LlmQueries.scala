@@ -1837,6 +1837,47 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // L179 — CCNet perplexity terciles (Wenzek et al. 2020): docs bucket
+    // into head/middle/tail by corpus-LM surprisal rank (unigram formula,
+    // the unigram_logprob signal), reported as the per-source mix — the
+    // table CCNet-style pipelines use to keep the fluent head and drop
+    // or re-weight the tail. The global rank runs through the two-phase
+    // exclusivePrefix (a naive percentile over per-DOC scores is a
+    // data-sized single-node sort at 100 TB); tercile membership is pure
+    // integer arithmetic on the exclusive cumulative count, so tied
+    // scores always share a bucket.
+    "ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = broadcast(counts.agg(sum("cnt").as("total_tok")))
+      val surp = toks.join(counts, "token").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(sum(roundHU(-log(col("cnt") / col("total_tok")), 1e6)
+          .cast("decimal(18,6)")).as("ssum"),
+          count(lit(1)).cast("long").as("n_tok"))
+        .select(col("doc_id"),
+          roundHU(col("ssum").cast("double") / col("n_tok"), 1e6).as("surp"))
+        .localCheckpoint(false) // feeds the distinct-value rank AND the doc join
+      val perVal = surp.groupBy("surp").agg(count(lit(1)).as("c"))
+      val ranked = CoreQueries.exclusivePrefix(perVal, "surp", Seq("c"))
+      val nTot = broadcast(surp.agg(count(lit(1)).as("n_scored")))
+      val bucketed = surp
+        .join(ranked.select(col("surp"), col("cum_c")), "surp")
+        .crossJoin(nTot)
+        .withColumn("bucket",
+          when(col("cum_c") * 3 < col("n_scored"), "head")
+            .when(col("cum_c") * 3 < col("n_scored") * 2, "middle")
+            .otherwise("tail"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      bucketed
+        .join(bucketed.groupBy("source").agg(sum("n").as("src_tot")), "source")
+        .select(col("source"), col("bucket"), col("n"),
+          roundHU(col("n").cast("double") / col("src_tot"), 1e6).as("share"))
+        .orderBy("source", "bucket")
+    }),
+
     // L178 — vector norm profile per label: exact quartiles of ‖v‖ plus
     // zero-norm and Tukey-fence outlier counts — the index-health check
     // run before any cosine machinery (zero norms NaN out of every
@@ -4257,6 +4298,42 @@ object LlmQueries {
     "ann_recall" -> annRecallOracle(nPlanes = 4, dim = 64, k = 10),
 
     "ann_ivf_topk" -> ivfAnnOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |tot AS (SELECT SUM(cnt) AS total_tok FROM c),
+         |surp AS (
+         |  SELECT doc_id,
+         |         floor(CAST(SUM(CAST(floor(-ln(cnt / total_tok) * 1e6 + 0.5) / 1e6
+         |                              AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(*) * 1e6 + 0.5) / 1e6 AS surp
+         |  FROM tok JOIN c USING (token), tot
+         |  GROUP BY doc_id),
+         |pv AS (SELECT surp, CAST(COUNT(*) AS BIGINT) AS c FROM surp GROUP BY surp),
+         |rk AS (
+         |  SELECT surp,
+         |         CAST(COALESCE(SUM(c) OVER (ORDER BY surp
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_c
+         |  FROM pv),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM surp),
+         |b AS (
+         |  SELECT d.source,
+         |         CASE WHEN rk.cum_c * 3 < nt.n_scored THEN 'head'
+         |              WHEN rk.cum_c * 3 < nt.n_scored * 2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket
+         |  FROM surp
+         |  JOIN rk USING (surp)
+         |  JOIN documents d USING (doc_id)
+         |  CROSS JOIN nt),
+         |g AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM b GROUP BY source, bucket)
+         |SELECT g.source, g.bucket, g.n,
+         |       floor(CAST(g.n AS DOUBLE) / st.src_tot * 1e6 + 0.5) / 1e6 AS share
+         |FROM g
+         |JOIN (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tot FROM g GROUP BY source) st
+         |  USING (source)
+         |ORDER BY g.source, g.bucket""".stripMargin,
 
     "vector_norm_profile" ->
       """WITH n AS (

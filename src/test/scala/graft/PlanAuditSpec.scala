@@ -71,7 +71,7 @@ class PlanAuditSpec extends SparkSpec {
   private val GlobalWindowAllowlist =
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
       "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
-      "vocab_coverage", "packing_fragmentation")
+      "vocab_coverage", "packing_fragmentation", "ccnet_buckets")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

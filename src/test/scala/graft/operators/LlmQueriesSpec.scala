@@ -863,6 +863,31 @@ class LlmQueriesSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("variance") === 1.0)
   }
 
+  test("ccnet_buckets: surprisal terciles split a common/rare-token corpus " +
+       "exactly; tied scores share a bucket") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ccnet").toString
+    // surprisal order: d1=d2 (all common 'w') < d3 < d4 < d5=d6 (all
+    // rare); 6 docs -> terciles of 2; the d1/d2 and d5/d6 ties must
+    // land whole in head/tail
+    Seq(
+      (1L, "w w w w w w", "A"), (2L, "w w w w w w", "A"),
+      (3L, "w w r1", "A"), (4L, "w r2 r3", "B"),
+      (5L, "r4 r5 r6", "B"), (6L, "r7 r8 r9", "B"))
+      .map { case (id, t, s0) => (id, t, "en", s0, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("ccnet_buckets")(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("share"))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(("A", "head")) === (2L, r6(2.0 / 3)))
+    assert(out(("A", "middle")) === (1L, r6(1.0 / 3)))
+    assert(out(("B", "middle")) === (1L, r6(1.0 / 3)))
+    assert(out(("B", "tail")) === (2L, r6(2.0 / 3)))
+    assert(out.size === 4, "no head docs in B, no tail docs in A")
+  }
+
   test("vector_norm_profile: 3-4-5 norms quantile exactly; zero vector and " +
        "fat outlier counted") {
     import spark.implicits._

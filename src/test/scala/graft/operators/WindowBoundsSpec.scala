@@ -73,7 +73,7 @@ class WindowBoundsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     for (name <- Seq("gini_concentration", "ks_test", "rfm_segments",
-        "kaplan_meier", "packing_fragmentation")) {
+        "kaplan_meier", "packing_fragmentation", "ccnet_buckets")) {
       val plan = SparkEntry.queries(name)(spark, Sf10).queryExecution.sparkPlan
       val globals = plan.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty => w
