@@ -546,19 +546,29 @@ object Multimodal {
     * pair within Hamming 3 of 64 bits shares at least one band by
     * pigeonhole — the [[graft.llm.Dedup.simhashNearDups]] blocking
     * idea at image scale), `bit_count(xor)` confirms inside the join
-    * stage. Bucket join only — never all-pairs.
+    * stage. Bucket join only — never all-pairs; and because a hot band
+    * key (flat/near-black thumbnails all hashing to 0, or a
+    * mass-duplicated image) would silently turn one bucket's a×b join
+    * into all-pairs-within-it, the banded frame runs through
+    * [[graft.operators.CoreQueries.blockSizeGuard]] on (band, key):
+    * the first bucket above `maxBucket` fails the JOB naming the key,
+    * the same bounded-block contract every other near-dup path here
+    * enforces (winnowing's df cap, label_noise_knn's cell guard).
     */
-  def dHashNearDups(hashes: Dataset[DHash], maxHamming: Int): DataFrame = {
+  def dHashNearDups(hashes: Dataset[DHash], maxHamming: Int,
+                    maxBucket: Long = 1000L): DataFrame = {
     require(maxHamming <= 3,
       "4 bands of 16 bits guarantee recall only to Hamming 3 — widen the banding first")
     import org.apache.spark.sql.functions._
-    val banded = hashes.toDF()
+    val banded0 = hashes.toDF()
       .select(col("media_id"), col("dhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
           .as("bk"))
       .select(col("media_id"), col("dhash"), col("bk.band"), col("bk.key"))
+    val banded = graft.operators.CoreQueries.blockSizeGuard(
+      banded0, Seq("band", "key"), maxBucket, "dHashNearDups")
     val a = banded.select(col("band"), col("key"),
       col("media_id").as("a_id"), col("dhash").as("a_h"))
     val b = banded.select(col("band"), col("key"),

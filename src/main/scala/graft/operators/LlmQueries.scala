@@ -52,6 +52,20 @@ object LlmQueries {
   private val SampleHashPreMod = 100000007L
   private val SampleHashMult = 2654435761L
 
+  /** Evaluation-harness sample bounds, the SINGLE source of truth for the
+    * `doc_id < N` slice that the tuning/attribution/APSS queries AND
+    * their oracle SQL share (tuning sweeps and ground-truth-recall
+    * evaluations run on a sample by convention — computing exact recall
+    * over the full corpus would defeat the index being tuned; see
+    * lsh_tuning_curve's header comment). One constant referenced by both
+    * sides so the query and its oracle can never drift apart.
+    * [[EvalSampleBound]]: lsh_tuning_curve / near_dup_ensemble /
+    * allpairs_tfidf; [[PrefixEvalBound]]: prefix_near_dup's 500-doc
+    * slice (= the full sf0.01 corpus).
+    */
+  private[operators] val EvalSampleBound = 1000
+  private[operators] val PrefixEvalBound = 500
+
   /** n-gram identity combiner for `max_rep_ngram`: fold (acc·M + h) mod P
     * over the window's token hashes. acc < 2³¹ after the mod and
     * M ≈ 2²⁰, so acc·M + h < 2⁵² — no ANSI overflow at any input. One
@@ -440,7 +454,7 @@ object LlmQueries {
     // setting. Ground truth comes from the EXACT-recall prefix-filter
     // path (never all-pairs); the signature table is computed once and
     // every sweep point re-buckets it (one explode + keyed self-join per
-    // point, the lsh_near_dup shape). Input bounded to doc_id < 1000
+    // point, the lsh_near_dup shape). Input bounded to EvalSampleBound
     // (the prefix_near_dup convention): a tuning sweep is an evaluation
     // harness you run on a SAMPLE to pick the knob — computing exact
     // ground-truth recall over the full corpus would defeat the point
@@ -448,7 +462,7 @@ object LlmQueries {
     // min-collision-heavy synthetic corpus. sf0.01 (500 docs) unaffected.
     "lsh_tuning_curve" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(
-          docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text")
+          docs(s, dir).filter(col("doc_id") < EvalSampleBound), "doc_id", "text")
         .localCheckpoint(false)
       val truth = Dedup.confirmJaccard(
           Dedup.prefixFilterPairs(sigs, "doc_id", threshold = 0.5),
@@ -497,7 +511,7 @@ object LlmQueries {
     // minimum-overlap bound (the double-ceil rounding trap lives at
     // t·|s| integer boundaries).
     "prefix_near_dup" -> ((s, dir) => {
-      Dedup.prefixNearDups(docs(s, dir).filter(col("doc_id") < 500),
+      Dedup.prefixNearDups(docs(s, dir).filter(col("doc_id") < PrefixEvalBound),
           "doc_id", "text", threshold = 0.25)
         .orderBy("a_id", "b_id")
     }),
@@ -511,7 +525,7 @@ object LlmQueries {
     // of prefixes so posting buckets stay bounded. The oracle computes
     // naive all-pairs — identical rows BY THE EXACT-RECALL GUARANTEE,
     // which the hash compare therefore proves mechanically.
-    // Input bounded to doc_id < 1000 (the prefix_near_dup convention):
+    // Input bounded to EvalSampleBound (the prefix_near_dup convention):
     // the ~56-token synthetic vocabulary is APSS-hostile — every doc
     // shares hot terms with every other, so candidate volume grows
     // ~n²/|vocab| no matter the term order (real corpora are Zipfian
@@ -519,7 +533,7 @@ object LlmQueries {
     // keep); the bound keeps the bench workload sized to what this
     // data can meaningfully exercise. sf0.01 (500 docs) is unaffected.
     "allpairs_tfidf" -> ((s, dir) => {
-      AllPairs.tfidfNearDupPairs(docs(s, dir).filter(col("doc_id") < 1000),
+      AllPairs.tfidfNearDupPairs(docs(s, dir).filter(col("doc_id") < EvalSampleBound),
           "doc_id", "text", threshold = 0.9)
         .orderBy("a_id", "b_id")
     }),
@@ -534,7 +548,7 @@ object LlmQueries {
     // knob; this attributes per-pair recall across families). Truth and
     // flags are all keyed joins; nothing quadratic.
     "near_dup_ensemble" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("doc_id") < 1000)
+      val d = docs(s, dir).filter(col("doc_id") < EvalSampleBound)
       val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
         .localCheckpoint(false)
       val truth = Dedup.confirmJaccard(
@@ -1879,7 +1893,10 @@ object LlmQueries {
     }),
 
     // L178 — vector norm profile per label: exact quartiles of ‖v‖ plus
-    // zero-norm and Tukey-fence outlier counts — the index-health check
+    // zero-norm and outlier counts, the outlier rule a MEDIAN-CENTERED
+    // 1.5·IQR band (|x − med| > 1.5·IQR — deliberately symmetric, NOT
+    // the textbook Tukey [q1−1.5·IQR, q3+1.5·IQR] fences: one threshold
+    // to reason about, identical on both engines) — the index-health check
     // run before any cosine machinery (zero norms NaN out of every
     // cosine; extreme norms distort IP-metric ANN and quantizer
     // training). Norms are per-row folds over the bound vector
@@ -2590,7 +2607,9 @@ object LlmQueries {
     }),
 
     // L168 — robust per-dimension embedding statistics: exact median,
-    // IQR and Tukey-fence outlier count (|x − med| > 1.5·IQR) per
+    // IQR and outlier count under a MEDIAN-CENTERED 1.5·IQR band
+    // (|x − med| > 1.5·IQR — deliberately symmetric, NOT the textbook
+    // Tukey [q1−1.5·IQR, q3+1.5·IQR] fences) per
     // dimension — the moment-free companion of dimension_variance
     // (variance hides heavy tails; a dim with a tight IQR but fat
     // outlier count needs clipping before int8 quantization). Exact
@@ -3226,7 +3245,7 @@ object LlmQueries {
          |         (SELECT CAST(COUNT(*) AS BIGINT)
          |          FROM truth t JOIN cand$r c USING (a_id, b_id)) AS n_hit)""".stripMargin
     }
-    s"""WITH ${sqlSigsBounded(1000)},
+    s"""WITH ${sqlSigsBounded(EvalSampleBound)},
        |truth AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -3322,7 +3341,7 @@ object LlmQueries {
          |WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "lsh_tuning_curve" -> lshTuningCurveOracle(Seq(1, 2, 4), "0.5"), // doc_id < 1000 mirrored in the CTE
+    "lsh_tuning_curve" -> lshTuningCurveOracle(Seq(1, 2, 4), "0.5"), // EvalSampleBound mirrored in the CTE
 
     // pair set ≡ lsh_near_dup's oracle (bands candidates + exact jaccard
     // confirm), then the source lookup and ordered-pair rollup
@@ -3366,7 +3385,7 @@ object LlmQueries {
     // prefix-filtered path must return the identical pair set the
     // oracle derives from naive all-pairs
     "prefix_near_dup" ->
-      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents WHERE doc_id < 500)
+      s"""WITH sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents WHERE doc_id < $PrefixEvalBound)
          |SELECT * FROM (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |         ${sqlJaccard("a", "b")} AS jaccard
@@ -3379,7 +3398,7 @@ object LlmQueries {
     // sorted-neighborhood fragments as lsh_near_dup /
     // sorted_neighborhood_dup's oracles
     "near_dup_ensemble" ->
-      s"""WITH ${sqlSigsBounded(1000)},
+      s"""WITH ${sqlSigsBounded(EvalSampleBound)},
          |truth AS (
          |  SELECT * FROM (
          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -3398,7 +3417,7 @@ object LlmQueries {
          |k AS (
          |  SELECT doc_id,
          |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS skey
-         |  FROM documents WHERE doc_id < 1000),
+         |  FROM documents WHERE doc_id < $EvalSampleBound),
          |r AS (
          |  SELECT doc_id, substr(skey, 1, 8) AS blk,
          |         row_number() OVER (PARTITION BY substr(skey, 1, 8)
@@ -3552,7 +3571,7 @@ object LlmQueries {
     // point (6dp half-up → DECIMAL(18,6) sums → double) mirrors
     // AllPairs.tfidfUnitWeights / tfidfNearDupPairs term for term
     "allpairs_tfidf" ->
-      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < $EvalSampleBound),
          |tf AS (
          |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
          |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM d)

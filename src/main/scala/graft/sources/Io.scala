@@ -125,6 +125,15 @@ object Io {
     * layer can count and quarantine bad lines instead of a job abort
     * 80 TB into a read. Explicit schema — JSON inference is a full
     * extra pass at scale (the §2.1 contract all scans here follow).
+    *
+    * CAVEAT (Spark contract, not ours): a query that references ONLY
+    * `corruptCol` on the raw scan raises `AnalysisException` — Spark
+    * forbids projecting just the corrupt-record column from an
+    * un-materialized JSON read. Materialize first (`.cache()` — what
+    * IoSpec does) or select the corrupt column ALONGSIDE at least one
+    * data column (e.g. `df.filter(col(corruptCol).isNotNull)
+    * .select(idCol, corruptCol)`); the bad-line COUNT is always safe as
+    * `df.filter(col(corruptCol).isNotNull).select(anyDataCol).count()`.
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 corruptCol: String = "_corrupt_record"): DataFrame = {

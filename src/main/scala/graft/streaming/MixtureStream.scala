@@ -18,13 +18,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * cardinality, the smallest of the gate family (the MinHash gate holds
   * shingle sets, the semantic gate vectors; this holds one long).
   *
-  * Admission is greedy in arrival order: a doc that would overflow the
+  * Admission is greedy in doc_id order WITHIN each micro-batch (and
+  * batch-arrival order across batches): a doc that would overflow the
   * remaining budget is rejected, but the source stays open — a later,
-  * smaller doc may still fit (greedy knapsack-by-arrival, the rule a
-  * budgeted sampler wants; terminal close-on-first-overflow would
-  * under-fill every source whose doc sizes vary). Unknown sources are
-  * rejected explicitly: a budget gate must not silently pass traffic
-  * the plan never saw.
+  * smaller doc may still fit (greedy knapsack, the rule a budgeted
+  * sampler wants; terminal close-on-first-overflow would under-fill
+  * every source whose doc sizes vary). The within-batch sort exists
+  * because groupByKey's shuffle orders only by KEY — same-source rows
+  * arriving from multiple upstream partitions would otherwise
+  * interleave non-deterministically, making which doc gets the last
+  * budget tokens a partition-race (invisible with single-partition
+  * MemoryStream feeds, real on any sharded source). Sorting the group
+  * iterator by doc_id pins one verdict per input, any partitioning.
+  * The buffer this costs is one micro-batch's single-source slice —
+  * trigger-bounded, not stream-bounded. Unknown sources are rejected
+  * explicitly: a budget gate must not silently pass traffic the plan
+  * never saw.
   */
 object MixtureStream {
 
@@ -60,7 +69,9 @@ object MixtureStream {
             case Some(budget) =>
               var st = state.getOption.getOrElse(SrcState(0L))
               val out = Seq.newBuilder[BudgetVerdict]
-              batch.foreach { d =>
+              // deterministic greedy order: see the scaladoc — shuffle
+              // delivery order within a key is a partition race
+              batch.toSeq.sortBy(_.doc_id).foreach { d =>
                 val fits = d.n_tok >= 0 && st.admitted + d.n_tok <= budget
                 if (fits) st = SrcState(st.admitted + d.n_tok)
                 out += BudgetVerdict(d.doc_id, source, d.n_tok, fits, st.admitted)

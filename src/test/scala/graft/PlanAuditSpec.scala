@@ -110,15 +110,66 @@ class PlanAuditSpec extends SparkSpec {
     }.filter(path => FactTables.exists(t => path.contains(s"$t.parquet")))
 
   /** A broadcast-hinted subtree is "bounded" when it aggregates or limits
-    * before the exchange, filters rows (our hinted filters are key-range
-    * probes like `vec_id < 10`), or touches no fact-scaled table.
+    * before the exchange, filters rows by a LITERAL KEY COMPARISON (our
+    * hinted filters are key-range probes like `vec_id < 10`), or touches
+    * no fact-scaled table. A bare `Filter` node is NOT evidence — r8
+    * hygiene finding: `broadcast(fact.filter(col("x").isNotNull))` used
+    * to pass this check while broadcasting an unbounded side, because
+    * any Filter counted. Only a comparison (or IN) of a column against
+    * literals plausibly bounds cardinality; null checks / column-column
+    * predicates do not.
     */
+  private def literallyBounding(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // the ANALYZED (unoptimized) plan keeps type-coercion Casts around
+    // both sides of `doc_id < 1000` — see through them
+    def strip(e: Expression): Expression = e match {
+      case c: Cast => strip(c.child)
+      case other   => other
+    }
+    def isCol(e: Expression): Boolean = strip(e).isInstanceOf[Attribute]
+    cond.exists {
+      case BinaryComparison(l, r) =>
+        (isCol(l) && r.foldable) || (l.foldable && isCol(r))
+      case In(v, list) => isCol(v) && list.forall(_.foldable)
+      case InSet(v, _) => isCol(v)
+      case _ => false
+    }
+  }
+
   private def broadcastSideBounded(subtree: LogicalPlan): Boolean = {
     val shrinks = subtree.collectWithSubqueries {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Filter |
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit |
           _: Distinct | _: Deduplicate => true
+      case f: Filter if literallyBounding(f.condition) => true
     }
     shrinks.nonEmpty || factLeafPaths(subtree).isEmpty
+  }
+
+  test("audit flags a forced broadcast bounded only by a non-literal filter") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fact = spark.read.parquet(s"$SfDir/lineitem.parquet")
+    // isNotNull prunes ~nothing: this side scales with the fact table and
+    // the old any-Filter rule waved it through
+    val bad = fact.join(
+      broadcast(fact.filter(col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("k"))),
+      fact("l_orderkey") === col("k"))
+    val unbounded = bad.queryExecution.analyzed.collectWithSubqueries {
+      case h: ResolvedHint if !broadcastSideBounded(h.child) => h
+    }
+    assert(unbounded.nonEmpty,
+      "a broadcast(fact.filter(isNotNull)) must be flagged as unbounded")
+    // and the legitimate key-range probe shape stays allowed
+    val ok = fact.join(
+      broadcast(fact.filter(col("l_orderkey") < 10)
+        .select(col("l_orderkey").as("k"))),
+      fact("l_orderkey") === col("k"))
+    val flaggedOk = ok.queryExecution.analyzed.collectWithSubqueries {
+      case h: ResolvedHint if !broadcastSideBounded(h.child) => h
+    }
+    assert(flaggedOk.isEmpty,
+      "a literal key-range-probe broadcast must stay allowed")
   }
 
   test("every registered query passes the four scale invariants") {
