@@ -689,15 +689,17 @@ object Dedup {
     // the edge list joins against labels EVERY round — materialize it
     // once (upstream may be an expensive near-dup computation) instead
     // of replaying its plan per iteration
-    val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+    val sym0 = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .unionByName(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
-      // partitioned by the per-round join key so the checkpointed edge
-      // list is never re-exchanged inside the loop (the pagerank/LPA
-      // lesson; only the label table shuffles per round)
-      .repartition(
+    // checkpoint partitioned AND sorted by the per-round join key via
+    // the bridge — a plain localCheckpoint under AQE snapshots
+    // UnknownPartitioning (see CheckpointBridge), so the loop was
+    // silently re-exchanging and re-sorting the edge list every round;
+    // with the declared layout only the label table moves per round
+    val sym = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .partitionedCheckpoint(sym0,
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("dst"))
-      .localCheckpoint()
+        Seq("dst"), Seq("dst"))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

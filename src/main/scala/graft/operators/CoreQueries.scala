@@ -202,26 +202,34 @@ object CoreQueries {
     val baskets = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val e = baskets.as("a")
+    val e0 = baskets.as("a")
       .join(baskets.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
-      // checkpoint PARTITIONED BY THE ROUND JOIN KEY: LogicalRDD keeps
-      // the hash partitioning, so every round's edge⨝label join reuses
-      // it and only the (small) label table shuffles — without this the
-      // full edge list re-exchanged every iteration
-      .repartition(shufflePartitions(s), col("dst"))
-      .localCheckpoint(false) // reused every round
+    // checkpoint PARTITIONED AND SORTED BY THE ROUND JOIN KEY via the
+    // bridge: plain localCheckpoint under AQE snapshots
+    // UnknownPartitioning (see CheckpointBridge), so every round was
+    // silently re-exchanging AND re-sorting the full edge list; with
+    // the declared partitioning + ordering each round's SMJ streams the
+    // edge side with zero exchange and zero sort — only the (small)
+    // label table shuffles
+    val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"), Seq("dst"))
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iters) {
+      // ONE aggregation per round, not two: deterministic mode(lbl) is
+      // exactly LPA's update rule (most frequent neighbor label, ties ->
+      // LOWEST label, matching the oracle's ORDER BY cnt DESC, lbl pick)
+      // and partial-aggregates map-side as per-node label-count maps —
+      // the previous count-per-(node,lbl) + max_by-per-node pair paid a
+      // second full shuffle every round for the same result (r8: LPA
+      // 4.6s vs pagerank's 3.6s on the same edge list; the extra
+      // per-round exchange was the difference)
       lbl = e.join(lbl.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        .agg(max_by(col("lbl"),
-          struct(col("cnt"), (-col("lbl")).as("neg"))).as("lbl"))
+        .groupBy(col("src").as("node"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
       if (i % LpaCheckpointStride == 0 && i < iters)
         lbl = lbl.localCheckpoint(false)
     }
@@ -277,14 +285,15 @@ object CoreQueries {
     // construction, so a separate deg checkpoint paid a full extra
     // planning+execution cycle for a table the ed build derives anyway.
     // Node set and count both come off the checkpointed ed below.
-    val ed = e.join(e.groupBy("src").agg(sum("wt").as("wsum")), "src")
+    val ed0 = e.join(e.groupBy("src").agg(sum("wt").as("wsum")), "src")
       .select(col("src"), col("dst"),
         (col("wt").cast("double") / col("wsum")).as("p"))
-      // partitioned by the round join key (see lpaPlan): each power
-      // iteration reuses the checkpoint's hash partitioning instead of
-      // re-exchanging the edge list
-      .repartition(shufflePartitions(s), col("src"))
-      .localCheckpoint(false)
+    // partitioned AND sorted by the round join key via the bridge (see
+    // lpaPlan / CheckpointBridge — plain localCheckpoint loses the
+    // partitioning under AQE): each power iteration's SMJ streams the
+    // edge side exchange-free and sort-free; only the rank table moves
+    val ed = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .partitionedCheckpoint(ed0, shufflePartitions(s), Seq("src"), Seq("src"))
     val nodes = ed.select(col("src").as("id")).distinct()
     val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var r = nodes.crossJoin(n)
@@ -1322,7 +1331,7 @@ object CoreQueries {
       val dk = deg.select(col("src").as("n"), col("degree").as("d"))
       // orient each edge from the (degree, id)-smaller endpoint; carry the
       // head's order key so wedge pairs can be emitted in closure order
-      val oriented = e
+      val oriented0 = e
         .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
         .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
         .select(
@@ -1333,11 +1342,13 @@ object CoreQueries {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"),
               col("ds").as("dv"))).as("o"))
         .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-        // partitioned by the wedge join key: both wedge sides read the
-        // checkpoint's partitioning instead of re-exchanging the
-        // oriented edge list twice
-        .repartition(shufflePartitions(s), col("u"))
-        .localCheckpoint(false) // reused: two wedge sides + closure probe
+      // partitioned AND sorted by the wedge join key via the bridge
+      // (plain localCheckpoint loses the partitioning under AQE, see
+      // CheckpointBridge): the wedge self-join reads BOTH sides from
+      // the checkpoint exchange-free and sort-free; reused again by the
+      // closure probe
+      val oriented = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(oriented0, shufflePartitions(s), Seq("u"), Seq("u"))
       val wedges = oriented.select(col("u"), col("v").as("a"), col("dv").as("da"))
         .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
           Seq("u"))

@@ -66,6 +66,12 @@ object LlmQueries {
   private[operators] val EvalSampleBound = 1000
   private[operators] val PrefixEvalBound = 500
 
+  /** Number of greedy BPE merge steps `bpe_apply` learns and applies —
+    * the single source of truth for the Spark learning loop AND the
+    * oracle's unrolled CTE chain (the PageRankIters convention).
+    */
+  private[operators] val BpeMerges = 5
+
   /** n-gram identity combiner for `max_rep_ngram`: fold (acc·M + h) mod P
     * over the window's token hashes. acc < 2³¹ after the mod and
     * M ≈ 2²⁰, so acc·M + h < 2⁵² — no ANSI overflow at any input. One
@@ -2318,6 +2324,99 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // L151b — BPE merge application: bpe_pair_counts computes ONE merge
+    // step's statistics; this runs the actual tokenizer-training inner
+    // loop — BpeMerges greedy steps, each counting adjacent symbol-pair
+    // frequencies corpus-wide, picking the top pair (count desc, pair
+    // asc — one deterministic winner per step on both engines) and
+    // rewriting every word — then reports, per step, the learned pair,
+    // its pre-merge frequency, and the corpus token count after merges
+    // 1..step. The merge table is O(K) driver state by construction
+    // (the IVF-codebook contract; ConstructionJobsAllowlist): each
+    // learning step is one distributed pair-count aggregate + a top-1
+    // TakeOrdered collect. Words ride as marker-delimited symbol
+    // strings (\u0002 sym \u0003 \u0002 sym \u0003 ...): applying a merge is
+    // then ONE all-occurrence left-to-right replace() — identical
+    // string semantics in Spark and DuckDB — and the markers make
+    // symbol boundaries unambiguous (a pattern can never match inside
+    // or across a symbol: \u0002 occurs only at symbol starts, \u0003
+    // only at ends). The final per-step token counts come from a
+    // SINGLE distributed pass (K running-rewrite sum columns in one
+    // aggregate over the checkpointed encoding).
+    "bpe_apply" -> ((s, dir) => {
+      val S = "\u0002"; val E = "\u0003"
+      def syms(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        split(regexp_replace(c, s"^$S|$E$$", ""), s"$E$S")
+      def applyMerge(c: org.apache.spark.sql.Column, a: String,
+                     b: String): org.apache.spark.sql.Column =
+        replace(c, lit(S + a + E + S + b + E), lit(S + a + b + E))
+      // aggregate to the (distinct word, frequency) table FIRST — what
+      // every real BPE trainer does: merge statistics depend only on
+      // the word-frequency dict, so all per-step work runs over the
+      // VOCABULARY (31 rows on this corpus) with pair counts weighted
+      // by wc, never over the corpus word instances (270k at sf0.1 —
+      // the unweighted form re-scanned them per learning step and
+      // benched 8.8s; this shape is bounded by |vocab| at any SF)
+      val enc0 = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(regexp_replace(col("w"), "(.)", s"$S$$1$E").as("enc"), col("wc"))
+        .localCheckpoint(false) // learning loop + final stats pass reuse it
+      // greedy learning: K bounded driver-side top-1 picks (never
+      // corpus-sized driver state). Step k re-applies merges 1..k-1 as
+      // a LAZY chain of replaces over the one cached encoding — K(K-1)/2
+      // cheap per-row string rewrites total — instead of materializing a
+      // new 100%-of-corpus checkpoint per step (measured: the per-step
+      // checkpoints dominated the whole query's wall-clock)
+      var chain0: org.apache.spark.sql.Column = col("enc")
+      val learned = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to BpeMerges) {
+        val top = enc0.select(col("wc"),
+            explode(TextOps.bindOnce(syms(chain0), sy =>
+            zip_with(
+              slice(sy, lit(1), size(sy) - 1),
+              slice(sy, lit(2), size(sy) - 1),
+              (a, b) => struct(a.as("a"), b.as("b"))))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(desc("cnt"), col("a"), col("b"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          "bpe_apply: corpus has no adjacent symbol pairs left to merge")
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        learned += ((a, b, cnt))
+        chain0 = applyMerge(chain0, a, b)
+      }
+      val ms = learned.result()
+      // per-step corpus token counts in ONE distributed aggregate: the
+      // k-th sum column rewrites through merges 1..k (K(K+1)/2 cheap
+      // per-row replaces total, no extra shuffle or pass per step)
+      var chain: org.apache.spark.sql.Column = col("enc")
+      val tokSums = ms.zipWithIndex.map { case ((a, b, _), k) =>
+        chain = applyMerge(chain, a, b)
+        sum(size(syms(chain)).cast("long") * col("wc")).as(s"t${k + 1}")
+      }
+      val totals = enc0.agg(sum(col("wc")).as("n_words"), tokSums: _*)
+      val metaArr = array(ms.zipWithIndex.map { case ((a, b, cnt), k) =>
+        struct(lit((k + 1).toLong).as("step"), lit(a).as("pair_left"),
+          lit(b).as("pair_right"), lit(cnt).as("pair_cnt"))
+      }: _*)
+      val tokOfStep = coalesce((1 to ms.size).map(k =>
+        when(col("m.step") === k, col(s"t$k"))): _*)
+      totals.select(Seq(explode(metaArr).as("m"), col("n_words")) ++
+          (1 to ms.size).map(k => col(s"t$k")): _*)
+        .select(col("m.step").as("step"),
+          col("m.pair_left").as("pair_left"),
+          col("m.pair_right").as("pair_right"),
+          col("m.pair_cnt").as("pair_cnt"),
+          tokOfStep.as("corpus_tokens"),
+          roundHU(tokOfStep.cast("double") / col("n_words"), 1e6)
+            .as("tokens_per_word"))
+        .orderBy("step")
+    }),
+
     // L152 — concat-and-chunk packing fragmentation: when the corpus is
     // concatenated in doc_id order and cut into fixed ctx_len sequences
     // (the GPT-style packing that wastes no padding), how many docs get
@@ -3260,6 +3359,49 @@ object LlmQueries {
        |       END AS recall
        |FROM (${rowsList.map(r => s"SELECT * FROM pt$r").mkString(" UNION ALL ")})
        |ORDER BY band_rows""".stripMargin
+  }
+
+  /** Oracle for `bpe_apply`: the greedy merge loop unrolled as a CTE
+    * chain (the sqlLpa/sqlPagerank convention), one (pair-count, top-1
+    * pick, rewrite, token-count) quadruple per step. `replace()` is
+    * all-occurrence left-to-right in both engines and the \\u0002/\\u0003
+    * markers pin symbol boundaries, so step k's rewrite — and therefore
+    * every later step's statistics — is string-identical across engines;
+    * the top-1 pick (cnt DESC, a, b) has one winner per step on both
+    * (ASCII corpus: byte order = codepoint order).
+    */
+  private def sqlBpeApply(k: Int): String = {
+    def syms(t: String) =
+      s"string_split(regexp_replace($t, '^' || chr(2) || '|' || chr(3) || '$$', '', 'g'), chr(3) || chr(2))"
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(1, len(s)), j -> [s[j], s[j + 1]])) AS pr, wc
+         |        FROM (SELECT ${syms("enc")} AS s, wc FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT replace(enc, chr(2) || m.a || chr(3) || chr(2) || m.b || chr(3),
+         |                       chr(2) || m.a || m.b || chr(3)) AS enc, wc
+         |        FROM w${i - 1} CROSS JOIN m$i m),
+         |t$i AS (SELECT CAST(SUM(len(${syms("enc")}) * wc) AS BIGINT) AS tok FROM w$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, a AS pair_left, b AS pair_right,
+         |       cnt AS pair_cnt, (SELECT tok FROM t$i) AS corpus_tokens FROM m$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS enc,
+       |         CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest($sqlTokens) AS w FROM documents)
+       |  GROUP BY 1),
+       |$steps,
+       |nw AS (SELECT CAST(SUM(wc) AS BIGINT) AS n_words FROM w0)
+       |SELECT step, pair_left, pair_right, pair_cnt, corpus_tokens,
+       |       floor(CAST(corpus_tokens AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6 AS tokens_per_word
+       |FROM ($rows) CROSS JOIN nw
+       |ORDER BY step""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -4658,6 +4800,8 @@ object LlmQueries {
          |GROUP BY p
          |ORDER BY cnt DESC, pair
          |LIMIT 20""".stripMargin,
+
+    "bpe_apply" -> sqlBpeApply(BpeMerges),
 
     "packing_fragmentation" ->
       s"""WITH td AS (

@@ -1,0 +1,74 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.classic.{Dataset => CDataset}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** `localCheckpoint` that KEEPS its hash partitioning (and optional
+  * intra-partition sort order) visible to the optimizer.
+  *
+  * Why this exists: `Dataset.localCheckpoint` snapshots
+  * `physicalPlan.outputPartitioning` into the `LogicalRDD` it creates —
+  * but under adaptive query execution (default-on in Spark 4) the
+  * physical plan is an `AdaptiveSparkPlanExec` whose partitioning
+  * reports as `UnknownPartitioning` at snapshot time, for BOTH lazy and
+  * eager checkpoints (measured: a `repartition(32, dst)
+  * .localCheckpoint()` round-trips to `UnknownPartitioning(0)`; with
+  * AQE off it round-trips to `hashpartitioning(dst, 32)`). Every
+  * iterative query that pre-partitions its loop-invariant table by the
+  * round join key and checkpoints it — pagerank, label propagation,
+  * triangle counting — silently pays a full re-exchange (and for
+  * sort-merge joins a re-SORT) of that table EVERY round.
+  *
+  * This bridge performs the repartition (and optional sort) itself, so
+  * the declared `HashPartitioning`/`SortOrder` are guaranteed true by
+  * construction — the claim is never trusted from the caller — then
+  * caches the materialized rows and wraps them in a `LogicalRDD`
+  * carrying that partitioning and ordering, exactly what
+  * `Dataset.localCheckpoint` produces when AQE is off. Rows are copied
+  * before caching (the executed plan reuses `UnsafeRow` buffers).
+  *
+  * Lazy by default (materializes at the first action, like
+  * `localCheckpoint(false)`): no Spark job runs at plan-construction
+  * time, so the PlanAuditSpec construction-job invariant is preserved.
+  *
+  * At cluster scale this is the difference between shuffling the edge
+  * list once and shuffling it `iters` times — the loop-invariant
+  * exchange is exactly what a 100 TB graph pass cannot afford to
+  * repeat.
+  */
+object CheckpointBridge {
+
+  /** Checkpoint `df` hash-partitioned into `numPartitions` by `keys`,
+    * optionally sorted within partitions by `sortCols` (ascending,
+    * nulls first — the sort-merge-join required ordering, so an SMJ on
+    * `sortCols` prefix keys skips its sort on this side entirely).
+    */
+  def partitionedCheckpoint(df: DataFrame, numPartitions: Int,
+                            keys: Seq[String],
+                            sortCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "partitionedCheckpoint needs at least one key")
+    val repart = df.repartition(numPartitions, keys.map(df.col): _*)
+    val prepared =
+      if (sortCols.isEmpty) repart
+      else repart.sortWithinPartitions(sortCols.map(repart.col): _*)
+    val cds = prepared.asInstanceOf[CDataset[Row]]
+    val qe = cds.queryExecution
+    val output = qe.analyzed.output
+    val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def attr(name: String) = output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"partitionedCheckpoint: no column '$name' in ${output.map(_.name)}"))
+    val partitioning = HashPartitioning(keys.map(attr), numPartitions)
+    val ordering = sortCols.map(c => SortOrder(attr(c), Ascending))
+    val plan = LogicalRDD(output, rdd, partitioning, ordering,
+      isStreaming = false, stream = None)(cds.sparkSession, None, None)
+    CDataset.ofRows(cds.sparkSession, plan)
+  }
+}

@@ -84,6 +84,10 @@ class PlanAuditSpec extends SparkSpec {
     *    diagnostic train the SAME O(nClusters·dim) codebook before the
     *    cell-keyed stage — identical bounded driver state, identical
     *    contract;
+    *  - bpe_apply: the greedy merge-learning loop — BpeMerges (=5)
+    *    distributed pair-count aggregates each ending in a top-1
+    *    TakeOrdered collect; driver state is the O(K) merge table (the
+    *    IVF-codebook contract);
     *  - clustering_coeff: the wedge-prune Bloom filter — a distributed
     *    `stat.bloomFilter` aggregate whose result is a FIXED 4 MB sketch
     *    at any SF. Spark runs it through async execution, so its result
@@ -97,7 +101,7 @@ class PlanAuditSpec extends SparkSpec {
   private val ConstructionJobsAllowlist =
     Set("ann_ivf_topk", "ann_ivf_recall", "ann_tuning_curve",
       "semantic_dedup", "cluster_balance", "clustering_coeff",
-      "label_noise_knn")
+      "label_noise_knn", "bpe_apply")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {

@@ -6,9 +6,13 @@ artifacts instead of a re-measurement session (the r7 96->145s scare).
 
 Usage:
   tools/bench_diff.py OLD.json NEW.json [--min-delta 0.5] [--min-ratio 1.5]
+  tools/bench_diff.py --streaming OLD_stream.json NEW_stream.json
 
 Reads the {"queries": {name: secs}} map from each file (first JSON line
 holding one). Queries present in only one file are listed separately.
+With --streaming, reads {"metric":"streaming_throughput", gate:
+{"rows_per_s":...}} lines (reports/streaming_throughput.json) and diffs
+the per-gate rates instead.
 A uniform inflation across families reads as machine load; isolated
 spikes read as plan regressions - the per-family summary at the bottom
 makes that call quickly.
@@ -31,7 +35,39 @@ def load(path):
     raise SystemExit(f"{path}: no JSON line with a 'queries' map")
 
 
+def load_streaming(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and d.get("metric") == "streaming_throughput":
+                return {k: v for k, v in d.items()
+                        if isinstance(v, dict) and "rows_per_s" in v}
+    raise SystemExit(f"{path}: no streaming_throughput JSON line")
+
+
+def diff_streaming(old_path, new_path):
+    old, new = load_streaming(old_path), load_streaming(new_path)
+    print(f"{'gate':20s} {'old r/s':>10s} {'new r/s':>10s} {'ratio':>7s}")
+    for k in sorted(set(old) | set(new)):
+        a = old.get(k, {}).get("rows_per_s")
+        b = new.get(k, {}).get("rows_per_s")
+        r = f"{b / a:6.2f}x" if a and b else "   n/a"
+        print(f"{k:20s} {a if a is not None else '-':>10} "
+              f"{b if b is not None else '-':>10} {r:>7s}")
+
+
 def main():
+    if "--streaming" in sys.argv[1:]:
+        paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if len(paths) != 2:
+            raise SystemExit(__doc__)
+        return diff_streaming(*paths)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
                 for a in sys.argv[1:] if a.startswith("--"))
