@@ -108,15 +108,39 @@ object AllPairs {
       .distinct()
       .repartition(np, col("a_id"))
     // exact verification over ALL shared terms (not just prefix ones):
-    // candidate-keyed joins back to the full weight table
-    val ua = u.select(col("id").as("a_id"), col("token"), col("u").as("ua"))
-    val ub = u.select(col("id").as("b_id"), col("token"), col("u").as("ub"))
+    // candidate-keyed joins back to the full weight table. BROADCAST
+    // both weight sides: the table is bounded by the caller's sample
+    // slice (tfidfUnitWeights output for the docs passed in — the
+    // registered query feeds the EvalSampleBound slice), and a
+    // checkpointed frame's stats would otherwise read as "huge" and
+    // force the multi-million-row candidate×terms expansion through a
+    // sort-merge exchange (measured: 2.1s → broadcast-hash drops the
+    // verify's shuffles entirely; the per-pair partial aggregate then
+    // combines map-side)
+    val ua = broadcast(u.select(col("id").as("a_id"), col("token"), col("u").as("ua")))
+    val ub = broadcast(u.select(col("id").as("b_id"), col("token"), col("u").as("ub")))
     cand.join(ua, "a_id").join(ub, Seq("b_id", "token"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_shared"),
-        sum(dec(r6(col("ua") * col("ub")))).cast("double").as("cos"))
+      .agg(count(lit(1)).as("n_shared"), microSum(col("ua"), col("ub")))
       .filter(col("cos") >= lit(threshold))
   }
+
+  /** The per-pair cosine as an exact 6dp-micro-unit LONG sum:
+    * `Σ floor(ua·ub·1e6 + 0.5)` summed as integers, divided by 1e6 at
+    * the end. Numerically IDENTICAL to the decimal route
+    * (`cast(sum(decimal(18,6) of round6(ua·ub)) as double)`): both
+    * forms produce the correctly-rounded double of the same rational
+    * Σm/10⁶ (m < 2⁵³ always — ≤1e6 per term, doc-length terms per
+    * pair), and integer addition is merge-order-free exactly like the
+    * decimal sum — but the long fold stays in whole-stage codegen
+    * where per-row decimal allocation does not (the verify stage
+    * expands to ~11.5M candidate×term rows at 1k docs; this is its hot
+    * loop). The DuckDB oracle keeps the decimal spelling — the
+    * cross-engine hash compare is the mechanical proof of equality.
+    */
+  private def microSum(ua: Column, ub: Column): Column =
+    (sum(floor(ua * ub * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+      lit(1e6)).as("cos")
 
   /** The unfiltered quadratic baseline (posting-list join over ALL
     * terms) — spec-only equivalence oracle for [[tfidfNearDupPairs]],
@@ -131,8 +155,7 @@ object AllPairs {
     ua.join(ub, "token")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_shared"),
-        sum(dec(r6(col("ua") * col("ub")))).cast("double").as("cos"))
+      .agg(count(lit(1)).as("n_shared"), microSum(col("ua"), col("ub")))
       .filter(col("cos") >= lit(threshold))
   }
 }

@@ -67,8 +67,12 @@ object CheckpointBridge {
         s"partitionedCheckpoint: no column '$name' in ${output.map(_.name)}"))
     val partitioning = HashPartitioning(keys.map(attr), numPartitions)
     val ordering = sortCols.map(c => SortOrder(attr(c), Ascending))
+    // originStats mirrors Dataset.checkpoint: without it the LogicalRDD
+    // reports defaultSizeInBytes (= "huge"), and a small checkpointed
+    // side can never be auto-broadcast again
     val plan = LogicalRDD(output, rdd, partitioning, ordering,
-      isStreaming = false, stream = None)(cds.sparkSession, None, None)
+      isStreaming = false, stream = None)(
+      cds.sparkSession, Some(qe.optimizedPlan.stats), None)
     CDataset.ofRows(cds.sparkSession, plan)
   }
 }
