@@ -2310,6 +2310,69 @@ object LlmQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // L188 — the published C4 cleaning rules (Raffel et al. 2020, §2.2)
+    // as explicit per-rule verdicts — the companion of gopher_rules from
+    // the other canonical cleanup stack: (1) retain only lines ending in
+    // terminal punctuation (. ! ? ") that carry >= 5 words; (2) drop
+    // pages with < 3 sentences (counted as terminal . ! ? marks within
+    // the RETAINED lines — stated convention, deterministic); (3) drop
+    // pages containing "lorem ipsum" (case-folded); (4) drop pages
+    // containing a curly brace. (The paper's two remaining rules — the
+    // external bad-words list and three-sentence-span dedup — are a
+    // fixture dependency and a separate operator family here:
+    // line_dedup / dup_ngram_chars.) Pure per-row HOF expressions, one
+    // scan pass at any SF.
+    "c4_rules" -> ((s, dir) => {
+      val lines = split(col("text"), "\n")
+      def lineWords(l: org.apache.spark.sql.Column) =
+        size(filter(split(trim(l), "\\s+"), w => w =!= lit("")))
+      def terminal(l: org.apache.spark.sql.Column) =
+        substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
+      val kept = filter(lines, l => terminal(l) && lineWords(l) >= 5)
+      val nSent = aggregate(kept, lit(0L), (a, l) =>
+        a + size(regexp_extract_all(l, lit("[.!?]"), lit(0))).cast("long"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        nSent.as("n_sentences"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"))
+        .withColumn("keep",
+          col("n_sentences") >= 3L && col("n_kept_lines") >= 1L &&
+            !col("has_lorem") && !col("has_brace"))
+        .orderBy("doc_id")
+    }),
+
+    // L189 — data-constrained scaling planner (Muennighoff et al.,
+    // "Scaling Data-Constrained Language Models", NeurIPS 2023): when a
+    // token budget exceeds the unique corpus, repeated epochs decay in
+    // value — effective data D' = U · (1 + R*·(1 − e^(−R/R*))) with
+    // repeat half-value constant R* = 15.4 (the paper's fit) and R =
+    // epochs − 1 repeats. Per (epoch budget ∈ {1,2,4,8}, source):
+    // unique tokens, effective tokens, and the efficiency ratio
+    // effective/consumed — the table that says which sources are worth
+    // re-epoching before buying more data. One token-count aggregate
+    // per source, then pure per-row scalar math (each output row
+    // independent — no cross-row double summation to stabilize; e^x via
+    // the engines' shared libm, the bigram_logprob ln precedent).
+    "repeat_budget_plan" -> ((s, dir) => {
+      val rStar = 15.4
+      val u = docs(s, dir)
+        .groupBy("source")
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("u_tokens"))
+      u.withColumn("epochs", explode(array(lit(1), lit(2), lit(4), lit(8))))
+        .select(col("epochs").cast("long").as("epochs"), col("source"),
+          col("u_tokens"),
+          roundHU(col("u_tokens") *
+            (lit(1.0) + lit(rStar) *
+              (lit(1.0) - exp((lit(1) - col("epochs")).cast("double") / rStar))),
+            1e6).as("effective_tokens"))
+        .withColumn("efficiency",
+          roundHU(col("effective_tokens") / (col("u_tokens") * col("epochs")), 1e6))
+        .orderBy("epochs", "source")
+    }),
+
     // L150 — the published Gopher quality-rule set (Rae et al. 2021,
     // Table A1) as explicit per-rule verdicts: word-count window, mean
     // word length 3-10, symbol-to-word ratio (# and ...) <= 0.1, bullet-
@@ -4810,6 +4873,46 @@ object LlmQueries {
          |FROM p a JOIN p b ON a.token = b.token AND a.source <> b.source
          |GROUP BY a.source, b.source
          |ORDER BY src_a, src_b""".stripMargin,
+
+    "c4_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    list_filter(ls, l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5) AS kept,
+         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |    contains(text, '{') AS has_brace
+         |  FROM t),
+         |v AS (
+         |  SELECT doc_id, n_lines,
+         |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |    CAST(COALESCE(list_sum(list_transform(kept,
+         |      l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS BIGINT) AS n_sentences,
+         |    has_lorem, has_brace
+         |  FROM m)
+         |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+         |       (n_sentences >= 3 AND n_kept_lines >= 1
+         |        AND NOT has_lorem AND NOT has_brace) AS keep
+         |FROM v
+         |ORDER BY doc_id""".stripMargin,
+
+    "repeat_budget_plan" ->
+      s"""WITH u AS (
+         |  SELECT source, CAST(SUM(len($sqlTokens)) AS BIGINT) AS u_tokens
+         |  FROM documents GROUP BY source),
+         |e AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS epochs),
+         |x AS (
+         |  SELECT e.epochs, u.source, u.u_tokens,
+         |         floor(u.u_tokens * (1e0 + 154e-1 *
+         |             (1e0 - exp(CAST(1 - e.epochs AS DOUBLE) / 154e-1))) * 1e6 + 0.5) / 1e6
+         |           AS effective_tokens
+         |  FROM u CROSS JOIN e)
+         |SELECT epochs, source, u_tokens, effective_tokens,
+         |       floor(effective_tokens / (u_tokens * epochs) * 1e6 + 0.5) / 1e6 AS efficiency
+         |FROM x
+         |ORDER BY epochs, source""".stripMargin,
 
     "gopher_rules" ->
       s"""WITH t AS (
