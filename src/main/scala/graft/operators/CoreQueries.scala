@@ -179,12 +179,14 @@ object CoreQueries {
   private val LpaIters = 4
 
   /** Cut the label iteration's lineage every N rounds (same role as
-    * [[PageRankCheckpointStride]]). Not every round: each lazy
-    * localCheckpoint compiles + materializes its plan EAGERLY at
-    * construction, so a per-round cut paid ~1 full AQE planning cycle
-    * per round — measured ~20% of LPA wall-clock at sf0.1.
+    * [[PageRankCheckpointStride]], whose mechanism the iters=7 pagerank
+    * spec exercises). Not every round: each localCheckpoint costs a
+    * full planning + materialization cycle — at stride 2 the single
+    * mid-loop cut was ~0.45s of LPA's sf0.1 wall-clock for a 4-deep
+    * plan that needs no cut at all, so the stride sits above
+    * [[LpaIters]] and only engages when the constant is raised.
     */
-  private val LpaCheckpointStride = 2
+  private val LpaCheckpointStride = 5
 
   /** L118 — synchronous label propagation (community detection) over the
     * part co-purchase graph. Deterministic update: each node adopts the
@@ -199,14 +201,24 @@ object CoreQueries {
     */
   private[operators] def lpaPlan(s: SparkSession, dir: String,
                                  iters: Int): DataFrame = {
-    val baskets = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e0 = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+    // Edge build in TWO wide exchanges, not four: co-purchase baskets
+    // as ONE per-order collect_set (dedups pk within the order for
+    // free; basket size is bounded by order size, so the per-row array
+    // and the explode² fan-out below — ≤ |basket|² pairs — stay O(1)
+    // at any SF), pairs by a narrow double-explode instead of the
+    // self-join (whose ok-keyed exchange the old baskets.distinct then
+    // re-paid), and the pair-level `.distinct()` folded into the
+    // bridge checkpoint as a partition-local adjacent dedup (equal
+    // pairs agree on dst, so the dst hash partitioning co-locates them
+    // and the (dst, src) sort makes them adjacent — dedupSorted in
+    // CheckpointBridge). Measured at sf0.1: 1.9s → 1.3s for the same
+    // 2.39M-edge result.
+    val bo = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
     // checkpoint PARTITIONED AND SORTED BY THE ROUND JOIN KEY via the
     // bridge: plain localCheckpoint under AQE snapshots
     // UnknownPartitioning (see CheckpointBridge), so every round was
@@ -215,7 +227,8 @@ object CoreQueries {
     // edge side with zero exchange and zero sort — only the (small)
     // label table shuffles
     val e = org.apache.spark.sql.graftbridge.CheckpointBridge
-      .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"), Seq("dst"))
+      .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"),
+        Seq("dst", "src"), dedupSorted = true)
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iters) {
@@ -272,13 +285,18 @@ object CoreQueries {
     */
   private[operators] def pagerankPlan(s: SparkSession, dir: String,
                                       iters: Int): DataFrame = {
-    val baskets = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+    // Per-order collect_set + narrow double-explode instead of the
+    // baskets self-join (see lpaPlan — drops two of the edge build's
+    // wide exchanges; collect_set dedups pk within the order, so each
+    // (src, dst) appears once per co-order and the count below equals
+    // the old DISTINCT-baskets join's multiplicity exactly).
+    val bo = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val e = bo.select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("wt"))
     // ONE checkpoint (the normalized edge list the rounds reuse), not
     // two: a lazy localCheckpoint compiles + materializes eagerly at
@@ -1199,6 +1217,42 @@ object CoreQueries {
           bround(col("max_cnt") / col("avg_cnt"), 6))
     }),
 
+    // k-anonymity audit (Sweeney 2002) over the (nation, market-segment)
+    // quasi-identifier pair — the privacy gate a training corpus's
+    // structured sidecar passes before release: per candidate k, how
+    // many equivalence classes fall below k members and how many rows
+    // those classes expose. Shape: ONE fact shuffle into the
+    // QI-class-size table (combinatorially bounded: |nations| ×
+    // |segments|, not data-sized), then a tiny explode over the four k
+    // thresholds and class-table-sized aggregation — nothing after the
+    // first groupBy scales with the fact table.
+    "k_anonymity" -> ((s, dir) => {
+      val classes = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"))
+        .localCheckpoint(false) // reused: totals + per-k sweep
+      val tot = broadcast(classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum("class_size").as("n_rows"),
+        min("class_size").as("min_class_size")))
+      classes
+        .select(explode(array(lit(2L), lit(5L), lit(10L), lit(20L))).as("k"),
+          col("class_size"))
+        .groupBy("k")
+        .agg(
+          sum(when(col("class_size") < col("k"), lit(1L)).otherwise(lit(0L)))
+            .as("violating_classes"),
+          sum(when(col("class_size") < col("k"), col("class_size"))
+            .otherwise(lit(0L))).as("rows_at_risk"))
+        .crossJoin(tot)
+        .select(col("k"), col("n_classes"), col("min_class_size"),
+          col("violating_classes"), col("rows_at_risk"),
+          (floor(col("rows_at_risk").cast("double") / col("n_rows") * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("risk_share"),
+          (col("min_class_size") >= col("k")).as("k_anonymous"))
+        .orderBy("k")
+    }),
+
     // Snapshot diff (CDC-shaped): compare each customer's order profile
     // between two periods via one full-outer join on the key, classify
     // added / removed / changed / unchanged, and count per class. The
@@ -1317,18 +1371,30 @@ object CoreQueries {
     // vertices at 100 TB. Each triangle is found exactly once and
     // credited to its three corners map-side; keyed shuffles only.
     "clustering_coeff" -> ((s, dir) => {
-      val baskets = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = baskets.as("a")
-        .join(baskets.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-        .localCheckpoint(false) // reused: degrees + orientation
-      val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = adj.groupBy("src").agg(count(lit(1)).as("degree"))
-      val dk = deg.select(col("src").as("n"), col("degree").as("d"))
+      // Per-order collect_set + narrow double-explode instead of the
+      // baskets self-join, with the pair `.distinct()` folded into the
+      // bridge checkpoint's partition-local adjacent dedup (see
+      // lpaPlan / CheckpointBridge.dedupSorted) — the edge build drops
+      // from four wide exchanges to two. Checkpoint partitioned by src
+      // so the head-side degree count below aggregates exchange-free.
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true)
+      // degree = head-incidences + tail-incidences, merged as two
+      // node-sized partial counts — the old e ∪ reverse(e) union paid a
+      // full edge-sized exchange for its groupBy; the head count here
+      // is exchange-free (e is src-partitioned) and the merge shuffles
+      // only node-sized aggregates
+      val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+        .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
+        .groupBy("n").agg(sum("d").as("d"))
+      val deg = dk.select(col("n").as("src"), col("d").as("degree"))
       // orient each edge from the (degree, id)-smaller endpoint; carry the
       // head's order key so wedge pairs can be emitted in closure order
       val oriented0 = e
@@ -2059,6 +2125,29 @@ object CoreQueries {
         |       quantile_cont(cnt, 0.99) AS p99_cnt,
         |       round(MAX(cnt) / (SUM(cnt) / COUNT(*)), 6) AS skew_ratio
         |FROM c""".stripMargin,
+
+    "k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |         CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |         CAST(MIN(class_size) AS BIGINT) AS min_class_size
+        |  FROM cls),
+        |ks AS (SELECT CAST(unnest([2, 5, 10, 20]) AS BIGINT) AS k),
+        |v AS (
+        |  SELECT ks.k,
+        |         CAST(SUM(CASE WHEN class_size < ks.k THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS violating_classes,
+        |         CAST(SUM(CASE WHEN class_size < ks.k THEN class_size ELSE 0 END)
+        |           AS BIGINT) AS rows_at_risk
+        |  FROM cls CROSS JOIN ks GROUP BY 1)
+        |SELECT v.k, n_classes, min_class_size, violating_classes, rows_at_risk,
+        |       floor(CAST(rows_at_risk AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6
+        |         AS risk_share,
+        |       (min_class_size >= v.k) AS k_anonymous
+        |FROM v, tot ORDER BY k""".stripMargin,
 
     "snapshot_diff" ->
       """WITH a AS (

@@ -923,6 +923,86 @@ object LlmQueries {
             col("n"), 1e6).as("intercept"))
     }),
 
+    // L190 — Good–Turing frequency-of-frequencies table (Good 1953; the
+    // Katz-backoff smoothing input), over word BIGRAMS — the n-gram
+    // order smoothing actually targets (unigram vocabularies rarely
+    // have singletons; bigram tables always do): for each low count c,
+    // how many distinct bigram types occur exactly c times (N_c), the
+    // adjusted count c* = (c+1)·N_{c+1}/N_c, and the probability mass
+    // held by count-c types — the unseen-mass estimate (P0 = N_1/N)
+    // is the c = 1 row. Shape: one bigram-keyed count, then a
+    // count-of-counts aggregate whose cardinality is the number of
+    // DISTINCT frequencies (≈ hundreds at any SF — Zipf guarantees
+    // it), so the N_c ⋈ N_{c+1} self-join and the 1-row total are
+    // key-sized no matter the corpus.
+    "good_turing_counts" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(explode(bigrams(col("text"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val nc = tf.groupBy("c").agg(count(lit(1)).as("n_c"))
+        .localCheckpoint(false) // both sides of the N_c ⋈ N_{c+1} join + total
+      val tot = broadcast(nc.agg(
+        sum(col("c") * col("n_c")).as("n_total")))
+      val next = nc.select((col("c") - 1).as("c"), col("n_c").as("n_c1"))
+      nc.join(next, Seq("c"), "left")
+        .filter(col("c") <= 10)
+        .crossJoin(tot)
+        .select(col("c"), col("n_c"),
+          coalesce(col("n_c1"), lit(0L)).as("n_c_plus_1"),
+          roundHU((col("c") + 1) * coalesce(col("n_c1"), lit(0L))
+            .cast("double") / col("n_c"), 1e6).as("gt_count"),
+          roundHU(col("c") * col("n_c").cast("double") / col("n_total"),
+            1e6).as("mass_share"))
+        .orderBy("c")
+    }),
+
+    // L191 — Heaps'-law fit (Heaps 1978): vocabulary growth V = K·N^β,
+    // fit by OLS on the ln-ln points of the vocab_growth cumulative
+    // curve (10 doc-id-decile buckets). β near 0.5 is natural text;
+    // β → 1 means unbounded novelty (noise/IDs), β → 0 a closed
+    // vocabulary (templates) — the one-number "will the vocabulary
+    // saturate" planner input. Same determinism discipline as
+    // zipf_slope: ln terms round 6dp, OLS runs on decimal-exact sums
+    // of the rounded terms (merge-order-free), 10-point window is
+    // bucket-sized, never data-sized.
+    "heaps_law_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val bounds = broadcast(d.agg(min("doc_id").as("lo"),
+        (max("doc_id") + 1).as("hi")))
+      val tok = d.crossJoin(bounds)
+        .select(expr("((doc_id - lo) * 10) div (hi - lo)").as("bucket"),
+          explode(tokens(col("text"))).as("token"))
+      val bt = tok.groupBy("bucket", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // reused: first-seen buckets + totals
+      val firsts = bt.groupBy("token").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+      val totals = bt.groupBy("bucket").agg(sum("c").as("n_tokens"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = totals.join(firsts, Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("n_tokens", "new_tokens"))
+        .withColumn("v", sum("new_tokens").over(w))
+        .withColumn("nn", sum("n_tokens").over(w))
+        .filter(col("nn") > 0 && col("v") > 0)
+      val terms = curve.select(
+        roundHU(log(col("nn").cast("double")), 1e6).as("x"),
+        roundHU(log(col("v").cast("double")), 1e6).as("y"))
+      terms.select(col("x"), col("y"),
+          (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(28, 12))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(28, 12))).cast("double").as("sy"),
+          sum(col("xy").cast(DecimalType(28, 12))).cast("double").as("sxy"),
+          sum(col("xx").cast(DecimalType(28, 12))).cast("double").as("sxx"))
+        .select(col("n").as("n_points"),
+          roundHU((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 1e6).as("beta"),
+          roundHU(exp((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n")), 1e6).as("k_coef"))
+    }),
+
     // Per-document token Shannon entropy — the repetitiveness/diversity
     // quality signal (low entropy = templated or repeated text): one
     // doc-keyed shuffle into (doc, token) counts, per-token −p·ln p
@@ -3994,6 +4074,53 @@ object LlmQueries {
          |         / 1e6 AS slope,
          |       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
          |             * 1e6 + 0.5) / 1e6 AS intercept
+         |FROM agg""".stripMargin,
+
+    "good_turing_counts" ->
+      s"""WITH tok AS (SELECT unnest($sqlBigrams) AS g FROM documents),
+         |tf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |nc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c FROM tf GROUP BY c),
+         |tot AS (SELECT CAST(SUM(c * n_c) AS BIGINT) AS n_total FROM nc)
+         |SELECT nc.c, nc.n_c,
+         |       CAST(COALESCE(n2.n_c, 0) AS BIGINT) AS n_c_plus_1,
+         |       floor((nc.c + 1) * CAST(COALESCE(n2.n_c, 0) AS DOUBLE) / nc.n_c
+         |             * 1e6 + 0.5) / 1e6 AS gt_count,
+         |       floor(nc.c * CAST(nc.n_c AS DOUBLE) / n_total * 1e6 + 0.5) / 1e6
+         |         AS mass_share
+         |FROM nc LEFT JOIN nc n2 ON n2.c = nc.c + 1, tot
+         |WHERE nc.c <= 10
+         |ORDER BY nc.c""".stripMargin,
+
+    "heaps_law_fit" ->
+      s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents),
+         |tok AS (SELECT ((doc_id - lo) * 10) // (hi - lo) AS bucket,
+         |               unnest($sqlTokens) AS token
+         |        FROM documents, b),
+         |f AS (SELECT MIN(bucket) AS bucket FROM tok GROUP BY token),
+         |nf AS (SELECT bucket, COUNT(*) AS new_tokens FROM f GROUP BY bucket),
+         |tot AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY bucket),
+         |curve AS (
+         |  SELECT CAST(SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY bucket
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v,
+         |         CAST(SUM(COALESCE(n_tokens, 0)) OVER (ORDER BY bucket
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nn
+         |  FROM tot FULL OUTER JOIN nf USING (bucket)),
+         |pts AS (
+         |  SELECT floor(ln(CAST(nn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+         |         floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+         |  FROM curve WHERE nn > 0 AND v > 0),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+         |  FROM pts)
+         |SELECT n AS n_points,
+         |       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+         |         / 1e6 AS beta,
+         |       floor(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+         |             / n) * 1e6 + 0.5) / 1e6 AS k_coef
          |FROM agg""".stripMargin,
 
     "doc_token_entropy" ->

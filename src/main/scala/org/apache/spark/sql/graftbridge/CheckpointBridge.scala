@@ -48,11 +48,28 @@ object CheckpointBridge {
     * optionally sorted within partitions by `sortCols` (ascending,
     * nulls first — the sort-merge-join required ordering, so an SMJ on
     * `sortCols` prefix keys skips its sort on this side entirely).
+    *
+    * `dedupSorted = true` additionally collapses runs of rows equal on
+    * `keys ++ sortCols` to their first row during the checkpoint's
+    * materialization pass. Equal rows are co-located by the hash
+    * partitioning and adjacent by the sort, so the dedup is a
+    * partition-local streaming compare — it replaces a caller-side
+    * `.distinct()`, whose full-width exchange was the most expensive
+    * stage of the graph edge builds. Caller contract: `keys ++
+    * sortCols` must cover EVERY column of `df` (enforced), otherwise
+    * rows differing only on an uncovered column would collapse.
     */
   def partitionedCheckpoint(df: DataFrame, numPartitions: Int,
                             keys: Seq[String],
-                            sortCols: Seq[String] = Nil): DataFrame = {
+                            sortCols: Seq[String] = Nil,
+                            dedupSorted: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "partitionedCheckpoint needs at least one key")
+    if (dedupSorted) {
+      val covered = (keys ++ sortCols).toSet
+      require(df.columns.forall(covered),
+        s"dedupSorted requires keys ++ sortCols to cover all columns; " +
+          s"missing ${df.columns.filterNot(covered).mkString(", ")}")
+    }
     val repart = df.repartition(numPartitions, keys.map(df.col): _*)
     val prepared =
       if (sortCols.isEmpty) repart
@@ -60,8 +77,19 @@ object CheckpointBridge {
     val cds = prepared.asInstanceOf[CDataset[Row]]
     val qe = cds.queryExecution
     val output = qe.analyzed.output
-    val rdd: RDD[InternalRow] = qe.toRdd.map(_.copy())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dedup compares the sorted rows' full UnsafeRow bytes (same schema
+    // on both sides of the compare, so byte equality == value equality
+    // for the fixed-width key/sort columns the contract admits)
+    val base: RDD[InternalRow] =
+      if (!dedupSorted) qe.toRdd.map(_.copy())
+      else qe.toRdd.mapPartitions { it =>
+        var prev: InternalRow = null
+        it.flatMap { row =>
+          if (prev != null && prev == row) None
+          else { prev = row.copy(); Some(prev) }
+        }
+      }
+    val rdd: RDD[InternalRow] = base.persist(StorageLevel.MEMORY_AND_DISK)
     def attr(name: String) = output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"partitionedCheckpoint: no column '$name' in ${output.map(_.name)}"))

@@ -63,6 +63,9 @@ class PlanAuditSpec extends SparkSpec {
     *  - vocab_coverage: frequency rank over the VOCABULARY-sized token
     *    count table (sits above the token groupBy; grows with distinct
     *    tokens, not corpus rows — the vocab_growth class).
+    *  - heaps_law_fit: the vocab_growth cumulative window verbatim (10
+    *    fixed doc-id-decile buckets above the (bucket, token) groupBy —
+    *    constant-sized at any SF), feeding the OLS fit.
     *  - packing_fragmentation: CoreQueries.exclusivePrefix's CumBuckets-
     *    row coarse rollup again (the gini_concentration class; Window-
     *    BoundsSpec asserts the structure).
@@ -71,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
   private val GlobalWindowAllowlist =
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
       "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
-      "vocab_coverage", "packing_fragmentation", "ccnet_buckets")
+      "vocab_coverage", "packing_fragmentation", "ccnet_buckets",
+      "heaps_law_fit")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
