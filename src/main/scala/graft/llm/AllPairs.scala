@@ -66,9 +66,12 @@ object AllPairs {
     val w = tf.join(dfc, "token").crossJoin(n)
       .withColumn("w", r6(col("tf").cast("double") *
         (log((lit(1L) + col("n")).cast("double") / (lit(1L) + col("sdf"))) + lit(1.0))))
-    val norms = w.groupBy("id")
-      .agg(sqrt(sum(dec(r6(col("w") * col("w")))).cast("double")).as("nrm"))
-    w.join(norms, "id")
+    // per-doc norm as a doc-partitioned window (bounded by doc length,
+    // never corpus-sized) instead of groupBy + self-join: one exchange
+    // by id serves both the norm and — via the bridge checkpoint the
+    // caller layers on top — the prefix-scan window downstream
+    w.withColumn("nrm", sqrt(sum(dec(r6(col("w") * col("w"))))
+        .over(Window.partitionBy("id")).cast("double")))
       .select(col("id"), col("token"), col("sdf"), r6(col("w") / col("nrm")).as("u"))
   }
 
@@ -81,9 +84,16 @@ object AllPairs {
     // the weight table feeds FOUR plan subtrees (max-weight caps, the
     // prefix window, both verification sides); checkpoint it once (lazy
     // — materializes at first action, the ann_tuning_curve convention)
-    // instead of re-running the tokenize/tf/df/norm pipeline per use
+    // instead of re-running the tokenize/tf/df/norm pipeline per use.
+    // Bridge checkpoint, partitioned by id and sorted (id, sdf, token):
+    // the prefix-scan window below requires exactly that clustering +
+    // ordering, so it runs off the checkpoint with no exchange and no
+    // sort (plain localCheckpoint under AQE would surrender both — see
+    // CheckpointBridge).
     val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val u = tfidfUnitWeights(df, idCol, textCol).localCheckpoint(false)
+    val u = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .partitionedCheckpoint(tfidfUnitWeights(df, idCol, textCol), np,
+        Seq("id"), Seq("id", "sdf", "token"))
     // corpus-wide max normalized weight per term — the suffix bound's
     // per-term cap; term-keyed, vocabulary-sized
     val maxw = u.groupBy("token").agg(max("u").as("maxw"))
