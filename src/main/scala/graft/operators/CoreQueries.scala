@@ -1459,6 +1459,48 @@ object CoreQueries {
         .orderBy("p_partkey")
     }),
 
+    // Degree assortativity (Newman 2002) of the co-purchase graph: the
+    // Pearson correlation of endpoint degrees across edges — positive
+    // means hubs link to hubs (assortative), negative hub-to-leaf
+    // (disassortative; co-purchase and most similarity graphs are).
+    // The one-number answer to "will degree-keyed partitions skew
+    // together" before sharding a 100 TB graph pass. Same two-exchange
+    // edge build as clustering_coeff (collect_set + explode +
+    // dedup-in-bridge); both degree joins are node-table-sized; the
+    // undirected symmetrization is a union of two projections of the
+    // SAME joined frame; moment sums route through decimal(38,0) on
+    // exact integer degrees.
+    "degree_assortativity" -> ((s, dir) => {
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true)
+      val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+        .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
+        .groupBy("n").agg(sum("d").as("d"))
+      val ends = e
+        .join(dk.select(col("n").as("src"), col("d").as("du")), "src")
+        .join(dk.select(col("n").as("dst"), col("d").as("dv")), "dst")
+        .select(col("du"), col("dv"))
+      val sym = ends.select(col("du").as("x"), col("dv").as("y"))
+        .union(ends.select(col("dv").as("x"), col("du").as("y")))
+      sym.agg(count(lit(1)).as("m"),
+          sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast("double")
+            .as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 0))).cast("double")
+            .as("sxy"))
+        .select(col("m").as("n_edge_ends"),
+          (floor((col("m") * col("sxy") - col("sx") * col("sx")) /
+            (col("m") * col("sxx") - col("sx") * col("sx")) * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("assortativity"))
+    }),
+
     // L114 — chi-square independence test: is order status independent of
     // order priority (the categorical-association sibling of corr_pricing;
     // in a pipeline this is the "does split correlate with label" audit).
@@ -1639,6 +1681,26 @@ object CoreQueries {
         |FROM deg LEFT JOIN tri ON deg.src = tri.v
         |WHERE deg.degree >= 2
         |ORDER BY p_partkey""".stripMargin,
+
+    "degree_assortativity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b2.pk AS dst
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk),
+        |adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |ends AS (SELECT du.d AS du, dv.d AS dv
+        |         FROM e JOIN deg du ON e.src = du.n JOIN deg dv ON e.dst = dv.n),
+        |sym AS (SELECT du AS x, dv AS y FROM ends
+        |        UNION ALL SELECT dv AS x, du AS y FROM ends),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |               CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |               CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |        FROM sym)
+        |SELECT m AS n_edge_ends,
+        |       floor((m * sxy - sx * sx) / (m * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+        |         AS assortativity
+        |FROM agg""".stripMargin,
     "month_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders

@@ -650,6 +650,118 @@ object EventQueries {
             .as("fast_frac"))
         .withColumn("is_bot", col("n_gaps") >= 19L && col("fast_frac") >= 0.5)
         .orderBy("user_id")
+    }),
+
+    // Autocorrelation of the daily event-count series at lags 1–7 — the
+    // weekly-seasonality / burstiness probe run before alerting on a
+    // volume drop (a high lag-7 ACF says "compare to last week, not
+    // yesterday"). Series = gapfilled per-day counts (day-cardinality-
+    // sized at any SF); deviations from the mean are 6dp-rounded and
+    // decimal-summed (merge-order-free); per-lag numerators come from a
+    // day-keyed equi-join of the series with itself shifted (7 lags ×
+    // days rows — never data-sized).
+    "daily_acf" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(false) // tiny; feeds mean, both join sides, denom
+      val m = broadcast(series.agg(
+        (sum("n").cast("double") / count(lit(1))).as("mu")))
+      val dev = series.crossJoin(m)
+        .select(col("day"), (col("n") - col("mu")).as("d"))
+        .localCheckpoint(false) // both sides of the lag join + denominator
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val den = broadcast(dev.agg(
+        decSum(r6(col("d") * col("d"))).as("den")))
+      dev.select(explode(sequence(lit(1L), lit(7L))).as("lag_days"),
+          col("day"), col("d"))
+        .join(dev.select(col("day").as("day2"), col("d").as("d2")),
+          col("day2") === col("day") + col("lag_days"))
+        .groupBy("lag_days")
+        .agg(count(lit(1)).as("n_pairs"),
+          decSum(r6(col("d") * col("d2"))).as("num"))
+        .crossJoin(den)
+        .select(col("lag_days"), col("n_pairs"),
+          r6(col("num") / col("den")).as("acf"))
+        .orderBy("lag_days")
+    }),
+
+    // CUSUM changepoint scan (Page 1954) over the daily revenue series:
+    // S_t = Σ_{i≤t}(x_i − x̄); the day with max |S_t| is the classic
+    // single-changepoint estimate and max|S|/n the shift magnitude
+    // statistic — the "did the pipeline's volume regime change, and
+    // when" monitor. Day totals are decimal-exact; the running sum is a
+    // window over the DAY-cardinality rollup (the cumulative_users
+    // class, plan-audit allowlisted), never over raw events.
+    "cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+        .localCheckpoint(false) // feeds the mean and the cumulative scan
+      val m = broadcast(series.agg(
+        (decSum(col("x")) / count(lit(1))).as("mu"),
+        count(lit(1)).as("n_days")))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      series.crossJoin(m)
+        .withColumn("s", sum(r6(col("x") - col("mu")).cast(DecimalType(18, 6)))
+          .over(w).cast("double"))
+        .select(col("day").as("changepoint_day"), abs(col("s")).as("max_abs_s"),
+          col("mu"), col("n_days"))
+        .orderBy(desc("max_abs_s"), col("changepoint_day"))
+        .limit(1)
+    }),
+
+    // Mann–Whitney U rank-sum test (Mann & Whitney 1947): do 'click'
+    // and 'purchase' events draw their `value` from the same
+    // distribution — the standard nonparametric drift test between two
+    // cohorts. No global sort: the pooled sample collapses to per-
+    // DISTINCT-value counts, below-counts come from the two-phase
+    // exclusivePrefix (the ccnet_buckets machinery — no data-sized
+    // single-task window), and U folds as exact integer half-units
+    // (2U = 2·Σ c_a·below_b + Σ c_a·c_b). z uses the tie-corrected
+    // variance, every factor from exact longs with mirrored expression
+    // order.
+    "mann_whitney_u" -> ((s, dir) => {
+      val pv = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+      val cum = CoreQueries.exclusivePrefix(pv, "value", Seq("ca", "cb"))
+      val agg = cum.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(lit(2L) * col("ca") * col("cum_cb") + col("ca") * col("cb")).as("u2"),
+        sum((col("ca") + col("cb")) * (col("ca") + col("cb")) *
+          (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tie3"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      agg
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .withColumn("sigma2",
+          col("n_a").cast("double") * col("n_b") / lit(12.0) *
+            ((col("nn") + 1).cast("double") -
+              col("tie3").cast("double") /
+                (col("nn").cast("double") * (col("nn") - 1))))
+        .select(col("n_a"), col("n_b"),
+          (col("u2").cast("double") / 2).as("u_a"),
+          ((col("n_a") * col("n_b") * 2 - col("u2")).cast("double") / 2).as("u_b"),
+          r6((col("u2") - col("n_a") * col("n_b")).cast("double") / 2 /
+            sqrt(col("sigma2"))).as("z"))
     })
   )
 
@@ -1060,6 +1172,66 @@ object EventQueries {
         |FROM g
         |WHERE gap_us IS NOT NULL
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "daily_acf" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS (SELECT g.day, COALESCE(c.n, 0) AS n FROM g LEFT JOIN c USING (day)),
+        |m AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM s),
+        |d AS (SELECT day, n - mu AS d FROM s, m),
+        |den AS (SELECT CAST(SUM(CAST(floor(d * d * 1e6 + 0.5) / 1e6
+        |          AS DECIMAL(18,6))) AS DOUBLE) AS den FROM d),
+        |l AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag_days),
+        |p AS (SELECT l.lag_days, a.d AS d, b.d AS d2
+        |      FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag_days)
+        |SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       floor(CAST(SUM(CAST(floor(d * d2 * 1e6 + 0.5) / 1e6
+        |           AS DECIMAL(18,6))) AS DOUBLE) / den * 1e6 + 0.5) / 1e6 AS acf
+        |FROM p, den GROUP BY lag_days, den ORDER BY lag_days""".stripMargin,
+
+    "cusum_changepoint" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS (SELECT g.day, COALESCE(c.x, 0.0) AS x FROM g LEFT JOIN c USING (day)),
+        |m AS (SELECT CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+        |             CAST(COUNT(*) AS BIGINT) AS n_days FROM s),
+        |cs AS (SELECT day,
+        |         CAST(SUM(CAST(floor((x - mu) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)))
+        |           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sgm,
+        |         mu, n_days
+        |       FROM s, m)
+        |SELECT day AS changepoint_day, abs(sgm) AS max_abs_s, mu, n_days
+        |FROM cs ORDER BY max_abs_s DESC, changepoint_day LIMIT 1""".stripMargin,
+
+    "mann_whitney_u" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+        |cum AS (
+        |  SELECT ca, cb,
+        |    CAST(COALESCE(SUM(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_cb
+        |  FROM pv),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(2 * ca * cum_cb + ca * cb) AS BIGINT) AS u2,
+        |    CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+        |  FROM cum),
+        |b AS (SELECT *, n_a + n_b AS nn FROM a),
+        |c AS (SELECT *, CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |        ((nn + 1) - CAST(tie3 AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))
+        |        AS sigma2 FROM b)
+        |SELECT n_a, n_b,
+        |       CAST(u2 AS DOUBLE) / 2 AS u_a,
+        |       CAST(n_a * n_b * 2 - u2 AS DOUBLE) / 2 AS u_b,
+        |       floor(CAST(u2 - n_a * n_b AS DOUBLE) / 2 / sqrt(sigma2) * 1e6 + 0.5)
+        |         / 1e6 AS z
+        |FROM c""".stripMargin
   )
 }

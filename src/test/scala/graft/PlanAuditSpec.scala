@@ -66,6 +66,12 @@ class PlanAuditSpec extends SparkSpec {
     *  - heaps_law_fit: the vocab_growth cumulative window verbatim (10
     *    fixed doc-id-decile buckets above the (bucket, token) groupBy —
     *    constant-sized at any SF), feeding the OLS fit.
+    *  - cusum_changepoint: running sum over the DAY-cardinality gapfilled
+    *    rollup (the cumulative_users class — calendar-sized, never
+    *    event-sized).
+    *  - mann_whitney_u: the two-phase exclusivePrefix's CumBuckets-row
+    *    coarse carry window (the ccnet_buckets / packing_fragmentation
+    *    class; the fine window is bucket-partitioned).
     *  - packing_fragmentation: CoreQueries.exclusivePrefix's CumBuckets-
     *    row coarse rollup again (the gini_concentration class; Window-
     *    BoundsSpec asserts the structure).
@@ -75,7 +81,7 @@ class PlanAuditSpec extends SparkSpec {
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
       "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
       "vocab_coverage", "packing_fragmentation", "ccnet_buckets",
-      "heaps_law_fit")
+      "heaps_law_fit", "cusum_changepoint", "mann_whitney_u")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
