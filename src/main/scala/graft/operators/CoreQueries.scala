@@ -1459,6 +1459,76 @@ object CoreQueries {
         .orderBy("p_partkey")
     }),
 
+    // Spearman rank correlation of quantity vs unit price — the
+    // monotone-association sibling of corr_pricing's Pearson (robust to
+    // the price tail; the standard "is the relationship monotone at
+    // all" check before fitting anything). NO global sort: average
+    // ranks come from per-DISTINCT-value counts + the two-phase
+    // exclusivePrefix (below-count b, tie size t → avg rank
+    // (2b + t + 1)/2, folded as exact integer DOUBLED ranks so every
+    // moment is an exact decimal sum; the ×2 scale cancels in rho).
+    // Rank maps join back value-keyed (value-cardinality-sized sides).
+    "spearman_rho" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+      def ranks2(vals: DataFrame, c: String) = {
+        val pv = vals.groupBy(c).agg(count(lit(1)).as("cnt"))
+        exclusivePrefix(pv, c, Seq("cnt"))
+          .select(col(c), (lit(2L) * col("cum_cnt") + col("cnt") + lit(1L))
+            .as(s"r2_$c"))
+      }
+      li.join(ranks2(li.select("q"), "q"), "q")
+        .join(ranks2(li.select("p"), "p"), "p")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r2_q").cast(DecimalType(38, 0))).cast("double").as("sx"),
+          sum(col("r2_p").cast(DecimalType(38, 0))).cast("double").as("sy"),
+          sum((col("r2_q") * col("r2_q")).cast(DecimalType(38, 0)))
+            .cast("double").as("sxx"),
+          sum((col("r2_p") * col("r2_p")).cast(DecimalType(38, 0)))
+            .cast("double").as("syy"),
+          sum((col("r2_q") * col("r2_p")).cast(DecimalType(38, 0)))
+            .cast("double").as("sxy"))
+        .select(col("n").as("n_rows"),
+          (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))) * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("rho"))
+    }),
+
+    // Delete-one-group jackknife (Quenouille/Tukey; the grouped
+    // variance estimator survey statistics ships): leave each nation's
+    // customers out, recompute the mean account balance, and estimate
+    // the sampling variance from the spread of the leave-one-out means
+    // — the error bar you can put on a mean when rows cluster by group.
+    // One fact shuffle into the 25-row per-nation (sum, count) table;
+    // every leave-one-out mean is pure algebra on that table plus the
+    // broadcast grand totals (no second data pass).
+    "jackknife_mean_ci" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val g = t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("s"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(false) // reused: totals + per-group algebra
+      val tot = broadcast(g.agg(sum("s").as("ts"), sum("n").as("tn"),
+        count(lit(1)).as("ng")))
+      val loo = g.crossJoin(tot)
+        .select(((col("ts") - col("s")).cast("double") / (col("tn") - col("n")))
+          .as("m_i"), col("ts"), col("tn"), col("ng"))
+        .localCheckpoint(false) // reused: mbar + the deviation sum
+      val mb = broadcast(loo.agg(
+        (sum(r6(col("m_i")).cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("mbar")))
+      loo.crossJoin(mb)
+        .agg(max(col("ng")).as("n_groups"),
+          (max(col("ts")).cast("double") / max(col("tn"))).as("overall_mean"),
+          ((max(col("ng")) - 1).cast("double") / max(col("ng")) *
+            sum(r6((col("m_i") - col("mbar")) * (col("m_i") - col("mbar")))
+              .cast(DecimalType(18, 6))).cast("double")).as("var_jack"))
+        .select(col("n_groups"), r6(col("overall_mean")).as("overall_mean"),
+          r6(sqrt(col("var_jack"))).as("jackknife_se"))
+    }),
+
     // Degree assortativity (Newman 2002) of the co-purchase graph: the
     // Pearson correlation of endpoint degrees across edges — positive
     // means hubs link to hubs (assortative), negative hub-to-leaf
@@ -1701,6 +1771,57 @@ object CoreQueries {
         |       floor((m * sxy - sx * sx) / (m * sxx - sx * sx) * 1e6 + 0.5) / 1e6
         |         AS assortativity
         |FROM agg""".stripMargin,
+
+    "spearman_rho" ->
+      """WITH li AS (SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem),
+        |pvq AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY q),
+        |rq AS (SELECT q,
+        |         2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY q
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           + cnt + 1 AS r2_q
+        |       FROM pvq),
+        |pvp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY p),
+        |rp AS (SELECT p,
+        |         2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           + cnt + 1 AS r2_p
+        |       FROM pvp),
+        |j AS (SELECT r2_q, r2_p FROM li JOIN rq USING (q) JOIN rp USING (p)),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(CAST(r2_q AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |          CAST(SUM(CAST(r2_p AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |          CAST(SUM(CAST(r2_q * r2_q AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |          CAST(SUM(CAST(r2_p * r2_p AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |          CAST(SUM(CAST(r2_q * r2_p AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |        FROM j)
+        |SELECT n AS n_rows,
+        |       floor((n * sxy - sx * sy)
+        |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |             * 1e6 + 0.5) / 1e6 AS rho
+        |FROM agg""".stripMargin,
+
+    "jackknife_mean_ci" ->
+      """WITH g AS (SELECT c_nationkey,
+        |             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY 1),
+        |tot AS (SELECT SUM(s) AS ts, CAST(SUM(n) AS BIGINT) AS tn,
+        |               CAST(COUNT(*) AS BIGINT) AS ng FROM g),
+        |loo AS (SELECT CAST(ts - s AS DOUBLE) / (tn - n) AS m_i, ts, tn, ng
+        |        FROM g, tot),
+        |mb AS (SELECT CAST(SUM(CAST(floor(m_i * 1e6 + 0.5) / 1e6
+        |                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mbar
+        |       FROM loo),
+        |a AS (SELECT MAX(ng) AS n_groups,
+        |        CAST(MAX(ts) AS DOUBLE) / MAX(tn) AS overall_mean,
+        |        CAST(MAX(ng) - 1 AS DOUBLE) / MAX(ng) *
+        |          CAST(SUM(CAST(floor((m_i - mbar) * (m_i - mbar) * 1e6 + 0.5)
+        |            / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS var_jack
+        |      FROM loo, mb)
+        |SELECT n_groups,
+        |       floor(overall_mean * 1e6 + 0.5) / 1e6 AS overall_mean,
+        |       floor(sqrt(var_jack) * 1e6 + 0.5) / 1e6 AS jackknife_se
+        |FROM a""".stripMargin,
     "month_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders

@@ -726,6 +726,44 @@ object EventQueries {
         .limit(1)
     }),
 
+    // Classical additive seasonal decomposition of the daily revenue
+    // series: trend = centered 7-day moving average (full windows
+    // only), seasonal = mean detrended value per day-of-week, residual
+    // = what's left — the anomaly channel a volume monitor alerts on.
+    // All windows/aggregates run over the DAY-cardinality gapfilled
+    // rollup (the cumulative_users class), never over raw events;
+    // detrended values round 6dp before the decimal seasonal means.
+    "seasonal_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val tr = series
+        .withColumn("win_n", count(lit(1)).over(w7))
+        .withColumn("trend",
+          sum(col("x").cast(DecimalType(18, 6))).over(w7).cast("double") /
+            lit(7.0))
+        .filter(col("win_n") === 7)
+        .withColumn("detr", r6(col("x") - col("trend")))
+        .withColumn("dow", col("day") % 7)
+        .localCheckpoint(false) // reused: seasonal means + the final join
+      val seas = tr.groupBy("dow")
+        .agg((decSum(col("detr")) / count(lit(1))).as("seasonal_raw"))
+      tr.join(seas, "dow")
+        .select(col("day"), col("x"), r6(col("trend")).as("trend"),
+          r6(col("seasonal_raw")).as("seasonal"),
+          r6(col("detr") - col("seasonal_raw")).as("resid"))
+        .orderBy("day")
+    }),
+
     // Mann–Whitney U rank-sum test (Mann & Whitney 1947): do 'click'
     // and 'purchase' events draw their `value` from the same
     // distribution — the standard nonparametric drift test between two
@@ -1206,6 +1244,34 @@ object EventQueries {
         |       FROM s, m)
         |SELECT day AS changepoint_day, abs(sgm) AS max_abs_s, mu, n_days
         |FROM cs ORDER BY max_abs_s DESC, changepoint_day LIMIT 1""".stripMargin,
+
+    "seasonal_decompose" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS (SELECT g.day, COALESCE(c.x, 0.0) AS x FROM g LEFT JOIN c USING (day)),
+        |tr AS (
+        |  SELECT day, x,
+        |    COUNT(*) OVER w AS win_n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) / 7.0 AS trend
+        |  FROM s
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (
+        |  SELECT day, x, trend,
+        |    floor((x - trend) * 1e6 + 0.5) / 1e6 AS detr, day % 7 AS dow
+        |  FROM tr WHERE win_n = 7),
+        |se AS (
+        |  SELECT dow,
+        |    CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |      AS seasonal_raw
+        |  FROM d GROUP BY dow)
+        |SELECT day, x,
+        |       floor(trend * 1e6 + 0.5) / 1e6 AS trend,
+        |       floor(seasonal_raw * 1e6 + 0.5) / 1e6 AS seasonal,
+        |       floor((detr - seasonal_raw) * 1e6 + 0.5) / 1e6 AS resid
+        |FROM d JOIN se USING (dow)
+        |ORDER BY day""".stripMargin,
 
     "mann_whitney_u" ->
       """WITH pv AS (

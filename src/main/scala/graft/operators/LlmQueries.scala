@@ -414,6 +414,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L197 — Flesch reading-ease (Flesch 1948), the classic readability
+    // signal corpus-quality filters bucket on: 206.835 − 1.015·(words/
+    // sentences) − 84.6·(syllables/words), with syllables approximated
+    // as vowel-group runs ([aeiouy]+, case-folded) — the standard
+    // dictionary-free proxy. Sentences = terminal-mark count floored at
+    // 1 (a fragment is one sentence, not a division by zero). Pure
+    // per-row regexp counting + scalar math; one scan at any SF.
+    "readability_flesch" -> ((s, dir) => {
+      val words = size(tokens(col("text"))).cast("long")
+      val sents = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long"),
+        lit(1L))
+      val sylls = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+          sylls.as("n_syllables"))
+        .filter(col("n_words") > 0L)
+        .withColumn("flesch",
+          roundHU(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            1e6))
+        .withColumn("band",
+          when(col("flesch") >= 60.0, "easy")
+            .when(col("flesch") >= 30.0, "standard").otherwise("difficult"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: order-sensitive rolling hash over tokens
     // (typed fast path; integers identical to the declarative form)
     "doc_fingerprint" -> ((s, dir) => {
@@ -4075,6 +4104,28 @@ object LlmQueries {
          |       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
          |             * 1e6 + 0.5) / 1e6 AS intercept
          |FROM agg""".stripMargin,
+
+    "readability_flesch" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len($sqlTokens) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+         |      AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      AS n_syllables
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_words, n_sentences, n_syllables,
+         |    floor((206.835
+         |           - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+         |          * 1e6 + 0.5) / 1e6 AS flesch
+         |  FROM t WHERE n_words > 0)
+         |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+         |       CASE WHEN flesch >= 60.0 THEN 'easy'
+         |            WHEN flesch >= 30.0 THEN 'standard'
+         |            ELSE 'difficult' END AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "good_turing_counts" ->
       s"""WITH tok AS (SELECT unnest($sqlBigrams) AS g FROM documents),

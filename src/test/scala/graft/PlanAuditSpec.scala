@@ -72,6 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     *  - mann_whitney_u: the two-phase exclusivePrefix's CumBuckets-row
     *    coarse carry window (the ccnet_buckets / packing_fragmentation
     *    class; the fine window is bucket-partitioned).
+    *  - spearman_rho: the same exclusivePrefix coarse window, once per
+    *    ranked column (both fine windows bucket-partitioned).
+    *  - seasonal_decompose: 7-day moving average + running windows over
+    *    the DAY-cardinality gapfilled rollup (cumulative_users class).
     *  - packing_fragmentation: CoreQueries.exclusivePrefix's CumBuckets-
     *    row coarse rollup again (the gini_concentration class; Window-
     *    BoundsSpec asserts the structure).
@@ -81,7 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("cumulative_users", "vocab_growth", "monthly_growth", "pareto_frontier",
       "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
       "vocab_coverage", "packing_fragmentation", "ccnet_buckets",
-      "heaps_law_fit", "cusum_changepoint", "mann_whitney_u")
+      "heaps_law_fit", "cusum_changepoint", "mann_whitney_u",
+      "spearman_rho", "seasonal_decompose")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
