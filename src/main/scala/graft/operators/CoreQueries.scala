@@ -188,6 +188,21 @@ object CoreQueries {
     */
   private val LpaCheckpointStride = 5
 
+  /** HITS iteration count (Kleinberg 1999) — single source of truth for
+    * the Spark loop and the oracle's unrolled CTE chain (the
+    * PageRankIters convention). Fixed so the "converging" scores have
+    * ONE exact answer every engine reproduces.
+    */
+  private val HitsIters = 2
+
+  /** k-core threshold and peel-round count for `kcore_peel` — fixed
+    * rounds (not peel-to-fixpoint) so the query has one exact answer and
+    * an unrollable oracle; real decompositions raise the round count and
+    * stop early when an iteration removes nothing.
+    */
+  private val KCoreK = 3
+  private val KCorePeelRounds = 4
+
   /** L118 — synchronous label propagation (community detection) over the
     * part co-purchase graph. Deterministic update: each node adopts the
     * neighbor label with the highest count, ties to the SMALLEST label —
@@ -359,6 +374,57 @@ object CoreQueries {
        |$iters
        |SELECT id AS p_partkey, floor(r * 1e8 + 5e-1) / 1e8 AS pagerank
        |FROM r$PageRankIters ORDER BY p_partkey""".stripMargin
+  }
+
+  /** Oracle for `hits_scores`: the mutual-recursion rounds unrolled as a
+    * CTE chain; L1 normalizers are scalar subqueries over the same
+    * decimal-routed sums the Spark loop uses.
+    */
+  private def sqlHits: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      s"""a${i}r AS (SELECT e.p, CAST(SUM(CAST(h${i - 1}.h AS DECIMAL(28,18))) AS DOUBLE) AS ar
+         |          FROM e JOIN h${i - 1} USING (c) GROUP BY e.p),
+         |a$i AS (SELECT p, ar / (SELECT CAST(SUM(CAST(ar AS DECIMAL(28,18))) AS DOUBLE)
+         |                        FROM a${i}r) AS a FROM a${i}r),
+         |h${i}r AS (SELECT e.c, CAST(SUM(CAST(a$i.a AS DECIMAL(28,18))) AS DOUBLE) AS hr
+         |          FROM e JOIN a$i USING (p) GROUP BY e.c),
+         |h$i AS (SELECT c, hr / (SELECT CAST(SUM(CAST(hr AS DECIMAL(28,18))) AS DOUBLE)
+         |                        FROM h${i}r) AS h FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT c, 1e0 AS h FROM e),
+       |$rounds
+       |SELECT 'authority' AS kind, p AS id, floor(a * 1e8 + 0.5) / 1e8 AS score FROM a$HitsIters
+       |UNION ALL
+       |SELECT 'hub' AS kind, c AS id, floor(h * 1e8 + 0.5) / 1e8 AS score FROM h$HitsIters
+       |ORDER BY kind, id""".stripMargin
+  }
+
+  /** Oracle for `kcore_peel`: the peel rounds unrolled — each round
+    * recomputes degrees over the SURVIVING edge set and drops sub-k
+    * nodes; per-round survivor counts come from scalar subqueries.
+    */
+  private def sqlKcore: String = {
+    val rounds = (1 to KCorePeelRounds).map { r =>
+      s"""adj${r - 1} AS (SELECT src, dst FROM e${r - 1}
+         |             UNION ALL SELECT dst, src FROM e${r - 1}),
+         |deg${r - 1} AS (SELECT src AS n, COUNT(*) AS d FROM adj${r - 1} GROUP BY 1),
+         |keep$r AS (SELECT n FROM deg${r - 1} WHERE d >= $KCoreK),
+         |e$r AS (SELECT src, dst FROM e${r - 1}
+         |        WHERE src IN (SELECT n FROM keep$r)
+         |          AND dst IN (SELECT n FROM keep$r))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to KCorePeelRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$r) AS n_nodes,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (SELECT DISTINCT a.pk AS src, b2.pk AS dst
+       |       FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk),
+       |$rounds
+       |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1695,6 +1761,124 @@ object CoreQueries {
         .agg(max("d").as("dmax"))
         .select(col("n1"), col("n2"),
           (floor(col("dmax") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks_stat"))
+    }),
+
+    // L119 — Kendall tau-b concordance between the monthly revenue and
+    // monthly order-count series: the rank-pair sibling of spearman_rho
+    // (tau is the probability-of-concordance statistic; spearman the
+    // rank Pearson) and the standard "do these two KPIs move together"
+    // check when the series is short enough that every pair matters.
+    // Facts aggregate to the CALENDAR-sized month table first (one
+    // keyed shuffle); the pair fan-out is months² — calendar-bounded —
+    // via a broadcast join over the Aggregate (theilsen_trend's shape,
+    // never a fact broadcast). Tie counts feed the tau-b denominator;
+    // all counting is exact integers, one IEEE sqrt/divide at the end.
+    "kendall_tau" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(decSum(col("o_totalprice"), 2).as("rev"), count(lit(1)).as("cnt"))
+      val nm = broadcast(m.agg(count(lit(1)).as("n_months")))
+      val a = m.select(col("month").as("ma"), col("rev").as("ra"), col("cnt").as("ca"))
+      val b = m.select(col("month").as("mb"), col("rev").as("rb"), col("cnt").as("cb"))
+      val sgn = (col("ra") - col("rb")) * (col("ca") - col("cb"))
+      broadcast(a).join(b, col("ma") < col("mb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+          sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("tie_x"),
+          sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("tie_y"))
+        .crossJoin(nm)
+        .select(col("n_months"), col("n_pairs"), col("concordant"),
+          col("discordant"),
+          (floor((col("concordant") - col("discordant")) /
+            sqrt((col("n_pairs") - col("tie_x")).cast("double") *
+              (col("n_pairs") - col("tie_y"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("tau_b"))
+    }),
+
+    // L120 — HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    // customer→part purchase graph (directed, so hub and authority
+    // scores are genuinely different — on the undirected co-purchase
+    // graph they'd coincide with eigencentrality). Authorities = parts
+    // bought by high-hub customers; hubs = customers buying
+    // high-authority parts — the mutual recursion behind "important
+    // docs are linked by good indexes". Scale shape = pagerank's: the
+    // deduped edge list is bridge-checkpointed TWICE, once partitioned
+    // by each iteration join key (in/out adjacency copies), so every
+    // round's SMJ streams the edge side exchange-free and only the
+    // node-sized score tables shuffle. L1 normalizers are broadcast
+    // 1-row decimal-routed aggregates; contribution sums route through
+    // DECIMAL(28,18) so order-sensitive additions match the oracle.
+    "hits_scores" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")), "ok")
+        .select("c", "p")
+      // (c,p) dedup folds into the first bridge checkpoint's
+      // partition-local adjacent dedup (lpaPlan's trick); the second
+      // copy re-partitions the already-deduped RDD by the other key
+      val ec = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("c"),
+          Seq("c", "p"), dedupSorted = true)
+      val ep = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(ec, shufflePartitions(s), Seq("p"), Seq("p"))
+      def l1Norm(df: DataFrame, v: String): DataFrame =
+        broadcast(df.agg(
+          sum(col(v).cast(DecimalType(28, 18))).cast("double").as("z")))
+      var h = ec.select(col("c")).distinct()
+        .select(col("c"), lit(1.0).as("h"))
+      var a: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val araw = ec.join(h, "c").groupBy("p")
+          .agg(sum(col("h").cast(DecimalType(28, 18))).cast("double").as("ar"))
+        a = araw.crossJoin(l1Norm(araw, "ar"))
+          .select(col("p"), (col("ar") / col("z")).as("a"))
+        val hraw = ep.join(a, "p").groupBy("c")
+          .agg(sum(col("a").cast(DecimalType(28, 18))).cast("double").as("hr"))
+        h = hraw.crossJoin(l1Norm(hraw, "hr"))
+          .select(col("c"), (col("hr") / col("z")).as("h"))
+      }
+      a.select(lit("authority").as("kind"), col("p").as("id"),
+          (floor(col("a") * lit(1e8) + lit(0.5)) / lit(1e8)).as("score"))
+        .union(h.select(lit("hub"), col("c"),
+          floor(col("h") * lit(1e8) + lit(0.5)) / lit(1e8)))
+        .orderBy("kind", "id")
+    }),
+
+    // L121 — k-core peeling (Seidman 1983; fixed rounds, see KCoreK):
+    // repeatedly drop nodes of degree < k from the co-purchase graph and
+    // report survivors per round — the standard "dense core vs fringe"
+    // decomposition used to pick seed sets and to bound clique search.
+    // Each round = the degree_assortativity degree build (two node-sized
+    // partial counts off the src-partitioned edge list) + two keyed
+    // semi-joins; the shrinking edge set is localCheckpointed per round
+    // so the next round's FOUR consumers (two degree passes, two
+    // semi-joins) read a materialized RDD instead of re-running the
+    // whole peel chain. Output is round-sized (4 rows), never data-sized.
+    "kcore_peel" -> ((s, dir) => {
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      var e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true)
+      val rounds = (1 to KCorePeelRounds).map { r =>
+        val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+          .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
+          .groupBy("n").agg(sum("d").as("d"))
+        val keep = dk.filter(col("d") >= KCoreK).select("n")
+        e = e.join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(false)
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rounds.reduce(_ unionAll _).orderBy("round")
     })
   )
 
@@ -1703,6 +1887,30 @@ object CoreQueries {
     "pagerank" -> sqlPagerank,
 
     "label_propagation" -> sqlLpa,
+
+    "hits_scores" -> sqlHits,
+
+    "kcore_peel" -> sqlKcore,
+
+    "kendall_tau" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |             CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM orders GROUP BY 1),
+        |p AS (SELECT a.rev AS ra, b.rev AS rb, a.cnt AS ca, b.cnt AS cb
+        |      FROM m a JOIN m b ON a.month < b.month),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |          CAST(SUM(CASE WHEN (ra - rb) * (ca - cb) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |          CAST(SUM(CASE WHEN (ra - rb) * (ca - cb) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |          CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+        |          CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+        |        FROM p)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+        |       n_pairs, concordant, discordant,
+        |       floor((concordant - discordant)
+        |             / sqrt(CAST(n_pairs - tie_x AS DOUBLE) * (n_pairs - tie_y))
+        |             * 1e6 + 0.5) / 1e6 AS tau_b
+        |FROM agg""".stripMargin,
 
     "fd_discovery" -> {
       val candidates = Seq(
