@@ -72,6 +72,25 @@ object LlmQueries {
     */
   private[operators] val BpeMerges = 5
 
+  /** MMR (Carbonell & Goldstein 1998) selection constants — the
+    * candidate-pool size, the number of greedy picks, and the
+    * relevance/diversity trade-off, shared by the Spark loop and the
+    * oracle's unrolled CTE chain. Lambda literals are written as
+    * separate constants (NOT `1 - lambda`: 1−0.7 is 0.30000000000000004
+    * in IEEE doubles, which would silently diverge from the oracle's
+    * 0.3e0).
+    */
+  private[operators] val MmrPoolN = 64
+  private[operators] val MmrK = 8
+  private val MmrLambda = 0.7
+  private val MmrDiversity = 0.3
+
+  /** TextTiling (Hearst 1997) block size in tokens — fixed-size
+    * pseudo-sentence blocks whose adjacent-pair cosine gaps the
+    * `text_tiling` query scores.
+    */
+  private[operators] val TileBlockTokens = 20
+
   /** Feature-hashing bucket count for `dsir_weights` — a fixed model
     * size at any SF (the DSIR paper's hashed n-gram trick), shared by
     * the Spark expressions and the oracle SQL.
@@ -1059,6 +1078,102 @@ object LlmQueries {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    // greedily pick MmrK items that are relevant to the probe vector
+    // (vec_id 0, the cosine_topk query convention) but diverse from each
+    // other — the diversified-sampling step of RAG context packing and
+    // of "pick k exemplars per cluster" curation. Scale shape: the
+    // greedy argmax is inherently sequential, so production MMR runs on
+    // a BOUNDED candidate pool — relevance top-MmrPoolN via one
+    // distributed scan + TakeOrdered (never a global sort), then MmrK
+    // tiny keyed steps over the 64-row pool (pairwise sims precomputed
+    // once, 64², checkpointed). Nothing data-sized is broadcast or
+    // collected; at 100 TB only the pool scan grows.
+    "mmr_select" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Similarity.toDouble(col("embedding")).as("qv"))
+      val pool = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"),
+          Similarity.cosine(col("v"), col("qv")).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(MmrPoolN)
+        .localCheckpoint(false) // reused by pp + every greedy step
+      val pp = pool.select(col("vec_id").as("ai"), col("v").as("va"))
+        .join(pool.select(col("vec_id").as("bi"), col("v").as("vb")),
+          col("ai") =!= col("bi"))
+        .select(col("ai"), col("bi"),
+          Similarity.cosine(col("va"), col("vb")).as("cos"))
+        .localCheckpoint(false) // reused by every greedy step
+      var sel = pool.orderBy(desc("rel"), col("vec_id")).limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"), col("rel"),
+          (lit(MmrLambda) * col("rel")).as("score"))
+        .localCheckpoint(false)
+      for (i <- 2 to MmrK) {
+        val ms = pp.join(sel.select(col("vec_id").as("bi")), "bi")
+          .groupBy(col("ai").as("vec_id")).agg(max("cos").as("ms"))
+        val pick = pool.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(ms, "vec_id")
+          .select(col("vec_id"), col("rel"),
+            (lit(MmrLambda) * col("rel") - lit(MmrDiversity) * col("ms"))
+              .as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(1)
+          .select(lit(i.toLong).as("rank"), col("vec_id"), col("rel"),
+            col("score"))
+        // lineage cut per step: sel is read twice next step (anti-join +
+        // max-sim), and without the cut the plan doubles per pick
+        sel = sel.union(pick).localCheckpoint(false)
+      }
+      sel.select(col("rank"), col("vec_id"),
+          roundHU(col("rel"), 1e6).as("relevance"),
+          roundHU(col("score"), 1e6).as("mmr_score"))
+        .orderBy("rank")
+    }),
+
+    // TextTiling gap scores (Hearst 1997, the block-comparison variant):
+    // split each doc into fixed TileBlockTokens pseudo-sentence blocks,
+    // score every adjacent-block boundary by term-vector cosine, and
+    // flag candidate topic boundaries where the gap falls below the
+    // doc's mean gap similarity — the classic intra-document
+    // segmentation pass before chunking for retrieval (doc_chunks cuts
+    // blindly at fixed strides; this finds where the topic actually
+    // shifts). Shape: one explode to (doc, block, term) counts, the
+    // adjacent-pair dot as a self-equi-join on (doc, block+1, term) —
+    // within-doc only, never cross-doc — and integer dot/norm arithmetic
+    // (counts), so the single sqrt/divide per gap is IEEE-identical
+    // cross-engine; per-doc means route 6dp-rounded sims through an
+    // exact decimal sum.
+    "text_tiling" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"),
+          floor(col("pos") / TileBlockTokens).cast("long").as("blk"),
+          col("col").as("token"))
+        .groupBy("doc_id", "blk", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // reused: dot join (both sides) + norms
+      val dots = tf.select(col("doc_id"), col("blk"), col("token"),
+          col("c").as("ca"))
+        .join(tf.select(col("doc_id"), (col("blk") - 1).as("blk"),
+          col("token"), col("c").as("cb")), Seq("doc_id", "blk", "token"))
+        .groupBy("doc_id", "blk").agg(sum(col("ca") * col("cb")).as("dot"))
+      val norms = tf.groupBy("doc_id", "blk").agg(sum(col("c") * col("c")).as("nn"))
+      val gaps = norms.select(col("doc_id"), col("blk"), col("nn").as("na"))
+        .join(norms.select(col("doc_id"), (col("blk") - 1).as("blk"),
+          col("nn").as("nb")), Seq("doc_id", "blk"))
+        .join(dots, Seq("doc_id", "blk"), "left")
+        .select(col("doc_id"), col("blk").as("gap"),
+          roundHU(coalesce(col("dot"), lit(0L)).cast("double") /
+            sqrt(col("na").cast("double") * col("nb")), 1e6).as("sim"))
+      val m = gaps.groupBy("doc_id")
+        .agg((sum(col("sim").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("doc_mean"), count(lit(1)).as("n_gaps"))
+      gaps.join(m, "doc_id")
+        .select(col("doc_id"), col("gap"), col("n_gaps"), col("sim"),
+          (col("sim") < col("doc_mean")).as("is_boundary"))
+        .orderBy("doc_id", "gap")
     }),
 
     // L143 — hard-negative mining: per query vector, the top-5 most
@@ -3417,6 +3532,49 @@ object LlmQueries {
     * is ±inf/NaN and DuckDB ranks NaN above every threshold — NULL keeps
     * both versions aligned with Spark's try_divide/!isnan exclusion.
     */
+  /** Oracle for `mmr_select`: the greedy picks unrolled as a CTE chain
+    * (the PageRankIters convention) — step i takes the argmax of
+    * λ·rel − (1−λ)·max-sim-to-selected over the pool minus the selected
+    * set, with the same (score DESC, vec_id) total order as the Spark
+    * loop's TakeOrdered.
+    */
+  private def sqlMmr: String = {
+    // MATERIALIZED on every multiply-referenced CTE: each sel_i is read
+    // twice by step i+1 (NOT IN + max-sim) and once by the union chain,
+    // so DuckDB's default inlining re-evaluates the whole prefix
+    // exponentially (2^MmrK pool scans — observed as a >90s hang at
+    // sf0.01 where the materialized form runs in milliseconds)
+    val steps = (2 to MmrK).map { i =>
+      s"""c$i AS (SELECT p.vec_id, p.rel,
+         |          ${MmrLambda}e0 * p.rel - ${MmrDiversity}e0 * (SELECT MAX(pp.cos) FROM pp
+         |            WHERE pp.ai = p.vec_id
+         |              AND pp.bi IN (SELECT vec_id FROM sel${i - 1})) AS score
+         |        FROM pool p
+         |        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+         |s$i AS MATERIALIZED (SELECT $i AS rank, vec_id, rel, score FROM c$i
+         |        ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |qv AS (SELECT e FROM v WHERE vec_id = 0),
+       |pool AS MATERIALIZED (SELECT c.vec_id, ${sqlCos("c", "q")} AS rel, c.e
+       |         FROM v c, qv q WHERE c.vec_id <> 0
+       |         ORDER BY rel DESC, c.vec_id LIMIT $MmrPoolN),
+       |pp AS MATERIALIZED (SELECT a.vec_id AS ai, b.vec_id AS bi, ${sqlCos("a", "b")} AS cos
+       |       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel, ${MmrLambda}e0 * rel AS score FROM pool
+       |       ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       |       floor(rel * 1e6 + 0.5) / 1e6 AS relevance,
+       |       floor(score * 1e6 + 0.5) / 1e6 AS mmr_score
+       |FROM ($out)
+       |ORDER BY rank""".stripMargin
+  }
+
   private def sqlCos(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a.e, $b.e), s -> s[1]*s[2])) / " +
       s"NULLIF(sqrt(list_sum(list_transform($a.e, x -> x*x))) * sqrt(list_sum(list_transform($b.e, x -> x*x))), 0)"
@@ -4200,6 +4358,34 @@ object LlmQueries {
          |  FROM scored)
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    "mmr_select" -> sqlMmr,
+
+    "text_tiling" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS ts FROM documents),
+         |tok AS (SELECT doc_id, (pos - 1) // $TileBlockTokens AS blk, tok FROM (
+         |          SELECT doc_id, unnest(ts) AS tok,
+         |                 generate_subscripts(ts, 1) AS pos FROM t)),
+         |tf AS (SELECT doc_id, blk, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |dots AS (SELECT a.doc_id, a.blk, SUM(a.c * b.c) AS dot
+         |         FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+         |           AND b.blk = a.blk + 1 AND a.tok = b.tok
+         |         GROUP BY 1, 2),
+         |norms AS (SELECT doc_id, blk, SUM(c * c) AS nn FROM tf GROUP BY 1, 2),
+         |gaps AS (SELECT na.doc_id, na.blk AS gap,
+         |           floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |                 / sqrt(CAST(na.nn AS DOUBLE) * nb.nn) * 1e6 + 0.5) / 1e6 AS sim
+         |         FROM norms na JOIN norms nb ON na.doc_id = nb.doc_id
+         |           AND nb.blk = na.blk + 1
+         |         LEFT JOIN dots d ON d.doc_id = na.doc_id AND d.blk = na.blk),
+         |m AS (SELECT doc_id,
+         |        CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS doc_mean,
+         |        CAST(COUNT(*) AS BIGINT) AS n_gaps
+         |      FROM gaps GROUP BY doc_id)
+         |SELECT g.doc_id, g.gap, m.n_gaps, g.sim, g.sim < m.doc_mean AS is_boundary
+         |FROM gaps g JOIN m USING (doc_id)
+         |ORDER BY g.doc_id, g.gap""".stripMargin,
 
     "hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
