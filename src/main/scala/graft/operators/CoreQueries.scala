@@ -203,6 +203,23 @@ object CoreQueries {
   private val KCoreK = 3
   private val KCorePeelRounds = 4
 
+  /** SAX (Lin et al. 2003) segment count — the PAA word length the
+    * monthly series is compressed to. Alphabet is fixed at 4 via the
+    * standard N(0,1) breakpoints ±0.6745 (quartiles), written as plain
+    * double literals shared bit-for-bit by both engines.
+    */
+  private val SaxSegments = 12
+
+  /** ε for `dp_histogram`'s Laplace mechanism. The "randomness" is a
+    * deterministic hash-uniform (the sampleHash convention from
+    * LlmQueries): DP's formal guarantee needs true randomness, but a
+    * pipeline query must be reproducible and oracle-checkable, so this
+    * demonstrates the mechanism (inverse-CDF transform, sensitivity-1
+    * count histogram) with a seeded noise source — swap the hash for an
+    * RNG at release time.
+    */
+  private val DpEpsilon = 1.0
+
   /** L118 — synchronous label propagation (community detection) over the
     * part co-purchase graph. Deterministic update: each node adopts the
     * neighbor label with the highest count, ties to the SMALLEST label —
@@ -1879,6 +1896,69 @@ object CoreQueries {
           .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
       }
       rounds.reduce(_ unionAll _).orderBy("round")
+    }),
+
+    // L122 — SAX symbolic discretization (Lin et al. 2003) of the monthly
+    // revenue series: z-normalize, compress to SaxSegments PAA segments,
+    // map each segment mean to a 4-letter alphabet via the N(0,1)
+    // quartile breakpoints — the standard "turn a series into a word"
+    // step before motif mining / symbolic indexing. Facts aggregate to
+    // the CALENDAR-sized month table once; positions come from a
+    // count-of-smaller self-join over that aggregate (zipf_slope's
+    // rank-by-join — no global window); moments are decimal-exact
+    // (Σrev, Σrev² with identical IEEE products), z rounds 6dp before
+    // the per-segment decimal mean.
+    "sax_symbols" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val m = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(decSum(col("o_totalprice"), 2).as("rev"))
+        .localCheckpoint(false) // reused: rank self-join (both sides) + moments
+      val st = broadcast(m.agg(count(lit(1)).as("n"),
+        sum(col("rev").cast(DecimalType(18, 2))).cast("double").as("s1"),
+        sum((col("rev") * col("rev")).cast(DecimalType(38, 4)))
+          .cast("double").as("s2")))
+      val ranked = m.as("x").join(m.as("y"), col("y.month") < col("x.month"), "left")
+        .groupBy(col("x.month").as("month"), col("x.rev").as("rev"))
+        .agg(count(col("y.month")).as("i"))
+      val z = ranked.crossJoin(st)
+        .select(expr(s"CAST((i * $SaxSegments) DIV n AS BIGINT)").as("segment"),
+          r6((col("rev") - col("s1") / col("n")) /
+            sqrt(col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n")))).as("z"))
+      z.groupBy("segment")
+        .agg(count(lit(1)).as("n_months"),
+          (sum(col("z").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("paa"))
+        .select(col("segment"), col("n_months"), r6(col("paa")).as("paa"),
+          when(col("paa") < -0.6745, "a").when(col("paa") < 0, "b")
+            .when(col("paa") < 0.6745, "c").otherwise("d").as("symbol"))
+        .orderBy("segment")
+    }),
+
+    // L123 — ε-differentially-private histogram (Dwork et al. 2006):
+    // per-nation customer counts + Laplace(1/ε) noise via the
+    // inverse-CDF transform of a DETERMINISTIC hash-uniform (see
+    // DpEpsilon's doc for the reproducibility-vs-formal-DP trade), then
+    // round-and-clamp to a releasable non-negative integer — the privacy
+    // sibling of k_anonymity: that one audits, this one releases. Shape:
+    // ONE fact shuffle into the nation-sized count table; the noise is a
+    // per-row codegen'd expression. The +0.5 hash offset keeps the
+    // uniform strictly inside (0,1) so ln never sees 0.
+    "dp_histogram" -> ((s, dir) => {
+      val u = (((col("c_nationkey") % lit(100000007L)) * lit(2654435761L))
+        % lit(1000000L) + lit(0.5)) / lit(1e6) - lit(0.5)
+      val arg = lit(1.0) - lit(2.0) * abs(col("u"))
+      t(s, dir, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        .withColumn("u", u)
+        .withColumn("noise",
+          when(col("u") < 0, log(arg)).otherwise(-log(arg)) / lit(DpEpsilon))
+        .select(col("c_nationkey"),
+          greatest(lit(0L),
+            floor(col("cnt") + col("noise") + lit(0.5)).cast("long"))
+            .as("noisy_count"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -1891,6 +1971,43 @@ object CoreQueries {
     "hits_scores" -> sqlHits,
 
     "kcore_peel" -> sqlKcore,
+
+    "sax_symbols" ->
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x.month, x.rev,
+        |        (SELECT COUNT(*) FROM m y WHERE y.month < x.month) AS i FROM m x),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        |       FROM m),
+        |z AS (SELECT (i * $SaxSegments) // n AS segment,
+        |        floor((rev - s1 / n)
+        |              / sqrt(s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS z
+        |      FROM r, st),
+        |p AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |        CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS paa
+        |      FROM z GROUP BY segment)
+        |SELECT segment, n_months, floor(paa * 1e6 + 0.5) / 1e6 AS paa,
+        |       CASE WHEN paa < -0.6745e0 THEN 'a' WHEN paa < 0 THEN 'b'
+        |            WHEN paa < 0.6745e0 THEN 'c' ELSE 'd' END AS symbol
+        |FROM p ORDER BY segment""".stripMargin,
+
+    "dp_histogram" ->
+      s"""WITH c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM customer GROUP BY 1),
+        |n AS (SELECT c_nationkey, cnt,
+        |        ((((c_nationkey % 100000007) * 2654435761) % 1000000) + 0.5) / 1e6
+        |          - 0.5 AS u
+        |      FROM c)
+        |SELECT c_nationkey,
+        |       greatest(0, CAST(floor(cnt +
+        |         (CASE WHEN u < 0 THEN ln(1.0e0 - 2.0e0 * abs(u))
+        |               ELSE -ln(1.0e0 - 2.0e0 * abs(u)) END) / ${DpEpsilon}e0
+        |         + 0.5) AS BIGINT)) AS noisy_count
+        |FROM n ORDER BY c_nationkey""".stripMargin,
 
     "kendall_tau" ->
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -2439,6 +2439,38 @@ object LlmQueries {
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(50)),
 
+    // NDCG@k of the BM25 ranking (Järvelin & Kekäläinen 2002, the
+    // linear-gain form): graded relevance = n_terms (how many distinct
+    // query terms the doc contains — the overlap ground truth available
+    // without human labels), system list = BM25 top-k, ideal list =
+    // relevance top-k over the SAME candidate scores. The standard
+    // offline eval a retrieval stack runs per index build; rrf_fusion
+    // ranks, this scores the ranking. Shape: one bm25Scored pass
+    // (checkpointed, reused by both lists), two TakeOrdered top-10s,
+    // ranks via count-of-better self-joins over the 10-row lists (no
+    // global window), DCG terms rounded 6dp before decimal sums.
+    "ndcg_eval" -> ((s, dir) => {
+      val scored = bm25Scored(docs(s, dir)).localCheckpoint(false)
+      val top = scored.orderBy(desc("bm25"), col("doc_id")).limit(NdcgK)
+        .localCheckpoint(false) // both sides of the rank self-join
+      val ideal = scored.select("doc_id", "n_terms")
+        .orderBy(desc("n_terms"), col("doc_id")).limit(NdcgK)
+        .localCheckpoint(false)
+      def dcgv(tp: DataFrame, ord: org.apache.spark.sql.Column): DataFrame =
+        tp.as("x").join(tp.as("y"), ord, "left")
+          .groupBy(col("x.doc_id").as("doc_id"), col("x.n_terms").as("rel"))
+          .agg((count(col("y.doc_id")) + 1).as("r"))
+          .agg(sum(roundHU(col("rel") / log2(col("r") + 1), 1e6)
+            .cast(DecimalType(18, 6))).cast("double").as("v"))
+      val d = dcgv(top, col("y.bm25") > col("x.bm25") ||
+        (col("y.bm25") === col("x.bm25") && col("y.doc_id") < col("x.doc_id")))
+      val i = dcgv(ideal, col("y.n_terms") > col("x.n_terms") ||
+        (col("y.n_terms") === col("x.n_terms") && col("y.doc_id") < col("x.doc_id")))
+      d.select(col("v").as("dcg")).crossJoin(i.select(col("v").as("idcg")))
+        .select(lit(NdcgK.toLong).as("k"), col("dcg"), col("idcg"),
+          roundHU(col("dcg") / col("idcg"), 1e6).as("ndcg"))
+    }),
+
     // L102 — Count-Min sketch heavy hitters: depth-4 x width-512
     // counters over the token stream (buckets from the shared token
     // hash re-hashed by the first 4 MinHash param pairs — one source of
@@ -3532,6 +3564,65 @@ object LlmQueries {
     * is ±inf/NaN and DuckDB ranks NaN above every threshold — NULL keeps
     * both versions aligned with Spark's try_divide/!isnan exclusion.
     */
+  /** NDCG evaluation depth for `ndcg_eval`, shared by query and oracle. */
+  private[operators] val NdcgK = 10
+
+  /** Shared CTE fragment producing `sc` = (doc_id, n_terms, bm25) — the
+    * single SQL source of truth for [[bm25Scored]], used by the
+    * `bm25_search` and `ndcg_eval` oracles (a drifted copy would let the
+    * ranking and its evaluation disagree silently).
+    */
+  private def sqlBm25Ctes: String =
+    s"""dl AS (SELECT doc_id, len($sqlTokens) AS dl FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
+       |  WHERE token IN ('spark', 'join', 'window')
+       |  GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |               * tf.tf * 2.2
+       |               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       |               * 1e6 + 0.5) / 1e6 AS term_score
+       |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |sc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |         CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM scored
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** Oracle for `ndcg_eval`: system and ideal top-k from the same `sc`
+    * scores, ranks via correlated count-of-better over the MATERIALIZED
+    * 10-row top lists (the rank-by-join convention), linear-gain DCG
+    * terms rounded 6dp before the decimal sum.
+    */
+  private def sqlNdcg: String = {
+    def ranked(src: String, ord: String) =
+      s"""(SELECT x.doc_id, x.n_terms AS rel,
+         |   1 + (SELECT COUNT(*) FROM $src y WHERE $ord) AS r
+         | FROM $src x)""".stripMargin
+    val sysOrd = "y.bm25 > x.bm25 OR (y.bm25 = x.bm25 AND y.doc_id < x.doc_id)"
+    val idlOrd = "y.n_terms > x.n_terms OR (y.n_terms = x.n_terms AND y.doc_id < x.doc_id)"
+    def dcgOf(rankedSql: String) =
+      s"""(SELECT CAST(SUM(CAST(floor(rel / log2(r + 1) * 1e6 + 0.5) / 1e6
+         |   AS DECIMAL(18,6))) AS DOUBLE) AS v
+         | FROM $rankedSql t)""".stripMargin
+    s"""WITH $sqlBm25Ctes,
+       |top AS MATERIALIZED (SELECT doc_id, n_terms, bm25 FROM sc
+       |       ORDER BY bm25 DESC, doc_id LIMIT $NdcgK),
+       |ideal AS MATERIALIZED (SELECT doc_id, n_terms FROM sc
+       |       ORDER BY n_terms DESC, doc_id LIMIT $NdcgK),
+       |d AS ${dcgOf(ranked("top", sysOrd))},
+       |i AS ${dcgOf(ranked("ideal", idlOrd))}
+       |SELECT CAST($NdcgK AS BIGINT) AS k, d.v AS dcg, i.v AS idcg,
+       |       floor(d.v / i.v * 1e6 + 0.5) / 1e6 AS ndcg
+       |FROM d, i""".stripMargin
+  }
+
   /** Oracle for `mmr_select`: the greedy picks unrolled as a CTE chain
     * (the PageRankIters convention) — step i takes the argmax of
     * λ·rel − (1−λ)·max-sim-to-selected over the pool minus the selected
@@ -5148,28 +5239,12 @@ object LlmQueries {
          |ORDER BY b.term""".stripMargin,
 
     "bm25_search" ->
-      s"""WITH dl AS (SELECT doc_id, len($sqlTokens) AS dl FROM documents),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest($sqlTokens) AS token FROM documents)
-         |  WHERE token IN ('spark', 'join', 'window')
-         |  GROUP BY doc_id, token),
-         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |         floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-         |               * tf.tf * 2.2
-         |               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-         |               * 1e6 + 0.5) / 1e6 AS term_score
-         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-         |       CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
-         |FROM scored
-         |GROUP BY doc_id
+      s"""WITH $sqlBm25Ctes
+         |SELECT doc_id, n_terms, bm25 FROM sc
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 50""".stripMargin,
+
+    "ndcg_eval" -> sqlNdcg,
 
     "cms_heavy_hitters" -> {
       val width = 512L
