@@ -261,9 +261,15 @@ object CoreQueries {
     val e = org.apache.spark.sql.graftbridge.CheckpointBridge
       .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"),
         Seq("dst", "src"), dedupSorted = true)
-    var lbl = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (i <- 1 to iters) {
+    require(iters >= 1, "lpaPlan needs at least one iteration")
+    // round 1 folded: the initial label of every node is the node id
+    // itself, so the first edge⨝label join is an identity — round 1 is
+    // just the deterministic mode of each node's neighbor IDS, and the
+    // init-label `distinct` disappears with the join (two fewer stages;
+    // the update rule below is unchanged from round 2 on)
+    var lbl = e.groupBy(col("src").as("node"))
+      .agg(mode(col("dst"), deterministic = true).as("lbl"))
+    for (i <- 2 to iters) {
       // ONE aggregation per round, not two: deterministic mode(lbl) is
       // exactly LPA's update rule (most frequent neighbor label, ties ->
       // LOWEST label, matching the oracle's ORDER BY cnt DESC, lbl pick)
@@ -317,41 +323,44 @@ object CoreQueries {
     */
   private[operators] def pagerankPlan(s: SparkSession, dir: String,
                                       iters: Int): DataFrame = {
+    require(iters >= 1, "pagerankPlan needs at least one iteration")
     // Per-order collect_set + narrow double-explode instead of the
     // baskets self-join (see lpaPlan — drops two of the edge build's
     // wide exchanges; collect_set dedups pk within the order, so each
-    // (src, dst) appears once per co-order and the count below equals
-    // the old DISTINCT-baskets join's multiplicity exactly).
+    // (src, dst) appears once per co-order and the count equals the old
+    // DISTINCT-baskets join's multiplicity exactly).
     val bo = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("items"))
-    val e = bo.select(explode(col("items")).as("src"), col("items"))
+    val pairs = bo.select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-    // ONE checkpoint (the normalized edge list the rounds reuse), not
-    // two: a lazy localCheckpoint compiles + materializes eagerly at
-    // construction, so a separate deg checkpoint paid a full extra
-    // planning+execution cycle for a table the ed build derives anyway.
-    // Node set and count both come off the checkpointed ed below.
-    val ed0 = e.join(e.groupBy("src").agg(sum("wt").as("wsum")), "src")
-      .select(col("src"), col("dst"),
-        (col("wt").cast("double") / col("wsum")).as("p"))
-    // partitioned AND sorted by the round join key via the bridge (see
-    // lpaPlan / CheckpointBridge — plain localCheckpoint loses the
-    // partitioning under AQE): each power iteration's SMJ streams the
-    // edge side exchange-free and sort-free; only the rank table moves
-    val ed = org.apache.spark.sql.graftbridge.CheckpointBridge
-      .partitionedCheckpoint(ed0, shufflePartitions(s), Seq("src"), Seq("src"))
-    val nodes = ed.select(col("src").as("id")).distinct()
-    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
-    var r = nodes.crossJoin(n)
+    // ONE edge-sized exchange for the whole query: the (src, dst) →
+    // multiplicity groupBy folds into the checkpoint's repartition as a
+    // partition-local run-length count (countedCheckpoint) — the old
+    // build paid that exchange TWICE (pair-count groupBy, then the
+    // bridge repartition). Out-weight normalization moves to the rounds
+    // as a NODE-sized (rank ÷ out-weight) join: contribution per edge is
+    // (r/wsum)·wt instead of r·(wt/wsum) — the oracle mirrors the same
+    // association, so the IEEE op order still matches bit-for-bit.
+    val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .countedCheckpoint(pairs, shufflePartitions(s), Seq("src"),
+        Seq("src", "dst"), "wt")
+    // out-weight per node: exchange-free off the declared src
+    // partitioning; node-sized, checkpointed once, reused every round
+    val wsum = e.groupBy(col("src").as("id")).agg(sum("wt").as("wsum"))
+      .localCheckpoint(false)
+    val n = broadcast(wsum.agg(count(lit(1)).as("n_nodes")))
+    var r = wsum.select(col("id")).crossJoin(n)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
     for (i <- 1 to iters) {
-      r = ed.join(r.withColumnRenamed("id", "src"), "src")
+      // rank ÷ out-weight first (node-sized join), then one streamed
+      // pass over the src-partitioned-and-sorted edge checkpoint
+      val rw = r.join(wsum, "id")
+        .select(col("id").as("src"), (col("r") / col("wsum")).as("rw"))
+      r = e.join(rw, "src")
         .select(col("dst").as("id"),
-          (col("r") * col("p")).cast(DecimalType(28, 18)).as("c"))
+          (col("rw") * col("wt")).cast(DecimalType(28, 18)).as("c"))
         .groupBy("id").agg(sum("c").cast("double").as("in_rank"))
         .crossJoin(n)
         .select(col("id"),
@@ -377,15 +386,15 @@ object CoreQueries {
         |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk <> b2.pk
         |      GROUP BY 1, 2),
         |deg AS (SELECT src, SUM(wt) AS wsum FROM e GROUP BY src),
-        |ed AS (SELECT e.src, e.dst, CAST(e.wt AS DOUBLE) / deg.wsum AS p
-        |       FROM e JOIN deg USING (src)),
         |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
         |r0 AS (SELECT src AS id, 1e0 / n_nodes AS r FROM deg CROSS JOIN n)""".stripMargin
+    // (r / wsum) * wt — the rank-÷-out-weight association the Spark
+    // rounds use (normalization folded into the node-sized side)
     val iters = (1 to PageRankIters).map { k =>
-      s"""r$k AS (SELECT ed.dst AS id,
-         |  15e-2 / n_nodes + 85e-2 * CAST(SUM(CAST(r${k - 1}.r * ed.p AS DECIMAL(28,18))) AS DOUBLE) AS r
-         |  FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.id CROSS JOIN n
-         |  GROUP BY ed.dst, n_nodes)""".stripMargin
+      s"""r$k AS (SELECT e.dst AS id,
+         |  15e-2 / n_nodes + 85e-2 * CAST(SUM(CAST((r${k - 1}.r / deg.wsum) * e.wt AS DECIMAL(28,18))) AS DOUBLE) AS r
+         |  FROM e JOIN deg USING (src) JOIN r${k - 1} ON e.src = r${k - 1}.id CROSS JOIN n
+         |  GROUP BY e.dst, n_nodes)""".stripMargin
     }.mkString(",\n")
     s"""$base,
        |$iters

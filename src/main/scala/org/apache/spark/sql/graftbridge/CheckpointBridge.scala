@@ -3,10 +3,11 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, GenericInternalRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.classic.{Dataset => CDataset}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
 /** `localCheckpoint` that KEEPS its hash partitioning (and optional
@@ -101,6 +102,71 @@ object CheckpointBridge {
     val plan = LogicalRDD(output, rdd, partitioning, ordering,
       isStreaming = false, stream = None)(
       cds.sparkSession, Some(qe.optimizedPlan.stats), None)
+    CDataset.ofRows(cds.sparkSession, plan)
+  }
+
+  /** [[partitionedCheckpoint]] with the counting aggregation folded into
+    * the materialization pass: runs of rows equal on `keys ++ sortCols`
+    * (which must cover every column — enforced) collapse to one row with
+    * an appended BIGINT `countCol` holding the run length. Semantically
+    * `df.groupBy(all columns).count()` checkpointed partitioned by
+    * `keys` — but the groupBy's full-width exchange IS the checkpoint's
+    * repartition, so a weighted-edge build (pagerank's `(src, dst) →
+    * multiplicity`) pays ONE wide exchange instead of two. The count is
+    * a partition-local streaming run-length over the sorted rows, the
+    * same co-location argument as `dedupSorted`.
+    */
+  def countedCheckpoint(df: DataFrame, numPartitions: Int,
+                        keys: Seq[String], sortCols: Seq[String],
+                        countCol: String): DataFrame = {
+    require(keys.nonEmpty, "countedCheckpoint needs at least one key")
+    val covered = (keys ++ sortCols).toSet
+    require(df.columns.forall(covered),
+      s"countedCheckpoint requires keys ++ sortCols to cover all columns; " +
+        s"missing ${df.columns.filterNot(covered).mkString(", ")}")
+    val repart = df.repartition(numPartitions, keys.map(df.col): _*)
+    val prepared = repart.sortWithinPartitions(sortCols.map(repart.col): _*)
+    val cds = prepared.asInstanceOf[CDataset[Row]]
+    val qe = cds.queryExecution
+    val output = qe.analyzed.output
+    val types = output.map(_.dataType)
+    val rdd: RDD[InternalRow] = qe.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private var cur: InternalRow = if (it.hasNext) it.next().copy() else null
+        override def hasNext: Boolean = cur != null
+        override def next(): InternalRow = {
+          var cnt = 1L
+          var nxt: InternalRow = null
+          while (nxt == null && it.hasNext) {
+            val r = it.next()
+            if (r == cur) cnt += 1 else nxt = r.copy()
+          }
+          val vals = new Array[Any](types.length + 1)
+          var i = 0
+          while (i < types.length) { vals(i) = cur.get(i, types(i)); i += 1 }
+          vals(types.length) = cnt
+          cur = nxt
+          new GenericInternalRow(vals)
+        }
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val cnt = AttributeReference(countCol, LongType, nullable = false)()
+    val outAll = output :+ cnt
+    def attr(name: String) = output.find(_.name == name).get
+    val partitioning = HashPartitioning(keys.map(attr), numPartitions)
+    val ordering = sortCols.map(c => SortOrder(attr(c), Ascending))
+    // stats = None, DELIBERATELY (unlike partitionedCheckpoint): the
+    // run-length collapse makes the output cardinality unknowable before
+    // materialization, and the pre-count child's stats UNDERCOUNT the
+    // post-explode row width enough that Catalyst auto-broadcast the
+    // 2.4M-row edge list into every pagerank round (observed: BHJ
+    // BuildLeft over the checkpoint scan — the exact loop-invariant
+    // re-broadcast this bridge exists to prevent). defaultSizeInBytes =
+    // huge ⇒ the counted side can never be a build side; its declared
+    // partitioning + ordering make it the streamed SMJ side for free.
+    val plan = LogicalRDD(outAll, rdd, partitioning, ordering,
+      isStreaming = false, stream = None)(
+      cds.sparkSession, None, None)
     CDataset.ofRows(cds.sparkSession, plan)
   }
 }

@@ -37,6 +37,41 @@ class CheckpointBridgeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.contains("extra"))
   }
 
+  test("countedCheckpoint equals groupBy-all-columns count()") {
+    val got = CheckpointBridge
+      .countedCheckpoint(dupes, 4, Seq("src"), Seq("src", "dst"), "wt")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = dupes.groupBy("src", "dst").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("countedCheckpoint side never auto-broadcasts and needs no exchange in a keyed join") {
+    import spark.implicits._
+    val e = CheckpointBridge
+      .countedCheckpoint(dupes, 4, Seq("src"), Seq("src", "dst"), "wt")
+    val ranks = Seq((1L, 0.5), (2L, 0.25), (3L, 0.25)).toDF("src", "r")
+    val joined = e.join(ranks, "src")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    // no stats are declared, so the counted side must never become a
+    // broadcast build side (the pagerank loop-invariant regression this
+    // guards: an auto-broadcast edge list re-ships every round)
+    val bcast = collect(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if collect(b.child) {
+          case s if s.toString.contains("wt") => s
+        }.nonEmpty => b
+    }
+    assert(bcast.isEmpty, s"counted side was broadcast:\n$plan")
+    // and its declared HashPartitioning(src) keeps it exchange-free
+    val exchanges = collect(plan) {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => ex
+    }
+    assert(exchanges.size <= 1,
+      s"expected at most 1 exchange (rank side only), got ${exchanges.size}:\n$plan")
+  }
+
   test("declared partitioning feeds a join with no exchange on the checkpointed side") {
     import spark.implicits._
     val big = CheckpointBridge.partitionedCheckpoint(
