@@ -699,7 +699,7 @@ object Dedup {
     val sym = org.apache.spark.sql.graftbridge.CheckpointBridge
       .partitionedCheckpoint(sym0,
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        Seq("dst"), Seq("dst"))
+        Seq("dst"), Seq("dst"), declareStats = false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

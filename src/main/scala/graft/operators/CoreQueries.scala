@@ -260,7 +260,7 @@ object CoreQueries {
     // label table shuffles
     val e = org.apache.spark.sql.graftbridge.CheckpointBridge
       .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"),
-        Seq("dst", "src"), dedupSorted = true)
+        Seq("dst", "src"), dedupSorted = true, declareStats = false)
     require(iters >= 1, "lpaPlan needs at least one iteration")
     // round 1 folded: the initial label of every node is the node id
     // itself, so the first edge⨝label join is an identity — round 1 is
@@ -1477,7 +1477,7 @@ object CoreQueries {
         .filter(col("src") < col("dst"))
       val e = org.apache.spark.sql.graftbridge.CheckpointBridge
         .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
-          Seq("src", "dst"), dedupSorted = true)
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
       // degree = head-incidences + tail-incidences, merged as two
       // node-sized partial counts — the old e ∪ reverse(e) union paid a
       // full edge-sized exchange for its groupBy; the head count here
@@ -1506,7 +1506,8 @@ object CoreQueries {
       // the checkpoint exchange-free and sort-free; reused again by the
       // closure probe
       val oriented = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .partitionedCheckpoint(oriented0, shufflePartitions(s), Seq("u"), Seq("u"))
+        .partitionedCheckpoint(oriented0, shufflePartitions(s), Seq("u"), Seq("u"),
+          declareStats = false)
       val wedges = oriented.select(col("u"), col("v").as("a"), col("dv").as("da"))
         .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
           Seq("u"))
@@ -1641,7 +1642,7 @@ object CoreQueries {
         .filter(col("src") < col("dst"))
       val e = org.apache.spark.sql.graftbridge.CheckpointBridge
         .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
-          Seq("src", "dst"), dedupSorted = true)
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
       val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
         .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
         .groupBy("n").agg(sum("d").as("d"))
@@ -1846,9 +1847,10 @@ object CoreQueries {
       // copy re-partitions the already-deduped RDD by the other key
       val ec = org.apache.spark.sql.graftbridge.CheckpointBridge
         .partitionedCheckpoint(e0, shufflePartitions(s), Seq("c"),
-          Seq("c", "p"), dedupSorted = true)
+          Seq("c", "p"), dedupSorted = true, declareStats = false)
       val ep = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .partitionedCheckpoint(ec, shufflePartitions(s), Seq("p"), Seq("p"))
+        .partitionedCheckpoint(ec, shufflePartitions(s), Seq("p"), Seq("p"),
+          declareStats = false)
       def l1Norm(df: DataFrame, v: String): DataFrame =
         broadcast(df.agg(
           sum(col(v).cast(DecimalType(28, 18))).cast("double").as("z")))
@@ -1856,12 +1858,18 @@ object CoreQueries {
         .select(col("c"), lit(1.0).as("h"))
       var a: DataFrame = null
       for (_ <- 1 to HitsIters) {
+        // each raw-score table is consumed TWICE (its own L1 normalizer
+        // + the normalized division), so without the node-sized lineage
+        // cut every round would re-run the whole prefix per consumer —
+        // 2^rounds edge joins (measured: 16s vs 4s at sf0.1)
         val araw = ec.join(h, "c").groupBy("p")
           .agg(sum(col("h").cast(DecimalType(28, 18))).cast("double").as("ar"))
+          .localCheckpoint(false)
         a = araw.crossJoin(l1Norm(araw, "ar"))
           .select(col("p"), (col("ar") / col("z")).as("a"))
         val hraw = ep.join(a, "p").groupBy("c")
           .agg(sum(col("a").cast(DecimalType(28, 18))).cast("double").as("hr"))
+          .localCheckpoint(false)
         h = hraw.crossJoin(l1Norm(hraw, "hr"))
           .select(col("c"), (col("hr") / col("z")).as("h"))
       }
@@ -1891,12 +1899,16 @@ object CoreQueries {
         .filter(col("src") < col("dst"))
       var e = org.apache.spark.sql.graftbridge.CheckpointBridge
         .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
-          Seq("src", "dst"), dedupSorted = true)
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
       val rounds = (1 to KCorePeelRounds).map { r =>
         val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
           .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
           .groupBy("n").agg(sum("d").as("d"))
+        // keep is consumed three times (two semi-joins + the survivor
+        // count) — node-sized lineage cut so the two edge-sized degree
+        // aggregates behind it run once per round, not three times
         val keep = dk.filter(col("d") >= KCoreK).select("n")
+          .localCheckpoint(false)
         e = e.join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
           .localCheckpoint(false)

@@ -59,11 +59,22 @@ object CheckpointBridge {
     * stage of the graph edge builds. Caller contract: `keys ++
     * sortCols` must cover EVERY column of `df` (enforced), otherwise
     * rows differing only on an uncovered column would collapse.
+    *
+    * `declareStats = false` makes the checkpoint report
+    * defaultSizeInBytes ("huge") instead of the child plan's estimate.
+    * Use it for LOOP-INVARIANT big tables (graph edge lists): the
+    * child's post-explode estimates undercount badly enough that
+    * Catalyst auto-broadcast a 2.4M-row edge list into every LPA round
+    * — silently replacing the declared-partitioning streamed SMJ with a
+    * per-round rebroadcast, which is exactly the scale failure this
+    * bridge exists to prevent. Leave true for small/sample-bounded
+    * frames that legitimately want to remain auto-broadcastable.
     */
   def partitionedCheckpoint(df: DataFrame, numPartitions: Int,
                             keys: Seq[String],
                             sortCols: Seq[String] = Nil,
-                            dedupSorted: Boolean = false): DataFrame = {
+                            dedupSorted: Boolean = false,
+                            declareStats: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "partitionedCheckpoint needs at least one key")
     if (dedupSorted) {
       val covered = (keys ++ sortCols).toSet
@@ -98,10 +109,12 @@ object CheckpointBridge {
     val ordering = sortCols.map(c => SortOrder(attr(c), Ascending))
     // originStats mirrors Dataset.checkpoint: without it the LogicalRDD
     // reports defaultSizeInBytes (= "huge"), and a small checkpointed
-    // side can never be auto-broadcast again
+    // side can never be auto-broadcast again (suppressed when the
+    // caller declares the frame loop-invariant-big — see the scaladoc)
     val plan = LogicalRDD(output, rdd, partitioning, ordering,
       isStreaming = false, stream = None)(
-      cds.sparkSession, Some(qe.optimizedPlan.stats), None)
+      cds.sparkSession,
+      if (declareStats) Some(qe.optimizedPlan.stats) else None, None)
     CDataset.ofRows(cds.sparkSession, plan)
   }
 
