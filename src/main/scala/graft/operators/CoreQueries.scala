@@ -953,6 +953,63 @@ object CoreQueries {
         .orderBy("a_key", "b_key")
     }),
 
+    // Fellegi–Sunter record-linkage decision model (1969) over the same
+    // (brand, size)-blocked candidate pairs as fuzzy_name_match — the
+    // layer ABOVE candidate generation: per-field agreement patterns,
+    // u-probabilities estimated from the candidate-pair agreement rates
+    // (the standard random-pair estimator), fixed m = 0.95, and the
+    // log-likelihood match weight Σ ln(m/u) / ln((1−m)/(1−u)) with
+    // link / possible / non-link thresholds. Output is pattern-sized
+    // (2⁴ rows). Scale shape: ONE blocked pair pass (blockSizeGuard
+    // enforced) checkpointed for its two consumers (u rates + pattern
+    // counts); everything downstream is 16-row algebra. The 0.95/0.05
+    // literals are written as separate constants on both engines
+    // (1−0.95 is 0.050000000000000044 in IEEE).
+    "linkage_weights" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val guarded = blockSizeGuard(p, Seq("p_brand", "p_size"),
+        FuzzyMatchMaxBlock, "linkage_weights")
+      def side(df: DataFrame, px: String) = df.select(
+        col("p_partkey").as(s"${px}k"), col("p_name").as(s"${px}n"),
+        split(col("p_type"), " ").getItem(0).as(s"${px}c"),
+        col("p_type").as(s"${px}t"),
+        floor(col("p_retailprice").cast("double") / 100).as(s"${px}b"),
+        col("p_brand"), col("p_size"))
+      val pairs = side(guarded, "a").join(side(p, "b"), Seq("p_brand", "p_size"))
+        .filter(col("ak") < col("bk"))
+        .select(
+          (graft.functions.EditDistance
+            .levenshteinFast(col("an"), col("bn")) <= 3).as("name_agree"),
+          (col("ac") === col("bc")).as("class_agree"),
+          (col("at") === col("bt")).as("type_agree"),
+          (col("ab") === col("bb")).as("band_agree"))
+        .localCheckpoint(false) // reused: u rates + pattern counts
+      def rate(c: Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("double") / count(lit(1))
+      val u = broadcast(pairs.agg(
+        rate(col("name_agree")).as("u_name"),
+        rate(col("class_agree")).as("u_class"),
+        rate(col("type_agree")).as("u_type"),
+        rate(col("band_agree")).as("u_band")))
+      def w(agree: Column, uc: Column) =
+        when(agree, log(lit(0.95) / uc))
+          .otherwise(log(lit(0.05) / (lit(1.0) - uc)))
+      pairs.groupBy("name_agree", "class_agree", "type_agree", "band_agree")
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(u)
+        .select(col("name_agree"), col("class_agree"), col("type_agree"),
+          col("band_agree"), col("n_pairs"),
+          (floor((w(col("name_agree"), col("u_name")) +
+            w(col("class_agree"), col("u_class")) +
+            w(col("type_agree"), col("u_type")) +
+            w(col("band_agree"), col("u_band"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("weight"))
+        .withColumn("decision",
+          when(col("weight") > 2, "link")
+            .when(col("weight") > 0, "possible").otherwise("non_link"))
+        .orderBy("name_agree", "class_agree", "type_agree", "band_agree")
+    }),
+
     // Central tendency per group: exact interpolated median plus a
     // DETERMINISTIC mode — an explicit count + row_number with a
     // lowest-value tiebreak instead of mode(), whose tie choice is
@@ -2457,6 +2514,45 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "linkage_weights" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size, p_type,
+        |             string_split(p_type, ' ')[1] AS class,
+        |             floor(CAST(p_retailprice AS DOUBLE) / 100) AS band
+        |           FROM part),
+        |pairs AS MATERIALIZED (
+        |  SELECT levenshtein(a.p_name, b.p_name) <= 3 AS name_agree,
+        |         a.class = b.class AS class_agree,
+        |         a.p_type = b.p_type AS type_agree,
+        |         a.band = b.band AS band_agree
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey < b.p_partkey),
+        |u AS (SELECT
+        |  CAST(SUM(CASE WHEN name_agree THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS u_name,
+        |  CAST(SUM(CASE WHEN class_agree THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS u_class,
+        |  CAST(SUM(CASE WHEN type_agree THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS u_type,
+        |  CAST(SUM(CASE WHEN band_agree THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS u_band
+        |  FROM pairs),
+        |pat AS (SELECT name_agree, class_agree, type_agree, band_agree,
+        |               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |        FROM pairs GROUP BY 1, 2, 3, 4),
+        |w AS (SELECT name_agree, class_agree, type_agree, band_agree, n_pairs,
+        |        floor((
+        |          CASE WHEN name_agree THEN ln(0.95e0 / u_name)
+        |               ELSE ln(0.05e0 / (1.0e0 - u_name)) END
+        |          + CASE WHEN class_agree THEN ln(0.95e0 / u_class)
+        |                 ELSE ln(0.05e0 / (1.0e0 - u_class)) END
+        |          + CASE WHEN type_agree THEN ln(0.95e0 / u_type)
+        |                 ELSE ln(0.05e0 / (1.0e0 - u_type)) END
+        |          + CASE WHEN band_agree THEN ln(0.95e0 / u_band)
+        |                 ELSE ln(0.05e0 / (1.0e0 - u_band)) END) * 1e6 + 0.5) / 1e6
+        |          AS weight
+        |      FROM pat, u)
+        |SELECT name_agree, class_agree, type_agree, band_agree, n_pairs, weight,
+        |       CASE WHEN weight > 2 THEN 'link' WHEN weight > 0 THEN 'possible'
+        |            ELSE 'non_link' END AS decision
+        |FROM w
+        |ORDER BY name_agree, class_agree, type_agree, band_agree""".stripMargin,
 
     "fuzzy_name_match" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,

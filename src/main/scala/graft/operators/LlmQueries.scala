@@ -2250,6 +2250,37 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Cluster-purity evaluation: per k-means cell, the majority label's
+    // share — the standard external-validity check of an UNSUPERVISED
+    // cell structure against known labels (the companion to
+    // cluster_balance's size diagnostic and silhouette_proxy's internal
+    // score; SemDeDup-style pipelines run exactly this before trusting
+    // cells as dedup scopes). One assignment scan joined to the
+    // label column, a (cell × label) count table (bounded: k × labels),
+    // and a deterministic majority pick via max_by on (n, −label) —
+    // ties to the LOWEST label, mirrored by the oracle's row_number
+    // order. Same seeded decimal-exact codebook as the ann_ivf family.
+    "cluster_purity" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cs = Similarity.ivfCentroids(e, "vec_id", "embedding",
+        nClusters = 8, iters = 2)
+      val al = Similarity.clusterAssignments(e, "vec_id", "embedding", cs)
+        .join(e.select(col("vec_id").as("id"),
+          col("label").cast("long").as("label")), "id")
+      val cc = al.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // reused: totals + majority pick
+      val tot = cc.groupBy("cluster").agg(sum("n").as("n_vecs"))
+      val pick = cc.groupBy("cluster")
+        .agg(max_by(struct(col("label"), col("n")),
+          struct(col("n"), -col("label"))).as("m"))
+        .select(col("cluster"), col("m.label").as("top_label"),
+          col("m.n").as("top_n"))
+      tot.join(pick, "cluster")
+        .select(col("cluster"), col("n_vecs"), col("top_label"), col("top_n"),
+          roundHU(col("top_n").cast("double") / col("n_vecs"), 1e6).as("purity"))
+        .orderBy("cluster")
+    }),
+
     // L140 — codebook cell-balance diagnostic: members and share per
     // k-means cell, EMPTY CELLS INCLUDED (an empty or elephant cell is
     // exactly what this query exists to surface — it is the k-chooser
@@ -5125,6 +5156,23 @@ object LlmQueries {
          |       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_members,
          |       floor(CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.total * 1e6 + 0.5) / 1e6 AS share
          |FROM cent2 s LEFT JOIN cnt USING (cl), tot
+         |ORDER BY cluster""".stripMargin,
+
+    "cluster_purity" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |${ivfChainCtes(nClusters = 8, iters = 2)},
+         |al AS (SELECT a.vec_id, a.cl, CAST(e2.label AS BIGINT) AS label
+         |       FROM assign a JOIN embeddings e2 USING (vec_id)),
+         |cc AS (SELECT cl, label, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM al GROUP BY 1, 2),
+         |tot AS (SELECT cl, CAST(SUM(n) AS BIGINT) AS n_vecs FROM cc GROUP BY cl),
+         |pick AS (SELECT cl, label AS top_label, n AS top_n,
+         |                row_number() OVER (PARTITION BY cl
+         |                                   ORDER BY n DESC, label) AS rn
+         |         FROM cc)
+         |SELECT t.cl AS cluster, t.n_vecs, p.top_label, p.top_n,
+         |       floor(CAST(p.top_n AS DOUBLE) / t.n_vecs * 1e6 + 0.5) / 1e6 AS purity
+         |FROM tot t JOIN pick p ON t.cl = p.cl AND p.rn = 1
          |ORDER BY cluster""".stripMargin,
 
     "ann_ivf_recall" -> ivfRecallOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
