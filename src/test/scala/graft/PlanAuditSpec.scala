@@ -95,10 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     *  - ann_ivf_recall / ann_tuning_curve: the same codebook, built once
     *    per IVF probe point (the exact-top-k localCheckpoint both reuse
     *    is lazy and runs at execution, not construction);
-    *  - semantic_dedup / cluster_balance: SemDeDup and the cell-balance
-    *    diagnostic train the SAME O(nClusters·dim) codebook before the
-    *    cell-keyed stage — identical bounded driver state, identical
-    *    contract;
+    *  - semantic_dedup / cluster_balance / cluster_purity: SemDeDup, the
+    *    cell-balance diagnostic and the purity evaluation train the SAME
+    *    O(nClusters·dim) codebook before the cell-keyed stage —
+    *    identical bounded driver state, identical contract;
     *  - bpe_apply: the greedy merge-learning loop — BpeMerges (=5)
     *    distributed pair-count aggregates each ending in a top-1
     *    TakeOrdered collect; driver state is the O(K) merge table (the
@@ -115,8 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val ConstructionJobsAllowlist =
     Set("ann_ivf_topk", "ann_ivf_recall", "ann_tuning_curve",
-      "semantic_dedup", "cluster_balance", "clustering_coeff",
-      "label_noise_knn", "bpe_apply")
+      "semantic_dedup", "cluster_balance", "cluster_purity",
+      "clustering_coeff", "label_noise_knn", "bpe_apply")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {
