@@ -2304,6 +2304,33 @@ object LlmQueries {
         .orderBy("cluster")
     }),
 
+    // Bigram conditional entropy rate H(W₂|W₁) in nats + its branching
+    // perplexity e^H — the sequence-predictability companion to
+    // source_entropy's bag-of-words H(W): a templated corpus can have
+    // high unigram entropy yet near-zero entropy RATE (every word
+    // determines the next), which is exactly the repetition signature
+    // n-gram LMs and dedup filters care about. Two vocabulary-sized
+    // keyed shuffles (bigram counts checkpointed for its two consumers,
+    // then the first-word rollup joined back); −p·ln(p(w₂|w₁)) terms
+    // route through DECIMAL(28,18) like every entropy sum here.
+    "bigram_entropy_rate" -> ((s, dir) => {
+      val b2 = docs(s, dir)
+        .select(explode(bigrams(col("text"))).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"), col("bg"))
+      val c12 = b2.groupBy("w1", "bg").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false) // reused: c1 rollup + total + term sum
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val n = broadcast(c12.agg(sum("c12").as("n_bigrams")))
+      c12.join(c1, "w1").crossJoin(n)
+        .select(col("n_bigrams"),
+          (-(col("c12").cast("double") / col("n_bigrams")) *
+            log(col("c12").cast("double") / col("c1")))
+            .cast(DecimalType(28, 18)).as("term"))
+        .groupBy("n_bigrams").agg(sum("term").cast("double").as("h"))
+        .select(col("n_bigrams"), roundHU(col("h"), 1e6).as("entropy_rate"),
+          roundHU(exp(col("h")), 1e6).as("perplexity"))
+    }),
+
     // L94 — per-source unigram distribution entropy (nats) + the
     // ln(vocab)-normalized form: the corpus-diversity diagnostic run
     // before mixing sources into a training set (low entropy = templated
@@ -5179,6 +5206,22 @@ object LlmQueries {
 
     "ann_tuning_curve" -> annTuningCurveOracle(nPlanes = 4, dim = 64, k = 10,
       nClusters = 16, iters = 2),
+
+    "bigram_entropy_rate" ->
+      s"""WITH bgx AS (SELECT unnest($sqlBigrams) AS bg FROM documents),
+         |b2 AS (SELECT string_split(bg, ' ')[1] AS w1, bg FROM bgx),
+         |cb AS (SELECT w1, bg, CAST(COUNT(*) AS BIGINT) AS c12
+         |       FROM b2 GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM cb),
+         |t AS (SELECT n.n_bigrams,
+         |        CAST(-(CAST(cb.c12 AS DOUBLE) / n.n_bigrams)
+         |             * ln(CAST(cb.c12 AS DOUBLE) / cu.c1) AS DECIMAL(28,18)) AS term
+         |      FROM cb JOIN cu USING (w1), n)
+         |SELECT n_bigrams,
+         |       floor(CAST(SUM(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS entropy_rate,
+         |       floor(exp(CAST(SUM(term) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS perplexity
+         |FROM t GROUP BY n_bigrams""".stripMargin,
 
     "source_entropy" ->
       s"""WITH c AS (
