@@ -203,6 +203,22 @@ object CoreQueries {
   private val KCoreK = 3
   private val KCorePeelRounds = 4
 
+  /** Weisfeiler–Lehman refinement rounds + the shared hash constants —
+    * single source of truth for the Spark loop and the oracle's unrolled
+    * CTEs. The neighbor multiset is hashed COMMUTATIVELY (sum of
+    * per-element hashes mod P + the neighbor count) instead of the
+    * textbook sorted-list fold: a sum partial-aggregates map-side and
+    * never buffers a hub's neighbor list, which is what survives
+    * heavy-tailed degrees at 100 TB (the trade is hash-collision risk,
+    * the standard distributed-WL compromise). All arithmetic stays below
+    * 2⁶³: colors < P ≈ 2³¹, color·M₂ < 2³¹·2654435761 < 2⁶³, per-node
+    * sums < deg·P < 2⁶³ for deg < 2³².
+    */
+  private val WlRounds = 2
+  private val WlP = 2147483647L
+  private val WlM = 1000003L
+  private val WlM2 = 2654435761L
+
   /** SAX (Lin et al. 2003) segment count — the PAA word length the
     * monthly series is compressed to. Alphabet is fixed at 4 via the
     * standard N(0,1) breakpoints ±0.6745 (quartiles), written as plain
@@ -425,6 +441,30 @@ object CoreQueries {
        |UNION ALL
        |SELECT 'hub' AS kind, c AS id, floor(h * 1e8 + 0.5) / 1e8 AS score FROM h$HitsIters
        |ORDER BY kind, id""".stripMargin
+  }
+
+  /** Oracle for `wl_refinement`: the refinement rounds unrolled, with
+    * the same commutative multiset-hash arithmetic (SUM promotes to
+    * HUGEINT in DuckDB; every mod keeps values exact, and the final cast
+    * matches Spark's BIGINT colors).
+    */
+  private def sqlWl: String = {
+    val rounds = (1 to WlRounds).map { k =>
+      s"""a$k AS (SELECT e.src, SUM((l${k - 1}.c * $WlM2) % $WlP) AS sh0,
+         |              CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM e JOIN l${k - 1} ON e.dst = l${k - 1}.n GROUP BY e.src),
+         |l$k AS (SELECT a$k.src AS n,
+         |         CAST((((l${k - 1}.c * $WlM) % $WlP + (a$k.sh0 % $WlP)) % $WlP
+         |               * $WlM + a$k.deg) % $WlP AS BIGINT) AS c
+         |       FROM a$k JOIN l${k - 1} ON a$k.src = l${k - 1}.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+       |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+       |l0 AS (SELECT DISTINCT src AS n, CAST(1 AS BIGINT) AS c FROM e),
+       |$rounds
+       |SELECT c AS color, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l$WlRounds GROUP BY c ORDER BY color""".stripMargin
   }
 
   /** Oracle for `kcore_peel`: the peel rounds unrolled — each round
@@ -1976,6 +2016,44 @@ object CoreQueries {
       rounds.reduce(_ unionAll _).orderBy("round")
     }),
 
+    // L124 — Weisfeiler–Lehman color refinement (1968; the 1-WL test) on
+    // the part co-purchase graph: iteratively re-color every node by a
+    // hash of (own color, neighbor-color multiset) — after k rounds the
+    // color classes are the structural-equivalence classes the WL
+    // graph-isomorphism test and WL graph kernels use, and the class
+    // histogram is a cheap structural fingerprint for graph-level dedup
+    // and drift checks. Same edge build + per-round shape as LPA (one
+    // streamed SMJ off the checkpoint + a node-sized color join); the
+    // multiset hash is a commutative sum (see WlRounds' doc for the
+    // scale rationale). Output is color-class-sized.
+    "wl_refinement" -> ((s, dir) => {
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"),
+          Seq("dst", "src"), dedupSorted = true, declareStats = false)
+      var colors = e.select(col("src").as("n")).distinct()
+        .select(col("n"), lit(1L).as("c"))
+      for (_ <- 1 to WlRounds) {
+        val agg = e.join(colors.withColumnRenamed("n", "dst"), "dst")
+          .groupBy(col("src"))
+          .agg(sum((col("c") * lit(WlM2)) % lit(WlP)).as("sh0"),
+            count(lit(1)).as("deg"))
+        colors = agg.join(colors.withColumnRenamed("n", "src"), "src")
+          .select(col("src").as("n"),
+            (((((col("c") * lit(WlM)) % lit(WlP) + col("sh0") % lit(WlP))
+              % lit(WlP)) * lit(WlM) + col("deg")) % lit(WlP)).as("c"))
+          .localCheckpoint(false) // read twice next round (agg + own join)
+      }
+      colors.groupBy(col("c").as("color"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("color")
+    }),
+
     // L122 — SAX symbolic discretization (Lin et al. 2003) of the monthly
     // revenue series: z-normalize, compress to SaxSegments PAA segments,
     // map each segment mean to a 4-letter alphabet via the N(0,1)
@@ -2049,6 +2127,8 @@ object CoreQueries {
     "hits_scores" -> sqlHits,
 
     "kcore_peel" -> sqlKcore,
+
+    "wl_refinement" -> sqlWl,
 
     "sax_symbols" ->
       s"""WITH m AS MATERIALIZED (
