@@ -247,26 +247,38 @@ object CoreQueries {
     * [[LpaCheckpointStride]] rounds so plan depth stays bounded no
     * matter how high `iters` is raised.
     */
-  private[operators] def lpaPlan(s: SparkSession, dir: String,
-                                 iters: Int): DataFrame = {
-    // Edge build in TWO wide exchanges, not four: co-purchase baskets
-    // as ONE per-order collect_set (dedups pk within the order for
-    // free; basket size is bounded by order size, so the per-row array
-    // and the explode² fan-out below — ≤ |basket|² pairs — stay O(1)
-    // at any SF), pairs by a narrow double-explode instead of the
-    // self-join (whose ok-keyed exchange the old baskets.distinct then
-    // re-paid), and the pair-level `.distinct()` folded into the
-    // bridge checkpoint as a partition-local adjacent dedup (equal
-    // pairs agree on dst, so the dst hash partitioning co-locates them
-    // and the (dst, src) sort makes them adjacent — dedupSorted in
-    // CheckpointBridge). Measured at sf0.1: 1.9s → 1.3s for the same
-    // 2.39M-edge result.
+  /** The DISTINCT directed co-purchase edge list (both orientations),
+    * checkpointed partitioned+sorted by `key` — the shared edge build of
+    * lpaPlan / wl_refinement / modularity / bfs_hops. TWO wide
+    * exchanges, not four: co-purchase baskets as ONE per-order
+    * collect_set (dedups pk within the order for free; basket size is
+    * bounded by order size, so the per-row array and the explode²
+    * fan-out — ≤ |basket|² pairs — stay O(1) at any SF), pairs by a
+    * narrow double-explode instead of the self-join (whose ok-keyed
+    * exchange the old baskets.distinct then re-paid), and the
+    * pair-level `.distinct()` folded into the bridge checkpoint as a
+    * partition-local adjacent dedup (equal pairs agree on the key, so
+    * the hash partitioning co-locates them and the sort makes them
+    * adjacent). Measured at sf0.1: 1.9s → 1.3s for the same 2.39M-edge
+    * result. declareStats=false: an edge list must never become a
+    * broadcast build side (see CheckpointBridge).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String,
+                              key: String): DataFrame = {
+    val other = if (key == "dst") "src" else "dst"
     val bo = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("items"))
     val e0 = bo.select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .partitionedCheckpoint(e0, shufflePartitions(s), Seq(key),
+        Seq(key, other), dedupSorted = true, declareStats = false)
+  }
+
+  private[operators] def lpaPlan(s: SparkSession, dir: String,
+                                 iters: Int): DataFrame = {
     // checkpoint PARTITIONED AND SORTED BY THE ROUND JOIN KEY via the
     // bridge: plain localCheckpoint under AQE snapshots
     // UnknownPartitioning (see CheckpointBridge), so every round was
@@ -274,10 +286,18 @@ object CoreQueries {
     // the declared partitioning + ordering each round's SMJ streams the
     // edge side with zero exchange and zero sort — only the (small)
     // label table shuffles
-    val e = org.apache.spark.sql.graftbridge.CheckpointBridge
-      .partitionedCheckpoint(e0, shufflePartitions(s), Seq("dst"),
-        Seq("dst", "src"), dedupSorted = true, declareStats = false)
-    require(iters >= 1, "lpaPlan needs at least one iteration")
+    val e = coPurchaseEdges(s, dir, "dst")
+    lpaFrom(e, iters)
+      .select(col("node").as("p_partkey"), col("lbl").as("community"))
+      .orderBy("p_partkey")
+  }
+
+  /** The LPA label table (node, lbl) from a dst-partitioned edge list —
+    * shared by `label_propagation` and `modularity` (which scores these
+    * labels rather than re-deriving its own).
+    */
+  private def lpaFrom(e: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "lpaFrom needs at least one iteration")
     // round 1 folded: the initial label of every node is the node id
     // itself, so the first edge⨝label join is an identity — round 1 is
     // just the deterministic mode of each node's neighbor IDS, and the
@@ -300,14 +320,16 @@ object CoreQueries {
       if (i % LpaCheckpointStride == 0 && i < iters)
         lbl = lbl.localCheckpoint(false)
     }
-    lbl.select(col("node").as("p_partkey"), col("lbl").as("community"))
-      .orderBy("p_partkey")
+    lbl
   }
 
   /** Oracle for `label_propagation`: the same synchronous update unrolled
     * as a CTE chain, one (count, pick) pair per round.
     */
-  private def sqlLpa: String = {
+  /** The LPA CTE chain (`e` edge list through `l$LpaIters` labels) —
+    * shared by the `label_propagation` and `modularity` oracles.
+    */
+  private def sqlLpaCtes: String = {
     val rounds = (1 to LpaIters).map { i =>
       s"""c$i AS (SELECT e.src AS node, l${i - 1}.lbl, COUNT(*) AS cnt
          |        FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.node GROUP BY 1, 2),
@@ -316,13 +338,71 @@ object CoreQueries {
          |                   ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
        |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def sqlLpa: String =
+    s"""WITH $sqlLpaCtes
        |SELECT node AS p_partkey, lbl AS community
        |FROM l$LpaIters ORDER BY 1""".stripMargin
+
+  /** Oracle for `modularity`: the LPA chain re-used verbatim, then the
+    * per-community Newman–Girvan terms over the DIRECTED edge count M
+    * (both orientations, so M = 2m and the textbook 1/2m factors become
+    * 1/M), rounded 6dp before the decimal sum.
+    */
+  private def sqlModularity: String =
+    s"""WITH $sqlLpaCtes,
+       |lab AS MATERIALIZED (SELECT node, lbl FROM l$LpaIters),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY 1),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm FROM e),
+       |intra AS (SELECT la.lbl AS c, CAST(COUNT(*) AS BIGINT) AS ec
+       |          FROM e JOIN lab la ON e.src = la.node
+       |                 JOIN lab lb ON e.dst = lb.node
+       |          WHERE la.lbl = lb.lbl GROUP BY 1),
+       |dc AS (SELECT lab.lbl AS c, CAST(SUM(deg.d) AS BIGINT) AS dsum
+       |       FROM lab JOIN deg USING (node) GROUP BY 1),
+       |terms AS (SELECT CAST(floor((CAST(COALESCE(intra.ec, 0) AS DOUBLE) / m.mm
+       |            - (CAST(dc.dsum AS DOUBLE) / m.mm) * (CAST(dc.dsum AS DOUBLE) / m.mm))
+       |            * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS t
+       |          FROM dc LEFT JOIN intra USING (c), m)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_communities,
+       |       (SELECT mm FROM m) AS n_directed_edges,
+       |       floor(CAST(SUM(t) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS modularity
+       |FROM terms""".stripMargin
+
+  /** BFS hop count for `bfs_hops` — fixed hops, unrolled oracle. */
+  private val BfsHops = 3
+
+  /** Oracle for `bfs_hops`: frontier/visited sets unrolled per hop from
+    * the minimum node id; MATERIALIZED (each set is read three times —
+    * next frontier, NOT-IN exclusion, and the count row).
+    */
+  private def sqlBfs: String = {
+    val rounds = (1 to BfsHops).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS n FROM e JOIN f${k - 1} ON e.src = f${k - 1}.n
+         |  WHERE e.dst NOT IN (SELECT n FROM v${k - 1})),
+         |v$k AS MATERIALIZED (
+         |  SELECT n FROM v${k - 1} UNION ALL SELECT n FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BfsHops).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS hop,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f$k) AS frontier_size,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM v$k) AS visited_size""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+       |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+       |f0 AS MATERIALIZED (SELECT MIN(src) AS n FROM e),
+       |v0 AS (SELECT n FROM f0),
+       |$rounds
+       |SELECT * FROM ($rows) ORDER BY hop""".stripMargin
   }
 
   /** Oracle for `pagerank`: the same power iteration unrolled as a CTE
@@ -2054,6 +2134,73 @@ object CoreQueries {
         .orderBy("color")
     }),
 
+    // L125 — Newman–Girvan modularity of the LPA communities: Q = Σ_c
+    // [e_c/M − (d_c/M)²] over the DIRECTED edge count M — the one-number
+    // "are these communities real structure or noise" score, evaluated
+    // on the SAME labels label_propagation ships (lpaFrom is shared, not
+    // re-derived, so the score can never drift from the query it
+    // grades). Shape: the LPA rounds plus one exchange-free endpoint
+    // join off the dst-partitioned checkpoint, one edge-sized src join,
+    // and community-sized algebra; per-community terms round 6dp before
+    // the decimal sum.
+    "modularity" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = coPurchaseEdges(s, dir, "dst")
+      val lab = lpaFrom(e, LpaIters)
+        .localCheckpoint(false) // reused: 2 endpoint joins + degree join
+      // both orientations are present, so in-degree = out-degree and the
+      // dst-side count (exchange-free on this checkpoint) equals the
+      // oracle's src-side count
+      val deg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
+      val mm = broadcast(e.agg(count(lit(1)).as("mm")))
+      val intra = e
+        .join(lab.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lbl", "lb"), "dst")
+        .join(lab.withColumnRenamed("node", "src")
+          .withColumnRenamed("lbl", "la"), "src")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
+      val dc = lab.join(deg, "node")
+        .groupBy(col("lbl").as("c")).agg(sum("d").as("dsum"))
+        .localCheckpoint(false) // reused: terms + community count
+      val nc = broadcast(dc.agg(count(lit(1)).as("n_communities")))
+      dc.join(intra, Seq("c"), "left").crossJoin(mm)
+        .select(r6(coalesce(col("ec"), lit(0L)).cast("double") / col("mm") -
+          (col("dsum").cast("double") / col("mm")) *
+            (col("dsum").cast("double") / col("mm")))
+          .cast(DecimalType(18, 6)).as("t"))
+        .agg(sum("t").cast("double").as("q"))
+        .crossJoin(nc).crossJoin(mm)
+        .select(col("n_communities"), col("mm").as("n_directed_edges"),
+          r6(col("q")).as("modularity"))
+    }),
+
+    // L126 — multi-source-free BFS reachability profile: frontier and
+    // visited sizes per hop from the minimum node id — the hop-expansion
+    // curve ("how fast does the graph ball grow") behind diameter
+    // estimation and landmark selection, and the simplest iterated
+    // frontier-join primitive (each hop = one streamed SMJ off the
+    // src-partitioned checkpoint + a node-sized anti-join against the
+    // visited set; frontiers and visited are node-sized checkpoints).
+    "bfs_hops" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir, "src")
+      var frontier = e.agg(min(col("src")).as("n")).localCheckpoint(false)
+      var visited = frontier
+      val rows = (1 to BfsHops).map { k =>
+        frontier = e.join(frontier.withColumnRenamed("n", "src"), "src")
+          .select(col("dst").as("n")).distinct()
+          .join(visited, Seq("n"), "left_anti")
+          .localCheckpoint(false) // read 3x: union, next hop, count
+        visited = visited.union(frontier)
+          .localCheckpoint(false) // read 3x: anti-join, next union, count
+        frontier.agg(count(lit(1)).as("frontier_size"))
+          .crossJoin(visited.agg(count(lit(1)).as("visited_size")))
+          .select(lit(k.toLong).as("hop"), col("frontier_size"),
+            col("visited_size"))
+      }
+      rows.reduce(_ unionAll _).orderBy("hop")
+    }),
+
     // L122 — SAX symbolic discretization (Lin et al. 2003) of the monthly
     // revenue series: z-normalize, compress to SaxSegments PAA segments,
     // map each segment mean to a 4-letter alphabet via the N(0,1)
@@ -2129,6 +2276,10 @@ object CoreQueries {
     "kcore_peel" -> sqlKcore,
 
     "wl_refinement" -> sqlWl,
+
+    "modularity" -> sqlModularity,
+
+    "bfs_hops" -> sqlBfs,
 
     "sax_symbols" ->
       s"""WITH m AS MATERIALIZED (
