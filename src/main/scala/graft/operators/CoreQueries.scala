@@ -379,6 +379,9 @@ object CoreQueries {
   /** BFS hop count for `bfs_hops` — fixed hops, unrolled oracle. */
   private val BfsHops = 3
 
+  /** Bootstrap replicate count for `poisson_bootstrap_ci`. */
+  private val BootstrapReplicates = 32L
+
   /** Oracle for `bfs_hops`: frontier/visited sets unrolled per hop from
     * the minimum node id; MATERIALIZED (each set is read three times —
     * next frontier, NOT-IN exclusion, and the count row).
@@ -1967,6 +1970,75 @@ object CoreQueries {
           (floor(col("dmax") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks_stat"))
     }),
 
+    // L127 — grouped OLS: per-brand least-squares fit of line revenue on
+    // quantity (slope, intercept, R²) — the GROUP BY regression that
+    // turns corr_pricing's single global correlation into a per-segment
+    // model table (the "fit a tiny model per key" pattern behind
+    // per-source quality calibrations at 100 TB: one keyed shuffle of
+    // decimal-exact moments, closed-form algebra on the group-sized
+    // result, no iterative solver). Brand comes from the part dim join
+    // (auto-broadcast while it fits, keyed shuffle at scale).
+    "grouped_ols" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val g = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(18, 2))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(18, 2))).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 4))).cast("double").as("sxy"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 4))).cast("double").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("p_brand"), col("n"),
+          r6(cov / varx).as("slope"),
+          r6((col("sy") - cov / varx * col("sx")) / col("n")).as("intercept"),
+          r6(cov * cov / (varx * vary)).as("r2"))
+        .orderBy("p_brand")
+    }),
+
+    // L128 — Poisson-bootstrap confidence interval for the mean order
+    // value (Chamandy et al. 2012, the Google large-scale bootstrap):
+    // classical resampling needs n draws WITH replacement per replicate —
+    // impossible distributed — but each row's multiplicity in a replicate
+    // is ≈ Poisson(1), so one pass emits every (row, replicate) pair
+    // with a deterministic hash-inverted Poisson weight and the whole
+    // bootstrap becomes B map-side-combined weighted means. The
+    // "randomness" is the sampleHash convention (reproducible,
+    // oracle-checkable); the CASE thresholds are the Poisson(1) CDF.
+    // Replicate fan-out is a constant ×B, the only shuffle is the B-row
+    // aggregate, and the quantile runs over B values.
+    "poisson_bootstrap_ci" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val b = BootstrapReplicates
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0L), lit(b - 1L))).as("rep"))
+        .withColumn("u",
+          ((((col("o_orderkey") % lit(100000007L)) * lit(2654435761L) +
+            col("rep") * lit(40503L)) % lit(1000000L)) + lit(0.5)) / lit(1e6))
+        .withColumn("w",
+          when(col("u") < 0.367879441, 0L).when(col("u") < 0.735758882, 1L)
+            .when(col("u") < 0.919698603, 2L).when(col("u") < 0.981011843, 3L)
+            .when(col("u") < 0.996340153, 4L).when(col("u") < 0.999405815, 5L)
+            .otherwise(6L))
+      val means = o.groupBy("rep")
+        .agg((sum((col("w") * col("o_totalprice")).cast(DecimalType(28, 2)))
+          .cast("double") / sum("w")).as("m"))
+      means.agg(count(lit(1)).as("n_replicates"),
+          expr("percentile(m, 0.5)").as("mid"),
+          expr("percentile(m, 0.025)").as("lo"),
+          expr("percentile(m, 0.975)").as("hi"))
+        .select(col("n_replicates"), r6(col("mid")).as("boot_median"),
+          r6(col("lo")).as("lo_95"), r6(col("hi")).as("hi_95"))
+    }),
+
     // L119 — Kendall tau-b concordance between the monthly revenue and
     // monthly order-count series: the rank-pair sibling of spearman_rho
     // (tau is the probability-of-concordance statistic; spearman the
@@ -2280,6 +2352,48 @@ object CoreQueries {
     "modularity" -> sqlModularity,
 
     "bfs_hops" -> sqlBfs,
+
+    "grouped_ols" ->
+      """WITH g AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |       floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e6 + 0.5) / 1e6 AS slope,
+        |       floor((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 1e6 + 0.5) / 1e6 AS intercept,
+        |       floor((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |             / ((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM g ORDER BY p_brand""".stripMargin,
+
+    "poisson_bootstrap_ci" -> {
+      val b = BootstrapReplicates
+      s"""WITH r AS (SELECT o_orderkey, o_totalprice,
+         |             unnest(generate_series(0, ${b - 1})) AS rep FROM orders),
+         |wu AS (SELECT o_totalprice, rep,
+         |         ((((o_orderkey % 100000007) * 2654435761 + rep * 40503)
+         |           % 1000000) + 0.5) / 1e6 AS u
+         |       FROM r),
+         |ww AS (SELECT rep, o_totalprice,
+         |         CASE WHEN u < 0.367879441e0 THEN 0 WHEN u < 0.735758882e0 THEN 1
+         |              WHEN u < 0.919698603e0 THEN 2 WHEN u < 0.981011843e0 THEN 3
+         |              WHEN u < 0.996340153e0 THEN 4 WHEN u < 0.999405815e0 THEN 5
+         |              ELSE 6 END AS w
+         |       FROM wu),
+         |m AS (SELECT rep,
+         |        CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+         |          / CAST(SUM(w) AS DOUBLE) AS m
+         |      FROM ww GROUP BY rep)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+         |       floor(quantile_cont(m, 0.5) * 1e6 + 0.5) / 1e6 AS boot_median,
+         |       floor(quantile_cont(m, 0.025) * 1e6 + 0.5) / 1e6 AS lo_95,
+         |       floor(quantile_cont(m, 0.975) * 1e6 + 0.5) / 1e6 AS hi_95
+         |FROM m""".stripMargin
+    },
 
     "sax_symbols" ->
       s"""WITH m AS MATERIALIZED (
