@@ -2304,6 +2304,34 @@ object LlmQueries {
         .orderBy("cluster")
     }),
 
+    // Word2vec negative-sampling distribution (Mikolov et al. 2013):
+    // p(w) ∝ count^0.75 — the α=3/4 flattening that keeps rare words
+    // drawable without letting stopwords dominate the noise draws; the
+    // same tempering the temperature_mixture query applies to SOURCES,
+    // applied to the unigram table. One token-count shuffle; the ^0.75
+    // is written as exp(0.75·ln c) on BOTH engines (one pinned op
+    // sequence instead of trusting pow() parity), per-term 6dp rounding
+    // before the decimal normalizer sum. Output: top-20 tokens with the
+    // raw and tempered probabilities side by side.
+    "unigram_sampling_table" -> ((s, dir) => {
+      val cnts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val pw = cnts
+        .select(col("token"), col("cnt"),
+          roundHU(exp(lit(0.75) * log(col("cnt").cast("double"))), 1e6).as("w"))
+        .localCheckpoint(false) // reused: normalizers + top-20
+      val z = broadcast(pw.agg(
+        sum(col("w").cast(DecimalType(28, 6))).cast("double").as("z"),
+        sum("cnt").as("n_tokens")))
+      pw.orderBy(desc("cnt"), col("token")).limit(20)
+        .crossJoin(z)
+        .select(col("token"), col("cnt"),
+          roundHU(col("cnt").cast("double") / col("n_tokens"), 1e6).as("raw_prob"),
+          roundHU(col("w") / col("z"), 1e6).as("sampling_prob"))
+        .orderBy(desc("cnt"), col("token"))
+    }),
+
     // Bigram conditional entropy rate H(W₂|W₁) in nats + its branching
     // perplexity e^H — the sequence-predictability companion to
     // source_entropy's bag-of-words H(W): a templated corpus can have
@@ -5206,6 +5234,23 @@ object LlmQueries {
 
     "ann_tuning_curve" -> annTuningCurveOracle(nPlanes = 4, dim = 64, k = 10,
       nClusters = 16, iters = 2),
+
+    "unigram_sampling_table" ->
+      s"""WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM (SELECT unnest($sqlTokens) AS token FROM documents)
+         |           GROUP BY token),
+         |pw AS MATERIALIZED (
+         |  SELECT token, cnt,
+         |         floor(exp(0.75e0 * ln(CAST(cnt AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS w
+         |  FROM c),
+         |z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS z,
+         |             CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM pw),
+         |top AS (SELECT token, cnt, w FROM pw ORDER BY cnt DESC, token LIMIT 20)
+         |SELECT top.token, top.cnt,
+         |       floor(CAST(top.cnt AS DOUBLE) / z.n_tokens * 1e6 + 0.5) / 1e6 AS raw_prob,
+         |       floor(top.w / z.z * 1e6 + 0.5) / 1e6 AS sampling_prob
+         |FROM top, z
+         |ORDER BY top.cnt DESC, top.token""".stripMargin,
 
     "bigram_entropy_rate" ->
       s"""WITH bgx AS (SELECT unnest($sqlBigrams) AS bg FROM documents),
