@@ -382,6 +382,9 @@ object CoreQueries {
   /** Bootstrap replicate count for `poisson_bootstrap_ci`. */
   private val BootstrapReplicates = 32L
 
+  /** Window sizes (days) for `hurst_exponent`'s R/S regression. */
+  private val HurstWindows = Seq(8, 16, 32, 64)
+
   /** Oracle for `bfs_hops`: frontier/visited sets unrolled per hop from
     * the minimum node id; MATERIALIZED (each set is read three times —
     * next frontier, NOT-IN exclusion, and the count row).
@@ -1970,6 +1973,64 @@ object CoreQueries {
           (floor(col("dmax") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks_stat"))
     }),
 
+    // L129 — Hurst exponent via rescaled-range (R/S) analysis (Hurst
+    // 1951; Mandelbrot–Wallis): is the daily revenue series
+    // mean-reverting (H<0.5), a random walk (0.5), or trending/
+    // long-range-dependent (H>0.5) — the fractal companion to
+    // daily_acf's short-lag view. Per window size w ∈ {8,16,32,64}:
+    // full w-day blocks, in-block cumulative deviations (a window
+    // PARTITIONED by block, ≤64 rows each), R/S per block from
+    // decimal-exact moments, block-averaged 6dp; H = OLS slope of
+    // ln(R/S) on ln(w) over the 4 points. The daily index comes from
+    // the two-phase exclusivePrefix — no data-sized global window; the
+    // calendar-sized daily table is checkpointed once and reused by
+    // all four window sizes.
+    "hurst_exponent" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(decSum(col("o_totalprice"), 2).as("rev"))
+        .select(datediff(col("day"), lit("1990-01-01").cast("date"))
+          .cast("long").as("dn"), col("rev"), lit(1L).as("one"))
+      val idx = exclusivePrefix(daily, "dn", Seq("one"))
+        .select(col("cum_one").as("i"), col("rev"))
+        .localCheckpoint(false) // reused by every window size
+      import org.apache.spark.sql.expressions.Window
+      val perW = HurstWindows.map { w =>
+        val blocks = idx.withColumn("b", expr(s"i DIV $w"))
+        val bstats = blocks.groupBy("b")
+          .agg(count(lit(1)).as("cnt"),
+            (sum(col("rev").cast(DecimalType(18, 2))).cast("double") / w).as("m"),
+            sum((col("rev") * col("rev")).cast(DecimalType(38, 4)))
+              .cast("double").as("s2sum"))
+          .filter(col("cnt") === w)
+        val win = Window.partitionBy("b").orderBy("i")
+        val cd = blocks.join(bstats.select("b", "m"), "b")
+          .withColumn("cd", sum(col("rev") - col("m")).over(win))
+        cd.groupBy("b").agg(max("cd").as("mx"), min("cd").as("mn"))
+          .join(bstats, "b")
+          .filter(col("s2sum") / w - col("m") * col("m") > 0)
+          .select(((col("mx") - col("mn")) /
+            sqrt(col("s2sum") / w - col("m") * col("m"))).as("rs"))
+          .agg(count(lit(1)).as("n_blocks"),
+            (sum(r6(col("rs")).cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1))).as("rs_avg"))
+          .select(lit(w.toLong).as("w"), col("n_blocks"), col("rs_avg"))
+      }.reduce(_ unionAll _).localCheckpoint(false) // reused: points + slope
+      val pts = perW.select(col("w"), col("n_blocks"), col("rs_avg"),
+        log(col("w").cast("double")).as("x"), log(col("rs_avg")).as("y"))
+      val sl = broadcast(pts.agg(count(lit(1)).as("k"),
+        sum(r6(col("x")).cast(DecimalType(18, 6))).cast("double").as("sx"),
+        sum(r6(col("y")).cast(DecimalType(18, 6))).cast("double").as("sy"),
+        sum(r6(col("x") * col("x")).cast(DecimalType(18, 6))).cast("double").as("sxx"),
+        sum(r6(col("x") * col("y")).cast(DecimalType(18, 6))).cast("double").as("sxy")))
+      pts.crossJoin(sl)
+        .select(col("w"), col("n_blocks"), r6(col("rs_avg")).as("rs_avg"),
+          r6((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx"))).as("hurst"))
+        .orderBy("w")
+    }),
+
     // L127 — grouped OLS: per-brand least-squares fit of line revenue on
     // quantity (slope, intercept, R²) — the GROUP BY regression that
     // turns corr_pricing's single global correlation into a per-segment
@@ -2352,6 +2413,48 @@ object CoreQueries {
     "modularity" -> sqlModularity,
 
     "bfs_hops" -> sqlBfs,
+
+    "hurst_exponent" -> {
+      val perW = HurstWindows.map { w =>
+        s"""bs$w AS (SELECT i // $w AS b, COUNT(*) AS cnt,
+           |         CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / $w AS m,
+           |         CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE) AS s2sum
+           |       FROM idx GROUP BY 1),
+           |cd$w AS (SELECT x.b,
+           |          SUM(x.rev - s.m) OVER (PARTITION BY x.b ORDER BY x.i) AS cd
+           |        FROM (SELECT i // $w AS b, i, rev FROM idx) x
+           |        JOIN bs$w s USING (b) WHERE s.cnt = $w),
+           |rs$w AS (SELECT c.b,
+           |          (MAX(c.cd) - MIN(c.cd)) / sqrt(s.s2sum / $w - s.m * s.m) AS rs
+           |        FROM cd$w c JOIN bs$w s USING (b)
+           |        WHERE s.s2sum / $w - s.m * s.m > 0
+           |        GROUP BY c.b, s.s2sum, s.m),
+           |a$w AS (SELECT CAST($w AS BIGINT) AS w,
+           |         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |         CAST(SUM(CAST(floor(rs * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)))
+           |           AS DOUBLE) / COUNT(*) AS rs_avg
+           |       FROM rs$w)""".stripMargin
+      }.mkString(",\n")
+      val union = HurstWindows.map(w => s"SELECT * FROM a$w").mkString("\nUNION ALL\n")
+      s"""WITH d0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         |      FROM orders GROUP BY 1),
+         |idx AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY day) - 1 AS i, rev FROM d0),
+         |$perW,
+         |p AS MATERIALIZED (SELECT w, n_blocks, rs_avg,
+         |       ln(CAST(w AS DOUBLE)) AS x, ln(rs_avg) AS y FROM ($union)),
+         |sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |        CAST(SUM(CAST(floor(x * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |        CAST(SUM(CAST(floor(y * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |        CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |        CAST(SUM(CAST(floor(x * y * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+         |       FROM p)
+         |SELECT p.w, p.n_blocks, floor(p.rs_avg * 1e6 + 0.5) / 1e6 AS rs_avg,
+         |       floor((sl.k * sl.sxy - sl.sx * sl.sy)
+         |             / (sl.k * sl.sxx - sl.sx * sl.sx) * 1e6 + 0.5) / 1e6 AS hurst
+         |FROM p, sl ORDER BY p.w""".stripMargin
+    },
 
     "grouped_ols" ->
       """WITH g AS (
