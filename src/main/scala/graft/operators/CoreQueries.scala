@@ -2395,6 +2395,131 @@ object CoreQueries {
             floor(col("cnt") + col("noise") + lit(0.5)).cast("long"))
             .as("noisy_count"))
         .orderBy("c_nationkey")
+    }),
+
+    // L130 — Welch's unequal-variance t-test (Welch 1947): do urgent-
+    // priority orders have a different mean price than the rest — the
+    // parametric mean-shift companion to ks_test's distribution-free D
+    // (same two groups, so the pair reads as one test battery). ONE
+    // conditional-aggregate pass over the fact table (no join, no
+    // window): per-group n/Σx/Σx² with decimal-exact moments (x·x is
+    // one IEEE product, identical cross-engine), then the t statistic
+    // and Welch–Satterthwaite dof as closed-form double algebra on the
+    // 1-row result. Scale shape: a map-side partial aggregate to a
+    // single row — nothing here grows with SF but the scan.
+    "welch_ttest" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val g1 = (col("o_orderpriority") === "1-URGENT").cast("long")
+      val x = col("o_totalprice")
+      val m = t(s, dir, "orders").agg(
+        sum(g1).as("n1"), sum(lit(1L) - g1).as("n2"),
+        sum(when(g1 === 1L, x).otherwise(lit(0.0)).cast(DecimalType(18, 2)))
+          .cast("double").as("s1a"),
+        sum(when(g1 === 0L, x).otherwise(lit(0.0)).cast(DecimalType(18, 2)))
+          .cast("double").as("s1b"),
+        sum(when(g1 === 1L, x * x).otherwise(lit(0.0)).cast(DecimalType(38, 4)))
+          .cast("double").as("s2a"),
+        sum(when(g1 === 0L, x * x).otherwise(lit(0.0)).cast(DecimalType(38, 4)))
+          .cast("double").as("s2b"))
+      val m1 = col("s1a") / col("n1")
+      val m2 = col("s1b") / col("n2")
+      val v1 = (col("s2a") - col("s1a") * col("s1a") / col("n1")) / (col("n1") - 1)
+      val v2 = (col("s2b") - col("s1b") * col("s1b") / col("n2")) / (col("n2") - 1)
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      m.select(col("n1"), col("n2"),
+        r6(m1).as("mean_urgent"), r6(m2).as("mean_rest"),
+        r6((m1 - m2) / sqrt(se2)).as("t_stat"),
+        r6(se2 * se2 /
+          ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+            (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))).as("dof"))
+    }),
+
+    // L131 — one-way ANOVA F statistic (Fisher): does mean order price
+    // differ ACROSS the five priority classes — the k-group
+    // generalization of welch_ttest's two-group contrast. One keyed
+    // fact shuffle into the k-row per-group moment table (n, Σx, Σx²,
+    // decimal-exact); grand totals re-aggregate the k rows (decimal
+    // casts are exact round-trips — 2dp/4dp values survive double),
+    // and SSB/SSW accumulate 6dp-rounded per-group terms through
+    // decimal so the k-way addition order can't diverge cross-engine.
+    "anova_f" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      // sums of squares reach ~1e14 at sf0.01 (and grow with SF): Spark's
+      // floor(double) returns LONG, so a 1e6-scaled round would overflow —
+      // SS terms round at 1e2 (cents), the small F statistic at 1e6
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val x = col("o_totalprice")
+      val grp = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(18, 2))).cast("double").as("s1"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
+        .localCheckpoint(false) // reused: grand totals + per-group terms
+      val tot = broadcast(grp.agg(
+        count(lit(1)).as("k"), sum("n").as("nn"),
+        sum(col("s1").cast(DecimalType(18, 2))).cast("double").as("gs1")))
+      grp.crossJoin(tot)
+        .select(col("k"), col("nn"),
+          r2(col("n") * (col("s1") / col("n") - col("gs1") / col("nn")) *
+            (col("s1") / col("n") - col("gs1") / col("nn")))
+            .cast(DecimalType(28, 2)).as("ssb_t"),
+          r2(col("s2") - col("s1") * col("s1") / col("n"))
+            .cast(DecimalType(28, 2)).as("ssw_t"))
+        .groupBy("k", "nn")
+        .agg(sum("ssb_t").cast("double").as("ssb"),
+          sum("ssw_t").cast("double").as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_total"),
+          r2(col("ssb")).as("ss_between"), r2(col("ssw")).as("ss_within"),
+          r6((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k")))).as("f_stat"))
+    }),
+
+    // L132 — Cramér's V association sweep: chi2_independence generalized
+    // to a PROFILING matrix — every configured categorical column pair
+    // in the fact table scored with the effect-size V = √(χ²/(n·(min(r,c)
+    // −1))), which (unlike raw χ²) is comparable across pairs with
+    // different cardinalities — the "which columns move together" table
+    // a schema-drift or feature-selection pass starts from. Per pair:
+    // one keyed fact shuffle into the contingency counts, margins and
+    // χ² exactly as chi2_independence (6dp-rounded terms, decimal sum);
+    // the three pair frames union into one result. Scale: 3 fact scans
+    // (one per pair) — at 100 TB you'd fuse them into one grouping-sets
+    // pass; kept separate here so each contingency build stays the
+    // textbook shape the oracle mirrors 1:1.
+    "cramers_v" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def pair(aName: String, bName: String, a: Column, b: Column): DataFrame = {
+        val obs = t(s, dir, "orders")
+          .groupBy(a.as("av"), b.as("bv")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(false) // reused: margins, N, dims
+        val rowT = obs.groupBy("av").agg(sum("n").as("rs"))
+        val colT = obs.groupBy("bv").agg(sum("n").as("cs"))
+        val nTot = broadcast(obs.agg(sum("n").as("nn")))
+        val dims = broadcast(
+          rowT.agg(count(lit(1)).as("nr"))
+            .crossJoin(colT.agg(count(lit(1)).as("nc"))))
+        obs.join(rowT, "av").join(colT, "bv").crossJoin(nTot)
+          .withColumn("e", col("rs").cast("double") * col("cs") / col("nn"))
+          .withColumn("term",
+            r6((col("n") - col("e")) * (col("n") - col("e")) / col("e")))
+          .agg(sum("n").as("n_total"),
+            sum(col("term").cast(DecimalType(18, 6))).cast("double").as("chi2"))
+          .crossJoin(dims)
+          .select(lit(aName).as("col_a"), lit(bName).as("col_b"),
+            col("n_total"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            r6(col("chi2")).as("chi2"),
+            r6(sqrt(col("chi2") /
+              (col("n_total") * (least(col("nr"), col("nc")) - 1))))
+              .as("cramers_v"))
+      }
+      pair("o_orderstatus", "o_orderpriority",
+          col("o_orderstatus"), col("o_orderpriority"))
+        .unionAll(pair("o_orderstatus", "order_year",
+          col("o_orderstatus"), year(col("o_orderdate")).cast("string")))
+        .unionAll(pair("o_orderpriority", "order_year",
+          col("o_orderpriority"), year(col("o_orderdate")).cast("string")))
+        .orderBy("col_a", "col_b")
     })
   )
 
@@ -3322,6 +3447,100 @@ object CoreQueries {
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |       floor(MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2))
         |             * 1e6 + 0.5) / 1e6 AS ks_stat
-        |FROM cdf, tot GROUP BY n1, n2""".stripMargin
+        |FROM cdf, tot GROUP BY n1, n2""".stripMargin,
+
+    "welch_ttest" ->
+      """WITH m AS (
+        |  SELECT SUM(g1) AS n1, SUM(1 - g1) AS n2,
+        |         CAST(SUM(CAST(CASE WHEN g1 = 1 THEN x ELSE 0e0 END
+        |                       AS DECIMAL(18,2))) AS DOUBLE) AS s1a,
+        |         CAST(SUM(CAST(CASE WHEN g1 = 0 THEN x ELSE 0e0 END
+        |                       AS DECIMAL(18,2))) AS DOUBLE) AS s1b,
+        |         CAST(SUM(CAST(CASE WHEN g1 = 1 THEN x * x ELSE 0e0 END
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS s2a,
+        |         CAST(SUM(CAST(CASE WHEN g1 = 0 THEN x * x ELSE 0e0 END
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS s2b
+        |  FROM (SELECT o_totalprice AS x,
+        |               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        |        FROM orders)),
+        |d AS (
+        |  SELECT n1, n2, s1a / n1 AS m1, s1b / n2 AS m2,
+        |         (s2a - s1a * s1a / n1) / (n1 - 1) AS v1,
+        |         (s2b - s1b * s1b / n2) / (n2 - 1) AS v2
+        |  FROM m)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       floor(m1 * 1e6 + 5e-1) / 1e6 AS mean_urgent,
+        |       floor(m2 * 1e6 + 5e-1) / 1e6 AS mean_rest,
+        |       floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 1e6 + 5e-1) / 1e6
+        |         AS t_stat,
+        |       floor((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+        |             ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+        |              (v2 / n2) * (v2 / n2) / (n2 - 1)) * 1e6 + 5e-1) / 1e6
+        |         AS dof
+        |FROM d""".stripMargin,
+
+    "anova_f" ->
+      """WITH grp AS (
+        |  SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+        |              AS DOUBLE) AS s2
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn,
+        |         CAST(SUM(CAST(s1 AS DECIMAL(18,2))) AS DOUBLE) AS gs1
+        |  FROM grp),
+        |terms AS (
+        |  SELECT k, nn,
+        |         CAST(floor(n * (s1 / n - gs1 / nn) * (s1 / n - gs1 / nn)
+        |                    * 1e2 + 5e-1) / 1e2 AS DECIMAL(28,2)) AS ssb_t,
+        |         CAST(floor((s2 - s1 * s1 / n) * 1e2 + 5e-1) / 1e2
+        |              AS DECIMAL(28,2)) AS ssw_t
+        |  FROM grp CROSS JOIN tot),
+        |agg AS (
+        |  SELECT k, nn, CAST(SUM(ssb_t) AS DOUBLE) AS ssb,
+        |         CAST(SUM(ssw_t) AS DOUBLE) AS ssw
+        |  FROM terms GROUP BY k, nn)
+        |SELECT k AS n_groups, CAST(nn AS BIGINT) AS n_total,
+        |       floor(ssb * 1e2 + 5e-1) / 1e2 AS ss_between,
+        |       floor(ssw * 1e2 + 5e-1) / 1e2 AS ss_within,
+        |       floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 5e-1) / 1e6
+        |         AS f_stat
+        |FROM agg""".stripMargin,
+
+    "cramers_v" -> {
+      def pair(aName: String, bName: String, aExpr: String, bExpr: String) =
+        s"""SELECT '$aName' AS col_a, '$bName' AS col_b, n_total, dof,
+           |       floor(chi2 * 1e6 + 5e-1) / 1e6 AS chi2,
+           |       floor(sqrt(chi2 / (n_total * (least(nr, nc) - 1)))
+           |             * 1e6 + 5e-1) / 1e6 AS cramers_v
+           |FROM (
+           |  WITH obs AS (
+           |    SELECT $aExpr AS av, $bExpr AS bv, CAST(COUNT(*) AS BIGINT) AS n
+           |    FROM orders GROUP BY 1, 2),
+           |  rt AS (SELECT av, SUM(n) AS rs FROM obs GROUP BY av),
+           |  ct AS (SELECT bv, SUM(n) AS cs FROM obs GROUP BY bv),
+           |  nt AS (SELECT SUM(n) AS nn FROM obs),
+           |  dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nr,
+           |                  (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS nc)
+           |  SELECT CAST(SUM(obs.n) AS BIGINT) AS n_total,
+           |         (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof,
+           |         (SELECT nr FROM dims) AS nr, (SELECT nc FROM dims) AS nc,
+           |         CAST(SUM(CAST(floor((obs.n - CAST(rt.rs AS DOUBLE) * ct.cs / nt.nn)
+           |                             * (obs.n - CAST(rt.rs AS DOUBLE) * ct.cs / nt.nn)
+           |                             / (CAST(rt.rs AS DOUBLE) * ct.cs / nt.nn)
+           |                             * 1e6 + 5e-1) / 1e6
+           |                       AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+           |  FROM obs JOIN rt USING (av) JOIN ct USING (bv) CROSS JOIN nt)""".stripMargin
+      Seq(
+        pair("o_orderstatus", "o_orderpriority",
+          "o_orderstatus", "o_orderpriority"),
+        pair("o_orderstatus", "order_year",
+          "o_orderstatus", "CAST(year(o_orderdate) AS VARCHAR)"),
+        pair("o_orderpriority", "order_year",
+          "o_orderpriority", "CAST(year(o_orderdate) AS VARCHAR)"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_a, col_b")
+    }
   )
 }
