@@ -800,6 +800,49 @@ object EventQueries {
           ((col("n_a") * col("n_b") * 2 - col("u2")).cast("double") / 2).as("u_b"),
           r6((col("u2") - col("n_a") * col("n_b")).cast("double") / 2 /
             sqrt(col("sigma2"))).as("z"))
+    }),
+
+    // Pettitt change-point test (Pettitt 1979) on the daily value
+    // series: the rank-based sibling of cusum_changepoint — U_t =
+    // Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j), K = max|U_t|, with the classic
+    // p ≈ 2·exp(−6K²/(n³+n²)) significance approximation. The O(n²)
+    // double sum collapses to a prefix sum via antisymmetry (Σ over a
+    // square block is 0): U_t = Σ_{i≤t} r_i where r_i = Σ_j sgn(x_i −
+    // x_j) — so the heavy part is ONE pair join over the CALENDAR-sized
+    // daily rollup (broadcast NLJ; n² of ~365 days is trivial and
+    // SF-invariant), never over raw events. Sign sums are exact long
+    // arithmetic; the prefix window runs over the day-sized frame
+    // (cusum_changepoint's allowlisted class).
+    "pettitt_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+        .localCheckpoint(false) // feeds both pair-join sides + the count
+      val n = broadcast(series.agg(count(lit(1)).as("n_days")))
+      val b = series.select(col("day").as("day2"), col("x").as("x2"))
+      val r = broadcast(series).crossJoin(b)
+        .groupBy("day")
+        .agg(sum(when(col("x") > col("x2"), 1L)
+          .when(col("x") < col("x2"), -1L).otherwise(0L)).as("r"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nd = col("n_days").cast("double")
+      r.withColumn("u", sum("r").over(w))
+        .crossJoin(n)
+        .select(col("day").as("changepoint_day"), abs(col("u")).as("k_stat"),
+          col("n_days"),
+          r6(lit(2.0) * exp(-(lit(6.0) * col("u") * col("u") /
+            (nd * nd * nd + nd * nd)))).as("p_approx"))
+        .orderBy(desc("k_stat"), col("changepoint_day"))
+        .limit(1)
     })
   )
 
@@ -1298,6 +1341,28 @@ object EventQueries {
         |       CAST(n_a * n_b * 2 - u2 AS DOUBLE) / 2 AS u_b,
         |       floor(CAST(u2 - n_a * n_b AS DOUBLE) / 2 / sqrt(sigma2) * 1e6 + 0.5)
         |         / 1e6 AS z
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "pettitt_test" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS (SELECT g.day, COALESCE(c.x, 0.0) AS x FROM g LEFT JOIN c USING (day)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM s),
+        |r AS (SELECT a.day,
+        |        CAST(SUM(CASE WHEN a.x > b.x THEN 1
+        |                      WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS r
+        |      FROM s a CROSS JOIN s b GROUP BY a.day),
+        |u AS (SELECT day,
+        |        CAST(SUM(r) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |             AS BIGINT) AS u
+        |      FROM r)
+        |SELECT day AS changepoint_day, CAST(abs(u) AS BIGINT) AS k_stat, n_days,
+        |       floor(2e0 * exp(-(6e0 * u * u /
+        |         (CAST(n_days AS DOUBLE) * n_days * n_days +
+        |          CAST(n_days AS DOUBLE) * n_days))) * 1e6 + 5e-1) / 1e6
+        |         AS p_approx
+        |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin
   )
 }

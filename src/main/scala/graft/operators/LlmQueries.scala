@@ -2960,6 +2960,37 @@ object LlmQueries {
         .orderBy("pos")
     }),
 
+    // L189 — embedding-space isotropy score (Ethayarajh 2019 / Mu &
+    // Viswanath 2018): anisotropy ≈ ‖μ‖²/E‖x‖², the expected cosine
+    // between random vectors — near 0 for a well-spread space, near 1
+    // when all vectors crowd one cone (the degenerate geometry that
+    // breaks cosine-based dedup/ANN; the space-level companion to
+    // dimension_variance's per-axis view). ONE posexplode pass into
+    // dim-keyed moments (decimal-exact), then closed-form algebra on the
+    // dim-sized table: ‖μ‖² sums 6dp-rounded μ_d² terms through decimal.
+    // Nothing after the first aggregate scales with SF.
+    "isotropy_score" -> ((s, dir) => {
+      val mu = col("s1") / col("n")
+      embs(s, dir)
+        .select(posexplode(Similarity.toDouble(col("embedding"))))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("col").cast("decimal(38,7)")).cast("double").as("s1"),
+          sum((col("col") * col("col")).cast("decimal(38,7)")).cast("double").as("s2"))
+        .select(col("n"),
+          roundHU(mu * mu, 1e8).cast("decimal(18,8)").as("musq_t"),
+          col("s2").cast("decimal(38,7)").as("s2d"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("dim"),
+          sum("musq_t").cast("double").as("musq"),
+          sum("s2d").cast("double").as("sumsq"))
+        .select(col("n").as("n_vecs"), col("dim"),
+          roundHU(col("musq"), 1e6).as("mean_norm_sq"),
+          roundHU(col("sumsq") / col("n"), 1e6).as("avg_sq_norm"),
+          roundHU(col("musq") / (col("sumsq") / col("n")), 1e6)
+            .as("anisotropy"))
+    }),
+
     // L175 — longest repeated n-gram sweep: per doc, the largest
     // n ∈ {4, 8, 16, 32} at which some word n-gram occurs >= 2 times
     // (0 = no repeat even at n=4) — the verbatim-repeat depth gauge
@@ -5622,6 +5653,34 @@ object LlmQueries {
         |       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6 AS variance
         |FROM a
         |ORDER BY pos""".stripMargin,
+
+    "isotropy_score" ->
+      """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v),
+        |a AS (
+        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,7))) AS DOUBLE) AS s2
+        |  FROM ex GROUP BY pos),
+        |b AS (
+        |  SELECT n,
+        |         CAST(floor((s1 / n) * (s1 / n) * 1e8 + 0.5) / 1e8
+        |              AS DECIMAL(18,8)) AS musq_t,
+        |         CAST(s2 AS DECIMAL(38,7)) AS s2d
+        |  FROM a),
+        |c AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS dim,
+        |         CAST(SUM(musq_t) AS DOUBLE) AS musq,
+        |         CAST(SUM(s2d) AS DOUBLE) AS sumsq
+        |  FROM b GROUP BY n)
+        |SELECT n AS n_vecs, dim,
+        |       floor(musq * 1e6 + 0.5) / 1e6 AS mean_norm_sq,
+        |       floor(sumsq / n * 1e6 + 0.5) / 1e6 AS avg_sq_norm,
+        |       floor(musq / (sumsq / n) * 1e6 + 0.5) / 1e6 AS anisotropy
+        |FROM c""".stripMargin,
 
     "max_rep_ngram" ->
       s"""WITH h AS (SELECT doc_id, $sqlTokenHashes AS hs FROM documents),
