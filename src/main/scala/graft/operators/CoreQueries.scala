@@ -2520,6 +2520,103 @@ object CoreQueries {
         .unionAll(pair("o_orderpriority", "order_year",
           col("o_orderpriority"), year(col("o_orderdate")).cast("string")))
         .orderBy("col_a", "col_b")
+    }),
+
+    // L133 — Adamic–Adar link prediction (Adamic & Adar 2003): for
+    // non-adjacent node pairs sharing neighbors, Σ_z 1/ln(deg z) over
+    // common neighbors z — low-degree shared neighbors count more —
+    // the classic "which edge forms next" score over the co-purchase
+    // graph (clustering_coeff's graph; this is its open-wedge
+    // complement: triangles measure closure that HAPPENED, AA ranks
+    // wedges that haven't closed YET). Shape: neighbor list bridge-
+    // checkpointed partitioned by the wedge center so the pair
+    // self-join reads both sides exchange-free; per-center terms
+    // 8dp-round before the decimal pair sum; existing edges drop via
+    // an (a,b)-keyed anti-join; deterministic top-50 TakeOrdered.
+    "adamic_adar" -> ((s, dir) => {
+      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+      val nbr0 = e.select(col("src").as("z"), col("dst").as("n"))
+        .unionAll(e.select(col("dst").as("z"), col("src").as("n")))
+      val nbr = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(nbr0, shufflePartitions(s), Seq("z"), Seq("z"),
+          declareStats = false)
+      // wedge centers have degree >= 2 by construction, so ln(d) > 0
+      val term = nbr.groupBy("z").agg(count(lit(1)).as("d"))
+        .select(col("z"), r8(lit(1.0) / log(col("d").cast("double")))
+          .cast(DecimalType(18, 8)).as("t"))
+      nbr.select(col("z"), col("n").as("a"))
+        .join(nbr.select(col("z"), col("n").as("b")), Seq("z"))
+        .filter(col("a") < col("b"))
+        .join(term, "z")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"),
+          sum("t").cast("double").as("aa_score"))
+        .join(e.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+        .orderBy(desc("aa_score"), col("a"), col("b"))
+        .limit(50)
+        .select(col("a").as("node_a"), col("b").as("node_b"),
+          col("n_common"), col("aa_score"))
+        .orderBy(desc("aa_score"), col("node_a"), col("node_b"))
+    }),
+
+    // L134 — rich-club coefficient (Zhou & Mondragón 2004): for each
+    // degree threshold k, the edge density φ(k) = 2·E_k/(N_k(N_k−1))
+    // among nodes with degree > k — do the hubs of the co-purchase
+    // graph preferentially interconnect (φ rising with k = a "rich
+    // club"), the hub-level structure degree_assortativity summarizes
+    // in one number. ONE pass: edges annotated with min endpoint
+    // degree, all thresholds evaluated as conditional aggregates in a
+    // single 1-row reduce (no per-k rescan), exploded to the k-level
+    // rows at the end.
+    "rich_club" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ks = Seq(2, 4, 8, 16, 32)
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+      val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+        .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
+        .groupBy("n").agg(sum("d").as("d"))
+        .localCheckpoint(false) // reused: edge annotate + node counts
+      val em = e
+        .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
+        .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
+        .select(least(col("ds"), col("dd")).as("md"))
+      val eRow = em.agg(
+        sum(when(col("md") > ks.head, 1L).otherwise(0L)).as(s"e_${ks.head}"),
+        ks.tail.map(k =>
+          sum(when(col("md") > k, 1L).otherwise(0L)).as(s"e_$k")): _*)
+      val nRow = dk.agg(
+        sum(when(col("d") > ks.head, 1L).otherwise(0L)).as(s"n_${ks.head}"),
+        ks.tail.map(k =>
+          sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n_$k")): _*)
+      eRow.crossJoin(nRow)
+        .select(explode(array(ks.map(k => struct(
+          lit(k.toLong).as("k"), col(s"n_$k").as("n_nodes"),
+          col(s"e_$k").as("n_edges"))): _*)).as("r"))
+        .select(col("r.k").as("k"), col("r.n_nodes").as("n_nodes"),
+          col("r.n_edges").as("n_edges"),
+          when(col("r.n_nodes") >= 2,
+            r6(col("r.n_edges").cast("double") * 2 /
+              (col("r.n_nodes").cast("double") * (col("r.n_nodes") - 1))))
+            .as("phi"))
+        .orderBy("k")
     })
   )
 
@@ -3541,6 +3638,59 @@ object CoreQueries {
           "o_orderpriority", "CAST(year(o_orderdate) AS VARCHAR)"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_a, col_b")
+    },
+
+    "adamic_adar" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+        |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+        |nbr AS (SELECT src AS z, dst AS n FROM e
+        |        UNION ALL SELECT dst AS z, src AS n FROM e),
+        |term AS (SELECT z,
+        |           CAST(floor(1e0 / ln(CAST(COUNT(*) AS DOUBLE)) * 1e8 + 5e-1)
+        |                / 1e8 AS DECIMAL(18,8)) AS t
+        |         FROM nbr GROUP BY z),
+        |w AS (SELECT n1.z, n1.n AS a, n2.n AS b
+        |      FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.n < n2.n),
+        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |              CAST(SUM(t) AS DOUBLE) AS aa_score
+        |       FROM w JOIN term USING (z) GROUP BY a, b),
+        |nc AS (SELECT sc.a, sc.b, sc.n_common, sc.aa_score
+        |       FROM sc LEFT JOIN e ON sc.a = e.src AND sc.b = e.dst
+        |       WHERE e.src IS NULL)
+        |SELECT a AS node_a, b AS node_b, n_common, aa_score
+        |FROM nc ORDER BY aa_score DESC, node_a, node_b LIMIT 50""".stripMargin,
+
+    "rich_club" -> {
+      val ks = Seq(2, 4, 8, 16, 32)
+      val eCols = ks.map(k =>
+        s"SUM(CASE WHEN md > $k THEN 1 ELSE 0 END) AS e_$k").mkString(", ")
+      val nCols = ks.map(k =>
+        s"SUM(CASE WHEN d > $k THEN 1 ELSE 0 END) AS n_$k").mkString(", ")
+      val rows = ks.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, CAST(n_$k AS BIGINT) AS n_nodes,
+           |       CAST(e_$k AS BIGINT) AS n_edges,
+           |       CASE WHEN n_$k >= 2 THEN
+           |         floor(CAST(e_$k AS DOUBLE) * 2 /
+           |               (CAST(n_$k AS DOUBLE) * (n_$k - 1)) * 1e6 + 5e-1) / 1e6
+           |       END AS phi
+           |FROM er, nr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+         |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+         |dk AS (SELECT n, CAST(SUM(d) AS BIGINT) AS d FROM (
+         |         SELECT src AS n, COUNT(*) AS d FROM e GROUP BY src
+         |         UNION ALL
+         |         SELECT dst AS n, COUNT(*) AS d FROM e GROUP BY dst)
+         |       GROUP BY n),
+         |em AS (SELECT least(ds.d, dd.d) AS md
+         |       FROM e JOIN dk ds ON e.src = ds.n JOIN dk dd ON e.dst = dd.n),
+         |er AS (SELECT $eCols FROM em),
+         |nr AS (SELECT $nCols FROM dk)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY k""".stripMargin
     }
   )
 }
