@@ -843,6 +843,50 @@ object EventQueries {
             (nd * nd * nd + nd * nd)))).as("p_approx"))
         .orderBy(desc("k_stat"), col("changepoint_day"))
         .limit(1)
+    }),
+
+    // Stationary distribution of the event-type Markov chain: row-
+    // normalize event_transitions' count matrix and power-iterate
+    // vᵀP (with per-round L1 renormalization, since types that never
+    // recur make P substochastic) — "where does a user's session
+    // settle long-run", the chain-level summary event_transitions'
+    // raw counts don't give. The per-user lag runs on the raw events
+    // ONCE (partitioned window); everything after is on the TYPE²-
+    // sized matrix — SF-invariant joins, contribution sums routed
+    // through DECIMAL(28,18) exactly as pagerank's rounds.
+    "markov_stationary" -> ((s, dir) => {
+      val iters = 8
+      def r8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tr = events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // reused: row totals, P, state set
+      val rowTot = tr.groupBy("src").agg(sum("c").as("rc"))
+      val p = tr.join(rowTot, "src")
+        .select(col("src"), col("dst"),
+          (col("c").cast("double") / col("rc")).as("p"))
+        .localCheckpoint(false) // reused every round
+      val states = tr.select(col("src").as("st"))
+        .unionAll(tr.select(col("dst").as("st"))).distinct()
+      val k = broadcast(states.agg(count(lit(1)).as("k")))
+      var v = states.crossJoin(k)
+        .select(col("st"), (lit(1.0) / col("k")).as("v"))
+      for (_ <- 1 to iters) {
+        val raw = p.join(v.withColumnRenamed("st", "src"), "src")
+          .select(col("dst").as("st"),
+            (col("v") * col("p")).cast(DecimalType(28, 18)).as("m"))
+          .groupBy("st").agg(sum("m").cast("double").as("vr"))
+          .localCheckpoint(false) // consumed twice: normalizer + division
+        val z = broadcast(raw.agg(
+          sum(col("vr").cast(DecimalType(28, 18))).cast("double").as("z")))
+        v = raw.crossJoin(z).select(col("st"), (col("vr") / col("z")).as("v"))
+      }
+      v.select(col("st").as("event_type"), r8(col("v")).as("p_stationary"))
+        .orderBy("event_type")
     })
   )
 
@@ -1363,6 +1407,39 @@ object EventQueries {
         |         (CAST(n_days AS DOUBLE) * n_days * n_days +
         |          CAST(n_days AS DOUBLE) * n_days))) * 1e6 + 5e-1) / 1e6
         |         AS p_approx
-        |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin
+        |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin,
+
+    "markov_stationary" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT p.dst AS st,
+           |         CAST(SUM(CAST(v${i - 1}.v * p.p AS DECIMAL(28,18)))
+           |              AS DOUBLE) AS vr
+           |  FROM p JOIN v${i - 1} ON p.src = v${i - 1}.st GROUP BY p.dst),
+           |v$i AS MATERIALIZED (
+           |  SELECT st, vr / (SELECT CAST(SUM(CAST(vr AS DECIMAL(28,18)))
+           |                               AS DOUBLE) FROM r$i) AS v
+           |  FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts), event_id) AS src,
+         |         event_type AS dst
+         |  FROM events),
+         |tr AS MATERIALIZED (
+         |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM l WHERE src IS NOT NULL GROUP BY src, dst),
+         |rt AS (SELECT src, SUM(c) AS rc FROM tr GROUP BY src),
+         |p AS MATERIALIZED (
+         |  SELECT tr.src, tr.dst, CAST(tr.c AS DOUBLE) / rc AS p
+         |  FROM tr JOIN rt USING (src)),
+         |st AS (SELECT DISTINCT st FROM
+         |        (SELECT src AS st FROM tr UNION ALL SELECT dst FROM tr)),
+         |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
+         |v0 AS (SELECT st, 1e0 / k AS v FROM st, k),
+         |$rounds
+         |SELECT st AS event_type, floor(v * 1e8 + 5e-1) / 1e8 AS p_stationary
+         |FROM v8 ORDER BY event_type""".stripMargin
+    }
   )
 }

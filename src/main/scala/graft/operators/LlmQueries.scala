@@ -3623,6 +3623,56 @@ object LlmQueries {
         .limit(30)
     }),
 
+    // L190 — Dunning log-likelihood (G²) collocations (Dunning 1993):
+    // the 2×2-contingency significance test PMI famously lacks — PMI
+    // over-ranks rare pairs (a hapax bigram of two hapax words maxes
+    // it), G² weighs evidence mass, so the two rankings together
+    // separate "strong AND well-attested" from merely-surprising.
+    // Cells: O11=c(ab), O12=c(a)−c(ab), O21=c(b)−c(ab), O22=N−c(a)−
+    // c(b)+c(ab) (unigram margins, the standard approximation);
+    // G² = 2·Σ_{O>0} O·ln(O/E) with E from the margins. Same frames
+    // and scale shape as pmi_collocations: bigram/unigram counts (two
+    // keyed shuffles), vocabulary joins unhinted, per-row closed-form
+    // algebra (each of the 4 terms 6dp-rounded, summed in a FIXED
+    // written order — no aggregate over the cells), deterministic
+    // top-30.
+    "dunning_g2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bg = d.select(explode(bigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = d.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nBi = broadcast(d.select(
+        greatest(size(tokens(col("text"))) - 1, lit(0)).cast("long").as("nb"))
+        .agg(sum("nb").as("nn")))
+      val nn = col("nn").cast("double")
+      def cell(o: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+               c: org.apache.spark.sql.Column) = {
+        val e = r * c / nn
+        when(o > 0, roundHU(o.cast("double") * log(o.cast("double") / e), 1e6))
+          .otherwise(lit(0.0))
+      }
+      val o11 = col("c_ab")
+      val o12 = col("c_a") - col("c_ab")
+      val o21 = col("c_b") - col("c_ab")
+      val o22 = col("nn") - col("c_a") - col("c_b") + col("c_ab")
+      val r1 = col("c_a").cast("double")
+      val r2 = nn - col("c_a")
+      val c1 = col("c_b").cast("double")
+      val c2 = nn - col("c_b")
+      bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(nBi)
+        .select(col("bigram"), col("c_ab"),
+          roundHU(lit(2.0) * (cell(o11, r1, c1) + cell(o12, r1, c2) +
+            cell(o21, r2, c1) + cell(o22, r2, c2)), 1e6).as("g2"))
+        .orderBy(desc("g2"), col("bigram"))
+        .limit(30)
+    }),
+
     // L155 — Gopher duplicate-n-gram character coverage (Rae et al.
     // 2021): per doc, the fraction of normalized characters COVERED by
     // word 5-grams occurring >= 2 times within the doc — the de-
@@ -6140,6 +6190,44 @@ object LlmQueries {
          |JOIN uni cb ON cb.w = split_part(bg.bigram, ' ', 2)
          |CROSS JOIN nu CROSS JOIN nb
          |ORDER BY pmi DESC, bigram
+         |LIMIT 30""".stripMargin,
+
+    "dunning_g2" ->
+      s"""WITH bg AS (
+         |  SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |  FROM (SELECT unnest($sqlBigrams) AS g FROM documents)
+         |  GROUP BY g HAVING COUNT(*) >= 5),
+         |uni AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($sqlTokens) AS w FROM documents)
+         |  GROUP BY w),
+         |nb AS (
+         |  SELECT CAST(SUM(greatest(len($sqlTokens) - 1, 0)) AS BIGINT) AS nn
+         |  FROM documents),
+         |j AS (
+         |  SELECT bg.bigram, bg.c_ab, ca.c AS c_a, cb.c AS c_b,
+         |         CAST(nb.nn AS DOUBLE) AS nn
+         |  FROM bg
+         |  JOIN uni ca ON ca.w = split_part(bg.bigram, ' ', 1)
+         |  JOIN uni cb ON cb.w = split_part(bg.bigram, ' ', 2)
+         |  CROSS JOIN nb)
+         |SELECT bigram, c_ab,
+         |  floor(2e0 * (
+         |    (CASE WHEN c_ab > 0 THEN floor(CAST(c_ab AS DOUBLE) *
+         |       ln(CAST(c_ab AS DOUBLE) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE) / nn))
+         |       * 1e6 + 5e-1) / 1e6 ELSE 0e0 END) +
+         |    (CASE WHEN c_a - c_ab > 0 THEN floor(CAST(c_a - c_ab AS DOUBLE) *
+         |       ln(CAST(c_a - c_ab AS DOUBLE) / (CAST(c_a AS DOUBLE) * (nn - c_b) / nn))
+         |       * 1e6 + 5e-1) / 1e6 ELSE 0e0 END) +
+         |    (CASE WHEN c_b - c_ab > 0 THEN floor(CAST(c_b - c_ab AS DOUBLE) *
+         |       ln(CAST(c_b - c_ab AS DOUBLE) / ((nn - c_a) * CAST(c_b AS DOUBLE) / nn))
+         |       * 1e6 + 5e-1) / 1e6 ELSE 0e0 END) +
+         |    (CASE WHEN nn - c_a - c_b + c_ab > 0 THEN
+         |       floor(CAST(nn - c_a - c_b + c_ab AS DOUBLE) *
+         |       ln(CAST(nn - c_a - c_b + c_ab AS DOUBLE) / ((nn - c_a) * (nn - c_b) / nn))
+         |       * 1e6 + 5e-1) / 1e6 ELSE 0e0 END)) * 1e6 + 5e-1) / 1e6 AS g2
+         |FROM j
+         |ORDER BY g2 DESC, bigram
          |LIMIT 30""".stripMargin,
 
     "dup_ngram_chars" ->
