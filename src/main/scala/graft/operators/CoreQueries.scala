@@ -379,6 +379,9 @@ object CoreQueries {
   /** BFS hop count for `bfs_hops` — fixed hops, unrolled oracle. */
   private val BfsHops = 3
 
+  /** Seed count for `closeness_centrality`'s labeled multi-source BFS. */
+  private val ClosenessSeeds = 4
+
   /** Bootstrap replicate count for `poisson_bootstrap_ci`. */
   private val BootstrapReplicates = 32L
 
@@ -2617,6 +2620,47 @@ object CoreQueries {
               (col("r.n_nodes").cast("double") * (col("r.n_nodes") - 1))))
             .as("phi"))
         .orderBy("k")
+    }),
+
+    // L135 — seeded closeness/harmonic centrality: bfs_hops generalized
+    // to a LABELED multi-source BFS — the ClosenessSeeds smallest node
+    // ids expand simultaneously (frontier rows carry their seed, so K
+    // seeds cost ONE join per hop, not K), and each seed's hop-count
+    // profile collapses to n_reached, Σdist, and harmonic centrality
+    // Σ_h cnt_h/h — the landmark-distance summary behind "which hub
+    // reaches the graph fastest". Per hop: one streamed SMJ off the
+    // src-partitioned edge checkpoint + a (seed, node)-keyed anti-join
+    // against the visited set; frontiers/visited are (K·node)-sized
+    // checkpoints.
+    "closeness_centrality" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = coPurchaseEdges(s, dir, "src")
+      val seeds = e.select(col("src")).distinct()
+        .orderBy("src").limit(ClosenessSeeds)
+        .select(col("src").as("seed"))
+        .localCheckpoint(false) // reused: frontier init + final left join
+      var frontier = seeds.select(col("seed"), col("seed").as("n"))
+        .localCheckpoint(false)
+      var visited = frontier
+      val hopCounts = (1 to BfsHops).map { k =>
+        frontier = e.join(frontier.withColumnRenamed("n", "src"), "src")
+          .select(col("seed"), col("dst").as("n")).distinct()
+          .join(visited, Seq("seed", "n"), "left_anti")
+          .localCheckpoint(false) // read 3x: union, next hop, count
+        visited = visited.union(frontier)
+          .localCheckpoint(false) // read 3x: anti-join, next union, count
+        frontier.groupBy("seed").agg(count(lit(1)).as(s"h$k"))
+      }
+      hopCounts.foldLeft(seeds)((acc, hc) =>
+          acc.join(hc, Seq("seed"), "left"))
+        .select(col("seed") +: (1 to BfsHops).map(k =>
+          coalesce(col(s"h$k"), lit(0L)).as(s"h$k")): _*)
+        .select(col("seed"),
+          (1 to BfsHops).map(k => col(s"h$k")).reduce(_ + _).as("n_reached"),
+          (1 to BfsHops).map(k => col(s"h$k") * k).reduce(_ + _).as("sum_dist"),
+          r6((1 to BfsHops).map(k => col(s"h$k") / lit(k.toDouble))
+            .reduce(_ + _)).as("harmonic"))
+        .orderBy("seed")
     })
   )
 
@@ -3691,6 +3735,41 @@ object CoreQueries {
          |SELECT * FROM (
          |$rows
          |) ORDER BY k""".stripMargin
+    },
+
+    "closeness_centrality" -> {
+      val hops = (1 to BfsHops).map { k =>
+        s"""f$k AS MATERIALIZED (
+           |  SELECT DISTINCT f.seed, e.dst AS n
+           |  FROM e JOIN f${k - 1} f ON e.src = f.n
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+           |                    WHERE v.seed = f.seed AND v.n = e.dst)),
+           |v$k AS MATERIALIZED (
+           |  SELECT seed, n FROM v${k - 1} UNION ALL SELECT seed, n FROM f$k),
+           |c$k AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS h$k
+           |        FROM f$k GROUP BY seed)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 to BfsHops).map(k =>
+        s"LEFT JOIN c$k ON c$k.seed = s.seed").mkString("\n")
+      val hcols = (1 to BfsHops).map(k =>
+        s"COALESCE(c$k.h$k, 0) AS h$k").mkString(", ")
+      val reach = (1 to BfsHops).map(k => s"h$k * 1").mkString(" + ")
+      val dist = (1 to BfsHops).map(k => s"h$k * $k").mkString(" + ")
+      val harm = (1 to BfsHops).map(k => s"h$k / ${k}e0").mkString(" + ")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+         |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+         |seeds AS MATERIALIZED (
+         |  SELECT src AS seed FROM e GROUP BY src ORDER BY seed LIMIT $ClosenessSeeds),
+         |f0 AS MATERIALIZED (SELECT seed, seed AS n FROM seeds),
+         |v0 AS (SELECT seed, n FROM f0),
+         |$hops,
+         |w AS (SELECT s.seed, $hcols FROM seeds s
+         |$joins)
+         |SELECT seed, CAST($reach AS BIGINT) AS n_reached,
+         |       CAST($dist AS BIGINT) AS sum_dist,
+         |       floor(($harm) * 1e6 + 5e-1) / 1e6 AS harmonic
+         |FROM w ORDER BY seed""".stripMargin
     }
   )
 }

@@ -3673,6 +3673,72 @@ object LlmQueries {
         .limit(30)
     }),
 
+    // L191 — multinomial naive Bayes source classifier: train Laplace-
+    // smoothed token likelihoods per source on the even-doc split,
+    // classify the odd docs, report the confusion matrix — the
+    // supervised companion to lang_confusion's rank-profile heuristic,
+    // and the classic "can a linear model tell the sources apart"
+    // separability probe (a washed-out diagonal = near-duplicate
+    // sources; the provenance-drift alarm). Shape: token counts are
+    // keyed shuffles; the likelihood table is (V·S)-sized and joined
+    // per test token (NO per-class rescan of the corpus); OOV test
+    // tokens drop by the train-vocab inner join (documented
+    // convention); unseen-in-class tokens fall back to the per-class
+    // zero-count likelihood via coalesce. Per-token log-likelihoods
+    // 8dp-round before the DECIMAL(28,12)-routed per-(doc, class) sum;
+    // argmax ties break on class name.
+    "naive_bayes_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val cls = train.groupBy(col("source").as("cand"))
+        .agg(count(lit(1)).as("nd"))
+        .localCheckpoint(false) // reused: priors, class list
+      val nTrain = broadcast(cls.agg(sum("nd").as("nt")))
+      val prior = cls.crossJoin(nTrain)
+        .select(col("cand"),
+          roundHU(log(col("nd").cast("double") / col("nt")), 1e8).as("prior"))
+      val tw = train
+        .select(col("source").as("cand"), explode(tokens(col("text"))).as("w"))
+        .groupBy("cand", "w").agg(count(lit(1)).as("cw"))
+        .localCheckpoint(false) // reused: totals, vocab, likelihoods
+      val tot = tw.groupBy("cand").agg(sum("cw").as("tot"))
+        .localCheckpoint(false) // reused: lp + lp0
+      val vocab = tw.select("w").distinct()
+        .localCheckpoint(false) // reused: size + OOV filter
+      val vs = broadcast(vocab.agg(count(lit(1)).as("v")))
+      val lp = tw.join(tot, "cand").crossJoin(vs)
+        .select(col("cand"), col("w"),
+          roundHU(log((col("cw") + 1).cast("double") / (col("tot") + col("v"))),
+            1e8).as("lp"))
+      val lp0 = tot.crossJoin(vs)
+        .select(col("cand"),
+          roundHU(log(lit(1.0) / (col("tot") + col("v")).cast("double")),
+            1e8).as("lp0"))
+      val testTok = d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source").as("true_source"),
+          explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "true_source", "w").agg(count(lit(1)).as("cnt"))
+        .join(vocab, Seq("w"))
+      val scored = testTok.crossJoin(broadcast(cls.select("cand")))
+        .join(lp, Seq("cand", "w"), "left")
+        .join(lp0, "cand")
+        .select(col("doc_id"), col("true_source"), col("cand"),
+          (col("cnt") * coalesce(col("lp"), col("lp0")))
+            .cast(DecimalType(28, 12)).as("t"))
+        .groupBy("doc_id", "true_source", "cand")
+        .agg(sum("t").cast("double").as("ll"))
+        .join(prior, "cand")
+        .select(col("doc_id"), col("true_source"), col("cand"),
+          (col("prior") + col("ll")).as("score"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("score"), col("cand"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_source"), col("cand").as("pred_source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_source", "pred_source")
+    }),
+
     // L155 — Gopher duplicate-n-gram character coverage (Rae et al.
     // 2021): per doc, the fraction of normalized characters COVERED by
     // word 5-grams occurring >= 2 times within the doc — the de-
@@ -6229,6 +6295,56 @@ object LlmQueries {
          |FROM j
          |ORDER BY g2 DESC, bigram
          |LIMIT 30""".stripMargin,
+
+    "naive_bayes_source" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |cls AS MATERIALIZED (
+         |  SELECT source AS cand, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM tr GROUP BY source),
+         |nt AS (SELECT CAST(SUM(nd) AS BIGINT) AS nt FROM cls),
+         |prior AS (SELECT cand,
+         |            floor(ln(CAST(nd AS DOUBLE) / nt) * 1e8 + 5e-1) / 1e8 AS prior
+         |          FROM cls, nt),
+         |tw AS MATERIALIZED (
+         |  SELECT cand, w, CAST(COUNT(*) AS BIGINT) AS cw
+         |  FROM (SELECT source AS cand, unnest($sqlTokens) AS w FROM tr)
+         |  GROUP BY cand, w),
+         |tot AS MATERIALIZED (
+         |  SELECT cand, CAST(SUM(cw) AS BIGINT) AS tot FROM tw GROUP BY cand),
+         |vocab AS MATERIALIZED (SELECT DISTINCT w FROM tw),
+         |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         |lp AS MATERIALIZED (
+         |  SELECT tw.cand, tw.w,
+         |         floor(ln(CAST(cw + 1 AS DOUBLE) / (tot + v)) * 1e8 + 5e-1)
+         |           / 1e8 AS lp
+         |  FROM tw JOIN tot USING (cand) CROSS JOIN vs),
+         |lp0 AS MATERIALIZED (
+         |  SELECT cand,
+         |         floor(ln(1e0 / CAST(tot + v AS DOUBLE)) * 1e8 + 5e-1) / 1e8 AS lp0
+         |  FROM tot CROSS JOIN vs),
+         |tt AS (
+         |  SELECT doc_id, true_source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, source AS true_source, unnest($sqlTokens) AS w
+         |        FROM documents WHERE doc_id % 2 = 1)
+         |  GROUP BY doc_id, true_source, w),
+         |ttv AS MATERIALIZED (SELECT tt.* FROM tt JOIN vocab USING (w)),
+         |sc AS MATERIALIZED (
+         |  SELECT ttv.doc_id, ttv.true_source, c.cand,
+         |         CAST(SUM(CAST(ttv.cnt * COALESCE(lp.lp, lp0.lp0)
+         |                       AS DECIMAL(28,12))) AS DOUBLE) AS ll
+         |  FROM ttv CROSS JOIN (SELECT cand FROM cls) c
+         |  LEFT JOIN lp ON lp.cand = c.cand AND lp.w = ttv.w
+         |  JOIN lp0 ON lp0.cand = c.cand
+         |  GROUP BY ttv.doc_id, ttv.true_source, c.cand),
+         |pick AS (
+         |  SELECT sc.doc_id, sc.true_source, sc.cand,
+         |         row_number() OVER (PARTITION BY sc.doc_id
+         |           ORDER BY prior.prior + ll DESC, sc.cand) AS rn
+         |  FROM sc JOIN prior ON prior.cand = sc.cand)
+         |SELECT true_source, cand AS pred_source, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM pick WHERE rn = 1
+         |GROUP BY true_source, cand
+         |ORDER BY true_source, pred_source""".stripMargin,
 
     "dup_ngram_chars" ->
       s"""WITH tok AS (
