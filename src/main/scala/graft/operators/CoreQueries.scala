@@ -2525,6 +2525,37 @@ object CoreQueries {
         .orderBy("col_a", "col_b")
     }),
 
+    // L136 — Jarque–Bera normality test (Jarque & Bera 1980): skewness
+    // and excess kurtosis of the order-price distribution from the
+    // first four raw moments, JB = n/6·(S² + K²/4) — the cheap
+    // distribution-shape gate run before any test that assumes
+    // normality (welch_ttest/anova_f's guard). ONE map-side moment
+    // pass: Σx..Σx⁴ decimal-exact (x², x³, x⁴ are integer-valued
+    // doubles at this magnitude, so the casts are exact on both
+    // engines), central moments and JB as closed-form 1-row algebra.
+    "jarque_bera" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val x = col("o_totalprice")
+      val m = t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("s1"),
+        sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"),
+        sum((x * x * x).cast(DecimalType(38, 4))).cast("double").as("s3"),
+        sum((x * x * x * x).cast(DecimalType(38, 4))).cast("double").as("s4"))
+      val n = col("n").cast("double")
+      val mu = col("s1") / n
+      val m2 = col("s2") / n - mu * mu
+      val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+        lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+      val sk = m3 / (m2 * sqrt(m2))
+      val ku = m4 / (m2 * m2) - lit(3.0)
+      m.select(col("n"),
+        r6(sk).as("skewness"), r6(ku).as("excess_kurtosis"),
+        r6(n / 6 * (sk * sk + ku * ku / 4)).as("jb_stat"))
+    }),
+
     // L133 — Adamic–Adar link prediction (Adamic & Adar 2003): for
     // non-adjacent node pairs sharing neighbors, Σ_z 1/ln(deg z) over
     // common neighbors z — low-degree shared neighbors count more —
@@ -3683,6 +3714,38 @@ object CoreQueries {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_a, col_b")
     },
+
+    "jarque_bera" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+        |              AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+        |         CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice * o_totalprice
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS s4
+        |  FROM orders),
+        |d AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS mu,
+        |         s2, s3, s4
+        |  FROM m),
+        |c AS (
+        |  SELECT n, nd, mu,
+        |         s2 / nd - mu * mu AS m2,
+        |         s3 / nd - 3e0 * mu * (s2 / nd) + 2e0 * mu * mu * mu AS m3,
+        |         s4 / nd - 4e0 * mu * (s3 / nd) + 6e0 * mu * mu * (s2 / nd)
+        |           - 3e0 * mu * mu * mu * mu AS m4
+        |  FROM d),
+        |e AS (
+        |  SELECT n, nd, m3 / (m2 * sqrt(m2)) AS sk,
+        |         m4 / (m2 * m2) - 3e0 AS ku
+        |  FROM c)
+        |SELECT n,
+        |       floor(sk * 1e6 + 5e-1) / 1e6 AS skewness,
+        |       floor(ku * 1e6 + 5e-1) / 1e6 AS excess_kurtosis,
+        |       floor(nd / 6 * (sk * sk + ku * ku / 4) * 1e6 + 5e-1) / 1e6 AS jb_stat
+        |FROM e""".stripMargin,
 
     "adamic_adar" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -845,6 +845,30 @@ object EventQueries {
         .limit(1)
     }),
 
+    // Two-proportion z-test on conversion: does the even-user cohort
+    // purchase at a different rate than the odd cohort — the A/B-test
+    // primitive behind every experiment readout (welch_ttest's
+    // categorical-outcome sibling; the hash cohort is the deterministic
+    // stand-in for an assignment column). ONE conditional-aggregate
+    // pass to a single row (counts are exact longs), pooled-variance z
+    // as closed-form double algebra.
+    "prop_ztest" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val g1 = (col("user_id") % 2 === 0).cast("long")
+      val conv = (col("event_type") === "purchase").cast("long")
+      val m = events(s, dir).agg(
+        sum(g1).as("n1"), sum(lit(1L) - g1).as("n2"),
+        sum(g1 * conv).as("x1"), sum((lit(1L) - g1) * conv).as("x2"))
+      val p1 = col("x1").cast("double") / col("n1")
+      val p2 = col("x2").cast("double") / col("n2")
+      val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+      m.select(col("n1"), col("n2"), col("x1"), col("x2"),
+        r6(p1).as("rate_a"), r6(p2).as("rate_b"),
+        r6((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z_stat"))
+    }),
+
     // Stationary distribution of the event-type Markov chain: row-
     // normalize event_transitions' count matrix and power-iterate
     // vᵀP (with per-round L1 renormalization, since types that never
@@ -1408,6 +1432,27 @@ object EventQueries {
         |          CAST(n_days AS DOUBLE) * n_days))) * 1e6 + 5e-1) / 1e6
         |         AS p_approx
         |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin,
+
+    "prop_ztest" ->
+      """WITH m AS (
+        |  SELECT SUM(g1) AS n1, SUM(1 - g1) AS n2,
+        |         SUM(g1 * conv) AS x1, SUM((1 - g1) * conv) AS x2
+        |  FROM (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+        |               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |        FROM events)),
+        |d AS (
+        |  SELECT n1, n2, x1, x2,
+        |         CAST(x1 AS DOUBLE) / n1 AS p1,
+        |         CAST(x2 AS DOUBLE) / n2 AS p2,
+        |         CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+        |  FROM m)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2,
+        |       floor(p1 * 1e6 + 5e-1) / 1e6 AS rate_a,
+        |       floor(p2 * 1e6 + 5e-1) / 1e6 AS rate_b,
+        |       floor((p1 - p2) / sqrt(pp * (1e0 - pp) *
+        |             (1e0 / n1 + 1e0 / n2)) * 1e6 + 5e-1) / 1e6 AS z_stat
+        |FROM d""".stripMargin,
 
     "markov_stationary" -> {
       val rounds = (1 to 8).map { i =>
