@@ -2556,6 +2556,58 @@ object CoreQueries {
         r6(n / 6 * (sk * sk + ku * ku / 4)).as("jb_stat"))
     }),
 
+    // L137 — Brown–Forsythe/Levene test: are the priority classes'
+    // price VARIANCES equal — the spread-homogeneity gate anova_f's
+    // equal-variance assumption needs checked before it's trusted
+    // (median-centered deviations, the robust Brown–Forsythe form).
+    // Group medians come from a per-group sorted window (partitioned
+    // by the k groups — the equidepth_histogram class, with the same
+    // 100 TB caveat and no global window); |x − med| deviations round
+    // 6dp, then the one-way F machinery runs on them with decimal-
+    // exact moments.
+    "levene_test" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      // SS terms reach ~1e14 — Spark's floor(double)→LONG overflows a
+      // 1e6-scaled round (the anova_f lesson), so they round at 1e2
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pr"), col("o_totalprice").as("x"),
+          col("o_orderkey").as("ok"))
+      val w = Window.partitionBy("pr").orderBy("x", "ok")
+      val med = o
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pr")))
+        .filter(col("rn") === expr("(n + 1) DIV 2") ||
+          col("rn") === expr("(n + 2) DIV 2"))
+        .groupBy("pr")
+        .agg((sum(col("x").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("med"))
+      val dev = o.join(med, "pr")
+        .select(col("pr"), r6(abs(col("x") - col("med"))).as("d"))
+      val grp = dev.groupBy("pr")
+        .agg(count(lit(1)).as("n"),
+          sum(col("d").cast(DecimalType(18, 6))).cast("double").as("s1"),
+          sum((col("d") * col("d")).cast(DecimalType(38, 6))).cast("double")
+            .as("s2"))
+        .localCheckpoint(false) // reused: grand totals + per-group terms
+      val tot = broadcast(grp.agg(
+        count(lit(1)).as("k"), sum("n").as("nn"),
+        sum(col("s1").cast(DecimalType(18, 6))).cast("double").as("gs1")))
+      grp.crossJoin(tot)
+        .select(col("k"), col("nn"),
+          r2(col("n") * (col("s1") / col("n") - col("gs1") / col("nn")) *
+            (col("s1") / col("n") - col("gs1") / col("nn")))
+            .cast(DecimalType(28, 2)).as("ssb_t"),
+          r2(col("s2") - col("s1") * col("s1") / col("n"))
+            .cast(DecimalType(28, 2)).as("ssw_t"))
+        .groupBy("k", "nn")
+        .agg(sum("ssb_t").cast("double").as("ssb"),
+          sum("ssw_t").cast("double").as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_total"),
+          r6((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k")))).as("f_stat"))
+    }),
+
     // L133 — Adamic–Adar link prediction (Adamic & Adar 2003): for
     // non-adjacent node pairs sharing neighbors, Σ_z 1/ln(deg z) over
     // common neighbors z — low-degree shared neighbors count more —
@@ -3746,6 +3798,48 @@ object CoreQueries {
         |       floor(ku * 1e6 + 5e-1) / 1e6 AS excess_kurtosis,
         |       floor(nd / 6 * (sk * sk + ku * ku / 4) * 1e6 + 5e-1) / 1e6 AS jb_stat
         |FROM e""".stripMargin,
+
+    "levene_test" ->
+      """WITH o AS (SELECT o_orderpriority AS pr, o_totalprice AS x,
+        |                  o_orderkey AS ok FROM orders),
+        |rk AS (
+        |  SELECT pr, x,
+        |         CAST(row_number() OVER (PARTITION BY pr ORDER BY x, ok)
+        |              AS BIGINT) AS rn,
+        |         CAST(COUNT(*) OVER (PARTITION BY pr) AS BIGINT) AS n
+        |  FROM o),
+        |med AS (
+        |  SELECT pr, CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |           AS med
+        |  FROM rk WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY pr),
+        |dev AS (
+        |  SELECT o.pr, floor(abs(o.x - med.med) * 1e6 + 5e-1) / 1e6 AS d
+        |  FROM o JOIN med USING (pr)),
+        |grp AS (
+        |  SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM dev GROUP BY pr),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn,
+        |         CAST(SUM(CAST(s1 AS DECIMAL(18,6))) AS DOUBLE) AS gs1
+        |  FROM grp),
+        |terms AS (
+        |  SELECT k, nn,
+        |         CAST(floor(n * (s1 / n - gs1 / nn) * (s1 / n - gs1 / nn)
+        |                    * 1e2 + 5e-1) / 1e2 AS DECIMAL(28,2)) AS ssb_t,
+        |         CAST(floor((s2 - s1 * s1 / n) * 1e2 + 5e-1) / 1e2
+        |              AS DECIMAL(28,2)) AS ssw_t
+        |  FROM grp CROSS JOIN tot),
+        |agg AS (
+        |  SELECT k, nn, CAST(SUM(ssb_t) AS DOUBLE) AS ssb,
+        |         CAST(SUM(ssw_t) AS DOUBLE) AS ssw
+        |  FROM terms GROUP BY k, nn)
+        |SELECT k AS n_groups, CAST(nn AS BIGINT) AS n_total,
+        |       floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 5e-1) / 1e6
+        |         AS f_stat
+        |FROM agg""".stripMargin,
 
     "adamic_adar" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -845,6 +845,46 @@ object EventQueries {
         .limit(1)
     }),
 
+    // Gini-optimal decision stump: the best single threshold on
+    // `value` separating purchases from the rest — the split-finding
+    // inner loop of every tree/GBDT trainer, run ONCE distributed: per-
+    // distinct-value class counts (one keyed shuffle), left/right
+    // splits for ALL candidate thresholds at once from the two-phase
+    // exclusivePrefix cumulative counts (no data-sized window, no
+    // per-threshold rescan), weighted Gini as per-row closed-form
+    // algebra on exact longs, global argmin via top-1 TakeOrdered
+    // (ties break on the smaller threshold).
+    "decision_stump" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val pv = events(s, dir)
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+          sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("c0"))
+      val tot = broadcast(pv.agg(sum("c1").as("t1"), sum("c0").as("t0")))
+      val l1 = col("cum_c1") + col("c1")
+      val l0 = col("cum_c0") + col("c0")
+      val r1 = col("t1") - l1
+      val r0 = col("t0") - l0
+      val nl = (l1 + l0).cast("double")
+      val nr = (r1 + r0).cast("double")
+      val gl = lit(1.0) - ((l1 / nl) * (l1 / nl) + (l0 / nl) * (l0 / nl))
+      val gr = lit(1.0) - ((r1 / nr) * (r1 / nr) + (r0 / nr) * (r0 / nr))
+      val nn = (col("t1") + col("t0")).cast("double")
+      CoreQueries.exclusivePrefix(pv, "value", Seq("c1", "c0"))
+        .crossJoin(tot)
+        .filter(r1 + r0 > 0)
+        .select(col("value").as("threshold"),
+          (l1 + l0).as("n_left"), (r1 + r0).as("n_right"),
+          ((nl * gl + nr * gr) / nn).as("g"))
+        .orderBy("g", "threshold")
+        .limit(1)
+        .select(col("threshold"), col("n_left"), col("n_right"),
+          r6(col("g")).as("gini_split"))
+    }),
+
     // Two-proportion z-test on conversion: does the even-user cohort
     // purchase at a different rate than the odd cohort — the A/B-test
     // primitive behind every experiment readout (welch_ttest's
@@ -879,40 +919,78 @@ object EventQueries {
     // sized matrix — SF-invariant joins, contribution sums routed
     // through DECIMAL(28,18) exactly as pagerank's rounds.
     "markov_stationary" -> ((s, dir) => {
-      val iters = 8
       def r8(c: org.apache.spark.sql.Column) =
         floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val tr = events(s, dir)
-        .withColumn("prev_type", lag("event_type", 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // reused: row totals, P, state set
-      val rowTot = tr.groupBy("src").agg(sum("c").as("rc"))
-      val p = tr.join(rowTot, "src")
-        .select(col("src"), col("dst"),
-          (col("c").cast("double") / col("rc")).as("p"))
-        .localCheckpoint(false) // reused every round
-      val states = tr.select(col("src").as("st"))
-        .unionAll(tr.select(col("dst").as("st"))).distinct()
-      val k = broadcast(states.agg(count(lit(1)).as("k")))
-      var v = states.crossJoin(k)
-        .select(col("st"), (lit(1.0) / col("k")).as("v"))
-      for (_ <- 1 to iters) {
-        val raw = p.join(v.withColumnRenamed("st", "src"), "src")
-          .select(col("dst").as("st"),
-            (col("v") * col("p")).cast(DecimalType(28, 18)).as("m"))
-          .groupBy("st").agg(sum("m").cast("double").as("vr"))
-          .localCheckpoint(false) // consumed twice: normalizer + division
-        val z = broadcast(raw.agg(
-          sum(col("vr").cast(DecimalType(28, 18))).cast("double").as("z")))
-        v = raw.crossJoin(z).select(col("st"), (col("vr") / col("z")).as("v"))
-      }
+      val (_, v) = markovChain(s, dir)
       v.select(col("st").as("event_type"), r8(col("v")).as("p_stationary"))
         .orderBy("event_type")
+    }),
+
+    // Entropy rate of the event-type Markov chain: H = Σ_i π_i·h_i
+    // with h_i = Σ_j −p_ij·ln p_ij — bits-per-step unpredictability of
+    // a user's NEXT action given the current one, the chain-level
+    // counterpart of bigram_entropy_rate's corpus statistic (and the
+    // natural "how routine is this traffic" drift monitor next to
+    // markov_stationary's WHERE-it-settles view). Shares the chain
+    // build (markovChain); per-edge −p·ln p terms 8dp-round before the
+    // decimal row sums, π weighting the same before the final 1-row
+    // reduce; branching-factor perplexity = exp(H).
+    "markov_entropy_rate" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val (p, v) = markovChain(s, dir)
+      val h = p
+        .select(col("src"), r8(-(col("p") * log(col("p"))))
+          .cast(DecimalType(18, 8)).as("t"))
+        .groupBy("src").agg(sum("t").cast("double").as("h"))
+      h.join(v.withColumnRenamed("st", "src"), "src")
+        .select(r8(col("v") * col("h")).cast(DecimalType(18, 8)).as("w"))
+        .agg(count(lit(1)).as("n_states"), sum("w").cast("double").as("hr"))
+        .select(col("n_states"), r6(col("hr")).as("entropy_rate"),
+          r6(exp(col("hr"))).as("perplexity"))
     })
   )
+
+  /** The event-type Markov chain shared by `markov_stationary` and
+    * `markov_entropy_rate`: returns (P, π) — the row-normalized
+    * transition matrix (src, dst, p) and the 8-round power-iterated,
+    * per-round L1-renormalized stationary vector (st, v). TYPE²-sized
+    * after the one raw-event lag pass; decimal-routed sums (see the
+    * query docs above).
+    */
+  private def markovChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val iters = 8
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tr = events(s, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // reused: row totals, P, state set
+    val rowTot = tr.groupBy("src").agg(sum("c").as("rc"))
+    val p = tr.join(rowTot, "src")
+      .select(col("src"), col("dst"),
+        (col("c").cast("double") / col("rc")).as("p"))
+      .localCheckpoint(false) // reused every round
+    val states = tr.select(col("src").as("st"))
+      .unionAll(tr.select(col("dst").as("st"))).distinct()
+    val k = broadcast(states.agg(count(lit(1)).as("k")))
+    var v = states.crossJoin(k)
+      .select(col("st"), (lit(1.0) / col("k")).as("v"))
+    for (_ <- 1 to iters) {
+      val raw = p.join(v.withColumnRenamed("st", "src"), "src")
+        .select(col("dst").as("st"),
+          (col("v") * col("p")).cast(DecimalType(28, 18)).as("m"))
+        .groupBy("st").agg(sum("m").cast("double").as("vr"))
+        .localCheckpoint(false) // consumed twice: normalizer + division
+      val z = broadcast(raw.agg(
+        sum(col("vr").cast(DecimalType(28, 18))).cast("double").as("z")))
+      v = raw.crossJoin(z).select(col("st"), (col("vr") / col("z")).as("v"))
+    }
+    (p, v)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "event_props_json" ->
@@ -1433,6 +1511,46 @@ object EventQueries {
         |         AS p_approx
         |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin,
 
+    "decision_stump" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c0
+        |  FROM events GROUP BY value),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+        |               CAST(SUM(c0) AS BIGINT) AS t0 FROM pv),
+        |cum AS (
+        |  SELECT value, c1, c0,
+        |    CAST(COALESCE(SUM(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_c1,
+        |    CAST(COALESCE(SUM(c0) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_c0
+        |  FROM pv),
+        |sp AS (
+        |  SELECT value, cum_c1 + c1 AS l1, cum_c0 + c0 AS l0,
+        |         t1 - (cum_c1 + c1) AS r1, t0 - (cum_c0 + c0) AS r0,
+        |         t1, t0
+        |  FROM cum CROSS JOIN tot),
+        |d AS (
+        |  SELECT value, l1, l0, r1, r0,
+        |         CAST(l1 + l0 AS DOUBLE) AS nl, CAST(r1 + r0 AS DOUBLE) AS nr,
+        |         CAST(t1 + t0 AS DOUBLE) AS nn
+        |  FROM sp WHERE r1 + r0 > 0),
+        |g AS (
+        |  SELECT value AS threshold, l1 + l0 AS n_left, r1 + r0 AS n_right,
+        |         (nl * (1e0 - ((l1 / nl) * (l1 / nl) + (l0 / nl) * (l0 / nl)))
+        |          + nr * (1e0 - ((r1 / nr) * (r1 / nr) + (r0 / nr) * (r0 / nr))))
+        |         / nn AS g
+        |  FROM d)
+        |SELECT threshold, CAST(n_left AS BIGINT) AS n_left,
+        |       CAST(n_right AS BIGINT) AS n_right,
+        |       floor(g * 1e6 + 5e-1) / 1e6 AS gini_split
+        |FROM g ORDER BY g, threshold LIMIT 1""".stripMargin,
+
     "prop_ztest" ->
       """WITH m AS (
         |  SELECT SUM(g1) AS n1, SUM(1 - g1) AS n2,
@@ -1454,37 +1572,60 @@ object EventQueries {
         |             (1e0 / n1 + 1e0 / n2)) * 1e6 + 5e-1) / 1e6 AS z_stat
         |FROM d""".stripMargin,
 
-    "markov_stationary" -> {
-      val rounds = (1 to 8).map { i =>
-        s"""r$i AS MATERIALIZED (
-           |  SELECT p.dst AS st,
-           |         CAST(SUM(CAST(v${i - 1}.v * p.p AS DECIMAL(28,18)))
-           |              AS DOUBLE) AS vr
-           |  FROM p JOIN v${i - 1} ON p.src = v${i - 1}.st GROUP BY p.dst),
-           |v$i AS MATERIALIZED (
-           |  SELECT st, vr / (SELECT CAST(SUM(CAST(vr AS DECIMAL(28,18)))
-           |                               AS DOUBLE) FROM r$i) AS v
-           |  FROM r$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH l AS (
-         |  SELECT lag(event_type) OVER (PARTITION BY user_id
-         |           ORDER BY epoch_us(ts), event_id) AS src,
-         |         event_type AS dst
-         |  FROM events),
-         |tr AS MATERIALIZED (
-         |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM l WHERE src IS NOT NULL GROUP BY src, dst),
-         |rt AS (SELECT src, SUM(c) AS rc FROM tr GROUP BY src),
-         |p AS MATERIALIZED (
-         |  SELECT tr.src, tr.dst, CAST(tr.c AS DOUBLE) / rc AS p
-         |  FROM tr JOIN rt USING (src)),
-         |st AS (SELECT DISTINCT st FROM
-         |        (SELECT src AS st FROM tr UNION ALL SELECT dst FROM tr)),
-         |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
-         |v0 AS (SELECT st, 1e0 / k AS v FROM st, k),
-         |$rounds
+    "markov_stationary" ->
+      s"""WITH $sqlMarkovChain
          |SELECT st AS event_type, floor(v * 1e8 + 5e-1) / 1e8 AS p_stationary
-         |FROM v8 ORDER BY event_type""".stripMargin
-    }
+         |FROM v8 ORDER BY event_type""".stripMargin,
+
+    "markov_entropy_rate" ->
+      s"""WITH $sqlMarkovChain,
+         |h AS (
+         |  SELECT src, CAST(SUM(CAST(floor(-(p * ln(p)) * 1e8 + 5e-1) / 1e8
+         |                            AS DECIMAL(18,8))) AS DOUBLE) AS h
+         |  FROM p GROUP BY src),
+         |wt AS (
+         |  SELECT CAST(floor(v8.v * h.h * 1e8 + 5e-1) / 1e8
+         |              AS DECIMAL(18,8)) AS w
+         |  FROM h JOIN v8 ON v8.st = h.src),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+         |             CAST(SUM(w) AS DOUBLE) AS hr FROM wt)
+         |SELECT n_states, floor(hr * 1e6 + 5e-1) / 1e6 AS entropy_rate,
+         |       floor(exp(hr) * 1e6 + 5e-1) / 1e6 AS perplexity
+         |FROM a""".stripMargin
   )
+
+  /** The markov-chain CTE prefix (through `p` and `v8`) shared by the
+    * `markov_stationary` and `markov_entropy_rate` oracles — mirrors
+    * [[markovChain]] round for round.
+    */
+  private def sqlMarkovChain: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.dst AS st,
+         |         CAST(SUM(CAST(v${i - 1}.v * p.p AS DECIMAL(28,18)))
+         |              AS DOUBLE) AS vr
+         |  FROM p JOIN v${i - 1} ON p.src = v${i - 1}.st GROUP BY p.dst),
+         |v$i AS MATERIALIZED (
+         |  SELECT st, vr / (SELECT CAST(SUM(CAST(vr AS DECIMAL(28,18)))
+         |                               AS DOUBLE) FROM r$i) AS v
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""l AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts), event_id) AS src,
+       |         event_type AS dst
+       |  FROM events),
+       |tr AS MATERIALIZED (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM l WHERE src IS NOT NULL GROUP BY src, dst),
+       |rt AS (SELECT src, SUM(c) AS rc FROM tr GROUP BY src),
+       |p AS MATERIALIZED (
+       |  SELECT tr.src, tr.dst, CAST(tr.c AS DOUBLE) / rc AS p
+       |  FROM tr JOIN rt USING (src)),
+       |st AS (SELECT DISTINCT st FROM
+       |        (SELECT src AS st FROM tr UNION ALL SELECT dst FROM tr)),
+       |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
+       |v0 AS (SELECT st, 1e0 / k AS v FROM st, k),
+       |$rounds""".stripMargin
+  }
 }

@@ -29,6 +29,88 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The per-doc C4 line/sentence-rule frame (doc_id .. keep) — shared
+    * by `c4_rules` and the filter-agreement pair (`cohens_kappa`,
+    * `mcnemar_test`), so the rule expressions can never drift apart.
+    */
+  private def c4Frame(s: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    def lineWords(l: org.apache.spark.sql.Column) =
+      size(filter(split(trim(l), "\\s+"), w => w =!= lit("")))
+    def terminal(l: org.apache.spark.sql.Column) =
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
+    val kept = filter(lines, l => terminal(l) && lineWords(l) >= 5)
+    val nSent = aggregate(kept, lit(0L), (a, l) =>
+      a + size(regexp_extract_all(l, lit("[.!?]"), lit(0))).cast("long"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+      col("text").contains("{").as("has_brace"))
+      .withColumn("keep",
+        col("n_sentences") >= 3L && col("n_kept_lines") >= 1L &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** The per-doc Gopher repetition/shape-rule frame (doc_id .. keep) —
+    * shared by `gopher_rules` and the filter-agreement pair.
+    */
+  private def gopherFrame(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val nW = size(ts).cast("long")
+    val charSum = aggregate(ts, lit(0L), (a, t) => a + length(t))
+    val meanLen = when(nW > 0, roundHU(charSum.cast("double") / nW, 1e6))
+    val symCnt =
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val symRatio = when(nW > 0, roundHU(symCnt.cast("double") / nW, 1e6))
+    val lines = split(col("text"), "\n")
+    val nL = size(lines).cast("long") // split yields >= 1 element always
+    val bulletFrac = roundHU(
+      size(filter(lines, l => l.substr(lit(1), lit(2)).isin("- ", "* ")))
+        .cast("double") / nL, 1e6)
+    val ellipsisFrac = roundHU(
+      size(filter(lines, l => l.endsWith(lit("...")))).cast("double") / nL, 1e6)
+    val alphaFrac =
+      when(nW > 0, roundHU(size(filter(ts, t => t.rlike("[A-Za-z]")))
+        .cast("double") / nW, 1e6))
+    val stopHits = stopwordHits(col("text")).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      nW.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stop_hits") >= 2L)
+  }
+
+  /** One-row 2×2 agreement table between the c4 and gopher keep
+    * verdicts (NULL keep counts as drop, mirroring the oracles' CASE).
+    */
+  private def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val a = c4Frame(s, dir).select(col("doc_id"),
+      when(col("keep"), 1L).otherwise(0L).as("a"))
+    val b = gopherFrame(s, dir).select(col("doc_id"),
+      when(col("keep"), 1L).otherwise(0L).as("b"))
+    a.join(b, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("a") * col("b")).as("n11"),
+      sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+      sum((lit(1L) - col("a")) * col("b")).as("n01"),
+      sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+  }
+
   /** Integer quality score (0-4): length window, stopword evidence,
     * bounded token length, lexical diversity (shared by `quality_score`
     * and the curation pipeline).
@@ -2664,27 +2746,7 @@ object LlmQueries {
     // fixture dependency and a separate operator family here:
     // line_dedup / dup_ngram_chars.) Pure per-row HOF expressions, one
     // scan pass at any SF.
-    "c4_rules" -> ((s, dir) => {
-      val lines = split(col("text"), "\n")
-      def lineWords(l: org.apache.spark.sql.Column) =
-        size(filter(split(trim(l), "\\s+"), w => w =!= lit("")))
-      def terminal(l: org.apache.spark.sql.Column) =
-        substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
-      val kept = filter(lines, l => terminal(l) && lineWords(l) >= 5)
-      val nSent = aggregate(kept, lit(0L), (a, l) =>
-        a + size(regexp_extract_all(l, lit("[.!?]"), lit(0))).cast("long"))
-      docs(s, dir).select(
-        col("doc_id"),
-        size(lines).cast("long").as("n_lines"),
-        size(kept).cast("long").as("n_kept_lines"),
-        nSent.as("n_sentences"),
-        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
-        col("text").contains("{").as("has_brace"))
-        .withColumn("keep",
-          col("n_sentences") >= 3L && col("n_kept_lines") >= 1L &&
-            !col("has_lorem") && !col("has_brace"))
-        .orderBy("doc_id")
-    }),
+    "c4_rules" -> ((s, dir) => c4Frame(s, dir).orderBy("doc_id")),
 
     // L189 — data-constrained scaling planner (Muennighoff et al.,
     // "Scaling Data-Constrained Language Models", NeurIPS 2023): when a
@@ -2726,43 +2788,37 @@ object LlmQueries {
     // values so the keep bit is engine-stable. Divisions are guarded for
     // the empty-token case (ANSI division errors, and the word-count
     // rule already fails such docs).
-    "gopher_rules" -> ((s, dir) => {
-      val ts = tokens(col("text"))
-      val nW = size(ts).cast("long")
-      val charSum = aggregate(ts, lit(0L), (a, t) => a + length(t))
-      val meanLen = when(nW > 0, roundHU(charSum.cast("double") / nW, 1e6))
-      val symCnt =
-        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
-      val symRatio = when(nW > 0, roundHU(symCnt.cast("double") / nW, 1e6))
-      val lines = split(col("text"), "\n")
-      val nL = size(lines).cast("long") // split yields >= 1 element always
-      val bulletFrac = roundHU(
-        size(filter(lines, l => l.substr(lit(1), lit(2)).isin("- ", "* ")))
-          .cast("double") / nL, 1e6)
-      val ellipsisFrac = roundHU(
-        size(filter(lines, l => l.endsWith(lit("...")))).cast("double") / nL, 1e6)
-      val alphaFrac =
-        when(nW > 0, roundHU(size(filter(ts, t => t.rlike("[A-Za-z]")))
-          .cast("double") / nW, 1e6))
-      val stopHits = stopwordHits(col("text")).cast("long")
-      docs(s, dir).select(
-        col("doc_id"),
-        nW.as("n_words"),
-        meanLen.as("mean_word_len"),
-        symRatio.as("symbol_ratio"),
-        bulletFrac.as("bullet_line_frac"),
-        ellipsisFrac.as("ellipsis_line_frac"),
-        alphaFrac.as("alpha_word_frac"),
-        stopHits.as("stop_hits"))
-        .withColumn("keep",
-          col("n_words").between(50L, 100000L) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            col("symbol_ratio") <= 0.1 &&
-            col("bullet_line_frac") <= 0.9 &&
-            col("ellipsis_line_frac") <= 0.3 &&
-            col("alpha_word_frac") >= 0.8 &&
-            col("stop_hits") >= 2L)
-        .orderBy("doc_id")
+    "gopher_rules" -> ((s, dir) => gopherFrame(s, dir).orderBy("doc_id")),
+
+    // L193/L194 — quality-filter agreement: Cohen's κ and McNemar's
+    // test between the c4_rules and gopher_rules keep verdicts on the
+    // SAME docs — the inter-annotator-agreement pair every multi-filter
+    // curation stack needs: κ says how much the two filters agree
+    // beyond chance (near-0 = they encode different notions of
+    // quality, so stacking them compounds); McNemar's χ² =
+    // (n10−n01)²/(n10+n01) says whether their DISAGREEMENTS are
+    // asymmetric (one filter systematically stricter). Shape: the two
+    // per-doc rule frames (shared with the rule queries — same
+    // expressions, zero drift) join on doc_id and reduce to one 2×2
+    // row; everything after is closed-form algebra on exact longs.
+    "cohens_kappa" -> ((s, dir) => {
+      val m = filterAgreement(s, dir)
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .cast("double") / (nD * nD)
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        roundHU((po - pe) / (lit(1.0) - pe), 1e6).as("kappa"))
+    }),
+
+    "mcnemar_test" -> ((s, dir) => {
+      val m = filterAgreement(s, dir)
+      m.select(col("n10"), col("n01"),
+        when(col("n10") + col("n01") > 0,
+          roundHU((col("n10") - col("n01")).cast("double") *
+            (col("n10") - col("n01")) / (col("n10") + col("n01")), 1e6))
+          .as("chi2"))
     }),
 
     // L151 — first BPE merge step: corpus-wide adjacent character-pair
@@ -3739,6 +3795,105 @@ object LlmQueries {
         .orderBy("true_source", "pred_source")
     }),
 
+    // L192 — RAKE keyword extraction (Rose et al. 2010): tokens split
+    // into candidate phrases at stopword boundaries, words scored
+    // deg/freq (deg = Σ length of phrases containing the word — long
+    // phrases boost their members), phrase score = Σ word scores —
+    // the POS-free keyphrase extractor that complements tfidf_top_terms'
+    // single-word view with multi-word phrases. Phrase ids come from a
+    // running stopword count (doc-bounded window); phrase text
+    // reassembles via position-sorted collect (deterministic); word
+    // scores 6dp-round into DECIMAL(18,6) before the phrase sums so
+    // the per-phrase addition order can't diverge; identical phrase
+    // strings collapse (same token sequence → same exact score, so
+    // MIN is a tie-free pick); deterministic top-20.
+    "rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def r6(c: org.apache.spark.sql.Column) =
+        roundHU(c, 1e6)
+      val stops = TextOps.Stopwords
+      val tp = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+      val marked = tp.withColumn("pid",
+          sum(when(col("w").isin(stops: _*), 1L).otherwise(0L)).over(win))
+        .filter(!col("w").isin(stops: _*))
+        .localCheckpoint(false) // reused: phrase lengths, word stats, phrases
+      val plen = marked.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+      val ws = marked.join(plen, Seq("doc_id", "pid"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("w"), r6(col("deg").cast("double") / col("freq"))
+          .cast(DecimalType(18, 6)).as("wscore"))
+      marked.join(ws, "w")
+        .groupBy("doc_id", "pid")
+        .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("p"), col("w")))),
+            x => x("w"))).as("phrase"),
+          sum("wscore").cast("double").as("score"),
+          count(lit(1)).as("n_words"))
+        .groupBy("phrase")
+        .agg(min("n_words").as("n_words"), count(lit(1)).as("n_occ"),
+          min("score").as("score"))
+        .orderBy(desc("score"), col("phrase"))
+        .limit(20)
+    }),
+
+    // L195 — Burrows's Delta (Burrows 2002): stylometric distance
+    // between sources over the 30 most-frequent corpus words — each
+    // word's per-source relative frequency z-scored ACROSS sources,
+    // Δ(i,j) = mean |z_i − z_j| — the authorship-attribution classic,
+    // here reading as "which sources share a register" (low Δ between
+    // supposedly-independent sources = common origin/contamination,
+    // the stylistic companion to source_minhash_sim's content overlap).
+    // Shape: token counts shuffle once; the MFW list is a bounded
+    // top-30 broadcast; the dense source×word grid (coalesce-0 for
+    // unseen pairs) is S·30-sized, so stats/z/pair joins are all
+    // SF-invariant. Frequencies 8dp-round before the decimal moment
+    // sums; |z_i − z_j| terms 8dp-round before the pair sums.
+    "burrows_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(col("source"), explode(tokens(col("text"))).as("w"))
+        .localCheckpoint(false) // reused: MFW list, per-source counts, totals
+      val mfw = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w")).limit(30).select("w")
+        .localCheckpoint(false) // reused: count filter + dense grid
+      val srcs = d.select("source").distinct()
+      val tot = tok.groupBy("source").agg(count(lit(1)).as("tot"))
+      val cnt = tok.join(mfw, "w")
+        .groupBy("source", "w").agg(count(lit(1)).as("cw"))
+      val grid = srcs.crossJoin(broadcast(mfw))
+        .join(cnt, Seq("source", "w"), "left")
+        .join(tot, "source")
+        .select(col("source"), col("w"),
+          roundHU(coalesce(col("cw"), lit(0L)).cast("double") / col("tot"),
+            1e8).as("fr"))
+        .localCheckpoint(false) // reused: word stats + both z sides
+      val st = grid.groupBy("w").agg(
+          count(lit(1)).as("ns"),
+          sum(col("fr").cast(DecimalType(18, 8))).cast("double").as("sf"),
+          sum((col("fr") * col("fr")).cast(DecimalType(38, 16)))
+            .cast("double").as("sf2"))
+        .select(col("w"), (col("sf") / col("ns")).as("mu"),
+          sqrt(col("sf2") / col("ns") -
+            (col("sf") / col("ns")) * (col("sf") / col("ns"))).as("sigma"))
+        .filter(col("sigma") > 0)
+      val z = grid.join(st, "w")
+        .select(col("w"), col("source"),
+          ((col("fr") - col("mu")) / col("sigma")).as("z"))
+      z.select(col("w"), col("source").as("source_a"), col("z").as("za"))
+        .join(z.select(col("w"), col("source").as("source_b"),
+          col("z").as("zb")), "w")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_words"),
+          sum(roundHU(abs(col("za") - col("zb")), 1e8)
+            .cast(DecimalType(18, 8))).cast("double").as("sd"))
+        .select(col("source_a"), col("source_b"), col("n_words"),
+          roundHU(col("sd") / col("n_words"), 1e6).as("delta"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // L155 — Gopher duplicate-n-gram character coverage (Rae et al.
     // 2021): per doc, the fraction of normalized characters COVERED by
     // word 5-grams occurring >= 2 times within the doc — the de-
@@ -4111,6 +4266,71 @@ object LlmQueries {
        |FROM ($rows) CROSS JOIN nw
        |ORDER BY step""".stripMargin
   }
+
+  /** Oracle for `c4_rules`, also embedded as a subquery by the
+    * filter-agreement oracles (`cohens_kappa` / `mcnemar_test`) —
+    * mirrors [[c4Frame]].
+    */
+  private def sqlC4Rules: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    list_filter(ls, l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')
+       |      AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5) AS kept,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace
+       |  FROM t),
+       |v AS (
+       |  SELECT doc_id, n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       |    CAST(COALESCE(list_sum(list_transform(kept,
+       |      l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS BIGINT) AS n_sentences,
+       |    has_lorem, has_brace
+       |  FROM m)
+       |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+       |       (n_sentences >= 3 AND n_kept_lines >= 1
+       |        AND NOT has_lorem AND NOT has_brace) AS keep
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `gopher_rules`, also embedded by the filter-agreement
+    * oracles — mirrors [[gopherFrame]].
+    */
+  private def sqlGopherRules: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $sqlTokens AS ts, string_split(text, chr(10)) AS ls, text
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_words,
+       |    CASE WHEN len(ts) > 0 THEN
+       |      floor(CAST(list_sum(list_transform(ts, w -> len(w))) AS DOUBLE)
+       |            / len(ts) * 1e6 + 0.5) / 1e6 END AS mean_word_len,
+       |    CASE WHEN len(ts) > 0 THEN
+       |      floor(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |            / len(ts) * 1e6 + 0.5) / 1e6 END AS symbol_ratio,
+       |    floor(CAST(len(list_filter(ls, l -> substr(l, 1, 2) IN ('- ', '* '))) AS DOUBLE)
+       |          / len(ls) * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
+       |    floor(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+       |          / len(ls) * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac,
+       |    CASE WHEN len(ts) > 0 THEN
+       |      floor(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |            / len(ts) * 1e6 + 0.5) / 1e6 END AS alpha_word_frac,
+       |    CAST($sqlStopwordHits AS BIGINT) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       |       ellipsis_line_frac, alpha_word_frac, stop_hits,
+       |       (n_words BETWEEN 50 AND 100000
+       |        AND mean_word_len BETWEEN 3.0 AND 10.0
+       |        AND symbol_ratio <= 0.1
+       |        AND bullet_line_frac <= 0.9
+       |        AND ellipsis_line_frac <= 0.3
+       |        AND alpha_word_frac >= 0.8
+       |        AND stop_hits >= 2) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "token_stats" ->
@@ -5596,29 +5816,45 @@ object LlmQueries {
          |GROUP BY a.source, b.source
          |ORDER BY src_a, src_b""".stripMargin,
 
-    "c4_rules" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM documents),
+    "c4_rules" -> sqlC4Rules,
+
+    "cohens_kappa" ->
+      s"""WITH ca AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS a
+         |            FROM ($sqlC4Rules)),
+         |gb AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS b
+         |       FROM ($sqlGopherRules)),
          |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(ls) AS BIGINT) AS n_lines,
-         |    list_filter(ls, l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')
-         |      AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5) AS kept,
-         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
-         |    contains(text, '{') AS has_brace
-         |  FROM t),
-         |v AS (
-         |  SELECT doc_id, n_lines,
-         |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
-         |    CAST(COALESCE(list_sum(list_transform(kept,
-         |      l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS BIGINT) AS n_sentences,
-         |    has_lorem, has_brace
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(a * b) AS BIGINT) AS n11,
+         |         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         |         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         |         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM ca JOIN gb USING (doc_id)),
+         |d AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |         CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |         CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+         |              AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
          |  FROM m)
-         |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
-         |       (n_sentences >= 3 AND n_kept_lines >= 1
-         |        AND NOT has_lorem AND NOT has_brace) AS keep
-         |FROM v
-         |ORDER BY doc_id""".stripMargin,
+         |SELECT n, n11, n10, n01, n00,
+         |       floor((po - pe) / (1e0 - pe) * 1e6 + 5e-1) / 1e6 AS kappa
+         |FROM d""".stripMargin,
+
+    "mcnemar_test" ->
+      s"""WITH ca AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS a
+         |            FROM ($sqlC4Rules)),
+         |gb AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS b
+         |       FROM ($sqlGopherRules)),
+         |m AS (
+         |  SELECT CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         |         CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+         |  FROM ca JOIN gb USING (doc_id))
+         |SELECT n10, n01,
+         |       CASE WHEN n10 + n01 > 0 THEN
+         |         floor(CAST(n10 - n01 AS DOUBLE) * (n10 - n01) / (n10 + n01)
+         |               * 1e6 + 5e-1) / 1e6
+         |       END AS chi2
+         |FROM m""".stripMargin,
 
     "repeat_budget_plan" ->
       s"""WITH u AS (
@@ -5636,39 +5872,7 @@ object LlmQueries {
          |FROM x
          |ORDER BY epochs, source""".stripMargin,
 
-    "gopher_rules" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $sqlTokens AS ts, string_split(text, chr(10)) AS ls, text
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(ts) AS BIGINT) AS n_words,
-         |    CASE WHEN len(ts) > 0 THEN
-         |      floor(CAST(list_sum(list_transform(ts, w -> len(w))) AS DOUBLE)
-         |            / len(ts) * 1e6 + 0.5) / 1e6 END AS mean_word_len,
-         |    CASE WHEN len(ts) > 0 THEN
-         |      floor(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
-         |            / len(ts) * 1e6 + 0.5) / 1e6 END AS symbol_ratio,
-         |    floor(CAST(len(list_filter(ls, l -> substr(l, 1, 2) IN ('- ', '* '))) AS DOUBLE)
-         |          / len(ls) * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
-         |    floor(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
-         |          / len(ls) * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac,
-         |    CASE WHEN len(ts) > 0 THEN
-         |      floor(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-         |            / len(ts) * 1e6 + 0.5) / 1e6 END AS alpha_word_frac,
-         |    CAST($sqlStopwordHits AS BIGINT) AS stop_hits
-         |  FROM t)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
-         |       ellipsis_line_frac, alpha_word_frac, stop_hits,
-         |       (n_words BETWEEN 50 AND 100000
-         |        AND mean_word_len BETWEEN 3.0 AND 10.0
-         |        AND symbol_ratio <= 0.1
-         |        AND bullet_line_frac <= 0.9
-         |        AND ellipsis_line_frac <= 0.3
-         |        AND alpha_word_frac >= 0.8
-         |        AND stop_hits >= 2) AS keep
-         |FROM m
-         |ORDER BY doc_id""".stripMargin,
+    "gopher_rules" -> sqlGopherRules,
 
     "bpe_pair_counts" ->
       s"""SELECT p AS pair, COUNT(*) AS cnt
@@ -6345,6 +6549,79 @@ object LlmQueries {
          |FROM pick WHERE rn = 1
          |GROUP BY true_source, cand
          |ORDER BY true_source, pred_source""".stripMargin,
+
+    "burrows_delta" ->
+      s"""WITH tok AS (SELECT source, unnest($sqlTokens) AS w FROM documents),
+         |mfw AS MATERIALIZED (
+         |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+         |                 ORDER BY c DESC, w LIMIT 30)),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+         |        FROM tok GROUP BY source),
+         |cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cw
+         |        FROM tok JOIN mfw USING (w) GROUP BY source, w),
+         |grid AS MATERIALIZED (
+         |  SELECT s.source, m.w,
+         |         floor(CAST(COALESCE(c.cw, 0) AS DOUBLE) / t.tot * 1e8 + 5e-1)
+         |           / 1e8 AS fr
+         |  FROM srcs s CROSS JOIN mfw m
+         |  LEFT JOIN cnt c ON c.source = s.source AND c.w = m.w
+         |  JOIN tot t ON t.source = s.source),
+         |st AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+         |         CAST(SUM(CAST(fr AS DECIMAL(18,8))) AS DOUBLE) AS sf,
+         |         CAST(SUM(CAST(fr * fr AS DECIMAL(38,16))) AS DOUBLE) AS sf2
+         |  FROM grid GROUP BY w),
+         |sg AS MATERIALIZED (
+         |  SELECT w, sf / ns AS mu,
+         |         sqrt(sf2 / ns - (sf / ns) * (sf / ns)) AS sigma
+         |  FROM st WHERE sqrt(sf2 / ns - (sf / ns) * (sf / ns)) > 0),
+         |z AS MATERIALIZED (
+         |  SELECT grid.w, grid.source, (fr - mu) / sigma AS z
+         |  FROM grid JOIN sg USING (w)),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(CAST(floor(abs(a.z - b.z) * 1e8 + 5e-1) / 1e8
+         |                       AS DECIMAL(18,8))) AS DOUBLE) AS sd
+         |  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT source_a, source_b, n_words,
+         |       floor(sd / n_words * 1e6 + 5e-1) / 1e6 AS delta
+         |FROM p ORDER BY source_a, source_b""".stripMargin,
+
+    "rake_keywords" -> {
+      val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tp AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ts))) - 1 AS p,
+         |         unnest(ts) AS w
+         |  FROM (SELECT doc_id, $sqlTokens AS ts FROM documents)),
+         |mk AS (
+         |  SELECT doc_id, p, w,
+         |         SUM(CASE WHEN w IN ($stopList) THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY p
+         |                 ROWS UNBOUNDED PRECEDING) AS pid
+         |  FROM tp),
+         |m AS MATERIALIZED (
+         |  SELECT doc_id, p, w, pid FROM mk WHERE w NOT IN ($stopList)),
+         |plen AS (
+         |  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+         |  FROM m GROUP BY doc_id, pid),
+         |ws AS MATERIALIZED (
+         |  SELECT w, CAST(floor(CAST(SUM(plen) AS DOUBLE) / COUNT(*)
+         |                       * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6)) AS wscore
+         |  FROM m JOIN plen USING (doc_id, pid) GROUP BY w),
+         |ph AS (
+         |  SELECT m.doc_id, m.pid,
+         |         string_agg(m.w, ' ' ORDER BY m.p) AS phrase,
+         |         CAST(SUM(ws.wscore) AS DOUBLE) AS score,
+         |         CAST(COUNT(*) AS BIGINT) AS n_words
+         |  FROM m JOIN ws USING (w) GROUP BY m.doc_id, m.pid)
+         |SELECT phrase, MIN(n_words) AS n_words,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(score) AS score
+         |FROM ph GROUP BY phrase
+         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+    },
 
     "dup_ngram_chars" ->
       s"""WITH tok AS (

@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
       "gini_concentration", "ks_test", "rfm_segments", "kaplan_meier",
       "vocab_coverage", "packing_fragmentation", "ccnet_buckets",
       "heaps_law_fit", "cusum_changepoint", "mann_whitney_u",
-      "spearman_rho", "seasonal_decompose", "pettitt_test")
+      "spearman_rho", "seasonal_decompose", "pettitt_test",
+      "decision_stump")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
