@@ -845,6 +845,109 @@ object EventQueries {
         .limit(1)
     }),
 
+    // Kruskal–Wallis H (Kruskal & Wallis 1952): does `value` differ in
+    // location across ALL k event types at once — the k-group
+    // generalization of mann_whitney_u (and the rank-based alternative
+    // to anova_f when normality fails jarque_bera). Tie-averaged global
+    // ranks come from the two-phase exclusivePrefix over per-distinct-
+    // value counts (no data-sized window); rank sums are exact
+    // half-integer arithmetic routed through DECIMAL(28,1); the
+    // Σ(t³−t) tie correction is exact longs. Groups stay DYNAMIC (no
+    // pinned type list) — R_g accumulates group-keyed.
+    "kruskal_wallis" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r2(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val e = events(s, dir)
+      val pv2 = e.groupBy("value", "event_type").agg(count(lit(1)).as("c"))
+      val pvt = e.groupBy("value").agg(count(lit(1)).as("ct"))
+        .localCheckpoint(false) // reused: ranks + tie correction
+      val ranks = CoreQueries.exclusivePrefix(pvt, "value", Seq("ct"))
+        .select(col("value"),
+          (col("cum_ct") + (col("ct") + 1) / lit(2.0)).as("avgrank"))
+      val rg = pv2.join(ranks, "value")
+        .groupBy("event_type")
+        .agg(sum("c").as("n_g"),
+          sum((col("c") * col("avgrank")).cast(DecimalType(28, 1)))
+            .cast("double").as("r_g"))
+      val tie = broadcast(pvt.agg(
+        sum(col("ct") * col("ct") * col("ct") - col("ct")).as("t3"),
+        sum("ct").as("nn")))
+      val agg = rg.agg(
+        count(lit(1)).as("k"),
+        sum(r2(col("r_g") * col("r_g") / col("n_g"))
+          .cast(DecimalType(38, 2))).cast("double").as("sr"))
+      val nD = col("nn").cast("double")
+      agg.crossJoin(tie)
+        .select(col("k").as("n_groups"), col("nn").as("n_total"),
+          r6(lit(12.0) / (nD * (nD + 1)) * col("sr") - lit(3.0) * (nD + 1))
+            .as("h_stat"),
+          r6((lit(12.0) / (nD * (nD + 1)) * col("sr") - lit(3.0) * (nD + 1)) /
+            (lit(1.0) - col("t3").cast("double") / (nD * nD * nD - nD)))
+            .as("h_corrected"))
+    }),
+
+    // Log-rank test (Mantel 1966): do the even- and odd-user cohorts'
+    // signup→purchase survival curves differ — the two-sample
+    // significance companion to kaplan_meier's single curve (same
+    // subject table, deaths-before-censoring convention, horizon
+    // censoring). At each event time the observed group-1 deaths
+    // compare against the hypergeometric expectation d·n₁/n; O−E and
+    // the variance accumulate 6dp-rounded through decimal;
+    // χ² = (O−E)²/V. At-risk counts per group come from ONE
+    // exclusivePrefix pass over the (time, group)-wide event/censor
+    // counts.
+    "log_rank_test" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = events(s, dir)
+      val maxTs = broadcast(e.agg(max("ts_us").as("max_us")))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_us"))
+      val fp = su.join(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us").as("p_us")),
+          Seq("user_id"))
+        .filter(col("p_us") > col("s_us"))
+        .groupBy("user_id").agg(min("p_us").as("fp_us"))
+      val subj = su.join(fp, Seq("user_id"), "left").crossJoin(maxTs)
+        .select((col("user_id") % 2 === 0).cast("long").as("g1"),
+          when(col("fp_us").isNotNull,
+            expr("(fp_us - s_us) div 3600000000"))
+            .otherwise(expr("(max_us - s_us) div 3600000000")).as("t_hr"),
+          col("fp_us").isNotNull.cast("long").as("d"))
+      val pv = subj.groupBy("t_hr").agg(
+        sum(col("g1") * col("d")).as("ev1"),
+        sum(col("g1") * (lit(1L) - col("d"))).as("cen1"),
+        sum((lit(1L) - col("g1")) * col("d")).as("ev2"),
+        sum((lit(1L) - col("g1")) * (lit(1L) - col("d"))).as("cen2"))
+      val nTot = broadcast(pv.agg(
+        sum(col("ev1") + col("cen1")).as("ns1"),
+        sum(col("ev2") + col("cen2")).as("ns2")))
+      val terms = CoreQueries
+        .exclusivePrefix(pv, "t_hr", Seq("ev1", "cen1", "ev2", "cen2"))
+        .crossJoin(nTot)
+        .select(col("ev1"), col("ev2"),
+          (col("ns1") - col("cum_ev1") - col("cum_cen1")).as("n1"),
+          (col("ns2") - col("cum_ev2") - col("cum_cen2")).as("n2"))
+        .filter(col("ev1") + col("ev2") > 0 && col("n1") + col("n2") > 1)
+      val d = (col("ev1") + col("ev2")).cast("double")
+      val n1 = col("n1").cast("double")
+      val n2 = col("n2").cast("double")
+      val nT = n1 + n2
+      val agg = terms.select(col("ev1"),
+          r6(d * (n1 / nT)).cast(DecimalType(18, 6)).as("e1"),
+          r6(d * (n1 / nT) * (n2 / nT) * (nT - d) / (nT - 1))
+            .cast(DecimalType(18, 6)).as("v"))
+        .agg(sum("ev1").as("o1"),
+          sum("e1").cast("double").as("e1"),
+          sum("v").cast("double").as("v"))
+      agg.select(col("o1"), r6(col("e1")).as("e1"),
+        r6((col("o1") - col("e1")) * (col("o1") - col("e1")) / col("v"))
+          .as("chi2"))
+    }),
+
     // Gini-optimal decision stump: the best single threshold on
     // `value` separating purchases from the rest — the split-finding
     // inner loop of every tree/GBDT trainer, run ONCE distributed: per-
@@ -1510,6 +1613,88 @@ object EventQueries {
         |          CAST(n_days AS DOUBLE) * n_days))) * 1e6 + 5e-1) / 1e6
         |         AS p_approx
         |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin,
+
+    "kruskal_wallis" ->
+      """WITH pv2 AS (SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |             FROM events GROUP BY 1, 2),
+        |pvt AS MATERIALIZED (
+        |  SELECT value, CAST(COUNT(*) AS BIGINT) AS ct FROM events GROUP BY value),
+        |rk AS (
+        |  SELECT value,
+        |         CAST(COALESCE(SUM(ct) OVER (ORDER BY value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) + (ct + 1) / 2e0 AS avgrank
+        |  FROM pvt),
+        |rg AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g,
+        |         CAST(SUM(CAST(c * avgrank AS DECIMAL(28,1))) AS DOUBLE) AS r_g
+        |  FROM pv2 JOIN rk USING (value) GROUP BY event_type),
+        |tie AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS t3,
+        |               CAST(SUM(ct) AS BIGINT) AS nn FROM pvt),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(CAST(floor(r_g * r_g / n_g * 1e2 + 5e-1) / 1e2
+        |                       AS DECIMAL(38,2))) AS DOUBLE) AS sr
+        |  FROM rg),
+        |d AS (SELECT k, nn, sr, t3, CAST(nn AS DOUBLE) AS nd FROM agg, tie)
+        |SELECT k AS n_groups, nn AS n_total,
+        |       floor((12e0 / (nd * (nd + 1)) * sr - 3e0 * (nd + 1))
+        |             * 1e6 + 5e-1) / 1e6 AS h_stat,
+        |       floor((12e0 / (nd * (nd + 1)) * sr - 3e0 * (nd + 1)) /
+        |             (1e0 - CAST(t3 AS DOUBLE) / (nd * nd * nd - nd))
+        |             * 1e6 + 5e-1) / 1e6 AS h_corrected
+        |FROM d""".stripMargin,
+
+    "log_rank_test" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |mx AS (SELECT MAX(us) AS max_us FROM e),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.us) AS fp_us
+        |       FROM e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > su.s_us GROUP BY 1),
+        |subj AS (
+        |  SELECT CASE WHEN su.user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+        |         CASE WHEN fp.fp_us IS NOT NULL
+        |              THEN (fp.fp_us - su.s_us) // 3600000000
+        |              ELSE (mx.max_us - su.s_us) // 3600000000 END AS t_hr,
+        |         CASE WHEN fp.fp_us IS NOT NULL THEN 1 ELSE 0 END AS d
+        |  FROM su LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+        |pv AS (SELECT t_hr,
+        |         CAST(SUM(g1 * d) AS BIGINT) AS ev1,
+        |         CAST(SUM(g1 * (1 - d)) AS BIGINT) AS cen1,
+        |         CAST(SUM((1 - g1) * d) AS BIGINT) AS ev2,
+        |         CAST(SUM((1 - g1) * (1 - d)) AS BIGINT) AS cen2
+        |       FROM subj GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(ev1 + cen1) AS BIGINT) AS ns1,
+        |              CAST(SUM(ev2 + cen2) AS BIGINT) AS ns2 FROM pv),
+        |pre AS (
+        |  SELECT t_hr, ev1, ev2,
+        |    ns1 - COALESCE(SUM(ev1) OVER w, 0)
+        |        - COALESCE(SUM(cen1) OVER w, 0) AS n1,
+        |    ns2 - COALESCE(SUM(ev2) OVER w, 0)
+        |        - COALESCE(SUM(cen2) OVER w, 0) AS n2
+        |  FROM pv CROSS JOIN nt
+        |  WINDOW w AS (ORDER BY t_hr ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING)),
+        |t AS (
+        |  SELECT ev1, CAST(n1 AS DOUBLE) AS n1, CAST(n2 AS DOUBLE) AS n2,
+        |         CAST(ev1 + ev2 AS DOUBLE) AS d
+        |  FROM pre WHERE ev1 + ev2 > 0 AND n1 + n2 > 1),
+        |tm AS (
+        |  SELECT ev1,
+        |    CAST(floor(d * (n1 / (n1 + n2)) * 1e6 + 5e-1) / 1e6
+        |         AS DECIMAL(18,6)) AS e1,
+        |    CAST(floor(d * (n1 / (n1 + n2)) * (n2 / (n1 + n2))
+        |               * ((n1 + n2) - d) / ((n1 + n2) - 1) * 1e6 + 5e-1) / 1e6
+        |         AS DECIMAL(18,6)) AS v
+        |  FROM t),
+        |a AS (SELECT CAST(SUM(ev1) AS BIGINT) AS o1,
+        |             CAST(SUM(e1) AS DOUBLE) AS e1,
+        |             CAST(SUM(v) AS DOUBLE) AS v FROM tm)
+        |SELECT o1, floor(e1 * 1e6 + 5e-1) / 1e6 AS e1,
+        |       floor((o1 - e1) * (o1 - e1) / v * 1e6 + 5e-1) / 1e6 AS chi2
+        |FROM a""".stripMargin,
 
     "decision_stump" ->
       """WITH pv AS (

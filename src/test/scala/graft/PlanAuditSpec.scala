@@ -87,7 +87,7 @@ class PlanAuditSpec extends SparkSpec {
       "vocab_coverage", "packing_fragmentation", "ccnet_buckets",
       "heaps_law_fit", "cusum_changepoint", "mann_whitney_u",
       "spearman_rho", "seasonal_decompose", "pettitt_test",
-      "decision_stump")
+      "decision_stump", "kruskal_wallis", "log_rank_test")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
