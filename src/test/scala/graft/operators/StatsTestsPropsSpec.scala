@@ -93,20 +93,27 @@ class StatsTestsPropsSpec extends SparkSpec {
     assert(iso >= 0 && iso <= 1 + 1e-9)
   }
 
-  test("adamic_adar: no predicted pair is an existing edge; scores ordered") {
+  test("adamic_adar: predictions exclude existing edges, per-probe ranks ordered") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val edges = b.as("a").join(b.as("c"), "ok")
       .filter(col("a.pk") < col("c.pk"))
-      .select(col("a.pk").as("node_a"), col("c.pk").as("node_b"))
+      .select(col("a.pk").as("x"), col("c.pk").as("y"))
       .distinct()
     val preds = q("adamic_adar")
-    assert(preds.join(edges, Seq("node_a", "node_b")).count() === 0,
+    assert(preds.join(edges,
+      least(col("probe"), col("candidate")) === col("x") &&
+        greatest(col("probe"), col("candidate")) === col("y")).count() === 0,
       "adamic_adar must exclude already-connected pairs")
-    val scores = preds.collect().map(_.getDouble(3))
-    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
-    assert(scores.forall(_ > 0))
+    preds.collect().groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getDouble(4))
+      assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)),
+        s"probe $p scores not descending")
+      assert(scores.forall(_ > 0))
+    }
   }
 
   test("rich_club: node and edge counts shrink as the threshold rises") {
