@@ -2723,6 +2723,62 @@ object CoreQueries {
         .orderBy("k")
     }),
 
+    // L138 — Katz index (Katz 1953) from the AaProbes probe nodes:
+    // Σ_k β^k·paths_k(p,b) over walk lengths 1..3 with β = 1/2 (dyadic,
+    // so every score is an EXACT double from exact long path counts) —
+    // the walk-counting cousin of adamic_adar: AA scores one shared
+    // hop, Katz discounts multi-hop reachability mass, and the pair
+    // reads as "immediate wedge closure" vs "diffuse influence". Each
+    // level is one streamed SMJ off the z-partitioned neighbor
+    // checkpoint pushing the probe-bounded count vector one hop; no
+    // level materializes more than (probes × nodes) rows.
+    "katz_index" -> ((s, dir) => {
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+      val nbr0 = e.select(col("src").as("z"), col("dst").as("n"))
+        .unionAll(e.select(col("dst").as("z"), col("src").as("n")))
+      val nbr = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(nbr0, shufflePartitions(s), Seq("z"), Seq("z"),
+          declareStats = false)
+      val probes = nbr.select(col("z").as("p")).distinct()
+        .orderBy("p").limit(AaProbes)
+      val v1 = broadcast(probes).join(nbr, col("p") === col("z"))
+        .select(col("p"), col("n").as("b"), lit(1L).as("c"))
+        .localCheckpoint(false) // reused: level-2 input + the merge
+      def step(v: DataFrame): DataFrame = v
+        .join(nbr.select(col("z").as("b"), col("n").as("b2")), "b")
+        .groupBy(col("p"), col("b2").as("b"))
+        .agg(sum("c").as("c"))
+        .select(col("p"), col("b"), col("c"))
+        .localCheckpoint(false) // reused: next level + the merge
+      val v2 = step(v1)
+      val v3 = step(v2)
+      v1.select(col("p"), col("b"), lit(1L).as("lvl"), col("c"))
+        .unionAll(v2.select(col("p"), col("b"), lit(2L).as("lvl"), col("c")))
+        .unionAll(v3.select(col("p"), col("b"), lit(3L).as("lvl"), col("c")))
+        .filter(col("b") =!= col("p"))
+        .groupBy("p", "b")
+        .agg(sum(when(col("lvl") === 1, col("c")).otherwise(0L)).as("c1"),
+          sum(when(col("lvl") === 2, col("c")).otherwise(0L)).as("c2"),
+          sum(when(col("lvl") === 3, col("c")).otherwise(0L)).as("c3"))
+        .select(col("p"), col("b"), col("c1"), col("c2"), col("c3"),
+          (col("c1") * lit(0.5) + col("c2") * lit(0.25) +
+            col("c3") * lit(0.125)).as("katz"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("p").orderBy(desc("katz"), col("b"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("p").as("probe"), col("rank"), col("b").as("candidate"),
+          col("c1"), col("c2"), col("c3"), col("katz"))
+        .orderBy("probe", "rank")
+    }),
+
     // L135 — seeded closeness/harmonic centrality: bfs_hops generalized
     // to a LABELED multi-source BFS — the ClosenessSeeds smallest node
     // ids expand simultaneously (frontier rows carry their seed, so K
@@ -3926,6 +3982,46 @@ object CoreQueries {
          |$rows
          |) ORDER BY k""".stripMargin
     },
+
+    "katz_index" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+         |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+         |nbr AS MATERIALIZED (
+         |  SELECT src AS z, dst AS n FROM e
+         |  UNION ALL SELECT dst AS z, src AS n FROM e),
+         |probes AS (SELECT DISTINCT z AS p FROM nbr ORDER BY p LIMIT $AaProbes),
+         |v1 AS MATERIALIZED (
+         |  SELECT probes.p, nbr.n AS bb, CAST(1 AS BIGINT) AS c
+         |  FROM probes JOIN nbr ON nbr.z = probes.p),
+         |v2 AS MATERIALIZED (
+         |  SELECT v1.p, nbr.n AS bb, CAST(SUM(v1.c) AS BIGINT) AS c
+         |  FROM v1 JOIN nbr ON nbr.z = v1.bb GROUP BY v1.p, nbr.n),
+         |v3 AS MATERIALIZED (
+         |  SELECT v2.p, nbr.n AS bb, CAST(SUM(v2.c) AS BIGINT) AS c
+         |  FROM v2 JOIN nbr ON nbr.z = v2.bb GROUP BY v2.p, nbr.n),
+         |u AS (
+         |  SELECT p, bb, 1 AS lvl, c FROM v1
+         |  UNION ALL SELECT p, bb, 2 AS lvl, c FROM v2
+         |  UNION ALL SELECT p, bb, 3 AS lvl, c FROM v3),
+         |m AS (
+         |  SELECT p, bb,
+         |    CAST(SUM(CASE WHEN lvl = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN lvl = 2 THEN c ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(SUM(CASE WHEN lvl = 3 THEN c ELSE 0 END) AS BIGINT) AS c3
+         |  FROM u WHERE bb <> p GROUP BY p, bb),
+         |k AS (
+         |  SELECT p, bb, c1, c2, c3,
+         |         c1 * 5e-1 + c2 * 25e-2 + c3 * 125e-3 AS katz
+         |  FROM m),
+         |rk AS (
+         |  SELECT p, bb, c1, c2, c3, katz,
+         |         CAST(row_number() OVER (PARTITION BY p
+         |           ORDER BY katz DESC, bb) AS BIGINT) AS rank
+         |  FROM k)
+         |SELECT p AS probe, rank, bb AS candidate, c1, c2, c3, katz
+         |FROM rk WHERE rank <= 10
+         |ORDER BY probe, rank""".stripMargin,
 
     "closeness_centrality" -> {
       val hops = (1 to BfsHops).map { k =>

@@ -845,6 +845,43 @@ object EventQueries {
         .limit(1)
     }),
 
+    // Mutual information between event type and hour-of-day:
+    // I(T;H) = H(T) + H(H) − H(T,H) from ONE joint count table (hour =
+    // integer microsecond arithmetic, timezone-free), plus the
+    // normalized I/min(H(T),H(H)) — "how much does the clock predict
+    // the action", the dependence measure chi2_independence's χ² ranks
+    // but doesn't quantify in bits. Marginals re-aggregate the
+    // (T,H)-sized joint (never the fact table); −p·ln p terms 8dp-round
+    // into decimal sums.
+    "event_mutual_info" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val joint = events(s, dir)
+        .groupBy(col("event_type").as("t"),
+          (expr("ts_us div 3600000000") % 24).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // reused: both marginals + total + joint H
+      val nTot = broadcast(joint.agg(sum("n").as("nn")))
+      def entropy(df: DataFrame): DataFrame = df.crossJoin(nTot)
+        .select(r8(-(col("n").cast("double") / col("nn") *
+          log(col("n").cast("double") / col("nn"))))
+          .cast(DecimalType(18, 8)).as("term"))
+        .agg(sum("term").cast("double").as("h"))
+      val ht = entropy(joint.groupBy("t").agg(sum("n").as("n")))
+      val hh = entropy(joint.groupBy("h").agg(sum("n").as("n")))
+      val hth = entropy(joint)
+      ht.select(col("h").as("h_type"))
+        .crossJoin(hh.select(col("h").as("h_hour")))
+        .crossJoin(hth.select(col("h").as("h_joint")))
+        .select(r6(col("h_type")).as("h_type"), r6(col("h_hour")).as("h_hour"),
+          r6(col("h_joint")).as("h_joint"),
+          r6(col("h_type") + col("h_hour") - col("h_joint")).as("mi"),
+          r6((col("h_type") + col("h_hour") - col("h_joint")) /
+            least(col("h_type"), col("h_hour"))).as("nmi"))
+    }),
+
     // Kruskal–Wallis H (Kruskal & Wallis 1952): does `value` differ in
     // location across ALL k event types at once — the k-group
     // generalization of mann_whitney_u (and the rank-based alternative
@@ -1613,6 +1650,32 @@ object EventQueries {
         |          CAST(n_days AS DOUBLE) * n_days))) * 1e6 + 5e-1) / 1e6
         |         AS p_approx
         |FROM u, n ORDER BY k_stat DESC, changepoint_day LIMIT 1""".stripMargin,
+
+    "event_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT event_type AS t, (epoch_us(ts) // 3600000000) % 24 AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM joint),
+        |ht AS (SELECT CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / nn *
+        |         ln(CAST(n AS DOUBLE) / nn)) * 1e8 + 5e-1) / 1e8
+        |         AS DECIMAL(18,8))) AS DOUBLE) AS h
+        |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS n FROM joint GROUP BY t), nt),
+        |hh AS (SELECT CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / nn *
+        |         ln(CAST(n AS DOUBLE) / nn)) * 1e8 + 5e-1) / 1e8
+        |         AS DECIMAL(18,8))) AS DOUBLE) AS h
+        |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS n FROM joint GROUP BY h), nt),
+        |hth AS (SELECT CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / nn *
+        |          ln(CAST(n AS DOUBLE) / nn)) * 1e8 + 5e-1) / 1e8
+        |          AS DECIMAL(18,8))) AS DOUBLE) AS h
+        |        FROM joint, nt)
+        |SELECT floor(ht.h * 1e6 + 5e-1) / 1e6 AS h_type,
+        |       floor(hh.h * 1e6 + 5e-1) / 1e6 AS h_hour,
+        |       floor(hth.h * 1e6 + 5e-1) / 1e6 AS h_joint,
+        |       floor((ht.h + hh.h - hth.h) * 1e6 + 5e-1) / 1e6 AS mi,
+        |       floor((ht.h + hh.h - hth.h) / least(ht.h, hh.h) * 1e6 + 5e-1)
+        |         / 1e6 AS nmi
+        |FROM ht, hh, hth""".stripMargin,
 
     "kruskal_wallis" ->
       """WITH pv2 AS (SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
