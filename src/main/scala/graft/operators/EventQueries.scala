@@ -660,35 +660,47 @@ object EventQueries {
     // decimal-summed (merge-order-free); per-lag numerators come from a
     // day-keyed equi-join of the series with itself shifted (7 lags ×
     // days rows — never data-sized).
-    "daily_acf" -> ((s, dir) => {
-      val dayUs = 86400000000L
-      val counts = events(s, dir)
-        .groupBy(expr(s"ts_us div $dayUs").as("day"))
-        .agg(count(lit(1)).as("n"))
-      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
-        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      val series = grid.join(counts, Seq("day"), "left")
-        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
-        .localCheckpoint(false) // tiny; feeds mean, both join sides, denom
-      val m = broadcast(series.agg(
-        (sum("n").cast("double") / count(lit(1))).as("mu")))
-      val dev = series.crossJoin(m)
-        .select(col("day"), (col("n") - col("mu")).as("d"))
-        .localCheckpoint(false) // both sides of the lag join + denominator
+    "daily_acf" -> ((s, dir) => dailyAcfFrame(s, dir).orderBy("lag_days")),
+
+    // Partial autocorrelation of the daily count series via the
+    // Durbin–Levinson recursion on daily_acf's ρ₁..ρ₇ (the exact
+    // Yule–Walker solve, level by level): PACF(k) = φ_kk isolates the
+    // DIRECT lag-k effect the raw ACF smears through shorter lags —
+    // the AR-order diagnostic (ACF tails, PACF cuts) every Box–Jenkins
+    // fit starts from. The recursion is CONSTANT-size closed-form
+    // algebra on the 7 shared ACF values (generated level by level
+    // with named intermediates — the oracle's CTE chain names the
+    // same intermediates, so the double arithmetic matches op for op);
+    // all the data-sized work is daily_acf's shared pipeline.
+    "pacf_yule_walker" -> ((s, dir) => {
       def r6(c: org.apache.spark.sql.Column) =
         floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-      val den = broadcast(dev.agg(
-        decSum(r6(col("d") * col("d"))).as("den")))
-      dev.select(explode(sequence(lit(1L), lit(7L))).as("lag_days"),
-          col("day"), col("d"))
-        .join(dev.select(col("day").as("day2"), col("d").as("d2")),
-          col("day2") === col("day") + col("lag_days"))
-        .groupBy("lag_days")
-        .agg(count(lit(1)).as("n_pairs"),
-          decSum(r6(col("d") * col("d2"))).as("num"))
-        .crossJoin(den)
-        .select(col("lag_days"), col("n_pairs"),
-          r6(col("num") / col("den")).as("acf"))
+      val K = 7
+      var df = dailyAcfFrame(s, dir)
+        .groupBy()
+        .agg((1 to K).map(k =>
+          max(when(col("lag_days") === k, col("acf"))).as(s"r$k")).head,
+          (1 to K).map(k =>
+            max(when(col("lag_days") === k, col("acf"))).as(s"r$k")).tail: _*)
+        .withColumn("phi_1_1", col("r1"))
+        .withColumn("v_1", lit(1.0) - col("r1") * col("r1"))
+      for (k <- 2 to K) {
+        val num = col(s"r$k") - (1 until k).map(j =>
+          col(s"phi_${k - 1}_$j") * col(s"r${k - j}")).reduce(_ + _)
+        df = df.withColumn(s"phi_${k}_$k", num / col(s"v_${k - 1}"))
+        for (j <- 1 until k)
+          df = df.withColumn(s"phi_${k}_$j",
+            col(s"phi_${k - 1}_$j") -
+              col(s"phi_${k}_$k") * col(s"phi_${k - 1}_${k - j}"))
+        df = df.withColumn(s"v_$k",
+          col(s"v_${k - 1}") *
+            (lit(1.0) - col(s"phi_${k}_$k") * col(s"phi_${k}_$k")))
+      }
+      df.select(explode(array((1 to K).map(k => struct(
+          lit(k.toLong).as("lag_days"), col(s"r$k").as("acf"),
+          r6(col(s"phi_${k}_$k")).as("pacf"))): _*)).as("o"))
+        .select(col("o.lag_days").as("lag_days"), col("o.acf").as("acf"),
+          col("o.pacf").as("pacf"))
         .orderBy("lag_days")
     }),
 
@@ -1092,6 +1104,63 @@ object EventQueries {
           r6(exp(col("hr"))).as("perplexity"))
     })
   )
+
+  /** The daily-ACF CTE prefix (through table `acf`) shared by the
+    * `daily_acf` and `pacf_yule_walker` oracles — mirrors
+    * [[dailyAcfFrame]].
+    */
+  private def sqlDailyAcfCtes: String =
+    """c AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |           FROM events GROUP BY 1),
+      |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+      |s AS (SELECT g.day, COALESCE(c.n, 0) AS n FROM g LEFT JOIN c USING (day)),
+      |m AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM s),
+      |d AS (SELECT day, n - mu AS d FROM s, m),
+      |den AS (SELECT CAST(SUM(CAST(floor(d * d * 1e6 + 0.5) / 1e6
+      |          AS DECIMAL(18,6))) AS DOUBLE) AS den FROM d),
+      |l AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag_days),
+      |p AS (SELECT l.lag_days, a.d AS d, b.d AS d2
+      |      FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag_days),
+      |acf AS MATERIALIZED (
+      |  SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |         floor(CAST(SUM(CAST(floor(d * d2 * 1e6 + 0.5) / 1e6
+      |             AS DECIMAL(18,6))) AS DOUBLE) / den * 1e6 + 0.5) / 1e6 AS acf
+      |  FROM p, den GROUP BY lag_days, den)""".stripMargin
+
+  /** The daily-count ACF table (lag_days, n_pairs, acf) shared by
+    * `daily_acf` and `pacf_yule_walker` — gapfilled calendar grid,
+    * 6dp-rounded decimal-routed products (see the daily_acf oracle).
+    */
+  private def dailyAcfFrame(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val counts = events(s, dir)
+      .groupBy(expr(s"ts_us div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint(false) // tiny; feeds mean, both join sides, denom
+    val m = broadcast(series.agg(
+      (sum("n").cast("double") / count(lit(1))).as("mu")))
+    val dev = series.crossJoin(m)
+      .select(col("day"), (col("n") - col("mu")).as("d"))
+      .localCheckpoint(false) // both sides of the lag join + denominator
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val den = broadcast(dev.agg(
+      decSum(r6(col("d") * col("d"))).as("den")))
+    dev.select(explode(sequence(lit(1L), lit(7L))).as("lag_days"),
+        col("day"), col("d"))
+      .join(dev.select(col("day").as("day2"), col("d").as("d2")),
+        col("day2") === col("day") + col("lag_days"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        decSum(r6(col("d") * col("d2"))).as("num"))
+      .crossJoin(den)
+      .select(col("lag_days"), col("n_pairs"),
+        r6(col("num") / col("den")).as("acf"))
+  }
 
   /** The event-type Markov chain shared by `markov_stationary` and
     * `markov_entropy_rate`: returns (P, π) — the row-normalized
@@ -1542,21 +1611,39 @@ object EventQueries {
         |ORDER BY user_id""".stripMargin,
 
     "daily_acf" ->
-      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
-        |           FROM events GROUP BY 1),
-        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
-        |s AS (SELECT g.day, COALESCE(c.n, 0) AS n FROM g LEFT JOIN c USING (day)),
-        |m AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu FROM s),
-        |d AS (SELECT day, n - mu AS d FROM s, m),
-        |den AS (SELECT CAST(SUM(CAST(floor(d * d * 1e6 + 0.5) / 1e6
-        |          AS DECIMAL(18,6))) AS DOUBLE) AS den FROM d),
-        |l AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag_days),
-        |p AS (SELECT l.lag_days, a.d AS d, b.d AS d2
-        |      FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag_days)
-        |SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |       floor(CAST(SUM(CAST(floor(d * d2 * 1e6 + 0.5) / 1e6
-        |           AS DECIMAL(18,6))) AS DOUBLE) / den * 1e6 + 0.5) / 1e6 AS acf
-        |FROM p, den GROUP BY lag_days, den ORDER BY lag_days""".stripMargin,
+      s"""WITH $sqlDailyAcfCtes
+         |SELECT lag_days, n_pairs, acf FROM acf ORDER BY lag_days""".stripMargin,
+
+    "pacf_yule_walker" -> {
+      val K = 7
+      val rcols = (1 to K).map(k =>
+        s"MAX(CASE WHEN lag_days = $k THEN acf END) AS r$k").mkString(", ")
+      val levels = new StringBuilder(
+        s"l1 AS (SELECT *, r1 AS phi_1_1, 1e0 - r1 * r1 AS v_1 FROM base)")
+      for (k <- 2 to K) {
+        val num = (1 until k).map(j =>
+          s"phi_${k - 1}_$j * r${k - j}").mkString(" + ")
+        levels.append(s""",
+          |l${k}a AS (SELECT *, (r$k - ($num)) / v_${k - 1}
+          |           AS phi_${k}_$k FROM l${k - 1}),
+          |l$k AS (SELECT *,
+          |  ${(1 until k).map(j =>
+               s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j} " +
+                 s"AS phi_${k}_$j").mkString(",\n  ")},
+          |  v_${k - 1} * (1e0 - phi_${k}_$k * phi_${k}_$k) AS v_$k
+          |  FROM l${k}a)""".stripMargin)
+      }
+      val rows = (1 to K).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS lag_days, r$k AS acf,
+           |       floor(phi_${k}_$k * 1e6 + 5e-1) / 1e6 AS pacf
+           |FROM l$K""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH $sqlDailyAcfCtes,
+         |base AS (SELECT $rcols FROM acf),
+         |${levels.toString}
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY lag_days""".stripMargin
+    },
 
     "cusum_changepoint" ->
       """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
