@@ -1102,6 +1102,202 @@ object EventQueries {
         .agg(count(lit(1)).as("n_states"), sum("w").cast("double").as("hr"))
         .select(col("n_states"), r6(col("hr")).as("entropy_rate"),
           r6(exp(col("hr"))).as("perplexity"))
+    }),
+
+    // Ljung–Box portmanteau test (Ljung & Box 1978) on the daily count
+    // series: Q = n(n+2)·Σ_{k=1..7} ρ̂k²/(n−k) — "is there ANY serial
+    // correlation in the first week of lags", the one-number white-noise
+    // gate run on a monitor's residuals before trusting its alerts
+    // (daily_acf shows WHERE the correlation is; Ljung–Box says WHETHER
+    // it clears significance). All data-sized work is the shared ACF
+    // pipeline; the statistic is closed-form algebra on its 7 rows,
+    // pivoted to one row so the 7-term sum is written left-associated
+    // identically in both engines. n−k = n_pairs(k) on the gapfilled
+    // grid by construction; reject at the χ²(7) 95% critical value.
+    "ljung_box" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val K = 7
+      val aggs =
+        (max(when(col("lag_days") === 1, col("n_pairs"))) + 1L).as("n") +:
+          (1 to K).flatMap(k => Seq(
+            max(when(col("lag_days") === k, col("acf"))).as(s"r$k"),
+            max(when(col("lag_days") === k, col("n_pairs"))).as(s"np$k")))
+      val sumTerm = (1 to K)
+        .map(k => col(s"r$k") * col(s"r$k") / col(s"np$k"))
+        .reduce(_ + _)
+      dailyAcfFrame(s, dir).groupBy()
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n").as("n_days"), lit(7L).as("df"),
+          r6(col("n").cast("double") * (col("n") + 2L) * sumTerm).as("q_stat"))
+        .withColumn("reject_95", col("q_stat") > 14.067140)
+    }),
+
+    // Durbin–Watson statistic (Durbin & Watson 1950) on the daily
+    // revenue series: fit the OLS linear trend x_t = a + b·t, then
+    // DW = Σ(e_t−e_{t−1})²/Σe_t² over the residuals — the classic
+    // "are the residuals of my trend fit autocorrelated" diagnostic
+    // (≈2 = none, →0 = positive, →4 = negative serial correlation).
+    // Day-cardinality rollup throughout: decimal-exact moment sums on
+    // the gapfilled grid, 6dp-rounded residuals so the lag difference
+    // is bit-identical cross-engine, one calendar-sized ordered window.
+    "durbin_watson" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ser = dailySeries(s, dir)
+      val m = broadcast(ser.agg(
+        min("day").as("d0"), count(lit(1)).as("n"),
+        (decSum(col("x")) / count(lit(1))).as("mux")))
+      val tser = ser.crossJoin(m)
+        .select(col("day"), (col("day") - col("d0")).cast("double").as("t"),
+          col("x"), col("n"), col("mux"),
+          ((col("n") - 1L).cast("double") / 2.0).as("mut"))
+        .localCheckpoint(false) // reused: the moment sums + the residuals
+      val st = broadcast(tser.agg(
+        decSum(r6((col("t") - col("mut")) * (col("t") - col("mut")))).as("sxx"),
+        decSum(r6((col("t") - col("mut")) * (col("x") - col("mux")))).as("sxy")))
+      val w = Window.orderBy("day")
+      tser.crossJoin(st)
+        .withColumn("slope", col("sxy") / col("sxx"))
+        .withColumn("icept", col("mux") - col("slope") * col("mut"))
+        .withColumn("e", r6(col("x") - col("icept") - col("slope") * col("t")))
+        .withColumn("ep", lag("e", 1).over(w))
+        .groupBy()
+        .agg(max("n").as("n_days"), r6(max("slope")).as("slope"),
+          r6(max("icept")).as("intercept"),
+          decSum(when(col("ep").isNotNull,
+            r6((col("e") - col("ep")) * (col("e") - col("ep"))))).as("num"),
+          decSum(r6(col("e") * col("e"))).as("den"))
+        .select(col("n_days"), col("slope"), col("intercept"),
+          r6(col("num") / col("den")).as("dw_stat"))
+    }),
+
+    // Wald–Wolfowitz runs test around the mean on the daily revenue
+    // series: count maximal runs of above/below-mean days; under
+    // randomness R is ≈ 2·n₁·n₀/n + 1 with known variance, so
+    // z = (R−μ_R)/σ_R flags trending (too few runs) or oscillating
+    // (too many) regimes — the distribution-free "is this series even
+    // random" gate run before any autocorrelation modeling. Mean (not
+    // median) centering keeps the threshold decimal-exact cross-engine;
+    // one calendar-sized lag window counts the run boundaries.
+    "runs_test" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ser = dailySeries(s, dir)
+      val m = broadcast(ser.agg(
+        (decSum(col("x")) / count(lit(1))).as("mu")))
+      val w = Window.orderBy("day")
+      val sgn = ser.crossJoin(m)
+        .select(col("day"),
+          when(col("x") > col("mu"), 1L).otherwise(0L).as("sg"))
+        .withColumn("prev", lag("sg", 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull, 0L)
+            .when(col("sg") =!= col("prev"), 1L).otherwise(0L))
+      sgn.groupBy()
+        .agg(count(lit(1)).as("n"), sum("sg").as("n_above"),
+          (count(lit(1)) - sum("sg")).as("n_below"),
+          (sum("chg") + 1L).as("runs"))
+        .withColumn("mu_r",
+          lit(2.0) * col("n_above") * col("n_below") / col("n") + lit(1.0))
+        .withColumn("var_r",
+          lit(2.0) * col("n_above") * col("n_below") *
+            (lit(2.0) * col("n_above") * col("n_below") - col("n")) /
+            (col("n").cast("double") * col("n") * (col("n") - 1L)))
+        .select(col("n").as("n_days"), col("n_above"), col("n_below"),
+          col("runs"),
+          when(col("var_r") > 0.0,
+            r6((col("runs") - col("mu_r")) / sqrt(col("var_r"))))
+            .as("z_stat"))
+    }),
+
+    // Forecast-baseline evaluation on the daily revenue series: MAE /
+    // RMSE / MAPE of the naive (carry yesterday) and seasonal-naive
+    // (carry last week) forecasts — the benchmark row every forecasting
+    // effort must beat before a model earns its keep (Hyndman's M-
+    // competition convention; seasonal-naive beating naive is also the
+    // cheapest weekly-seasonality detector). One calendar-sized window
+    // pass computes both lags; per-day error terms 6dp-round before
+    // the decimal sums; MAPE skips zero-revenue days by definition.
+    "forecast_eval" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val w = Window.orderBy("day")
+      val lagged = dailySeries(s, dir)
+        .withColumn("f1", lag("x", 1).over(w))
+        .withColumn("f7", lag("x", 7).over(w))
+      val long = lagged.select(col("x"),
+          explode(array(
+            struct(lit("naive").as("method"), col("f1").as("f")),
+            struct(lit("snaive7").as("method"), col("f7").as("f")))).as("o"))
+        .select(col("x"), col("o.method").as("method"), col("o.f").as("f"))
+        .filter(col("f").isNotNull)
+        .withColumn("e", col("x") - col("f"))
+      long.groupBy("method")
+        .agg(count(lit(1)).as("n_eval"),
+          decSum(r6(abs(col("e")))).as("sae"),
+          decSum(r6(col("e") * col("e"))).as("sse"),
+          decSum(when(col("x") =!= 0.0,
+            r6(abs(col("e")) / abs(col("x"))))).as("sape"),
+          sum(when(col("x") =!= 0.0, 1L).otherwise(0L)).as("n_nz"))
+        .select(col("method"), col("n_eval"),
+          r6(col("sae") / col("n_eval")).as("mae"),
+          r6(sqrt(col("sse") / col("n_eval"))).as("rmse"),
+          r6(col("sape") / col("n_nz")).as("mape"))
+        .orderBy("method")
+    }),
+
+    // Grubbs's outlier test (Grubbs 1950) on the daily revenue series:
+    // G = max|x−x̄|/s — the single-most-extreme-day statistic an
+    // anomaly monitor reports before excising a day from a trend fit
+    // (mad_outliers flags MANY robustly; Grubbs formally tests THE
+    // worst one against a normal null). Decimal-exact mean and sum of
+    // squares on the day-cardinality rollup; the argmax day is the
+    // deterministic (G desc, day) head.
+    "grubbs_test" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ser = dailySeries(s, dir)
+      val m = broadcast(ser.agg(count(lit(1)).as("n"),
+        (decSum(col("x")) / count(lit(1))).as("mu")))
+      val dev = ser.crossJoin(m)
+        .select(col("day"), col("x"), col("n"),
+          (col("x") - col("mu")).as("d"))
+        .localCheckpoint(false) // reused: the SS reduce + the argmax scan
+      val sd = broadcast(dev.agg(decSum(r6(col("d") * col("d"))).as("ssd")))
+      dev.crossJoin(sd)
+        .select(col("day").as("outlier_day"), col("x").as("x_value"),
+          col("n").as("n_days"),
+          r6(abs(col("d")) / sqrt(col("ssd") / (col("n") - 1L))).as("g_stat"))
+        .orderBy(desc("g_stat"), col("outlier_day"))
+        .limit(1)
+    }),
+
+    // Page–Hinkley change detector (Page 1954; the streaming-drift form
+    // of cusum_changepoint): m_t = Σ_{i≤t}(x_i − x̄_i) with x̄_i the
+    // RUNNING mean — PH_t = m_t − min_{s≤t} m_s rises when the recent
+    // level exceeds everything seen so far, the standard concept-drift
+    // alarm in online learning (vs CUSUM's fixed full-series mean,
+    // PH is computable one-pass online). Every window is over the
+    // day-cardinality gapfilled rollup: decimal prefix sums for the
+    // running mean and for m_t (per-term 6dp rounds), a prefix MIN,
+    // and the deterministic (PH desc, day) head as the alarm point.
+    "page_hinkley" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dailySeries(s, dir)
+        .withColumn("cum",
+          sum(col("x").cast(DecimalType(18, 6))).over(wc).cast("double"))
+        .withColumn("t", count(lit(1)).over(wc))
+        .withColumn("term", r6(col("x") - col("cum") / col("t")))
+        .withColumn("m",
+          sum(col("term").cast(DecimalType(18, 6))).over(wc).cast("double"))
+        .withColumn("mn", min("m").over(wc))
+        .select(col("day").as("alarm_day"), r6(col("m") - col("mn")).as("ph_stat"))
+        .orderBy(desc("ph_stat"), col("alarm_day"))
+        .limit(1)
     })
   )
 
@@ -1161,6 +1357,37 @@ object EventQueries {
       .select(col("lag_days"), col("n_pairs"),
         r6(col("num") / col("den")).as("acf"))
   }
+
+  /** Gapfilled daily revenue series (day, x) shared by the Box–Jenkins
+    * diagnostics family (`durbin_watson` / `runs_test` / `forecast_eval`
+    * / `grubbs_test` / `page_hinkley`): per-day decimal-exact value sums
+    * on a contiguous calendar grid (missing days read 0.0), local-
+    * checkpointed once — day-cardinality at any SF, so every downstream
+    * ordered window is calendar-sized (the cumulative_users class).
+    * Mirrors [[sqlDailySeriesCtes]] (CTEs c/g/s).
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val counts = events(s, dir)
+      .groupBy(expr(s"ts_us div $dayUs").as("day"))
+      .agg(decSum(col("value")).as("x"))
+    val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+      .localCheckpoint(false) // tiny; feeds every diagnostic's reuse
+  }
+
+  /** The gapfilled daily revenue CTE prefix (through table `s`) shared
+    * by the Box–Jenkins diagnostics oracles — mirrors [[dailySeries]].
+    */
+  private def sqlDailySeriesCtes: String =
+    """c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      |           FROM events GROUP BY 1),
+      |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+      |s AS MATERIALIZED (SELECT g.day, COALESCE(c.x, 0.0) AS x
+      |     FROM g LEFT JOIN c USING (day))""".stripMargin
 
   /** The event-type Markov chain shared by `markov_stationary` and
     * `markov_entropy_rate`: returns (P, π) — the row-normalized
@@ -1926,7 +2153,144 @@ object EventQueries {
          |             CAST(SUM(w) AS DOUBLE) AS hr FROM wt)
          |SELECT n_states, floor(hr * 1e6 + 5e-1) / 1e6 AS entropy_rate,
          |       floor(exp(hr) * 1e6 + 5e-1) / 1e6 AS perplexity
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    "ljung_box" -> {
+      val K = 7
+      val pivots = ((1 to K).map(k =>
+        s"MAX(CASE WHEN lag_days = $k THEN acf END) AS r$k") ++
+        (1 to K).map(k =>
+          s"MAX(CASE WHEN lag_days = $k THEN n_pairs END) AS np$k"))
+        .mkString(",\n       ")
+      val sumTerm = (1 to K).map(k => s"r$k * r$k / np$k").mkString(" + ")
+      s"""WITH $sqlDailyAcfCtes,
+         |base AS (SELECT MAX(CASE WHEN lag_days = 1 THEN n_pairs END) + 1 AS n,
+         |       $pivots
+         |FROM acf)
+         |SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS BIGINT) AS df,
+         |       floor(CAST(n AS DOUBLE) * (n + 2) * ($sumTerm) * 1e6 + 5e-1)
+         |         / 1e6 AS q_stat,
+         |       floor(CAST(n AS DOUBLE) * (n + 2) * ($sumTerm) * 1e6 + 5e-1)
+         |         / 1e6 > 14.067140 AS reject_95
+         |FROM base""".stripMargin
+    },
+
+    "durbin_watson" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |m AS (SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mux
+         |      FROM s),
+         |ts AS MATERIALIZED (
+         |  SELECT day, CAST(day - d0 AS DOUBLE) AS t, x, n, mux,
+         |         CAST(n - 1 AS DOUBLE) / 2e0 AS mut
+         |  FROM s, m),
+         |st AS (
+         |  SELECT CAST(SUM(CAST(floor((t - mut) * (t - mut) * 1e6 + 5e-1) / 1e6
+         |                       AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(floor((t - mut) * (x - mux) * 1e6 + 5e-1) / 1e6
+         |                       AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+         |  FROM ts),
+         |fit AS (SELECT ts.*, sxy / sxx AS slope,
+         |               mux - sxy / sxx * mut AS icept
+         |        FROM ts, st),
+         |res AS (SELECT day, n, slope, icept,
+         |          floor((x - icept - slope * t) * 1e6 + 5e-1) / 1e6 AS e
+         |        FROM fit),
+         |lg AS (SELECT n, slope, icept, e,
+         |         lag(e) OVER (ORDER BY day) AS ep
+         |       FROM res)
+         |SELECT MAX(n) AS n_days,
+         |       floor(MAX(slope) * 1e6 + 5e-1) / 1e6 AS slope,
+         |       floor(MAX(icept) * 1e6 + 5e-1) / 1e6 AS intercept,
+         |       floor(CAST(SUM(CASE WHEN ep IS NOT NULL THEN
+         |               CAST(floor((e - ep) * (e - ep) * 1e6 + 5e-1) / 1e6
+         |                    AS DECIMAL(18,6)) END) AS DOUBLE)
+         |             / CAST(SUM(CAST(floor(e * e * 1e6 + 5e-1) / 1e6
+         |                            AS DECIMAL(18,6))) AS DOUBLE)
+         |             * 1e6 + 5e-1) / 1e6 AS dw_stat
+         |FROM lg""".stripMargin,
+
+    "runs_test" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |m AS (SELECT CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+         |      FROM s),
+         |sg AS (SELECT day, CASE WHEN x > mu THEN 1 ELSE 0 END AS sg FROM s, m),
+         |ch AS (SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY day) IS NULL THEN 0
+         |                       WHEN sg <> lag(sg) OVER (ORDER BY day) THEN 1
+         |                       ELSE 0 END AS chg
+         |       FROM sg),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |               CAST(SUM(sg) AS BIGINT) AS n_above,
+         |               CAST(COUNT(*) - SUM(sg) AS BIGINT) AS n_below,
+         |               CAST(SUM(chg) + 1 AS BIGINT) AS runs
+         |        FROM ch),
+         |z AS (SELECT *,
+         |        2e0 * n_above * n_below / n + 1e0 AS mu_r,
+         |        2e0 * n_above * n_below * (2e0 * n_above * n_below - n) /
+         |          (CAST(n AS DOUBLE) * n * (n - 1)) AS var_r
+         |      FROM agg)
+         |SELECT n AS n_days, n_above, n_below, runs,
+         |       CASE WHEN var_r > 0e0 THEN
+         |         floor((runs - mu_r) / sqrt(var_r) * 1e6 + 5e-1) / 1e6
+         |       END AS z_stat
+         |FROM z""".stripMargin,
+
+    "forecast_eval" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |l AS (SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS f1,
+         |             lag(x, 7) OVER (ORDER BY day) AS f7
+         |      FROM s),
+         |u AS (SELECT 'naive' AS method, x, f1 AS f FROM l
+         |      UNION ALL SELECT 'snaive7' AS method, x, f7 AS f FROM l),
+         |e AS (SELECT method, x, x - f AS e FROM u WHERE f IS NOT NULL),
+         |a AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |        CAST(SUM(CAST(floor(abs(e) * 1e6 + 5e-1) / 1e6
+         |                      AS DECIMAL(18,6))) AS DOUBLE) AS sae,
+         |        CAST(SUM(CAST(floor(e * e * 1e6 + 5e-1) / 1e6
+         |                      AS DECIMAL(18,6))) AS DOUBLE) AS sse,
+         |        CAST(SUM(CASE WHEN x <> 0e0 THEN
+         |            CAST(floor(abs(e) / abs(x) * 1e6 + 5e-1) / 1e6
+         |                 AS DECIMAL(18,6)) END) AS DOUBLE) AS sape,
+         |        CAST(SUM(CASE WHEN x <> 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz
+         |      FROM e GROUP BY method)
+         |SELECT method, n_eval,
+         |       floor(sae / n_eval * 1e6 + 5e-1) / 1e6 AS mae,
+         |       floor(sqrt(sse / n_eval) * 1e6 + 5e-1) / 1e6 AS rmse,
+         |       floor(sape / n_nz * 1e6 + 5e-1) / 1e6 AS mape
+         |FROM a ORDER BY method""".stripMargin,
+
+    "grubbs_test" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+         |      FROM s),
+         |dev AS MATERIALIZED (SELECT day, x, n, x - mu AS d FROM s, m),
+         |sd AS (SELECT CAST(SUM(CAST(floor(d * d * 1e6 + 5e-1) / 1e6
+         |                            AS DECIMAL(18,6))) AS DOUBLE) AS ssd
+         |       FROM dev)
+         |SELECT day AS outlier_day, x AS x_value, n AS n_days,
+         |       floor(abs(d) / sqrt(ssd / (n - 1)) * 1e6 + 5e-1) / 1e6 AS g_stat
+         |FROM dev, sd
+         |ORDER BY g_stat DESC, outlier_day LIMIT 1""".stripMargin,
+
+    "page_hinkley" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |r1 AS (SELECT day, x,
+         |         CAST(SUM(CAST(x AS DECIMAL(18,6)))
+         |              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+         |         COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS t
+         |       FROM s),
+         |r2 AS (SELECT day, floor((x - cum / t) * 1e6 + 5e-1) / 1e6 AS term
+         |       FROM r1),
+         |r3 AS (SELECT day,
+         |         CAST(SUM(CAST(term AS DECIMAL(18,6)))
+         |              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS m
+         |       FROM r2),
+         |r4 AS (SELECT day,
+         |         m - MIN(m) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ph
+         |       FROM r3)
+         |SELECT day AS alarm_day, floor(ph * 1e6 + 5e-1) / 1e6 AS ph_stat
+         |FROM r4 ORDER BY ph_stat DESC, alarm_day LIMIT 1""".stripMargin
   )
 
   /** The markov-chain CTE prefix (through `p` and `v8`) shared by the

@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkSpec {
       "vocab_coverage", "packing_fragmentation", "ccnet_buckets",
       "heaps_law_fit", "cusum_changepoint", "mann_whitney_u",
       "spearman_rho", "seasonal_decompose", "pettitt_test",
-      "decision_stump", "kruskal_wallis", "log_rank_test")
+      "decision_stump", "kruskal_wallis", "log_rank_test",
+      // Box–Jenkins diagnostics: every ordered window runs over the
+      // day-cardinality gapfilled dailySeries rollup (calendar-sized)
+      "durbin_watson", "runs_test", "forecast_eval", "page_hinkley")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
