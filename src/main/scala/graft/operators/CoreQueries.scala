@@ -2818,6 +2818,175 @@ object CoreQueries {
           r6((1 to BfsHops).map(k => col(s"h$k") / lit(k.toDouble))
             .reduce(_ + _)).as("harmonic"))
         .orderBy("seed")
+    }),
+
+    // L144 — maximum drawdown of the cumulative daily revenue curve:
+    // DD_t = max_{s≤t} C_s − C_t, reported at its deepest trough — the
+    // risk-report headline ("worst peak-to-valley slide") applied to
+    // the revenue run-rate, and the canonical prefix-max/prefix-sum
+    // composition every monitoring stack needs. Day-cardinality rollup
+    // first (decimal-exact revenue), then two calendar-sized ordered
+    // windows (prefix decimal sum, prefix max) and a deterministic
+    // (drawdown desc, day) head.
+    "max_drawdown" -> ((s, dir) => {
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+        .withColumn("cum",
+          sum(col("rev").cast(DecimalType(18, 4))).over(wc).cast("double"))
+        .withColumn("peak", max("cum").over(wc))
+        .select(col("day").as("trough_day"),
+          r2(col("peak") - col("cum")).as("drawdown"),
+          r2(col("peak")).as("peak_cum"), r2(col("cum")).as("cum_at_trough"))
+        .orderBy(desc("drawdown"), col("trough_day"))
+        .limit(1)
+    }),
+
+    // L145 — Herfindahl–Hirschman concentration of revenue by brand:
+    // HHI = Σ share² (1/n = perfect competition … 1 = monopoly) plus
+    // the n-normalized form — the antitrust-grade concentration number
+    // next to gini_concentration's inequality curve (HHI weights the
+    // HEAD quadratically; Gini integrates the whole curve). One
+    // fact-side join+rollup to brand cardinality (bounded), squared
+    // shares 8dp-rounded into a decimal reduce.
+    "hhi_concentration" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      val b = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+        .localCheckpoint(false) // reused: the total + the share terms
+      val tot = broadcast(b.agg(
+        sum(col("rev").cast(DecimalType(18, 4))).cast("double").as("tot")))
+      val share = col("rev") / col("tot")
+      b.crossJoin(tot)
+        .groupBy()
+        .agg(count(lit(1)).as("n_brands"),
+          sum(r8(share * share).cast(DecimalType(18, 8))).cast("double")
+            .as("hhi_raw"))
+        .select(col("n_brands"), r6(col("hhi_raw")).as("hhi"),
+          r6((col("hhi_raw") - lit(1.0) / col("n_brands")) /
+            (lit(1.0) - lit(1.0) / col("n_brands"))).as("hhi_normalized"))
+    }),
+
+    // L146 — ABC inventory classification (Pareto / 80-15-5): parts
+    // ranked by revenue, class A = the head up to 80% cumulative share,
+    // B to 95%, C the tail — the working-capital triage every supply
+    // chain runs, and at 100 TB the classic "global running sum over a
+    // data-sized domain" stressor: the cumulative share comes from the
+    // two-phase exclusivePrefix (bucket carry + bucket-partitioned fine
+    // window), never a single-task global window. Per-part revenue in
+    // exact cent-longs so every prefix sum is integer-exact.
+    "abc_analysis" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val pr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          lit(1e2) + lit(0.5)).cast("long")).as("rev2"))
+        .localCheckpoint(false) // reused: the total + the ranked scan
+      val tot = broadcast(pr.agg(sum("rev2").as("tot")))
+      val cum = exclusivePrefix(
+        pr.select(col("pk"), col("rev2"), (-col("rev2")).as("neg")),
+        "neg", Seq("rev2"), Seq("pk"))
+      cum.crossJoin(tot)
+        .withColumn("cshare",
+          r6((col("cum_rev2") + col("rev2")).cast("double") / col("tot")))
+        .withColumn("abc_class",
+          when(col("cshare") <= 0.8, "A")
+            .when(col("cshare") <= 0.95, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          (sum("rev2").cast("double") / lit(1e2)).as("class_revenue"),
+          max("cshare").as("cum_share_max"))
+        .orderBy("abc_class")
+    }),
+
+    // L147 — historical value-at-risk of the day-over-day revenue swing:
+    // VaR_q = −(the ⌈q·n⌉-th smallest daily delta) (the order-statistic
+    // convention — no distributional fit), plus the 95% expected
+    // shortfall (mean of the tail beyond VaR) — "how bad is a bad day",
+    // the risk summary a close pipeline reports next to the KPI trend.
+    // Day-cardinality deltas via one calendar lag; the quantile rank is
+    // a calendar-sized ordered window; the tail mean is decimal-exact.
+    "var_historical" -> ((s, dir) => {
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val wd = Window.orderBy("day")
+      val d = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+        .withColumn("delta", col("rev") - lag("rev", 1).over(wd))
+        .filter(col("delta").isNotNull)
+        .select(col("day"), col("delta"))
+        .localCheckpoint(false) // reused: the count + the ranked scan
+      val n = broadcast(d.agg(count(lit(1)).as("n")))
+      d.withColumn("rn",
+          row_number().over(Window.orderBy("delta", "day")).cast("long"))
+        .crossJoin(n)
+        .withColumn("k95", ceil(lit(0.05) * col("n")).cast("long"))
+        .withColumn("k99", ceil(lit(0.01) * col("n")).cast("long"))
+        .groupBy()
+        .agg(max("n").as("n_deltas"),
+          max(when(col("rn") === col("k95"), -col("delta"))).as("v95"),
+          max(when(col("rn") === col("k99"), -col("delta"))).as("v99"),
+          (sum(when(col("rn") <= col("k95"),
+            (-col("delta")).cast(DecimalType(18, 4)))).cast("double") /
+            max("k95")).as("es95raw"))
+        .select(col("n_deltas"), r2(col("v95")).as("var_95"),
+          r2(col("v99")).as("var_99"), r2(col("es95raw")).as("es_95"))
+    }),
+
+    // L148 — price/volume/mix variance decomposition between the first
+    // and last shipping month, by brand: Δrevenue = volume effect
+    // (q1−q0)·p0 + price effect (p1−p0)·q1 + mix residual — the FP&A
+    // close-commentary bridge ("revenue fell 2%: volume −5%, price
+    // +3%") behind every monthly variance walk. Brands new in the
+    // period book to volume by convention. ONE conditional-aggregate
+    // fact pass to brand cardinality; quantities sum exactly in double,
+    // revenue decimal-routed; effects are brand-level closed algebra.
+    "price_volume_mix" -> ((s, dir) => {
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val li = t(s, dir, "lineitem")
+        .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      val bounds = broadcast(li.agg(min("m").as("m0"), max("m").as("m1")))
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val agg = li.crossJoin(bounds)
+        .filter(col("m") === col("m0") || col("m") === col("m1"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(when(col("m") === col("m0"), col("l_quantity"))
+            .otherwise(lit(0.0))).as("q0"),
+          sum(when(col("m") === col("m1"), col("l_quantity"))
+            .otherwise(lit(0.0))).as("q1"),
+          decSum(when(col("m") === col("m0"), amount).otherwise(lit(0.0)))
+            .as("r0"),
+          decSum(when(col("m") === col("m1"), amount).otherwise(lit(0.0)))
+            .as("r1"))
+      val volRaw = when(col("q0") > 0.0,
+        (col("q1") - col("q0")) * (col("r0") / col("q0")))
+        .otherwise(col("r1"))
+      val priceRaw = when(col("q0") > 0.0 && col("q1") > 0.0,
+        (col("r1") / col("q1") - col("r0") / col("q0")) * col("q1"))
+        .otherwise(lit(0.0))
+      agg
+        .withColumn("vol_raw", volRaw)
+        .withColumn("price_raw", priceRaw)
+        .select(col("p_brand"), col("q0"), col("q1"),
+          r2(col("r0")).as("r0"), r2(col("r1")).as("r1"),
+          r2(col("vol_raw")).as("volume_effect"),
+          r2(col("price_raw")).as("price_effect"),
+          r2(col("r1") - col("r0") - col("vol_raw") - col("price_raw"))
+            .as("mix_effect"))
+        .orderBy("p_brand")
     })
   )
 
@@ -4056,6 +4225,132 @@ object CoreQueries {
          |       CAST($dist AS BIGINT) AS sum_dist,
          |       floor(($harm) * 1e6 + 5e-1) / 1e6 AS harmonic
          |FROM w ORDER BY seed""".stripMargin
-    }
+    },
+
+    "max_drawdown" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT day,
+        |        CAST(SUM(CAST(rev AS DECIMAL(18,4)))
+        |             OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+        |      FROM d),
+        |p AS (SELECT day, cum,
+        |        MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |      FROM c)
+        |SELECT day AS trough_day,
+        |       floor((peak - cum) * 1e2 + 5e-1) / 1e2 AS drawdown,
+        |       floor(peak * 1e2 + 5e-1) / 1e2 AS peak_cum,
+        |       floor(cum * 1e2 + 5e-1) / 1e2 AS cum_at_trough
+        |FROM p ORDER BY drawdown DESC, trough_day LIMIT 1""".stripMargin,
+
+    "hhi_concentration" ->
+      """WITH b AS (
+        |  SELECT p_brand,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                       AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |tt AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS tot
+        |       FROM b),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+        |         CAST(SUM(CAST(floor((rev / tot) * (rev / tot) * 1e8 + 5e-1)
+        |                       / 1e8 AS DECIMAL(18,8))) AS DOUBLE) AS hhi_raw
+        |  FROM b, tt)
+        |SELECT n_brands, floor(hhi_raw * 1e6 + 5e-1) / 1e6 AS hhi,
+        |       floor((hhi_raw - 1e0 / n_brands) / (1e0 - 1e0 / n_brands)
+        |             * 1e6 + 5e-1) / 1e6 AS hhi_normalized
+        |FROM a""".stripMargin,
+
+    "abc_analysis" ->
+      """WITH pr AS (
+        |  SELECT l_partkey AS pk,
+        |         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+        |                             * 1e2 + 5e-1) AS BIGINT)) AS BIGINT) AS rev2
+        |  FROM lineitem GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(rev2) AS BIGINT) AS tot FROM pr),
+        |c AS (
+        |  SELECT pk, rev2,
+        |         COALESCE(SUM(rev2) OVER (ORDER BY -rev2, pk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_rev2
+        |  FROM pr),
+        |cls AS (
+        |  SELECT pk, rev2,
+        |         floor(CAST(cum_rev2 + rev2 AS DOUBLE) / tot * 1e6 + 5e-1)
+        |           / 1e6 AS cshare
+        |  FROM c, tt),
+        |lab AS (
+        |  SELECT pk, rev2, cshare,
+        |         CASE WHEN cshare <= 0.8 THEN 'A'
+        |              WHEN cshare <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |  FROM cls)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(SUM(rev2) AS DOUBLE) / 1e2 AS class_revenue,
+        |       MAX(cshare) AS cum_share_max
+        |FROM lab GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+
+    "var_historical" ->
+      """WITH d0 AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                            AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |            FROM lineitem GROUP BY 1),
+        |d AS (SELECT day, rev - lag(rev) OVER (ORDER BY day) AS delta FROM d0),
+        |dd AS MATERIALIZED (SELECT day, delta FROM d WHERE delta IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dd),
+        |r AS (SELECT day, delta,
+        |        CAST(row_number() OVER (ORDER BY delta, day) AS BIGINT) AS rn
+        |      FROM dd),
+        |k AS (SELECT r.*, n,
+        |        CAST(ceil(0.05 * n) AS BIGINT) AS k95,
+        |        CAST(ceil(0.01 * n) AS BIGINT) AS k99
+        |      FROM r, n),
+        |a AS (
+        |  SELECT MAX(n) AS n_deltas,
+        |         MAX(CASE WHEN rn = k95 THEN -delta END) AS v95,
+        |         MAX(CASE WHEN rn = k99 THEN -delta END) AS v99,
+        |         CAST(SUM(CASE WHEN rn <= k95 THEN
+        |             CAST(-delta AS DECIMAL(18,4)) END) AS DOUBLE)
+        |           / MAX(k95) AS es95raw
+        |  FROM k)
+        |SELECT n_deltas, floor(v95 * 1e2 + 5e-1) / 1e2 AS var_95,
+        |       floor(v99 * 1e2 + 5e-1) / 1e2 AS var_99,
+        |       floor(es95raw * 1e2 + 5e-1) / 1e2 AS es_95
+        |FROM a""".stripMargin,
+
+    "price_volume_mix" ->
+      """WITH li AS (SELECT *, strftime(l_shipdate, '%Y-%m') AS m FROM lineitem),
+        |bd AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM li),
+        |a AS (
+        |  SELECT p_brand,
+        |         SUM(CASE WHEN m = m0 THEN l_quantity ELSE 0e0 END) AS q0,
+        |         SUM(CASE WHEN m = m1 THEN l_quantity ELSE 0e0 END) AS q1,
+        |         CAST(SUM(CAST(CASE WHEN m = m0 THEN
+        |             l_extendedprice * (1 - l_discount) ELSE 0e0 END
+        |             AS DECIMAL(18,4))) AS DOUBLE) AS r0,
+        |         CAST(SUM(CAST(CASE WHEN m = m1 THEN
+        |             l_extendedprice * (1 - l_discount) ELSE 0e0 END
+        |             AS DECIMAL(18,4))) AS DOUBLE) AS r1
+        |  FROM li CROSS JOIN bd
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE m = m0 OR m = m1
+        |  GROUP BY p_brand),
+        |fx AS (
+        |  SELECT *,
+        |         CASE WHEN q0 > 0e0 THEN (q1 - q0) * (r0 / q0) ELSE r1 END
+        |           AS vol_raw,
+        |         CASE WHEN q0 > 0e0 AND q1 > 0e0 THEN
+        |           (r1 / q1 - r0 / q0) * q1 ELSE 0e0 END AS price_raw
+        |  FROM a)
+        |SELECT p_brand, q0, q1,
+        |       floor(r0 * 1e2 + 5e-1) / 1e2 AS r0,
+        |       floor(r1 * 1e2 + 5e-1) / 1e2 AS r1,
+        |       floor(vol_raw * 1e2 + 5e-1) / 1e2 AS volume_effect,
+        |       floor(price_raw * 1e2 + 5e-1) / 1e2 AS price_effect,
+        |       floor((r1 - r0 - vol_raw - price_raw) * 1e2 + 5e-1) / 1e2
+        |         AS mix_effect
+        |FROM fx ORDER BY p_brand""".stripMargin
   )
 }

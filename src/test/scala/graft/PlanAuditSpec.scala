@@ -90,7 +90,11 @@ class PlanAuditSpec extends SparkSpec {
       "decision_stump", "kruskal_wallis", "log_rank_test",
       // Box–Jenkins diagnostics: every ordered window runs over the
       // day-cardinality gapfilled dailySeries rollup (calendar-sized)
-      "durbin_watson", "runs_test", "forecast_eval", "page_hinkley")
+      "durbin_watson", "runs_test", "forecast_eval", "page_hinkley",
+      // finance-risk family: prefix windows over the day-cardinality
+      // revenue rollup (max_drawdown / var_historical); abc_analysis's
+      // coarse carry window is the constant CumBuckets rollup
+      "max_drawdown", "var_historical", "abc_analysis")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
