@@ -29,6 +29,34 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Scored/labelled doc frame shared by the classifier-evaluation
+    * family (`roc_auc` / `calibration_bins` / `lift_gains`): label
+    * y = 1 iff lang = 'en', score = stopword density (stopword hits /
+    * tokens) QUANTIZED to a 4dp grid. The quantization is load-bearing
+    * at scale: every downstream ordered pass groups by score first, so
+    * ordered windows run over ≤ 10⁴+1 score rows — constant-bounded
+    * regardless of corpus size. Mirrors [[sqlScoredDocs]] (CTE `sc`).
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    docs(s, dir)
+      .filter(nTok > 0)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        (floor(stopwordHits(col("text")).cast("double") / nTok * lit(1e4) +
+          lit(0.5)) / lit(1e4)).as("score"))
+  }
+
+  /** The scored/labelled doc CTE shared by the classifier-evaluation
+    * oracles — mirrors [[scoredDocs]].
+    */
+  private def sqlScoredDocs: String =
+    s"""sc AS (SELECT doc_id,
+       |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |         floor(CAST($sqlStopwordHits AS DOUBLE) / len($sqlTokens)
+       |               * 1e4 + 5e-1) / 1e4 AS score
+       |       FROM documents WHERE len($sqlTokens) > 0)""".stripMargin
+
   /** The per-doc C4 line/sentence-rule frame (doc_id .. keep) — shared
     * by `c4_rules` and the filter-agreement pair (`cohens_kappa`,
     * `mcnemar_test`), so the rule expressions can never drift apart.
@@ -3940,6 +3968,95 @@ object LlmQueries {
               col("n_chars_norm"), 1e6))
             .otherwise(0.0).as("dup_char_frac"))
         .orderBy("doc_id")
+    }),
+
+    // L254 — rank-based ROC AUC of the stopword-density language
+    // classifier (score = stopword hits / tokens, label = lang-is-
+    // English): AUC via the Mann–Whitney identity on GROUPED scores —
+    // Σ over score groups of n1·(negatives strictly below) + ½·n1·n0
+    // ties, normalized by n_pos·n_neg — the threshold-free quality
+    // number every heuristic filter gets scored by before its cutoff
+    // is chosen. Scale shape: docs collapse to the 4dp score grid
+    // (≤ 10⁴+1 groups — CONSTANT), so the one ordered window is
+    // grid-sized; all rank mass is exact integer arithmetic routed
+    // through DECIMAL(38,0).
+    "roc_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val g = scoredDocs(s, dir).groupBy("score")
+        .agg(sum("y").as("n1s"), (count(lit(1)) - sum("y")).as("n0s"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("c0", coalesce(sum("n0s").over(w), lit(0L)))
+        .groupBy()
+        .agg(sum("n1s").as("n_pos"), sum("n0s").as("n_neg"),
+          sum((col("n1s") * col("c0")).cast(DecimalType(38, 0))).as("sWin"),
+          sum((col("n1s") * col("n0s")).cast(DecimalType(38, 0))).as("sTie"))
+        .select(col("n_pos"), col("n_neg"),
+          r6((col("sWin").cast("double") + col("sTie").cast("double") / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg"))).as("auc"))
+        .withColumn("gini_coeff", lit(2.0) * col("auc") - lit(1.0))
+    }),
+
+    // L255 — calibration table (reliability diagram) of the stopword-
+    // density score read as P(English): 20 fixed-width score bins ×
+    // (mean predicted, observed positive rate, per-bin Brier term) —
+    // "when the filter says 0.3, is it right 30% of the time", the
+    // diagnostic that decides whether a heuristic score can be used
+    // as a sampling weight or only as a ranker (roc_auc can be 1.0
+    // while calibration is garbage). One grouped pass to the constant
+    // bin grid; Brier terms 6dp-round into decimal sums.
+    "calibration_bins" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      scoredDocs(s, dir)
+        .withColumn("bin", least(floor(col("score") * 20).cast("long"), lit(19L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("score").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("ms"),
+          (sum("y").cast("double") / count(lit(1))).as("pr"),
+          (sum(r6((col("score") - col("y")) * (col("score") - col("y")))
+            .cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as("br"))
+        .select(col("bin"), col("n_docs"), r6(col("ms")).as("mean_score"),
+          r6(col("pr")).as("pos_rate"), r6(col("br")).as("brier"))
+        .orderBy("bin")
+    }),
+
+    // L256 — decile lift/gains table of the stopword-density ranker:
+    // docs ranked by score desc, split into 10 equal-population tiles
+    // (ties share a tile — tiles are assigned at score-group
+    // granularity), each reporting lift = tile positive rate / base
+    // rate and cumulative gains = share of all positives captured so
+    // far — the campaign-targeting readout ("the top decile holds 4×
+    // its share of English docs") that turns roc_auc's one number
+    // into an operating curve. Windows run over the constant score
+    // grid and the 10-row tile rollup only.
+    "lift_gains" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val g = scoredDocs(s, dir).groupBy("score")
+        .agg(count(lit(1)).as("c"), sum("y").as("p"))
+        .localCheckpoint(false) // grid-sized; reused: totals + the scan
+      val tot = broadcast(g.agg(sum("c").as("n"), sum("p").as("np")))
+      val w = Window.orderBy(desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w2 = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum("c").over(w))
+        .crossJoin(tot)
+        .withColumn("decile",
+          ceil(lit(10.0) * col("cum") / col("n")).cast("long"))
+        .groupBy("decile")
+        .agg(sum("c").as("n_docs"), sum("p").as("n_pos"),
+          max("n").as("n"), max("np").as("np"))
+        .withColumn("cum_pos", sum("n_pos").over(w2))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          r6((col("n_pos").cast("double") / col("n_docs")) /
+            (col("np").cast("double") / col("n"))).as("lift"),
+          r6(col("cum_pos").cast("double") / col("np")).as("cum_gain"))
+        .orderBy("decile")
     })
   )
 
@@ -6659,6 +6776,63 @@ object LlmQueries {
          |         floor(CAST(COALESCE(dm.dup_chars, 0) AS DOUBLE) / t.n_chars_norm * 1e6 + 0.5) / 1e6
          |       ELSE 0.0 END AS dup_char_frac
          |FROM t LEFT JOIN dm USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "roc_auc" ->
+      s"""WITH $sqlScoredDocs,
+         |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS n1s,
+         |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0s
+         |      FROM sc GROUP BY score),
+         |cw AS (SELECT *, COALESCE(SUM(n0s) OVER (ORDER BY score
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+         |       FROM g),
+         |a AS (SELECT CAST(SUM(n1s) AS BIGINT) AS n_pos,
+         |             CAST(SUM(n0s) AS BIGINT) AS n_neg,
+         |             SUM(CAST(n1s * c0 AS DECIMAL(38,0))) AS swin,
+         |             SUM(CAST(n1s * n0s AS DECIMAL(38,0))) AS stie
+         |      FROM cw),
+         |f AS (SELECT n_pos, n_neg,
+         |        floor((CAST(swin AS DOUBLE) + CAST(stie AS DOUBLE) / 2e0) /
+         |              (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 5e-1) / 1e6 AS auc
+         |      FROM a)
+         |SELECT n_pos, n_neg, auc, 2e0 * auc - 1e0 AS gini_coeff FROM f""".stripMargin,
+
+    "calibration_bins" ->
+      s"""WITH $sqlScoredDocs
+         |SELECT least(CAST(floor(score * 20) AS BIGINT), 19) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       floor(CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+         |             / COUNT(*) * 1e6 + 5e-1) / 1e6 AS mean_score,
+         |       floor(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6 + 5e-1) / 1e6
+         |         AS pos_rate,
+         |       floor(CAST(SUM(CAST(floor((score - y) * (score - y) * 1e6 + 5e-1)
+         |                          / 1e6 AS DECIMAL(18,6))) AS DOUBLE)
+         |             / COUNT(*) * 1e6 + 5e-1) / 1e6 AS brier
+         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "lift_gains" ->
+      s"""WITH $sqlScoredDocs,
+         |g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+         |             CAST(SUM(y) AS BIGINT) AS p
+         |      FROM sc GROUP BY score),
+         |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS np
+         |       FROM g),
+         |cw AS (SELECT *, SUM(c) OVER (ORDER BY score DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM g),
+         |dc AS (SELECT CAST(ceil(1e1 * cum / n) AS BIGINT) AS decile, c, p, n, np
+         |       FROM cw, tt),
+         |t AS (SELECT decile, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |             CAST(SUM(p) AS BIGINT) AS n_pos,
+         |             MAX(n) AS n, MAX(np) AS np
+         |      FROM dc GROUP BY decile),
+         |cg AS (SELECT *, SUM(n_pos) OVER (ORDER BY decile
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+         |       FROM t)
+         |SELECT decile, n_docs, n_pos,
+         |       floor((CAST(n_pos AS DOUBLE) / n_docs) /
+         |             (CAST(np AS DOUBLE) / n) * 1e6 + 5e-1) / 1e6 AS lift,
+         |       floor(CAST(cum_pos AS DOUBLE) / np * 1e6 + 5e-1) / 1e6 AS cum_gain
+         |FROM cg ORDER BY decile""".stripMargin
   )
 }

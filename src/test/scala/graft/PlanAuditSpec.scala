@@ -94,7 +94,10 @@ class PlanAuditSpec extends SparkSpec {
       // finance-risk family: prefix windows over the day-cardinality
       // revenue rollup (max_drawdown / var_historical); abc_analysis's
       // coarse carry window is the constant CumBuckets rollup
-      "max_drawdown", "var_historical", "abc_analysis")
+      "max_drawdown", "var_historical", "abc_analysis",
+      // classifier-eval family: ordered windows run over the 4dp
+      // quantized score grid (<= 10^4+1 rows) / the 10-row decile rollup
+      "roc_auc", "lift_gains")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
