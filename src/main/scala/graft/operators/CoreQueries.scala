@@ -2820,6 +2820,63 @@ object CoreQueries {
         .orderBy("seed")
     }),
 
+    // L143 — link-prediction score suite: common-neighbors, Jaccard,
+    // and resource-allocation (Zhou/Lü/Zhang 2009) for the same
+    // probe-bounded candidate set adamic_adar ranks — the standard
+    // benchmark panel (CN favors hubs, Jaccard normalizes by union
+    // degree, RA damps hub intermediaries harder than AA's 1/ln d) a
+    // link-prediction evaluation compares in one table. Same scale
+    // shape as adamic_adar: per-probe wedge fan-out off the z-
+    // partitioned neighbor checkpoint, RA terms as exact scaled longs
+    // t8 = round(1e8/d), existing edges anti-joined out, per-probe
+    // top-10 by (CN desc, RA desc).
+    "link_pred_suite" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+      val nbr0 = e.select(col("src").as("z"), col("dst").as("n"))
+        .unionAll(e.select(col("dst").as("z"), col("src").as("n")))
+      val nbr = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(nbr0, shufflePartitions(s), Seq("z"), Seq("z"),
+          declareStats = false)
+      val deg = nbr.groupBy("z").agg(count(lit(1)).as("d"))
+        .localCheckpoint(false) // reused: RA terms + both endpoint degrees
+      val term = deg.select(col("z"),
+        floor(lit(1e8) / col("d") + lit(0.5)).as("t8"))
+      val probes = nbr.select(col("z").as("p")).distinct()
+        .orderBy("p").limit(AaProbes)
+      val cand = broadcast(probes)
+        .join(nbr, col("p") === col("z"))
+        .select(col("p"), col("n").as("w"))
+      cand.join(nbr.select(col("z").as("w"), col("n").as("b")), "w")
+        .filter(col("b") =!= col("p"))
+        .join(term.select(col("z").as("w"), col("t8")), "w")
+        .groupBy("p", "b")
+        .agg(count(lit(1)).as("n_common"), sum("t8").as("s8"))
+        .join(e.select(col("src").as("x"), col("dst").as("y")),
+          least(col("p"), col("b")) === col("x") &&
+            greatest(col("p"), col("b")) === col("y"), "left_anti")
+        .join(deg.select(col("z").as("p"), col("d").as("dp")), "p")
+        .join(deg.select(col("z").as("b"), col("d").as("db")), "b")
+        .withColumn("jaccard", r6(col("n_common").cast("double") /
+          (col("dp") + col("db") - col("n_common"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("p")
+            .orderBy(desc("n_common"), desc("s8"), col("b"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("p").as("probe"), col("rank"), col("b").as("candidate"),
+          col("n_common"), col("jaccard"),
+          (col("s8").cast("double") / lit(1e8)).as("ra_score"))
+        .orderBy("probe", "rank")
+    }),
+
     // L144 — maximum drawdown of the cumulative daily revenue curve:
     // DD_t = max_{s≤t} C_s − C_t, reported at its deepest trough — the
     // risk-report headline ("worst peak-to-valley slide") applied to
@@ -4226,6 +4283,47 @@ object CoreQueries {
          |       floor(($harm) * 1e6 + 5e-1) / 1e6 AS harmonic
          |FROM w ORDER BY seed""".stripMargin
     },
+
+    "link_pred_suite" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+         |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+         |nbr AS MATERIALIZED (
+         |  SELECT src AS z, dst AS n FROM e
+         |  UNION ALL SELECT dst AS z, src AS n FROM e),
+         |deg AS MATERIALIZED (
+         |  SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY z),
+         |term AS (SELECT z, CAST(floor(1e8 / d + 5e-1) AS BIGINT) AS t8
+         |         FROM deg),
+         |probes AS (SELECT DISTINCT z AS p FROM nbr ORDER BY p LIMIT $AaProbes),
+         |cand AS (SELECT probes.p, nbr.n AS w
+         |         FROM probes JOIN nbr ON nbr.z = probes.p),
+         |sc AS (
+         |  SELECT cand.p, n2.n AS b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |         CAST(SUM(term.t8) AS BIGINT) AS s8
+         |  FROM cand JOIN nbr n2 ON n2.z = cand.w
+         |  JOIN term ON term.z = cand.w
+         |  WHERE n2.n <> cand.p
+         |  GROUP BY cand.p, n2.n),
+         |nc AS (
+         |  SELECT sc.p, sc.b, sc.n_common, sc.s8
+         |  FROM sc LEFT JOIN e ON least(sc.p, sc.b) = e.src
+         |                     AND greatest(sc.p, sc.b) = e.dst
+         |  WHERE e.src IS NULL),
+         |dj AS (
+         |  SELECT nc.*, dp.d AS dp, db.d AS db
+         |  FROM nc JOIN deg dp ON dp.z = nc.p JOIN deg db ON db.z = nc.b),
+         |rk AS (
+         |  SELECT p, b, n_common, s8, dp, db,
+         |         CAST(row_number() OVER (PARTITION BY p
+         |           ORDER BY n_common DESC, s8 DESC, b) AS BIGINT) AS rank
+         |  FROM dj)
+         |SELECT p AS probe, rank, b AS candidate, n_common,
+         |       floor(CAST(n_common AS DOUBLE) / (dp + db - n_common)
+         |             * 1e6 + 5e-1) / 1e6 AS jaccard,
+         |       CAST(s8 AS DOUBLE) / 1e8 AS ra_score
+         |FROM rk WHERE rank <= 10
+         |ORDER BY probe, rank""".stripMargin,
 
     "max_drawdown" ->
       """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,

@@ -3970,6 +3970,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L253 — lexical-richness battery per source: Yule's K (repeat-
+    // rate, length-invariant), Simpson's D (collision probability),
+    // Honoré's H (hapax-weighted), Sichel's S (dis-legomena share) —
+    // the stylometric vocabulary profile (Tweedie & Baayen 1998) that
+    // separates templated/boilerplate sources (high K, low H) from
+    // organic prose, complementing mattr's windowed TTR. One token
+    // explode to the (source, word) frequency spectrum; every statistic
+    // is closed algebra on exact per-source longs (Σf² routed through
+    // DECIMAL(38,0)); ln(N) 6dp-rounded by house practice.
+    "lexical_richness" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val tf = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("f"))
+      tf.groupBy("source")
+        .agg(sum("f").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1L, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("f") === 2L, 1L).otherwise(0L)).as("v2"),
+          sum((col("f") * col("f")).cast(DecimalType(38, 0))).as("sf2"),
+          sum((col("f") * (col("f") - 1L)).cast(DecimalType(38, 0))).as("sff"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("v1"),
+          col("v2"),
+          r6(lit(1e4) * (col("sf2").cast("double") - col("n_tokens")) /
+            (col("n_tokens").cast("double") * col("n_tokens"))).as("yule_k"),
+          r6(col("sff").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - 1L)))
+            .as("simpson_d"),
+          when(col("v1") < col("vocab"),
+            r6(lit(100.0) * log(col("n_tokens").cast("double")) /
+              (lit(1.0) - col("v1").cast("double") / col("vocab"))))
+            .as("honore_h"),
+          r6(col("v2").cast("double") / col("vocab")).as("sichel_s"))
+        .orderBy("source")
+    }),
+
     // L254 — rank-based ROC AUC of the stopword-density language
     // classifier (score = stopword hits / tokens, label = lang-is-
     // English): AUC via the Mann–Whitney identity on GROUPED scores —
@@ -6777,6 +6813,33 @@ object LlmQueries {
          |       ELSE 0.0 END AS dup_char_frac
          |FROM t LEFT JOIN dm USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "lexical_richness" ->
+      s"""WITH tf AS (
+         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT source, unnest($sqlTokens) AS w FROM documents)
+         |  GROUP BY source, w),
+         |a AS (
+         |  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS vocab,
+         |         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |         SUM(CAST(f * f AS DECIMAL(38,0))) AS sf2,
+         |         SUM(CAST(f * (f - 1) AS DECIMAL(38,0))) AS sff
+         |  FROM tf GROUP BY source)
+         |SELECT source, n_tokens, vocab, v1, v2,
+         |       floor(1e4 * (CAST(sf2 AS DOUBLE) - n_tokens) /
+         |             (CAST(n_tokens AS DOUBLE) * n_tokens) * 1e6 + 5e-1) / 1e6
+         |         AS yule_k,
+         |       floor(CAST(sff AS DOUBLE) /
+         |             (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)) * 1e6 + 5e-1)
+         |         / 1e6 AS simpson_d,
+         |       CASE WHEN v1 < vocab THEN
+         |         floor(1e2 * ln(CAST(n_tokens AS DOUBLE)) /
+         |               (1e0 - CAST(v1 AS DOUBLE) / vocab) * 1e6 + 5e-1) / 1e6
+         |       END AS honore_h,
+         |       floor(CAST(v2 AS DOUBLE) / vocab * 1e6 + 5e-1) / 1e6 AS sichel_s
+         |FROM a ORDER BY source""".stripMargin,
 
     "roc_auc" ->
       s"""WITH $sqlScoredDocs,
