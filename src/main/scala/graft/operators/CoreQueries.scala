@@ -2820,6 +2820,72 @@ object CoreQueries {
         .orderBy("seed")
     }),
 
+    // L149 — Friedman rank test (Friedman 1937): do the five order
+    // priorities differ in mean ticket within calendar-month blocks —
+    // the repeated-measures complement of kruskal_wallis (KW pools all
+    // rows; Friedman ranks WITHIN each month, so a month-level volume
+    // trend can't masquerade as a priority effect). Blocks with all 5
+    // treatments rank their 5 cell means (average ranks on ties) in a
+    // block-partitioned 5-row window; Q is closed algebra on the 5
+    // treatment rank sums (exact half-integer arithmetic, decimal-
+    // routed). χ²(4) 95% critical value for the reject flag.
+    "friedman_test" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val k = 5
+      val m = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg((decSum(col("o_totalprice")) / count(lit(1))).as("v"))
+        .localCheckpoint(false) // reused: completeness filter + ranking
+      val full = m.groupBy("blk").agg(count(lit(1)).as("kk"))
+        .filter(col("kk") === k).select("blk")
+      val wR = Window.partitionBy("blk").orderBy("v")
+      val wE = Window.partitionBy("blk", "v")
+      val rj = m.join(full, "blk")
+        .withColumn("mr", rank().over(wR).cast("long"))
+        .withColumn("ce", count(lit(1)).over(wE))
+        .withColumn("ar", col("mr") + (col("ce") - 1L).cast("double") / 2.0)
+        .groupBy("trt")
+        .agg(sum(col("ar").cast(DecimalType(18, 1))).cast("double").as("rsum"),
+          count(lit(1)).as("nb"))
+      val nb = broadcast(rj.agg(max("nb").as("n")))
+      rj.crossJoin(nb)
+        .groupBy("n")
+        .agg(sum((col("rsum") * col("rsum")).cast(DecimalType(38, 2)))
+          .cast("double").as("sr2"))
+        .select(col("n").as("n_blocks"), lit(k.toLong).as("k_treatments"),
+          r6(lit(12.0) / (col("n").cast("double") * k * (k + 1)) * col("sr2") -
+            lit(3.0) * col("n") * (k + 1)).as("q_stat"))
+        .withColumn("reject_95", col("q_stat") > 9.487729)
+    }),
+
+    // L150 — l-diversity profile (Machanavalli et al. 2007) of the
+    // customer quasi-identifier classes k_anonymity sizes: within each
+    // (nation, segment) class, how many DISTINCT sensitive values
+    // (account-balance band) appear — a class can be k-anonymous yet
+    // leak the sensitive attribute outright if all members share one
+    // band. Output = the class histogram by distinct-band count l
+    // (1 ≤ l ≤ 3), the release-gate readout next to k_anonymity's
+    // size sweep. One grouped pass at QI-class cardinality (bounded).
+    "l_diversity" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val sens = when(col("c_acctbal") < 0.0, "debt")
+        .when(col("c_acctbal") < 5000.0, "low").otherwise("high")
+      val classes = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(sens).as("l_c"))
+        .localCheckpoint(false) // reused: totals + the histogram
+      val tot = broadcast(classes.agg(sum("class_size").as("n_rows")))
+      classes.groupBy("l_c")
+        .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows_l"))
+        .crossJoin(tot)
+        .select(col("l_c").as("l_distinct"), col("n_classes"),
+          col("n_rows_l").as("n_rows"),
+          r6(col("n_rows_l").cast("double") / col("n_rows")).as("row_share"))
+        .orderBy("l_distinct")
+    }),
+
     // L143 — link-prediction score suite: common-neighbors, Jaccard,
     // and resource-allocation (Zhou/Lü/Zhang 2009) for the same
     // probe-bounded candidate set adamic_adar ranks — the standard
@@ -4283,6 +4349,48 @@ object CoreQueries {
          |       floor(($harm) * 1e6 + 5e-1) / 1e6 AS harmonic
          |FROM w ORDER BY seed""".stripMargin
     },
+
+    "friedman_test" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS blk, o_orderpriority AS trt,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           / COUNT(*) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |fb AS (SELECT blk FROM m GROUP BY blk HAVING COUNT(*) = 5),
+        |r AS (
+        |  SELECT m.trt,
+        |         CAST(rank() OVER (PARTITION BY m.blk ORDER BY v) AS BIGINT) AS mr,
+        |         CAST(COUNT(*) OVER (PARTITION BY m.blk, v) AS BIGINT) AS ce
+        |  FROM m JOIN fb USING (blk)),
+        |ar AS (SELECT trt, mr + CAST(ce - 1 AS DOUBLE) / 2e0 AS ar FROM r),
+        |rj AS (SELECT trt, CAST(SUM(CAST(ar AS DECIMAL(18,1))) AS DOUBLE) AS rsum,
+        |              CAST(COUNT(*) AS BIGINT) AS nb
+        |       FROM ar GROUP BY trt),
+        |n1 AS (SELECT MAX(nb) AS n FROM rj),
+        |a AS (SELECT n, CAST(SUM(CAST(rsum * rsum AS DECIMAL(38,2))) AS DOUBLE)
+        |             AS sr2
+        |      FROM rj, n1 GROUP BY n)
+        |SELECT CAST(n AS BIGINT) AS n_blocks, CAST(5 AS BIGINT) AS k_treatments,
+        |       floor((12e0 / (CAST(n AS DOUBLE) * 5 * 6) * sr2 - 3e0 * n * 6)
+        |             * 1e6 + 5e-1) / 1e6 AS q_stat,
+        |       floor((12e0 / (CAST(n AS DOUBLE) * 5 * 6) * sr2 - 3e0 * n * 6)
+        |             * 1e6 + 5e-1) / 1e6 > 9.487729 AS reject_95
+        |FROM a""".stripMargin,
+
+    "l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(COUNT(*) AS BIGINT) AS class_size,
+        |         CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END)
+        |              AS BIGINT) AS l_c
+        |  FROM customer GROUP BY 1, 2),
+        |tt AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows FROM cls)
+        |SELECT l_c AS l_distinct, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |       floor(CAST(SUM(class_size) AS DOUBLE) / MAX(tt.n_rows)
+        |             * 1e6 + 5e-1) / 1e6 AS row_share
+        |FROM cls, tt GROUP BY l_c ORDER BY l_distinct""".stripMargin,
 
     "link_pred_suite" ->
       s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

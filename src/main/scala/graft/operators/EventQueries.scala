@@ -148,23 +148,7 @@ object EventQueries {
     // exclusivePrefix — both the at-risk counts and the running log-sum
     // avoid any data-sized single-task window.
     "kaplan_meier" -> ((s, dir) => {
-      val e = events(s, dir)
-      val maxTs = broadcast(e.agg(max("ts_us").as("max_us")))
-      val su = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts_us").as("s_us"))
-      val fp = su.join(
-          e.filter(col("event_type") === "purchase")
-            .select(col("user_id"), col("ts_us").as("p_us")),
-          Seq("user_id"))
-        .filter(col("p_us") > col("s_us"))
-        .groupBy("user_id").agg(min("p_us").as("fp_us"))
-      val subj = su.join(fp, Seq("user_id"), "left").crossJoin(maxTs)
-        .select(
-          when(col("fp_us").isNotNull,
-            expr("(fp_us - s_us) div 3600000000"))
-            .otherwise(expr("(max_us - s_us) div 3600000000")).as("t_hr"),
-          col("fp_us").isNotNull.cast("long").as("d"))
-      val pv = subj.groupBy("t_hr")
+      val pv = survivalSubjects(s, dir).groupBy("t_hr")
         .agg(sum("d").as("ev"), (count(lit(1)) - sum("d")).as("cen"))
       val nTot = broadcast(pv.agg(sum(col("ev") + col("cen")).as("n_subj")))
       val km = CoreQueries.exclusivePrefix(pv, "t_hr", Seq("ev", "cen"))
@@ -179,6 +163,40 @@ object EventQueries {
       CoreQueries.exclusivePrefix(km, "t_hr", Seq("term"))
         .select(col("t_hr"), col("n_risk"), col("ev"), col("cen"),
           (col("cum_term") + col("term")).cast("double").as("log_surv"))
+        .orderBy("t_hr")
+    }),
+
+    // Nelson–Aalen cumulative-hazard estimator over the same signup→
+    // first-purchase cohort as kaplan_meier: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,
+    // plus the Fleming–Harrington survival exp(−H) — the hazard-side
+    // view (KM estimates S directly; NA estimates the integrated RATE,
+    // is defined even when a step exhausts the risk set, and its
+    // increments are the raw per-step hazards a rate monitor plots).
+    // Same scale shape as kaplan_meier: subject table → event-time
+    // rollup, risk sets and the hazard prefix via the two-phase
+    // exclusivePrefix (no data-sized global window), dᵢ/nᵢ terms
+    // 6dp-rounded into DECIMAL(18,6) sums — KM's exact scale, and a
+    // hard constraint: a scale-8 term overflows DECIMAL(38) precision
+    // inside exclusivePrefix's carry+fine add chain, where Spark
+    // silently REDUCES the result scale (38,8)→(38,6) while DuckDB
+    // keeps 8dp — the engines then disagree below 1e-6.
+    "nelson_aalen" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val pv = survivalSubjects(s, dir).groupBy("t_hr")
+        .agg(sum("d").as("ev"), (count(lit(1)) - sum("d")).as("cen"))
+      val nTot = broadcast(pv.agg(sum(col("ev") + col("cen")).as("n_subj")))
+      val na = CoreQueries.exclusivePrefix(pv, "t_hr", Seq("ev", "cen"))
+        .crossJoin(nTot)
+        .withColumn("n_risk", col("n_subj") - col("cum_ev") - col("cum_cen"))
+        .filter(col("ev") > 0)
+        .select(col("t_hr"), col("n_risk"), col("ev"),
+          r6(col("ev").cast("double") / col("n_risk"))
+            .cast(DecimalType(18, 6)).as("term"))
+      CoreQueries.exclusivePrefix(na, "t_hr", Seq("term"))
+        .select(col("t_hr"), col("n_risk"), col("ev"),
+          (col("cum_term") + col("term")).cast("double").as("na_hazard"))
+        .withColumn("surv_fh", r6(exp(-col("na_hazard"))))
         .orderBy("t_hr")
     }),
 
@@ -1358,6 +1376,62 @@ object EventQueries {
         r6(col("num") / col("den")).as("acf"))
   }
 
+  /** Survival subjects (t_hr, d) shared by `kaplan_meier` and
+    * `nelson_aalen`: per signup user, hours from signup to first
+    * purchase with d = 1 (event) or to the observation horizon with
+    * d = 0 (right-censored). Mirrors the oracles' e/mx/su/fp/subj CTEs
+    * ([[sqlSurvivalCtes]]). User-keyed joins/rollups only.
+    */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val maxTs = broadcast(e.agg(max("ts_us").as("max_us")))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("s_us"))
+    val fp = su.join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_us")),
+        Seq("user_id"))
+      .filter(col("p_us") > col("s_us"))
+      .groupBy("user_id").agg(min("p_us").as("fp_us"))
+    su.join(fp, Seq("user_id"), "left").crossJoin(maxTs)
+      .select(
+        when(col("fp_us").isNotNull,
+          expr("(fp_us - s_us) div 3600000000"))
+          .otherwise(expr("(max_us - s_us) div 3600000000")).as("t_hr"),
+        col("fp_us").isNotNull.cast("long").as("d"))
+  }
+
+  /** The survival CTE prefix (through `pre`, which carries the exclusive
+    * event/censor prefixes) shared by the `kaplan_meier` and
+    * `nelson_aalen` oracles — mirrors [[survivalSubjects]] + the pv/nt
+    * rollup + the exclusivePrefix step.
+    */
+  private def sqlSurvivalCtes: String =
+    """e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS max_us FROM e),
+      |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |fp AS (SELECT e.user_id, MIN(e.us) AS fp_us
+      |       FROM e JOIN su USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.us > su.s_us GROUP BY 1),
+      |subj AS (
+      |  SELECT CASE WHEN fp.fp_us IS NOT NULL
+      |              THEN (fp.fp_us - su.s_us) // 3600000000
+      |              ELSE (mx.max_us - su.s_us) // 3600000000 END AS t_hr,
+      |         CASE WHEN fp.fp_us IS NOT NULL THEN 1 ELSE 0 END AS d
+      |  FROM su LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+      |pv AS (SELECT t_hr, CAST(SUM(d) AS BIGINT) AS ev,
+      |              CAST(COUNT(*) - SUM(d) AS BIGINT) AS cen
+      |       FROM subj GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(ev + cen) AS BIGINT) AS n_subj FROM pv),
+      |pre AS (
+      |  SELECT t_hr, ev, cen,
+      |         COALESCE(SUM(ev) OVER (ORDER BY t_hr
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_ev,
+      |         COALESCE(SUM(cen) OVER (ORDER BY t_hr
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cen
+      |  FROM pv)""".stripMargin
+
   /** Gapfilled daily revenue series (day, x) shared by the Box–Jenkins
     * diagnostics family (`durbin_watson` / `runs_test` / `forecast_eval`
     * / `grubbs_test` / `page_hinkley`): per-day decimal-exact value sums
@@ -1702,30 +1776,7 @@ object EventQueries {
          |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "kaplan_meier" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |mx AS (SELECT MAX(us) AS max_us FROM e),
-        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
-        |       WHERE event_type = 'signup' GROUP BY 1),
-        |fp AS (SELECT e.user_id, MIN(e.us) AS fp_us
-        |       FROM e JOIN su USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.us > su.s_us GROUP BY 1),
-        |subj AS (
-        |  SELECT CASE WHEN fp.fp_us IS NOT NULL
-        |              THEN (fp.fp_us - su.s_us) // 3600000000
-        |              ELSE (mx.max_us - su.s_us) // 3600000000 END AS t_hr,
-        |         CASE WHEN fp.fp_us IS NOT NULL THEN 1 ELSE 0 END AS d
-        |  FROM su LEFT JOIN fp USING (user_id) CROSS JOIN mx),
-        |pv AS (SELECT t_hr, CAST(SUM(d) AS BIGINT) AS ev,
-        |              CAST(COUNT(*) - SUM(d) AS BIGINT) AS cen
-        |       FROM subj GROUP BY 1),
-        |nt AS (SELECT CAST(SUM(ev + cen) AS BIGINT) AS n_subj FROM pv),
-        |pre AS (
-        |  SELECT t_hr, ev, cen,
-        |         COALESCE(SUM(ev) OVER (ORDER BY t_hr
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_ev,
-        |         COALESCE(SUM(cen) OVER (ORDER BY t_hr
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cen
-        |  FROM pv),
+      s"""WITH $sqlSurvivalCtes,
         |km AS (
         |  SELECT t_hr, n_subj - cum_ev - cum_cen AS n_risk, ev, cen,
         |         CASE WHEN n_subj - cum_ev - cum_cen > ev
@@ -1740,6 +1791,23 @@ object EventQueries {
         |            ELSE CAST(SUM(term) OVER (ORDER BY t_hr) AS DOUBLE)
         |       END AS log_surv
         |FROM km ORDER BY t_hr""".stripMargin,
+
+    "nelson_aalen" ->
+      s"""WITH $sqlSurvivalCtes,
+         |na AS (
+         |  SELECT t_hr, n_subj - cum_ev - cum_cen AS n_risk, ev,
+         |         CAST(floor(CAST(ev AS DOUBLE)
+         |                    / (n_subj - cum_ev - cum_cen) * 1e6 + 5e-1) / 1e6
+         |              AS DECIMAL(18,6)) AS term
+         |  FROM pre CROSS JOIN nt
+         |  WHERE ev > 0),
+         |h AS (
+         |  SELECT t_hr, CAST(n_risk AS BIGINT) AS n_risk, ev,
+         |         CAST(SUM(term) OVER (ORDER BY t_hr) AS DOUBLE) AS na_hazard
+         |  FROM na)
+         |SELECT t_hr, n_risk, ev, na_hazard,
+         |       floor(exp(-na_hazard) * 1e6 + 5e-1) / 1e6 AS surv_fh
+         |FROM h ORDER BY t_hr""".stripMargin,
 
     "psi_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),

@@ -3970,6 +3970,43 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L252 — Cochran's Q (Cochran 1950) across THREE correlated binary
+    // quality filters on the same docs — C4 keep, Gopher keep, and
+    // quality_score ≥ 2 — "do the k filters pass different fractions of
+    // the corpus", the k-filter generalization of mcnemar_test's pair
+    // (and the significance gate run before swapping one curation rule
+    // for another). Q = [k(k−1)ΣC_j² − (k−1)N²]/(kN − ΣR_i²) on exact
+    // integer row/column totals from ONE joined pass; the reject flag
+    // uses the χ²(2) 95% critical value.
+    "cochran_q" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val a = c4Frame(s, dir).select(col("doc_id"),
+        when(col("keep"), 1L).otherwise(0L).as("f1"))
+      val b = gopherFrame(s, dir).select(col("doc_id"),
+        when(col("keep"), 1L).otherwise(0L).as("f2"))
+      val c = docs(s, dir).select(col("doc_id"),
+        when(qualityScore >= 2L, 1L).otherwise(0L).as("f3"))
+      val q = a.join(b, "doc_id").join(c, "doc_id")
+        .select(col("f1"), col("f2"), col("f3"),
+          (col("f1") + col("f2") + col("f3")).as("r"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_docs"),
+          sum("f1").as("c1"), sum("f2").as("c2"), sum("f3").as("c3"),
+          sum("r").as("sr"), sum(col("r") * col("r")).as("sr2"))
+      val den = lit(3.0) * col("sr") - col("sr2")
+      q.select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+        when(den > 0.0,
+          r6((lit(6.0) * (col("c1").cast("double") * col("c1") +
+            col("c2").cast("double") * col("c2") +
+            col("c3").cast("double") * col("c3")) -
+            lit(2.0) * col("sr").cast("double") * col("sr")) /
+            (lit(3.0) * col("sr").cast("double") - col("sr2"))))
+          .as("q_stat"))
+        .withColumn("reject_95",
+          col("q_stat").isNotNull && col("q_stat") > 5.991465)
+    }),
+
     // L253 — lexical-richness battery per source: Yule's K (repeat-
     // rate, length-invariant), Simpson's D (collision probability),
     // Honoré's H (hapax-weighted), Sichel's S (dis-legomena share) —
@@ -6813,6 +6850,36 @@ object LlmQueries {
          |       ELSE 0.0 END AS dup_char_frac
          |FROM t LEFT JOIN dm USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "cochran_q" ->
+      s"""WITH ca AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS f1
+         |            FROM ($sqlC4Rules)),
+         |gb AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS f2
+         |       FROM ($sqlGopherRules)),
+         |qc AS (SELECT doc_id,
+         |         CASE WHEN $sqlQualityExpr >= 2 THEN 1 ELSE 0 END AS f3
+         |       FROM documents),
+         |j AS (SELECT f1, f2, f3, f1 + f2 + f3 AS r
+         |      FROM ca JOIN gb USING (doc_id) JOIN qc USING (doc_id)),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(f1) AS BIGINT) AS c1, CAST(SUM(f2) AS BIGINT) AS c2,
+         |         CAST(SUM(f3) AS BIGINT) AS c3, CAST(SUM(r) AS BIGINT) AS sr,
+         |         CAST(SUM(r * r) AS BIGINT) AS sr2
+         |  FROM j),
+         |f AS (
+         |  SELECT n_docs, c1, c2, c3,
+         |         CASE WHEN 3e0 * sr - sr2 > 0e0 THEN
+         |           floor((6e0 * (CAST(c1 AS DOUBLE) * c1 +
+         |                         CAST(c2 AS DOUBLE) * c2 +
+         |                         CAST(c3 AS DOUBLE) * c3) -
+         |                  2e0 * CAST(sr AS DOUBLE) * sr) /
+         |                 (3e0 * CAST(sr AS DOUBLE) - sr2) * 1e6 + 5e-1) / 1e6
+         |         END AS q_stat
+         |  FROM a)
+         |SELECT n_docs, c1, c2, c3, q_stat,
+         |       (q_stat IS NOT NULL AND q_stat > 5.991465) AS reject_95
+         |FROM f""".stripMargin,
 
     "lexical_richness" ->
       s"""WITH tf AS (
