@@ -203,6 +203,10 @@ object CoreQueries {
   private val KCoreK = 3
   private val KCorePeelRounds = 4
 
+  /** k and peel-round count for `k_truss` (support threshold k−2). */
+  private val TrussK = 4
+  private val TrussRounds = 3
+
   /** Weisfeiler–Lehman refinement rounds + the shared hash constants —
     * single source of truth for the Spark loop and the oracle's unrolled
     * CTEs. The neighbor multiset is hashed COMMUTATIVELY (sum of
@@ -2820,6 +2824,114 @@ object CoreQueries {
         .orderBy("seed")
     }),
 
+    // L151 — k-truss peel (Cohen 2008) on the co-purchase graph: per
+    // round, every edge's SUPPORT (triangles through it = |N(u)∩N(v)|)
+    // is counted and edges with support < k−2 drop; the fixed point is
+    // the k-truss — a strictly stronger cohesion filter than kcore_peel
+    // (degree can be faked by star hubs; support demands actual
+    // triangle mass), the community-core extraction step before mining
+    // dense co-purchase clusters. Per round: one wedge join off the
+    // src-partitioned edge checkpoint (Σ_e min-deg work, the triangle-
+    // count kernel), an edge-keyed semi-join, re-checkpoint — never
+    // all-pairs, output is round-cardinality.
+    "k_truss" -> ((s, dir) => {
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") < col("dst"))
+      var e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+      val rounds = (1 to TrussRounds).map { r =>
+        val adj = e.select(col("src").as("z"), col("dst").as("n"))
+          .unionAll(e.select(col("dst").as("z"), col("src").as("n")))
+          .localCheckpoint(false) // both sides of the wedge join
+        val sup = e
+          .join(adj.select(col("z").as("src"), col("n").as("w")), "src")
+          .join(adj.select(col("z").as("dst"), col("n").as("w")),
+            Seq("dst", "w"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+        // support >= k-2 keeps the edge; edges with NO common neighbor
+        // produce no sup row and drop via the inner join — correct,
+        // 0 < k-2 for every k >= 3
+        e = sup.filter(col("sup") >= TrussK - 2).select("src", "dst")
+          .localCheckpoint(false)
+        e.agg(count(lit(1)).as("n_edges"))
+          .select(lit(r.toLong).as("round"), col("n_edges"))
+      }
+      rounds.reduce(_ unionAll _).orderBy("round")
+    }),
+
+    // L152 — frequent 3-itemsets (the Apriori/Eclat step after
+    // basket_affinity's pairs): top-20 part triples by co-purchase
+    // support — the market-basket rule-mining primitive ("these three
+    // parts ship together") one level deeper than pairwise lift. Scale
+    // shape: both joins are keyed on the ORDER (basket) key, and TPC-H
+    // baskets are bounded (≤7 items ⇒ ≤35 triples per order), so the
+    // explode is linear in fact size; the triple rollup is partial-agg
+    // friendly and the top-20 is a TakeOrdered, not a window.
+    "frequent_triples" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      b.as("a")
+        .join(b.as("c"),
+          col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk"))
+        .join(b.as("d"),
+          col("a.ok") === col("d.ok") && col("c.pk") < col("d.pk"))
+        .groupBy(col("a.pk").as("p1"), col("c.pk").as("p2"),
+          col("d.pk").as("p3"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(desc("support"), col("p1"), col("p2"), col("p3"))
+        .limit(20)
+    }),
+
+    // L153 — Theil inequality index with between/within decomposition
+    // (Theil 1967): per nation, T_g = (1/n_g)Σ(x/μ_g)ln(x/μ_g) over
+    // customer lifetime spend, the nation's spend share s_g, and the
+    // between-nation term s_g·ln(μ_g/μ) — the additively-decomposable
+    // inequality measure (Gini is not) that answers "is spend
+    // inequality WITHIN markets or BETWEEN them". One fact rollup to
+    // customer spend, nation-keyed joins; per-customer entropy terms
+    // 8dp-round into decimal sums (ln under the exp/ln floor-round
+    // house rule).
+    "theil_index" -> ((s, dir) => {
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(decSum(col("o_totalprice")).as("x"))
+      val nat = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+      val cx = cust.join(nat, "ck")
+        .localCheckpoint(false) // reused: group moments + entropy terms
+      val g = cx.groupBy("nk")
+        .agg(count(lit(1)).as("n_g"), decSum(col("x")).as("sx"))
+        .withColumn("mu_g", col("sx") / col("n_g"))
+        .localCheckpoint(false) // nation-sized; reused: totals + joins
+      val tot = broadcast(g.agg(
+        sum("n_g").as("n_tot"),
+        sum(col("sx").cast(DecimalType(18, 4))).cast("double").as("s_tot")))
+      val tw = cx.join(g.select("nk", "mu_g"), "nk")
+        .select(col("nk"),
+          r8(col("x") / col("mu_g") * log(col("x") / col("mu_g")))
+            .cast(DecimalType(18, 8)).as("term"))
+        .groupBy("nk")
+        .agg(sum("term").cast("double").as("st"))
+      g.join(tw, "nk").crossJoin(tot)
+        .select(col("nk").as("nationkey"), col("n_g").as("n_cust"),
+          r2(col("mu_g")).as("mean_spend"),
+          r6(col("sx") / col("s_tot")).as("spend_share"),
+          r6(col("st") / col("n_g")).as("theil_within"),
+          r6(col("sx") / col("s_tot") *
+            log(col("mu_g") / (col("s_tot") / col("n_tot"))))
+            .as("between_term"))
+        .orderBy("nationkey")
+    }),
+
     // L149 — Friedman rank test (Friedman 1937): do the five order
     // priorities differ in mean ticket within calendar-month blocks —
     // the repeated-measures complement of kruskal_wallis (KW pools all
@@ -4349,6 +4461,71 @@ object CoreQueries {
          |       floor(($harm) * 1e6 + 5e-1) / 1e6 AS harmonic
          |FROM w ORDER BY seed""".stripMargin
     },
+
+    "k_truss" -> {
+      val rounds = (1 to TrussRounds).map { r =>
+        s"""adj${r - 1} AS (SELECT src AS z, dst AS n FROM e${r - 1}
+           |             UNION ALL SELECT dst AS z, src AS n FROM e${r - 1}),
+           |sup${r - 1} AS (
+           |  SELECT ee.src, ee.dst, COUNT(*) AS sup
+           |  FROM e${r - 1} ee
+           |  JOIN adj${r - 1} a ON a.z = ee.src
+           |  JOIN adj${r - 1} b2 ON b2.z = ee.dst AND b2.n = a.n
+           |  GROUP BY ee.src, ee.dst),
+           |e$r AS (SELECT src, dst FROM sup${r - 1}
+           |        WHERE sup >= ${TrussK - 2})""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to TrussRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b2.pk AS dst
+         |       FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk),
+         |$rounds
+         |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+    },
+
+    "frequent_triples" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem)
+        |SELECT a.pk AS p1, c.pk AS p2, d.pk AS p3,
+        |       CAST(COUNT(*) AS BIGINT) AS support
+        |FROM b a
+        |JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |JOIN b d ON a.ok = d.ok AND c.pk < d.pk
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin,
+
+    "theil_index" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |cx AS MATERIALIZED (
+        |  SELECT ck, x, c_nationkey AS nk
+        |  FROM cust JOIN customer ON c_custkey = ck),
+        |g AS MATERIALIZED (
+        |  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu_g
+        |  FROM cx GROUP BY nk),
+        |tt AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+        |              CAST(SUM(CAST(sx AS DECIMAL(18,4))) AS DOUBLE) AS s_tot
+        |       FROM g),
+        |tw AS (
+        |  SELECT cx.nk,
+        |         CAST(SUM(CAST(floor(x / mu_g * ln(x / mu_g) * 1e8 + 5e-1) / 1e8
+        |                       AS DECIMAL(18,8))) AS DOUBLE) AS st
+        |  FROM cx JOIN g ON g.nk = cx.nk GROUP BY cx.nk)
+        |SELECT g.nk AS nationkey, n_g AS n_cust,
+        |       floor(mu_g * 1e2 + 5e-1) / 1e2 AS mean_spend,
+        |       floor(sx / s_tot * 1e6 + 5e-1) / 1e6 AS spend_share,
+        |       floor(st / n_g * 1e6 + 5e-1) / 1e6 AS theil_within,
+        |       floor(sx / s_tot * ln(mu_g / (s_tot / n_tot)) * 1e6 + 5e-1)
+        |         / 1e6 AS between_term
+        |FROM g JOIN tw ON tw.nk = g.nk CROSS JOIN tt
+        |ORDER BY nationkey""".stripMargin,
 
     "friedman_test" ->
       """WITH m AS (
