@@ -2932,6 +2932,37 @@ object CoreQueries {
         .orderBy("nationkey")
     }),
 
+    // L154 — Atkinson inequality index at ε = ½ per nation: A = 1 −
+    // ((1/n)Σ√x)²/μ over customer lifetime spend — the welfare-
+    // theoretic inequality measure whose ε names HOW MUCH the bottom
+    // matters (ε=½ keeps every operation a square root — IEEE-exact
+    // cross-engine, unlike a general pow). Complements theil_index
+    // (same spend frame): Atkinson answers "what fraction of total
+    // spend could be sacrificed for perfect equality at equal
+    // welfare". Fact rollup to customers, nation-keyed rollup; √x
+    // terms 6dp-round into decimal sums.
+    "atkinson_index" -> ((s, dir) => {
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(decSum(col("o_totalprice")).as("x"))
+      val nat = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+      cust.join(nat, "ck")
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_cust"),
+          decSum(col("x")).as("sx"),
+          sum(r6(sqrt(col("x"))).cast(DecimalType(18, 6))).cast("double")
+            .as("ssq"))
+        .select(col("nk").as("nationkey"), col("n_cust"),
+          r2(col("sx") / col("n_cust")).as("mean_spend"),
+          r6(lit(1.0) - (col("ssq") / col("n_cust")) *
+            (col("ssq") / col("n_cust")) / (col("sx") / col("n_cust")))
+            .as("atkinson_half"))
+        .orderBy("nationkey")
+    }),
+
     // L149 — Friedman rank test (Friedman 1937): do the five order
     // priorities differ in mean ticket within calendar-month blocks —
     // the repeated-measures complement of kruskal_wallis (KW pools all
@@ -4526,6 +4557,24 @@ object CoreQueries {
         |         / 1e6 AS between_term
         |FROM g JOIN tw ON tw.nk = g.nk CROSS JOIN tt
         |ORDER BY nationkey""".stripMargin,
+
+    "atkinson_index" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(floor(sqrt(x) * 1e6 + 5e-1) / 1e6
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS ssq
+        |  FROM cust JOIN customer ON c_custkey = ck
+        |  GROUP BY 1)
+        |SELECT nk AS nationkey, n_cust,
+        |       floor(sx / n_cust * 1e2 + 5e-1) / 1e2 AS mean_spend,
+        |       floor((1e0 - (ssq / n_cust) * (ssq / n_cust) / (sx / n_cust))
+        |             * 1e6 + 5e-1) / 1e6 AS atkinson_half
+        |FROM g ORDER BY nationkey""".stripMargin,
 
     "friedman_test" ->
       """WITH m AS (

@@ -1122,6 +1122,79 @@ object EventQueries {
           r6(exp(col("hr"))).as("perplexity"))
     }),
 
+    // Fano factor (index of dispersion) of daily event counts per
+    // event type: F = Var/Mean of the gapfilled per-day counts — the
+    // Poisson-null burstiness gauge (F≈1 Poisson arrivals, F>1
+    // bursty/clustered, F<1 regularized) an ingestion monitor reads
+    // per stream before alarming on volume spikes. Type×calendar grid
+    // (bounded), exact long count moments, closed-form sample variance.
+    "fano_factor" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val dayUs = 86400000000L
+      val counts = events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // reused: the day bounds + the grid join
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .crossJoin(counts.select("event_type").distinct())
+      val g = grid.join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      g.select(col("event_type"), col("n_days"),
+          (col("s1").cast("double") / col("n_days")).as("mean_raw"),
+          ((col("s2") - col("s1").cast("double") * col("s1") / col("n_days")) /
+            (col("n_days") - 1L)).as("var_raw"))
+        .select(col("event_type"), col("n_days"),
+          r6(col("mean_raw")).as("mean_count"), r6(col("var_raw")).as("var_count"),
+          r6(col("var_raw") / col("mean_raw")).as("fano"),
+          (r6(col("var_raw") / col("mean_raw")) > 1.0).as("overdispersed"))
+        .orderBy("event_type")
+    }),
+
+    // 2×2 cohort-conversion effect sizes: user-level odds ratio and
+    // relative risk of being a HEAVY BUYER (purchase share of the
+    // user's events ≥ 0.16 — per-user raw conversion is saturated in
+    // this data, so the share is the informative outcome) for the
+    // even- vs odd-user_id cohort, with the Wald 95% CI on the odds
+    // ratio — the epidemiology-grade readout an experiment writes next
+    // to prop_ztest's z (which tests EVENT-level rates; this one is
+    // per-SUBJECT, the design most A/B analyses actually want). One
+    // user-level rollup to a 2×2 (exact longs), closed-form ln/exp
+    // algebra under the house floor-round rule; degenerate cells
+    // (any zero) null the ratio outputs instead of dividing by zero.
+    "odds_ratio" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val u = events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("ne"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .select((col("user_id") % 2 === 0).cast("long").as("even"),
+          when(r6(col("np").cast("double") / col("ne")) >= 0.16, 1L)
+            .otherwise(0L).as("conv"))
+      val m = u.groupBy()
+        .agg(sum(col("even") * col("conv")).as("a"),
+          sum(col("even") * (lit(1L) - col("conv"))).as("b"),
+          sum((lit(1L) - col("even")) * col("conv")).as("c"),
+          sum((lit(1L) - col("even")) * (lit(1L) - col("conv"))).as("d"))
+      val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L
+      val orRaw = col("a").cast("double") * col("d") /
+        (col("b").cast("double") * col("c"))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("d"))
+      m.select(col("a"), col("b"), col("c"), col("d"),
+        when(ok, r6(orRaw)).as("odds_ratio"),
+        when(ok, r6((col("a").cast("double") / (col("a") + col("b"))) /
+          (col("c").cast("double") / (col("c") + col("d"))))).as("rel_risk"),
+        when(ok, r6(exp(log(orRaw) - lit(1.959964) * se))).as("or_ci_lo"),
+        when(ok, r6(exp(log(orRaw) + lit(1.959964) * se))).as("or_ci_hi"))
+    }),
+
     // Ljung–Box portmanteau test (Ljung & Box 1978) on the daily count
     // series: Q = n(n+2)·Σ_{k=1..7} ρ̂k²/(n−k) — "is there ANY serial
     // correlation in the first week of lags", the one-number white-noise
@@ -2222,6 +2295,65 @@ object EventQueries {
          |SELECT n_states, floor(hr * 1e6 + 5e-1) / 1e6 AS entropy_rate,
          |       floor(exp(hr) * 1e6 + 5e-1) / 1e6 AS perplexity
          |FROM a""".stripMargin,
+
+    "fano_factor" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |gd AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |et AS (SELECT DISTINCT event_type FROM c),
+        |g AS (
+        |  SELECT et.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(COALESCE(c.c, 0)) AS BIGINT) AS s1,
+        |         CAST(SUM(COALESCE(c.c, 0) * COALESCE(c.c, 0)) AS BIGINT) AS s2
+        |  FROM gd CROSS JOIN et
+        |  LEFT JOIN c ON c.event_type = et.event_type AND c.day = gd.day
+        |  GROUP BY et.event_type),
+        |r AS (
+        |  SELECT event_type, n_days,
+        |         CAST(s1 AS DOUBLE) / n_days AS mean_raw,
+        |         (s2 - CAST(s1 AS DOUBLE) * s1 / n_days) / (n_days - 1) AS var_raw
+        |  FROM g)
+        |SELECT event_type, n_days,
+        |       floor(mean_raw * 1e6 + 5e-1) / 1e6 AS mean_count,
+        |       floor(var_raw * 1e6 + 5e-1) / 1e6 AS var_count,
+        |       floor(var_raw / mean_raw * 1e6 + 5e-1) / 1e6 AS fano,
+        |       floor(var_raw / mean_raw * 1e6 + 5e-1) / 1e6 > 1e0 AS overdispersed
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    "odds_ratio" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS even,
+        |         CASE WHEN floor(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |                    * 1e6 + 5e-1) / 1e6 >= 0.16
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(SUM(even * conv) AS BIGINT) AS a,
+        |         CAST(SUM(even * (1 - conv)) AS BIGINT) AS b,
+        |         CAST(SUM((1 - even) * conv) AS BIGINT) AS c,
+        |         CAST(SUM((1 - even) * (1 - conv)) AS BIGINT) AS d
+        |  FROM u),
+        |x AS (
+        |  SELECT *,
+        |         (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok,
+        |         CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
+        |         sqrt(1e0 / a + 1e0 / b + 1e0 / c + 1e0 / d) AS se
+        |  FROM m)
+        |SELECT a, b, c, d,
+        |       CASE WHEN ok THEN floor(orr * 1e6 + 5e-1) / 1e6 END AS odds_ratio,
+        |       CASE WHEN ok THEN
+        |         floor((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+        |               * 1e6 + 5e-1) / 1e6 END AS rel_risk,
+        |       CASE WHEN ok THEN
+        |         floor(exp(ln(orr) - 1.959964 * se) * 1e6 + 5e-1) / 1e6
+        |       END AS or_ci_lo,
+        |       CASE WHEN ok THEN
+        |         floor(exp(ln(orr) + 1.959964 * se) * 1e6 + 5e-1) / 1e6
+        |       END AS or_ci_hi
+        |FROM x""".stripMargin,
 
     "ljung_box" -> {
       val K = 7

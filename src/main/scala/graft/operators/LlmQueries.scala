@@ -3970,6 +3970,47 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L257 — SumBasic extractive summarization (Nenkova & Vanderwende
+    // 2005): score every line of every doc by the MEAN corpus unigram
+    // probability of its tokens and keep the best line per doc — the
+    // frequency-driven "most representative sentence" extractor used
+    // to build summary/headline pairs from raw corpora (and the
+    // simplest member of the family TextRank refines). One corpus
+    // token-frequency rollup, one line explode joined against it
+    // (token-keyed shuffle), per-line means from 8dp-rounded decimal
+    // sums, then a doc-partitioned (bounded) top-1 window.
+    "extractive_summary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val tf = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .localCheckpoint(false) // reused: the total + the line join
+      val nT = broadcast(tf.agg(sum("f").as("n")))
+      val lineToks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("li", "l")))
+        .select(col("doc_id"), col("li").cast("long").as("li"),
+          explode(tokens(col("l"))).as("w"))
+      val scored = lineToks.join(tf, "w").crossJoin(nT)
+        .select(col("doc_id"), col("li"),
+          r8(col("f").cast("double") / col("n"))
+            .cast(DecimalType(18, 8)).as("p"))
+        .groupBy("doc_id", "li")
+        .agg(count(lit(1)).as("n_words"), sum("p").cast("double").as("sp"))
+        .select(col("doc_id"), col("li"), col("n_words"),
+          r6(col("sp") / col("n_words")).as("score"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("score"), col("li"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("li").as("best_line"),
+          col("n_words"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // L252 — Cochran's Q (Cochran 1950) across THREE correlated binary
     // quality filters on the same docs — C4 keep, Gopher keep, and
     // quality_score ≥ 2 — "do the k filters pass different fractions of
@@ -6850,6 +6891,39 @@ object LlmQueries {
          |       ELSE 0.0 END AS dup_char_frac
          |FROM t LEFT JOIN dm USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "extractive_summary" ->
+      s"""WITH tf AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($sqlTokens) AS w FROM documents) GROUP BY w),
+         |nt AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM tf),
+         |ls AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(generate_series(1, len(string_split(text, chr(10)))))
+         |              - 1 AS BIGINT) AS li,
+         |         unnest(string_split(text, chr(10))) AS l
+         |  FROM documents),
+         |lt AS (
+         |  SELECT doc_id, li,
+         |         unnest(list_filter(string_split_regex(trim(l), '\\s+'),
+         |                            t -> t <> '')) AS w
+         |  FROM ls),
+         |sc AS (
+         |  SELECT doc_id, li, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(CAST(floor(CAST(f AS DOUBLE) / n * 1e8 + 5e-1) / 1e8
+         |                       AS DECIMAL(18,8))) AS DOUBLE) AS sp
+         |  FROM lt JOIN tf USING (w) CROSS JOIN nt
+         |  GROUP BY doc_id, li),
+         |fin AS (
+         |  SELECT doc_id, li, n_words,
+         |         floor(sp / n_words * 1e6 + 5e-1) / 1e6 AS score
+         |  FROM sc),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY score DESC, li) AS rk
+         |  FROM fin)
+         |SELECT doc_id, li AS best_line, n_words, score
+         |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "cochran_q" ->
       s"""WITH ca AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS f1
