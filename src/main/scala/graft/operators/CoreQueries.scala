@@ -2932,6 +2932,34 @@ object CoreQueries {
         .orderBy("nationkey")
     }),
 
+    // L155 — power-law tail exponent by the Hill/MLE estimator (Hill
+    // 1975; Clauset-Shirer-Newman's continuous form): over customers
+    // whose lifetime spend exceeds x_min (= the mean — a deterministic,
+    // rank-free cutoff), α̂ = 1 + n/Σln(x/x_min) — "how heavy is the
+    // whale tail", the one-number companion to pareto_frontier and
+    // zipf_slope for spend concentration. One fact rollup + one
+    // broadcast cutoff + one conditional reduce; ln terms 8dp-round
+    // into decimal sums (house exp/ln rule).
+    "powerlaw_alpha" -> ((s, dir) => {
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(decSum(col("o_totalprice")).as("x"))
+        .localCheckpoint(false) // reused: the cutoff + the tail reduce
+      val xm = broadcast(cust.agg(
+        (decSum(col("x")) / count(lit(1))).as("x_min")))
+      cust.crossJoin(xm)
+        .filter(col("x") > col("x_min"))
+        .groupBy("x_min")
+        .agg(count(lit(1)).as("n_tail"),
+          sum(r8(log(col("x") / col("x_min"))).cast(DecimalType(18, 8)))
+            .cast("double").as("sl"))
+        .select(col("n_tail"), r2(col("x_min")).as("x_min"),
+          r6(lit(1.0) + col("n_tail") / col("sl")).as("alpha"))
+    }),
+
     // L154 — Atkinson inequality index at ε = ½ per nation: A = 1 −
     // ((1/n)Σ√x)²/μ over customer lifetime spend — the welfare-
     // theoretic inequality measure whose ε names HOW MUCH the bottom
@@ -4557,6 +4585,23 @@ object CoreQueries {
         |         / 1e6 AS between_term
         |FROM g JOIN tw ON tw.nk = g.nk CROSS JOIN tt
         |ORDER BY nationkey""".stripMargin,
+
+    "powerlaw_alpha" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |xm AS (SELECT CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |               AS x_min
+        |       FROM cust),
+        |a AS (
+        |  SELECT x_min, CAST(COUNT(*) AS BIGINT) AS n_tail,
+        |         CAST(SUM(CAST(floor(ln(x / x_min) * 1e8 + 5e-1) / 1e8
+        |                       AS DECIMAL(18,8))) AS DOUBLE) AS sl
+        |  FROM cust, xm WHERE x > x_min GROUP BY x_min)
+        |SELECT n_tail, floor(x_min * 1e2 + 5e-1) / 1e2 AS x_min,
+        |       floor((1e0 + n_tail / sl) * 1e6 + 5e-1) / 1e6 AS alpha
+        |FROM a""".stripMargin,
 
     "atkinson_index" ->
       """WITH cust AS (

@@ -1122,6 +1122,77 @@ object EventQueries {
           r6(exp(col("hr"))).as("perplexity"))
     }),
 
+    // Mann–Kendall trend test (Mann 1945, Kendall 1975) on the daily
+    // revenue series: S = Σ_{i<j} sign(x_j − x_i) over all day pairs,
+    // variance with the tie correction, continuity-corrected z — the
+    // distribution-free monotone-trend detector (the TEST usually
+    // paired with theilsen_trend's slope ESTIMATE). The pair join is
+    // CALENDAR²-sized (days², independent of fact size — the daily_acf
+    // argument taken to all lags), never data-sized; sign sums are
+    // exact longs and the variance is closed integer algebra.
+    "mann_kendall" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ser = dailySeries(s, dir)
+      val pairs = ser.select(col("day").as("d1"), col("x").as("x1"))
+        .join(ser.select(col("day").as("d2"), col("x").as("x2")),
+          col("d2") > col("d1"))
+        .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"))
+      val ties = ser.groupBy("x").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1L)
+        .agg(coalesce(sum(col("t") * (col("t") - 1L) *
+          (lit(2L) * col("t") + 5L)), lit(0L)).as("tie_corr"))
+      val n = broadcast(ser.agg(count(lit(1)).as("n")))
+      pairs.crossJoin(ties).crossJoin(n)
+        .withColumn("var_s",
+          (col("n").cast("double") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+            col("tie_corr")) / 18.0)
+        .select(col("n").as("n_days"), col("s").as("s_stat"),
+          r6(col("var_s")).as("var_s"),
+          r6(when(col("s") > 0L, (col("s") - 1L) / sqrt(col("var_s")))
+            .when(col("s") < 0L, (col("s") + 1L) / sqrt(col("var_s")))
+            .otherwise(lit(0.0))).as("z_stat"))
+    }),
+
+    // Dickey–Fuller unit-root test (Dickey & Fuller 1979; the non-
+    // augmented form): regress Δx_t on a constant and x_{t−1}; the
+    // t-statistic of ρ̂ against the −2.86 (5%, constant-only) critical
+    // value answers "is this series mean-reverting or a random walk" —
+    // the stationarity gate run before trusting any ARMA fit or
+    // z-score monitor on the level series. Day-cardinality lag +
+    // decimal-exact OLS moments + 6dp-rounded residual terms, exactly
+    // durbin_watson's determinism recipe.
+    "dickey_fuller" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val w = Window.orderBy("day")
+      val d = dailySeries(s, dir)
+        .withColumn("z", lag("x", 1).over(w))
+        .filter(col("z").isNotNull)
+        .select(col("day"), (col("x") - col("z")).as("y"), col("z"))
+        .localCheckpoint(false) // reused: moments + residual pass
+      val m = broadcast(d.agg(count(lit(1)).as("n"),
+        (decSum(col("y")) / count(lit(1))).as("muy"),
+        (decSum(col("z")) / count(lit(1))).as("muz")))
+      val st = broadcast(d.crossJoin(m).agg(
+        decSum(r6((col("z") - col("muz")) * (col("z") - col("muz")))).as("szz"),
+        decSum(r6((col("z") - col("muz")) * (col("y") - col("muy")))).as("szy"),
+        max("n").as("n"), max("muy").as("muy"), max("muz").as("muz")))
+      d.crossJoin(st)
+        .withColumn("rho", col("szy") / col("szz"))
+        .withColumn("icept", col("muy") - col("rho") * col("muz"))
+        .withColumn("e", r6(col("y") - col("icept") - col("rho") * col("z")))
+        .groupBy()
+        .agg(max("n").as("n_obs"), max("rho").as("rho_raw"),
+          max(col("szz")).as("szz2"),
+          decSum(r6(col("e") * col("e"))).as("ssr"))
+        .select(col("n_obs"), r6(col("rho_raw")).as("rho"),
+          r6(col("rho_raw") /
+            sqrt(col("ssr") / (col("n_obs") - 2L) / col("szz2")))
+            .as("t_stat"))
+        .withColumn("reject_unit_root_5pct", col("t_stat") < -2.86)
+    }),
+
     // Fano factor (index of dispersion) of daily event counts per
     // event type: F = Var/Mean of the gapfilled per-day counts — the
     // Poisson-null burstiness gauge (F≈1 Poisson arrivals, F>1
@@ -2295,6 +2366,60 @@ object EventQueries {
          |SELECT n_states, floor(hr * 1e6 + 5e-1) / 1e6 AS entropy_rate,
          |       floor(exp(hr) * 1e6 + 5e-1) / 1e6 AS perplexity
          |FROM a""".stripMargin,
+
+    "mann_kendall" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |p AS (SELECT CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+         |      FROM s a JOIN s b ON b.day > a.day),
+         |tc AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+         |               AS tie_corr
+         |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY x)
+         |       WHERE t > 1),
+         |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         |v AS (SELECT s, tie_corr, n,
+         |        (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_corr) / 18e0
+         |          AS var_s
+         |      FROM p, tc, n1)
+         |SELECT n AS n_days, s AS s_stat,
+         |       floor(var_s * 1e6 + 5e-1) / 1e6 AS var_s,
+         |       floor(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+         |                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+         |                  ELSE 0e0 END * 1e6 + 5e-1) / 1e6 AS z_stat
+         |FROM v""".stripMargin,
+
+    "dickey_fuller" ->
+      s"""WITH $sqlDailySeriesCtes,
+         |l AS (SELECT day, x - lag(x) OVER (ORDER BY day) AS y,
+         |             lag(x) OVER (ORDER BY day) AS z
+         |      FROM s),
+         |d AS MATERIALIZED (SELECT day, y, z FROM l WHERE z IS NOT NULL),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS muy,
+         |        CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS muz
+         |      FROM d),
+         |st AS (
+         |  SELECT CAST(SUM(CAST(floor((z - muz) * (z - muz) * 1e6 + 5e-1) / 1e6
+         |                       AS DECIMAL(18,6))) AS DOUBLE) AS szz,
+         |         CAST(SUM(CAST(floor((z - muz) * (y - muy) * 1e6 + 5e-1) / 1e6
+         |                       AS DECIMAL(18,6))) AS DOUBLE) AS szy,
+         |         MAX(n) AS n, MAX(muy) AS muy, MAX(muz) AS muz
+         |  FROM d, m),
+         |fit AS (SELECT d.*, st.n, szz, szy / szz AS rho,
+         |               muy - szy / szz * muz AS icept
+         |        FROM d, st),
+         |res AS (SELECT n, rho, szz,
+         |          floor((y - icept - rho * z) * 1e6 + 5e-1) / 1e6 AS e
+         |        FROM fit),
+         |a AS (SELECT MAX(n) AS n_obs, MAX(rho) AS rho_raw, MAX(szz) AS szz2,
+         |        CAST(SUM(CAST(floor(e * e * 1e6 + 5e-1) / 1e6
+         |                      AS DECIMAL(18,6))) AS DOUBLE) AS ssr
+         |      FROM res),
+         |f AS (SELECT n_obs, floor(rho_raw * 1e6 + 5e-1) / 1e6 AS rho,
+         |        floor(rho_raw / sqrt(ssr / (n_obs - 2) / szz2) * 1e6 + 5e-1)
+         |          / 1e6 AS t_stat
+         |      FROM a)
+         |SELECT n_obs, rho, t_stat, t_stat < -2.86 AS reject_unit_root_5pct
+         |FROM f""".stripMargin,
 
     "fano_factor" ->
       """WITH c AS (

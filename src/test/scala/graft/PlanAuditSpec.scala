@@ -97,7 +97,9 @@ class PlanAuditSpec extends SparkSpec {
       "max_drawdown", "var_historical", "abc_analysis",
       // classifier-eval family: ordered windows run over the 4dp
       // quantized score grid (<= 10^4+1 rows) / the 10-row decile rollup
-      "roc_auc", "lift_gains")
+      "roc_auc", "lift_gains",
+      // dickey_fuller's single lag runs over the day-cardinality series
+      "dickey_fuller")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
