@@ -1122,6 +1122,126 @@ object EventQueries {
           r6(exp(col("hr"))).as("perplexity"))
     }),
 
+    // Cross-correlation function between the daily purchase-count and
+    // daily total-value series at lags −7..+7: does volume LEAD value
+    // (marketing pushes convert days later) or lag it — the lead/lag
+    // diagnostic a forecaster runs before adding a regressor, and
+    // daily_acf's two-series sibling. Same scale shape: one day-grid
+    // rollup carrying BOTH series, deviations 6dp-round into decimal
+    // sums, the 15-lag × days self-join is calendar-sized.
+    "daily_ccf" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val dayUs = 86400000000L
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("a"), decSum(col("value")).as("b"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0.0)).as("b"))
+        .localCheckpoint(false) // feeds means, devs, both join sides
+      val m = broadcast(series.agg(
+        (sum("a").cast("double") / count(lit(1))).as("mua"),
+        (decSum(col("b")) / count(lit(1))).as("mub")))
+      val dev = series.crossJoin(m)
+        .select(col("day"), (col("a") - col("mua")).as("da"),
+          (col("b") - col("mub")).as("db"))
+        .localCheckpoint(false) // both join sides + both denominators
+      val den = broadcast(dev.agg(
+        decSum(r6(col("da") * col("da"))).as("dena"),
+        decSum(r6(col("db") * col("db"))).as("denb")))
+      dev.select(explode(sequence(lit(-7L), lit(7L))).as("lag_days"),
+          col("day"), col("da"))
+        .join(dev.select(col("day").as("day2"), col("db").as("db2")),
+          col("day2") === col("day") + col("lag_days"))
+        .groupBy("lag_days")
+        .agg(count(lit(1)).as("n_pairs"),
+          decSum(r6(col("da") * col("db2"))).as("num"))
+        .crossJoin(den)
+        .select(col("lag_days"), col("n_pairs"),
+          r6(col("num") / (sqrt(col("dena")) * sqrt(col("denb")))).as("ccf"))
+        .orderBy("lag_days")
+    }),
+
+    // Gumbel extreme-value fit by the method of moments over WEEKLY
+    // (7-day) block maxima of daily revenue: σ̂ = s√6/π, μ̂ = x̄ − γσ̂,
+    // and the 12-block return level μ̂ − σ̂·ln(−ln(1−1/12)) — "what's
+    // the worst day we should expect in a quarter", the capacity-
+    // planning number a close pipeline reports next to max_drawdown
+    // (EVT block-maxima form; constants are shared 10dp literals so
+    // both engines parse the identical double; week blocks because the
+    // event stream spans ~1 month). Day rollup → block maxima
+    // (calendar-sized) → one moment reduce.
+    "extreme_value_fit" -> ((s, dir) => {
+      def r2(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val dayUs = 86400000000L
+      val gamma = 0.5772156649
+      val pi10 = 3.1415926536
+      val daily = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+        .withColumn("m", expr("day div 7"))
+      val bm = daily.groupBy("m").agg(max("x").as("bx"))
+        .localCheckpoint(false) // month-cardinality; moments + SS pass
+      val mom = broadcast(bm.agg(count(lit(1)).as("n"),
+        (decSum(col("bx")) / count(lit(1))).as("mu")))
+      val st = bm.crossJoin(mom)
+        .agg(max("n").as("n_blocks"), max("mu").as("xbar"),
+          decSum(r6((col("bx") - col("mu")) * (col("bx") - col("mu"))))
+            .as("ss"))
+      val sig = sqrt(col("ss") / (col("n_blocks") - 1L)) *
+        sqrt(lit(6.0)) / lit(pi10)
+      val muh = col("xbar") - lit(gamma) * sig
+      st.select(col("n_blocks"), r2(col("xbar")).as("mean_max"),
+        r2(sig).as("sigma_hat"), r2(muh).as("mu_hat"),
+        r2(muh - sig * log(-log(lit(1.0) - lit(1.0) / 12.0)))
+          .as("return_level_12"))
+    }),
+
+    // Cohort LTV curve: per signup-week cohort and week-of-age offset,
+    // the cumulative revenue per cohort member — the lifetime-value
+    // trajectory ("week-6 LTV of the March cohort") that retention_
+    // cohorts' user counts price out. Cohort×offset grid is CALENDAR²-
+    // sized; weekly revenue decimal-sums once off the facts, the
+    // cumulative runs in a cohort-PARTITIONED window over offsets, and
+    // missing offsets gapfill to carry the curve flat.
+    "cohort_ltv" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val wkUs = 604800000000L
+      val e = events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $wkUs").as("wk"),
+          col("value"))
+      val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val joined = e.join(first, "user_id")
+        .localCheckpoint(false) // reused: cohort sizes + weekly revenue
+      val sizes = joined.select("user_id", "cohort_wk").distinct()
+        .groupBy("cohort_wk").agg(count(lit(1)).as("n_users"))
+      val weekly = joined
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("off"))
+        .agg(decSum(col("value")).as("rev"))
+      val grid = weekly.groupBy("cohort_wk").agg(max("off").as("mx"))
+        .select(col("cohort_wk"), explode(sequence(lit(0L), col("mx")))
+          .as("off"))
+      val w = Window.partitionBy("cohort_wk").orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(weekly, Seq("cohort_wk", "off"), "left")
+        .select(col("cohort_wk"), col("off"),
+          coalesce(col("rev"), lit(0.0)).as("rev"))
+        .withColumn("cum",
+          sum(col("rev").cast(DecimalType(18, 6))).over(w).cast("double"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("off").as("offset_wk"), col("n_users"),
+          r6(col("cum") / col("n_users")).as("ltv_per_user"))
+        .orderBy("cohort_wk", "offset_wk")
+    }),
+
     // Mann–Kendall trend test (Mann 1945, Kendall 1975) on the daily
     // revenue series: S = Σ_{i<j} sign(x_j − x_i) over all day pairs,
     // variance with the tie correction, continuity-corrected z — the
@@ -2366,6 +2486,97 @@ object EventQueries {
          |SELECT n_states, floor(hr * 1e6 + 5e-1) / 1e6 AS entropy_rate,
          |       floor(exp(hr) * 1e6 + 5e-1) / 1e6 AS perplexity
          |FROM a""".stripMargin,
+
+    "daily_ccf" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS b
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS MATERIALIZED (
+        |  SELECT g.day, COALESCE(c.a, 0) AS a, COALESCE(c.b, 0.0) AS b
+        |  FROM g LEFT JOIN c USING (day)),
+        |m AS (SELECT CAST(SUM(a) AS DOUBLE) / COUNT(*) AS mua,
+        |             CAST(SUM(CAST(b AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mub
+        |      FROM s),
+        |dv AS MATERIALIZED (
+        |  SELECT day, a - mua AS da, b - mub AS db FROM s, m),
+        |den AS (
+        |  SELECT CAST(SUM(CAST(floor(da * da * 1e6 + 5e-1) / 1e6
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS dena,
+        |         CAST(SUM(CAST(floor(db * db * 1e6 + 5e-1) / 1e6
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS denb
+        |  FROM dv),
+        |l AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag_days),
+        |p AS (SELECT l.lag_days, x.da, y.db AS db2
+        |      FROM dv x CROSS JOIN l
+        |      JOIN dv y ON y.day = x.day + l.lag_days)
+        |SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       floor(CAST(SUM(CAST(floor(da * db2 * 1e6 + 5e-1) / 1e6
+        |                          AS DECIMAL(18,6))) AS DOUBLE)
+        |             / (sqrt(dena) * sqrt(denb)) * 1e6 + 5e-1) / 1e6 AS ccf
+        |FROM p, den GROUP BY lag_days, dena, denb
+        |ORDER BY lag_days""".stripMargin,
+
+    "extreme_value_fit" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |bm AS MATERIALIZED (
+        |  SELECT day // 7 AS m, MAX(x) AS bx
+        |  FROM d GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(CAST(bx AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+        |        FROM bm),
+        |st AS (
+        |  SELECT MAX(n) AS n_blocks, MAX(mu) AS xbar,
+        |         CAST(SUM(CAST(floor((bx - mu) * (bx - mu) * 1e6 + 5e-1) / 1e6
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS ss
+        |  FROM bm, mom),
+        |f AS (
+        |  SELECT n_blocks, xbar,
+        |         sqrt(ss / (n_blocks - 1)) * sqrt(6e0) / 3.1415926536 AS sig
+        |  FROM st),
+        |f2 AS (SELECT n_blocks, xbar, sig,
+        |              xbar - 0.5772156649 * sig AS muh
+        |       FROM f)
+        |SELECT n_blocks, floor(xbar * 1e2 + 5e-1) / 1e2 AS mean_max,
+        |       floor(sig * 1e2 + 5e-1) / 1e2 AS sigma_hat,
+        |       floor(muh * 1e2 + 5e-1) / 1e2 AS mu_hat,
+        |       floor((muh - sig * ln(-ln(1e0 - 1e0 / 12e0))) * 1e2 + 5e-1) / 1e2
+        |         AS return_level_12
+        |FROM f2""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk, value
+        |           FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+        |j AS MATERIALIZED (
+        |  SELECT e.user_id, e.wk, e.value, fw.cohort_wk
+        |  FROM e JOIN fw USING (user_id)),
+        |sz AS (SELECT cohort_wk, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |              AS n_users
+        |       FROM j GROUP BY 1),
+        |wv AS (SELECT cohort_wk, wk - cohort_wk AS off,
+        |              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |       FROM j GROUP BY 1, 2),
+        |gr AS (SELECT cohort_wk, unnest(generate_series(0, MAX(off))) AS off
+        |       FROM wv GROUP BY cohort_wk),
+        |fl AS (SELECT gr.cohort_wk, gr.off, COALESCE(wv.rev, 0.0) AS rev
+        |       FROM gr LEFT JOIN wv USING (cohort_wk, off)),
+        |cm AS (
+        |  SELECT cohort_wk, off,
+        |         CAST(SUM(CAST(rev AS DECIMAL(18,6)))
+        |              OVER (PARTITION BY cohort_wk ORDER BY off
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+        |  FROM fl)
+        |SELECT cm.cohort_wk, CAST(cm.off AS BIGINT) AS offset_wk, sz.n_users,
+        |       floor(cm.cum / sz.n_users * 1e6 + 5e-1) / 1e6 AS ltv_per_user
+        |FROM cm JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, offset_wk""".stripMargin,
 
     "mann_kendall" ->
       s"""WITH $sqlDailySeriesCtes,

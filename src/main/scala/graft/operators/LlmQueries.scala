@@ -3970,6 +3970,43 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L258 — nearest-centroid classifier evaluation (Rocchio): assign
+    // every embedding to its closest label centroid (euclidean,
+    // deterministic label tie-break) and report the confusion matrix —
+    // the linear-time label-quality audit run before trusting labels
+    // for supervised mixing (label_noise_knn's kNN audit is local;
+    // this is the global prototype view). Centroids are decimal-exact
+    // label-cardinality state (the label_centroids path), broadcast to
+    // one linear scan; the argmin is a vec-partitioned k-row window.
+    "nearest_centroid_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = embs(s, dir)
+        .select(col("label"), col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("e"))
+      val cvec = e.select(col("label"), posexplode(col("e")))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast("decimal(38,7)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c"))
+        .withColumnRenamed("label", "clabel")
+      val pred = e.crossJoin(broadcast(cvec))
+        .withColumn("dist", Similarity.euclidean(col("e"), col("c")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("clabel").as("pred_label"))
+      val tot = pred.groupBy("label").agg(count(lit(1)).as("n_label"))
+      pred.groupBy("label", "pred_label").agg(count(lit(1)).as("n_vecs"))
+        .join(tot, "label")
+        .select(col("label"), col("pred_label"), col("n_vecs"),
+          r6(col("n_vecs").cast("double") / col("n_label")).as("row_share"))
+        .orderBy("label", "pred_label")
+    }),
+
     // L257 — SumBasic extractive summarization (Nenkova & Vanderwende
     // 2005): score every line of every doc by the MEAN corpus unigram
     // probability of its tokens and keep the best line per doc — the
@@ -6891,6 +6928,38 @@ object LlmQueries {
          |       ELSE 0.0 END AS dup_char_frac
          |FROM t LEFT JOIN dm USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "nearest_centroid_eval" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT label,
+        |         unnest(generate_series(1, len(e))) - 1 AS pos,
+        |         unnest(e) AS x
+        |  FROM v),
+        |cm AS (
+        |  SELECT label, pos,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, pos),
+        |cv AS (SELECT label AS clabel, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+        |d AS (
+        |  SELECT v.vec_id, v.label, cv.clabel,
+        |         sqrt(list_sum(list_transform(list_zip(v.e, cv.c),
+        |              p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM v CROSS JOIN cv),
+        |rk AS (
+        |  SELECT label, clabel AS pred_label,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist, clabel) AS rk
+        |  FROM d),
+        |p AS (SELECT label, pred_label FROM rk WHERE rk = 1),
+        |tt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+        |       FROM p GROUP BY label)
+        |SELECT p.label, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       floor(CAST(COUNT(*) AS DOUBLE) / MAX(tt.n_label) * 1e6 + 5e-1)
+        |         / 1e6 AS row_share
+        |FROM p JOIN tt USING (label)
+        |GROUP BY p.label, p.pred_label
+        |ORDER BY p.label, p.pred_label""".stripMargin,
 
     "extractive_summary" ->
       s"""WITH tf AS (
