@@ -2932,6 +2932,39 @@ object CoreQueries {
         .orderBy("nationkey")
     }),
 
+    // L156 — log-log price elasticity per brand: OLS slope of
+    // ln(quantity) on ln(net unit price) across the brand's parts —
+    // the constant-elasticity demand estimate ("−1.3: a 1% price cut
+    // buys 1.3% more volume") every pricing review starts from (and
+    // corr_pricing's causal-flavored sibling: correlation says THAT
+    // they move together, the elasticity says HOW MUCH). One fact
+    // rollup to part-level (q, p), ln terms 6dp-round into decimal
+    // brand moments, closed-form slope/intercept.
+    "price_elasticity" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      val parts = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum("l_quantity").as("q"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("r"))
+        .select(col("p_brand"), r6(log(col("q"))).as("lq"),
+          r6(log(col("r") / col("q"))).as("lp"))
+      parts.groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          decSum(col("lq"), 6).as("sq"), decSum(col("lp"), 6).as("sp"),
+          decSum(r6(col("lq") * col("lp")), 6).as("sqp"),
+          decSum(r6(col("lp") * col("lp")), 6).as("spp"))
+        .select(col("p_brand"), col("n_parts"),
+          r6((col("sqp") - col("sq") * col("sp") / col("n_parts")) /
+            (col("spp") - col("sp") * col("sp") / col("n_parts")))
+            .as("elasticity"),
+          r6(col("sq") / col("n_parts")).as("mean_ln_qty"),
+          r6(col("sp") / col("n_parts")).as("mean_ln_price"))
+        .orderBy("p_brand")
+    }),
+
     // L155 — power-law tail exponent by the Hill/MLE estimator (Hill
     // 1975; Clauset-Shirer-Newman's continuous form): over customers
     // whose lifetime spend exceeds x_min (= the mean — a deterministic,
@@ -4585,6 +4618,31 @@ object CoreQueries {
         |         / 1e6 AS between_term
         |FROM g JOIN tw ON tw.nk = g.nk CROSS JOIN tt
         |ORDER BY nationkey""".stripMargin,
+
+    "price_elasticity" ->
+      """WITH parts AS (
+        |  SELECT p_brand,
+        |         floor(ln(SUM(l_quantity)) * 1e6 + 5e-1) / 1e6 AS lq,
+        |         floor(ln(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                                AS DECIMAL(18,4))) AS DOUBLE)
+        |                  / SUM(l_quantity)) * 1e6 + 5e-1) / 1e6 AS lp
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_partkey),
+        |g AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |         CAST(SUM(CAST(lq AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+        |         CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+        |         CAST(SUM(CAST(floor(lq * lp * 1e6 + 5e-1) / 1e6
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS sqp,
+        |         CAST(SUM(CAST(floor(lp * lp * 1e6 + 5e-1) / 1e6
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS spp
+        |  FROM parts GROUP BY p_brand)
+        |SELECT p_brand, n_parts,
+        |       floor((sqp - sq * sp / n_parts) / (spp - sp * sp / n_parts)
+        |             * 1e6 + 5e-1) / 1e6 AS elasticity,
+        |       floor(sq / n_parts * 1e6 + 5e-1) / 1e6 AS mean_ln_qty,
+        |       floor(sp / n_parts * 1e6 + 5e-1) / 1e6 AS mean_ln_price
+        |FROM g ORDER BY p_brand""".stripMargin,
 
     "powerlaw_alpha" ->
       """WITH cust AS (

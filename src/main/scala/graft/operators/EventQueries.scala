@@ -1122,6 +1122,38 @@ object EventQueries {
           r6(exp(col("hr"))).as("perplexity"))
     }),
 
+    // Expected steps to absorption: from each event type, the expected
+    // number of transitions until the user's chain first hits
+    // 'purchase' — x = 1 + Qx on the purchase-deleted transition
+    // matrix, truncated Neumann series (16 rounds, the pagerank/
+    // markov_stationary iteration budget) — the funnel-depth summary
+    // ("a view is on average N steps from money") that markov_
+    // stationary's long-run shares don't answer. Shares markovChain's
+    // one raw-event lag pass; every round is a TYPE²-sized join with
+    // DECIMAL(28,18)-routed contraction sums.
+    "absorbing_time" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val (p, _) = markovChain(s, dir)
+      val q = p.filter(col("src") =!= "purchase" && col("dst") =!= "purchase")
+        .localCheckpoint(false) // reused every round
+      val states = q.select(col("src").as("st")).distinct()
+        .localCheckpoint(false) // reused every round + final
+      var x = states.select(col("st"), lit(1.0).as("x"))
+      for (_ <- 1 to 16) {
+        val mult = q.join(x.withColumnRenamed("st", "dst"), "dst")
+          .select(col("src").as("st"),
+            (col("p") * col("x")).cast(DecimalType(28, 18)).as("m"))
+          .groupBy("st").agg(sum("m").cast("double").as("qx"))
+        x = states.join(mult, Seq("st"), "left")
+          .select(col("st"), (lit(1.0) + coalesce(col("qx"), lit(0.0))).as("x"))
+          .localCheckpoint(false) // consumed by the next round twice
+      }
+      x.select(col("st").as("event_type"),
+          r6(col("x")).as("exp_steps_to_purchase"))
+        .orderBy("event_type")
+    }),
+
     // Cross-correlation function between the daily purchase-count and
     // daily total-value series at lags −7..+7: does volume LEAD value
     // (marketing pushes convert days later) or lag it — the lead/lag
@@ -2486,6 +2518,29 @@ object EventQueries {
          |SELECT n_states, floor(hr * 1e6 + 5e-1) / 1e6 AS entropy_rate,
          |       floor(exp(hr) * 1e6 + 5e-1) / 1e6 AS perplexity
          |FROM a""".stripMargin,
+
+    "absorbing_time" -> {
+      val rounds = (1 to 16).map { i =>
+        s"""m$i AS (SELECT q.src AS st,
+           |          CAST(SUM(CAST(q.p * x${i - 1}.x AS DECIMAL(28,18)))
+           |               AS DOUBLE) AS qx
+           |        FROM q JOIN x${i - 1} ON x${i - 1}.st = q.dst
+           |        GROUP BY q.src),
+           |x$i AS MATERIALIZED (
+           |  SELECT sts.st, 1e0 + COALESCE(m$i.qx, 0e0) AS x
+           |  FROM sts LEFT JOIN m$i ON m$i.st = sts.st)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlMarkovChain,
+         |q AS MATERIALIZED (
+         |  SELECT src, dst, p FROM p
+         |  WHERE src <> 'purchase' AND dst <> 'purchase'),
+         |sts AS (SELECT DISTINCT src AS st FROM q),
+         |x0 AS (SELECT st, 1e0 AS x FROM sts),
+         |$rounds
+         |SELECT st AS event_type,
+         |       floor(x * 1e6 + 5e-1) / 1e6 AS exp_steps_to_purchase
+         |FROM x16 ORDER BY event_type""".stripMargin
+    },
 
     "daily_ccf" ->
       """WITH c AS (

@@ -3970,6 +3970,52 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L259 — Dirichlet-smoothed query-likelihood retrieval (Ponte &
+    // Croft 1998; Zhai & Lafferty 2001, μ = 2000): score(q,d) =
+    // Σ_t ln((tf_td + μ·P(t|C))/(|d| + μ)) over the shared 3-term
+    // query — the language-modeling ranking function next to
+    // bm25_search (LM vs TF-IDF, the two classic lexical retrieval
+    // families; RRF fuses this kind of pair). Zero-tf terms still
+    // contribute the smoothed mass, so scoring is ONE corpus stats
+    // broadcast + one doc-length scan with a pinned 3-way conditional
+    // pivot (no per-term shuffle); ln terms 6dp-round and sum in
+    // fixed written order.
+    "query_likelihood" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val terms = Seq("spark", "join", "window")
+      val mu = 2000.0
+      val d = docs(s, dir)
+      val corpusAggs = count(lit(1)).as("ctot") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          sum(when(col("t") === tm, 1L).otherwise(0L)).as(s"cf$i") }
+      val corpus = broadcast(d
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy()
+        .agg(corpusAggs.head, corpusAggs.tail: _*))
+      val tfp = d
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy("doc_id")
+        .agg(terms.zipWithIndex.map { case (tm, i) =>
+          sum(when(col("t") === tm, 1L).otherwise(0L)).as(s"tf$i") }.head,
+          terms.zipWithIndex.map { case (tm, i) =>
+            sum(when(col("t") === tm, 1L).otherwise(0L)).as(s"tf$i") }.tail: _*)
+      val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      val scoredTerms = terms.indices.map(i =>
+        r6(log((coalesce(col(s"tf$i"), lit(0L)) +
+          lit(mu) * col(s"cf$i") / col("ctot")) / (col("dl") + lit(mu)))))
+      dl.join(tfp, Seq("doc_id"), "left")
+        .crossJoin(corpus)
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          terms.indices.map(i =>
+            (coalesce(col(s"tf$i"), lit(0L)) > 0L).cast("long"))
+            .reduce(_ + _).as("n_terms"),
+          scoredTerms.reduce(_ + _).as("ql_score"))
+        .orderBy(desc("ql_score"), col("doc_id"))
+        .limit(50)
+    }),
+
     // L258 — nearest-centroid classifier evaluation (Rocchio): assign
     // every embedding to its closest label centroid (euclidean,
     // deterministic label tie-break) and report the confusion matrix —
@@ -6928,6 +6974,34 @@ object LlmQueries {
          |       ELSE 0.0 END AS dup_char_frac
          |FROM t LEFT JOIN dm USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "query_likelihood" -> {
+      val terms = Seq("spark", "join", "window")
+      val cfCols = terms.zipWithIndex.map { case (tm, i) =>
+        s"CAST(SUM(CASE WHEN t = '$tm' THEN 1 ELSE 0 END) AS BIGINT) AS cf$i"
+      }.mkString(", ")
+      val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+        s"CAST(SUM(CASE WHEN t = '$tm' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+      }.mkString(", ")
+      val scored = terms.indices.map(i =>
+        s"floor(ln((COALESCE(tf$i, 0) + 2e3 * cf$i / ctot) / (dl + 2e3)) " +
+          s"* 1e6 + 5e-1) / 1e6").mkString(" + ")
+      val nMatch = terms.indices.map(i =>
+        s"CASE WHEN COALESCE(tf$i, 0) > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS t FROM documents),
+         |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot, $cfCols FROM tok),
+         |tfp AS (SELECT doc_id, $tfCols FROM tok
+         |        WHERE t IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |        GROUP BY doc_id),
+         |dl AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl
+         |       FROM documents)
+         |SELECT dl.doc_id, dl.dl,
+         |       CAST($nMatch AS BIGINT) AS n_terms,
+         |       $scored AS ql_score
+         |FROM dl LEFT JOIN tfp ON tfp.doc_id = dl.doc_id
+         |CROSS JOIN corpus
+         |ORDER BY ql_score DESC, dl.doc_id LIMIT 50""".stripMargin
+    },
 
     "nearest_centroid_eval" ->
       """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
