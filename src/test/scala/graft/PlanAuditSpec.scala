@@ -99,7 +99,10 @@ class PlanAuditSpec extends SparkSpec {
       // quantized score grid (<= 10^4+1 rows) / the 10-row decile rollup
       "roc_auc", "lift_gains",
       // dickey_fuller's single lag runs over the day-cardinality series
-      "dickey_fuller")
+      "dickey_fuller",
+      // nelson_aalen shares kaplan_meier's shape: exclusivePrefix's
+      // coarse carry window is the constant CumBuckets rollup
+      "nelson_aalen")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
