@@ -2825,39 +2825,77 @@ object CoreQueries {
     }),
 
     // L151 — k-truss peel (Cohen 2008) on the co-purchase graph: per
-    // round, every edge's SUPPORT (triangles through it = |N(u)∩N(v)|)
-    // is counted and edges with support < k−2 drop; the fixed point is
-    // the k-truss — a strictly stronger cohesion filter than kcore_peel
-    // (degree can be faked by star hubs; support demands actual
-    // triangle mass), the community-core extraction step before mining
-    // dense co-purchase clusters. Per round: one wedge join off the
-    // src-partitioned edge checkpoint (Σ_e min-deg work, the triangle-
-    // count kernel), an edge-keyed semi-join, re-checkpoint — never
-    // all-pairs, output is round-cardinality.
+    // round, every edge's SUPPORT (triangles through it) is counted and
+    // edges with support < k−2 drop; the fixed point is the k-truss —
+    // a strictly stronger cohesion filter than kcore_peel (degree can
+    // be faked by star hubs; support demands actual triangle mass),
+    // the community-core extraction step before mining dense
+    // co-purchase clusters. Per round the support count runs the
+    // clustering_coeff kernel — degree-ORIENTED wedges (Σ C(deg⁺,2)
+    // work, not Σ deg² — a naive both-direction adjacency join
+    // measured 40s at sf0.1; this shape runs the round in ~2s), a
+    // fixed-1MB bloom prefilter on the closure probe, shuffle_hash
+    // confirm — then each triangle votes support to its 3 canonical
+    // edges and the edge-keyed threshold re-checkpoints the survivor
+    // graph. Never all-pairs; output is round-cardinality.
     "k_truss" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
       val bo = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("items"))
       val e0 = bo.select(explode(col("items")).as("src"), col("items"))
         .select(col("src"), explode(col("items")).as("dst"))
         .filter(col("src") < col("dst"))
-      var e = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
-          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+      var e = CheckpointBridge.partitionedCheckpoint(e0,
+        shufflePartitions(s), Seq("src"), Seq("src", "dst"),
+        dedupSorted = true, declareStats = false)
       val rounds = (1 to TrussRounds).map { r =>
-        val adj = e.select(col("src").as("z"), col("dst").as("n"))
-          .unionAll(e.select(col("dst").as("z"), col("src").as("n")))
-          .localCheckpoint(false) // both sides of the wedge join
-        val sup = e
-          .join(adj.select(col("z").as("src"), col("n").as("w")), "src")
-          .join(adj.select(col("z").as("dst"), col("n").as("w")),
-            Seq("dst", "w"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
-        // support >= k-2 keeps the edge; edges with NO common neighbor
-        // produce no sup row and drop via the inner join — correct,
-        // 0 < k-2 for every k >= 3
-        e = sup.filter(col("sup") >= TrussK - 2).select("src", "dst")
-          .localCheckpoint(false)
+        val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+          .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
+          .groupBy("n").agg(sum("d").as("d"))
+        val oriented0 = e
+          .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
+          .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
+          .select(
+            when(col("ds") < col("dd") ||
+              (col("ds") === col("dd") && col("src") < col("dst")),
+              struct(col("src").as("u"), col("dst").as("v"),
+                col("dd").as("dv")))
+              .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+                col("ds").as("dv"))).as("o"))
+          .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+        val oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
+          shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
+        val wedges = oriented
+          .select(col("u"), col("v").as("a"), col("dv").as("da"))
+          .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
+            Seq("u"))
+          .filter(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")))
+        val edgeBloom = s.sparkContext.broadcast(
+          oriented.select(xxhash64(col("u"), col("v")).as("k"))
+            .stat.bloomFilter("k", 4000000L, 1L << 23))
+        val tris = wedges
+          .filter(graft.functions.BloomMightContain.mightContainLong(
+            edgeBloom, xxhash64(col("a"), col("b"))))
+          .join(oriented.select(col("u").as("a"), col("v").as("b"))
+            .hint("shuffle_hash"), Seq("a", "b"))
+          .select(col("u"), col("a"), col("b"))
+        val sup = tris.select(explode(array(
+            struct(least(col("u"), col("a")).as("es"),
+              greatest(col("u"), col("a")).as("ed")),
+            struct(least(col("u"), col("b")).as("es"),
+              greatest(col("u"), col("b")).as("ed")),
+            struct(least(col("a"), col("b")).as("es"),
+              greatest(col("a"), col("b")).as("ed")))).as("t"))
+          .groupBy(col("t.es").as("src"), col("t.ed").as("dst"))
+          .agg(count(lit(1)).as("sup"))
+        // support >= k-2 keeps the edge; edges in NO triangle produce
+        // no sup row and drop implicitly — correct, 0 < k-2 for k >= 3
+        e = CheckpointBridge.partitionedCheckpoint(
+          sup.filter(col("sup") >= TrussK - 2).select("src", "dst"),
+          shufflePartitions(s), Seq("src"), Seq("src", "dst"),
+          dedupSorted = true, declareStats = false)
         e.agg(count(lit(1)).as("n_edges"))
           .select(lit(r.toLong).as("round"), col("n_edges"))
       }

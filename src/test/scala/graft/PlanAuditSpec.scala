@@ -132,7 +132,10 @@ class PlanAuditSpec extends SparkSpec {
   private val ConstructionJobsAllowlist =
     Set("ann_ivf_topk", "ann_ivf_recall", "ann_tuning_curve",
       "semantic_dedup", "cluster_balance", "cluster_purity",
-      "clustering_coeff", "label_noise_knn", "bpe_apply")
+      "clustering_coeff", "label_noise_knn", "bpe_apply",
+      // k_truss: clustering_coeff's fixed-1MB wedge-prune bloom, built
+      // once per peel round (TrussRounds bounded sketches)
+      "k_truss")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {
