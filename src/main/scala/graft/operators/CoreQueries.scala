@@ -2846,58 +2846,82 @@ object CoreQueries {
       val e0 = bo.select(explode(col("items")).as("src"), col("items"))
         .select(col("src"), explode(col("items")).as("dst"))
         .filter(col("src") < col("dst"))
-      var e = CheckpointBridge.partitionedCheckpoint(e0,
+      val e = CheckpointBridge.partitionedCheckpoint(e0,
         shufflePartitions(s), Seq("src"), Seq("src", "dst"),
         dedupSorted = true, declareStats = false)
+      // ONE bloom, canonical-keyed, built from the START edges: rounds
+      // only SHRINK the edge set, so the round-1 filter stays a valid
+      // superset prefilter for every later round (false positives are
+      // confirm-joined away below). Rebuilding per round — the r8 shape
+      // — paid a full pass + driver collect each time for nothing.
+      val edgeBloom = s.sparkContext.broadcast(
+        e.select(xxhash64(col("src"), col("dst")).as("k"))
+          .stat.bloomFilter("k", 4000000L, 1L << 23))
+      // ONE degree pass + ONE fixed acyclic orientation (start degrees,
+      // id tiebreak). Support is orientation-INDEPENDENT — any fixed
+      // total order gives each triangle exactly one apex (its rank-min
+      // node) and each triangle votes all 3 of its edges — so the
+      // survivor set each round is identical to the textbook per-round
+      // re-orientation; freezing it drops 3 degree aggs + 6 orientation
+      // joins + 2 bloom builds from the loop. The trade: later rounds'
+      // wedge fan-out uses slightly stale out-degrees, on inputs that
+      // are already a fraction of round 1's.
+      val dk = e.select(explode(array(col("src"), col("dst"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented0 = e
+        .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
+        .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
+        .select(
+          when(col("ds") < col("dd") ||
+            (col("ds") === col("dd") && col("src") < col("dst")),
+            struct(col("src").as("u"), col("dst").as("v"),
+              col("dd").as("dv")))
+            .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+              col("ds").as("dv"))).as("o"))
+        .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      var oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
+        shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
       val rounds = (1 to TrussRounds).map { r =>
-        val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-          .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
-          .groupBy("n").agg(sum("d").as("d"))
-        val oriented0 = e
-          .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
-          .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
-          .select(
-            when(col("ds") < col("dd") ||
-              (col("ds") === col("dd") && col("src") < col("dst")),
-              struct(col("src").as("u"), col("dst").as("v"),
-                col("dd").as("dv")))
-              .otherwise(struct(col("dst").as("u"), col("src").as("v"),
-                col("ds").as("dv"))).as("o"))
-          .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-        val oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
-          shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
         val wedges = oriented
           .select(col("u"), col("v").as("a"), col("dv").as("da"))
           .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
             Seq("u"))
           .filter(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")))
-        val edgeBloom = s.sparkContext.broadcast(
-          oriented.select(xxhash64(col("u"), col("v")).as("k"))
-            .stat.bloomFilter("k", 4000000L, 1L << 23))
         val tris = wedges
           .filter(graft.functions.BloomMightContain.mightContainLong(
-            edgeBloom, xxhash64(col("a"), col("b"))))
+            edgeBloom, xxhash64(least(col("a"), col("b")),
+              greatest(col("a"), col("b")))))
           .join(oriented.select(col("u").as("a"), col("v").as("b"))
             .hint("shuffle_hash"), Seq("a", "b"))
-          .select(col("u"), col("a"), col("b"))
+          .select(col("u"), col("a"), col("b"), col("da"), col("db"))
+        // votes stay in ORIENTED form — (u→a) and (u→b) are the apex's
+        // out-edges, (a→b) is the closing edge already oriented by the
+        // wedge filter — so survivors re-enter the loop with no
+        // re-canonicalize/re-orient step; dv rides along (functional
+        // on the head node, free in the groupBy)
         val sup = tris.select(explode(array(
-            struct(least(col("u"), col("a")).as("es"),
-              greatest(col("u"), col("a")).as("ed")),
-            struct(least(col("u"), col("b")).as("es"),
-              greatest(col("u"), col("b")).as("ed")),
-            struct(least(col("a"), col("b")).as("es"),
-              greatest(col("a"), col("b")).as("ed")))).as("t"))
-          .groupBy(col("t.es").as("src"), col("t.ed").as("dst"))
+            struct(col("u").as("eu"), col("a").as("ev"), col("da").as("dd")),
+            struct(col("u").as("eu"), col("b").as("ev"), col("db").as("dd")),
+            struct(col("a").as("eu"), col("b").as("ev"), col("db").as("dd"))))
+            .as("t"))
+          .groupBy(col("t.eu").as("u"), col("t.ev").as("v"), col("t.dd").as("dv"))
           .agg(count(lit(1)).as("sup"))
         // support >= k-2 keeps the edge; edges in NO triangle produce
         // no sup row and drop implicitly — correct, 0 < k-2 for k >= 3
-        e = CheckpointBridge.partitionedCheckpoint(
-          sup.filter(col("sup") >= TrussK - 2).select("src", "dst"),
-          shufflePartitions(s), Seq("src"), Seq("src", "dst"),
-          dedupSorted = true, declareStats = false)
-        e.agg(count(lit(1)).as("n_edges"))
-          .select(lit(r.toLong).as("round"), col("n_edges"))
+        val survivors = sup.filter(col("sup") >= TrussK - 2)
+          .select("u", "v", "dv")
+        if (r < TrussRounds) {
+          // survivors feed the next round 3x (both wedge sides + the
+          // confirm join) — checkpoint; the LAST round's survivors are
+          // read once, by the count, so the cut would be pure waste
+          oriented = CheckpointBridge.partitionedCheckpoint(survivors,
+            shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
+          oriented.agg(count(lit(1)).as("n_edges"))
+            .select(lit(r.toLong).as("round"), col("n_edges"))
+        } else
+          survivors.agg(count(lit(1)).as("n_edges"))
+            .select(lit(r.toLong).as("round"), col("n_edges"))
       }
       rounds.reduce(_ unionAll _).orderBy("round")
     }),
