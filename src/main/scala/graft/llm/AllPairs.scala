@@ -117,21 +117,27 @@ object AllPairs {
       .select("a_id", "b_id")
       .distinct()
       .repartition(np, col("a_id"))
-    // exact verification over ALL shared terms (not just prefix ones):
-    // candidate-keyed joins back to the full weight table. BROADCAST
-    // both weight sides: the table is bounded by the caller's sample
-    // slice (tfidfUnitWeights output for the docs passed in — the
-    // registered query feeds the EvalSampleBound slice), and a
-    // checkpointed frame's stats would otherwise read as "huge" and
-    // force the multi-million-row candidate×terms expansion through a
-    // sort-merge exchange (measured: 2.1s → broadcast-hash drops the
-    // verify's shuffles entirely; the per-pair partial aggregate then
-    // combines map-side)
-    val ua = broadcast(u.select(col("id").as("a_id"), col("token"), col("u").as("ua")))
-    val ub = broadcast(u.select(col("id").as("b_id"), col("token"), col("u").as("ub")))
-    cand.join(ua, "a_id").join(ub, Seq("b_id", "token"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_shared"), microSum(col("ua"), col("ub")))
+    // exact verification over ALL shared terms (not just prefix ones),
+    // as ONE sparse-dot merge per candidate pair: each doc's terms
+    // collapse to a token-sorted struct array (doc-length-bounded), and
+    // the native sparse_dot_micro kernel two-pointer-merges the pair's
+    // arrays — same long-micro arithmetic as microSum, NO per-term row
+    // expansion (the join-form verify blew 500k candidates into ~11.5M
+    // candidate×term rows before its aggregate collapsed them; measured
+    // ~2.9s of the 4.6s total at 1k docs — the kernel does the same sum
+    // inside the pair row). BROADCAST both vector sides: doc-count-sized
+    // (bounded by the caller's sample slice — the registered query feeds
+    // EvalSampleBound), and the checkpointed frame's stats would
+    // otherwise read as "huge" and force a sort-merge exchange.
+    val vecs = u.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("token"), col("u")))).as("terms"))
+    val va = broadcast(vecs.select(col("id").as("a_id"), col("terms").as("ta")))
+    val vb = broadcast(vecs.select(col("id").as("b_id"), col("terms").as("tb")))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.SparseDot.sparseDotMicro(col("ta"), col("tb")).as("sd"))
+      .select(col("a_id"), col("b_id"), col("sd.n_shared").as("n_shared"),
+        (col("sd.micros").cast("double") / lit(1e6)).as("cos"))
       .filter(col("cos") >= lit(threshold))
   }
 
