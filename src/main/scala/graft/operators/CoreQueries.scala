@@ -1671,14 +1671,13 @@ object CoreQueries {
       val e = org.apache.spark.sql.graftbridge.CheckpointBridge
         .partitionedCheckpoint(e0, shufflePartitions(s), Seq("src"),
           Seq("src", "dst"), dedupSorted = true, declareStats = false)
-      // degree = head-incidences + tail-incidences, merged as two
-      // node-sized partial counts — the old e ∪ reverse(e) union paid a
-      // full edge-sized exchange for its groupBy; the head count here
-      // is exchange-free (e is src-partitioned) and the merge shuffles
-      // only node-sized aggregates
-      val dk = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
-        .union(e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("d")))
-        .groupBy("n").agg(sum("d").as("d"))
+      // degree via ONE explode + partial-agg pass over the checkpoint,
+      // localCheckpointed because THREE subtrees read it (both
+      // orientation joins + the output's degree column) — without the
+      // cut each copy re-aggregated the full edge list
+      val dk = e.select(explode(array(col("src"), col("dst"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .localCheckpoint(false)
       val deg = dk.select(col("n").as("src"), col("d").as("degree"))
       // orient each edge from the (degree, id)-smaller endpoint; carry the
       // head's order key so wedge pairs can be emitted in closure order
@@ -1701,31 +1700,34 @@ object CoreQueries {
       val oriented = org.apache.spark.sql.graftbridge.CheckpointBridge
         .partitionedCheckpoint(oriented0, shufflePartitions(s), Seq("u"), Seq("u"),
           declareStats = false)
-      val wedges = oriented.select(col("u"), col("v").as("a"), col("dv").as("da"))
-        .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
-          Seq("u"))
-        .filter(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")))
-      // Bloom-prefilter the closure probe BEFORE its exchange: wedges
-      // outnumber triangles ~20:1 here (41M wedges → 1.9M triangles at
-      // sf0.1), so shuffling every wedge to the (a,b) join is the
-      // dominant cost of the whole query. The filter is built over the
-      // xxhash64 of each oriented edge by a distributed aggregate
-      // (`stat.bloomFilter`), capped at a FIXED 8M bits (1 MB) — driver
-      // and broadcast state stay constant at any SF (at 1.2M edges the
-      // fpp is ~3%: ~1M extra probe rows vs the 4 MB sketch, while the
-      // aggregate's driver-side merge of one sketch per task drops 4× —
-      // measured 1.0s → 0.3s of the query at sf0.1); on graphs with far
-      // more edges the fpp degrades gracefully and the exact join below
-      // still confirms every survivor, so the operator stays exact
-      // (hash collisions likewise only add probe rows, never results).
-      // Broadcast HANDLE, not embedded bytes: see BloomMightContainLong.
+      // Wedge generation + bloom prefilter FUSED into one kernel over
+      // rank-sorted adjacency arrays (see WedgeClosures): the join-form
+      // wedge self-join was exchange-free but materialized every wedge
+      // as a join-machinery row before the bloom dropped ~93% of them
+      // (41M wedge rows → 1.9M triangles at sf0.1 — row production was
+      // the dominant cost of the whole query). The kernel enumerates
+      // the same C(d⁺,2) pairs in a JIT'd loop and emits only bloom
+      // survivors; out-degrees are orientation-bounded (≈√m) so the
+      // per-row loop and output array stay bounded at any SF. The bloom
+      // is CANONICAL-keyed (least, greatest) — a FIXED 8M bits (1 MB):
+      // driver and broadcast state constant at any SF, fpp ~3% at 1.2M
+      // edges, degrading gracefully on bigger graphs — and the exact
+      // confirm join below keeps the operator exact regardless of fpp
+      // or hash collisions. Broadcast HANDLE, not embedded bytes: see
+      // BloomMightContainLong.
       val edgeBloom = s.sparkContext.broadcast(
-        oriented.select(xxhash64(col("u"), col("v")).as("k"))
+        oriented.select(xxhash64(least(col("u"), col("v")),
+          greatest(col("u"), col("v"))).as("k"))
           .stat.bloomFilter("k", 4000000L, 1L << 23))
-      val tris = wedges
-        .filter(graft.functions.BloomMightContain.mightContainLong(
-          edgeBloom, xxhash64(col("a"), col("b"))))
+      // adjacency off the u-partitioned checkpoint: exchange-free
+      // groupBy; sort by (dv, v) = the wedge rank order, so ordered
+      // array positions i<j ARE the oriented wedges
+      val adj = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+      val tris = adj
+        .select(col("u"), explode(graft.functions.WedgeClosures
+          .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+        .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
         // shuffle_hash: the confirm side is the (small) oriented edge
         // list — hash-building it per partition skips the SMJ sort of
         // the bloom-surviving wedge stream on both sides
@@ -2882,16 +2884,20 @@ object CoreQueries {
       var oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
         shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
       val rounds = (1 to TrussRounds).map { r =>
-        val wedges = oriented
-          .select(col("u"), col("v").as("a"), col("dv").as("da"))
-          .join(oriented.select(col("u"), col("v").as("b"), col("dv").as("db")),
-            Seq("u"))
-          .filter(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")))
-        val tris = wedges
-          .filter(graft.functions.BloomMightContain.mightContainLong(
-            edgeBloom, xxhash64(least(col("a"), col("b")),
-              greatest(col("a"), col("b")))))
+        // wedge generation + bloom prefilter fused into the
+        // WedgeClosures kernel over rank-sorted adjacency arrays (the
+        // clustering_coeff shape — see there for the full rationale):
+        // adjacency groups exchange-free off the u-partitioned
+        // checkpoint, the kernel enumerates C(d⁺,2) pairs in a JIT'd
+        // loop, and only bloom survivors become rows for the exact
+        // confirm join
+        val adj = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+        val tris = adj
+          .select(col("u"), explode(graft.functions.WedgeClosures
+            .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+          .select(col("u"), col("w.a").as("a"), col("w.b").as("b"),
+            col("w.da").as("da"), col("w.db").as("db"))
           .join(oriented.select(col("u").as("a"), col("v").as("b"))
             .hint("shuffle_hash"), Seq("a", "b"))
           .select(col("u"), col("a"), col("b"), col("da"), col("db"))

@@ -1,21 +1,123 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 // Temporary stage-level profiler for the graph-family constant-factor hunt.
 object Prof {
+  private def time(name: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").format("noop").save()
+    println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val q = sys.env.getOrElse("SPARK_GRAFT_PROF_Q", "pagerank")
-    val df = graft.SparkEntry.queries(q)(s, dir)
-    df.write.mode("overwrite").format("noop").save()
-    println(df.queryExecution.executedPlan.toString.take(12000))
+    // warm-up: file indexes + codegen
+    Seq("lineitem", "documents").foreach(t =>
+      s.read.parquet(s"$dir/$t.parquet").count())
+    if (q == "allpairs_stages") {
+      import org.apache.spark.sql.functions._
+      val iters = 3
+      (1 to iters).foreach { i =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 1000)
+        val np = 32
+        time(s"[$i] tfidf_weights") {
+          graft.llm.AllPairs.tfidfUnitWeights(d, "doc_id", "text")
+        }
+        val u = org.apache.spark.sql.graftbridge.CheckpointBridge
+          .partitionedCheckpoint(
+            graft.llm.AllPairs.tfidfUnitWeights(d, "doc_id", "text"), np,
+            Seq("id"), Seq("id", "sdf", "token"))
+        time(s"[$i] ckpt_materialize") { u.select("id") }
+        import org.apache.spark.sql.expressions.Window
+        def r6(c: org.apache.spark.sql.Column) =
+          floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val maxw = u.groupBy("token").agg(max("u").as("maxw"))
+        val contrib = u.join(maxw, "token")
+          .withColumn("tail", sum(r6(col("u") * col("maxw"))
+            .cast("decimal(18,6)")).over(
+            Window.partitionBy("id").orderBy(col("sdf"), col("token"))
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        val prefix = contrib.filter(col("tail").cast("double") >= lit(0.9))
+        time(s"[$i] prefix") { prefix }
+        val cand = prefix.select(col("token"), col("id").as("a_id"))
+          .repartition(np, col("token"))
+          .join(prefix.select(col("token"), col("id").as("b_id")), Seq("token"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+          .repartition(np, col("a_id"))
+        time(s"[$i] candidates") { cand }
+        time(s"[$i] full") {
+          graft.llm.AllPairs.tfidfNearDupPairs(d, "doc_id", "text", 0.9)
+            .orderBy("a_id", "b_id")
+        }
+        println(s"PROF [$i] cand_count " + cand.count())
+      }
+    } else if (q == "cc_stages") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      (1 to 3).foreach { i =>
+        val bo = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items"))
+        val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+          .select(col("src"), explode(col("items")).as("dst"))
+          .filter(col("src") < col("dst"))
+        val t0 = System.nanoTime()
+        val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+        time(s"[$i] edge_ckpt") { e.limit(1) }
+        val dk = e.select(explode(array(col("src"), col("dst"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("d")).localCheckpoint(false)
+        time(s"[$i] degrees") { dk.limit(1) }
+        val oriented0 = e
+          .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
+          .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
+          .select(when(col("ds") < col("dd") ||
+              (col("ds") === col("dd") && col("src") < col("dst")),
+              struct(col("src").as("u"), col("dst").as("v"), col("dd").as("dv")))
+            .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+              col("ds").as("dv"))).as("o"))
+          .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+        val oriented = CheckpointBridge.partitionedCheckpoint(oriented0, 32,
+          Seq("u"), Seq("u"), declareStats = false)
+        time(s"[$i] oriented_ckpt") { oriented.limit(1) }
+        val tb = System.nanoTime()
+        val edgeBloom = s.sparkContext.broadcast(
+          oriented.select(xxhash64(least(col("u"), col("v")),
+            greatest(col("u"), col("v"))).as("k"))
+            .stat.bloomFilter("k", 4000000L, 1L << 23))
+        println(f"PROF [$i] bloom_build ${(System.nanoTime() - tb) / 1e9}%8.3f s")
+        val adj = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+        val wed = adj.select(col("u"), explode(graft.functions.WedgeClosures
+            .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+          .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
+        time(s"[$i] wedges_kernel") { wed }
+        val tris = wed
+          .join(oriented.select(col("u").as("a"), col("v").as("b"))
+            .hint("shuffle_hash"), Seq("a", "b"))
+          .select(col("u"), col("a"), col("b"))
+        time(s"[$i] tris_confirm") { tris }
+        val tri = tris.select(explode(array(col("u"), col("a"), col("b"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n_triangles"))
+        time(s"[$i] tri_counts") { tri }
+        println(f"PROF [$i] total_from_ckpt ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+    } else {
+      val df = graft.SparkEntry.queries(q)(s, dir)
+      df.write.mode("overwrite").format("noop").save()
+      println(df.queryExecution.executedPlan.toString.take(12000))
+    }
     s.stop()
   }
 }
