@@ -524,6 +524,115 @@ object Similarity {
                         cs: Array[Array[Double]]): DataFrame =
     semanticDedupOn(clusterAssignments(corpus, idCol, vecCol, cs), threshold)
 
+  // ---- PQ (product quantization) ----
+
+  /** Deterministic product-quantization codebooks (Jégou et al. 2011):
+    * the vector space splits into `m` contiguous subspaces of dim/m
+    * dims, and each subspace trains its own k-codeword codebook by the
+    * SAME deterministic Lloyd chain as [[ivfCentroids]] over the sliced
+    * corpus (lowest-id seeds, decimal-exact means) — so the "trained"
+    * index has one exact answer an external oracle reproduces. Returns
+    * codebooks(subspace)(codeword)(pos): m·k·(dim/m) doubles total —
+    * parameter-sized, the IVF-codebook convention (only parameters ever
+    * reach the driver; train on a hash-sample at cluster scale).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { si =>
+      ivfCentroids(corpus.select(col(idCol),
+          slice(col(vecCol), si * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, k, iters)
+    }
+  }
+
+  /** The trained codebooks as a parameter-sized DataFrame
+    * (subspace, cl, cvec) — the join-side shape of the ADC lookup
+    * tables and the distortion report (m·k rows; always broadcast).
+    */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+                   cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, si) =>
+      cb.zipWithIndex.map { case (c, cl) => (si.toLong, cl.toLong, c.toSeq) }
+    }.toSeq.toDF("subspace", "cl", "cvec")
+  }
+
+  /** PQ code assignment, long form (vec_id, subspace, code): ONE corpus
+    * scan computes all m sub-assignments (each a broadcast-codebook
+    * nearest-centroid probe over the slice), then stacks them — the
+    * fact-sized side of every ADC query plan.
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val sc = corpus.sparkSession.sparkContext
+    val sub = cbs(0)(0).length
+    val bcs = cbs.map(cb => sc.broadcast(cb))
+    val wide = corpus.select(
+      col(idCol).cast("long").as("vec_id") +:
+        bcs.zipWithIndex.map { case (bc, si) =>
+          clusterOf(slice(toDouble(col(vecCol)), si * sub + 1, sub), bc)
+            .cast("long").as(s"c$si")
+        }.toSeq: _*)
+    wide.selectExpr("vec_id",
+      s"stack(${cbs.length}, " +
+        cbs.indices.map(i => s"CAST($i AS BIGINT), c$i").mkString(", ") +
+        ") AS (subspace, code)")
+  }
+
+  /** Per-(query, subspace, codeword) ADC lookup table: the squared-L2
+    * distance from the query's slice to every codeword, per-position
+    * terms 8dp-floor-rounded into an exact DECIMAL sum (the engine-
+    * portable spelling — see the ANN oracles). Parameter-sized
+    * (|queries|·m·k rows); the corpus never appears.
+    */
+  def pqAdcLut(queries: DataFrame, idCol: String, vecCol: String,
+               cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = cbs(0)(0).length
+    val cbDf = pqCodebookDf(queries.sparkSession, cbs)
+    queries.select(col(idCol).cast("long").as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cbDf))
+      .select(col("query_id"), col("subspace"), col("cl"),
+        posexplode(col("cvec")).as(Seq("pos", "cval")),
+        col("qv"))
+      .withColumn("qval",
+        element_at(col("qv"), (col("subspace") * sub + col("pos") + 1).cast("int")))
+      .withColumn("t",
+        (floor((col("qval") - col("cval")) * (col("qval") - col("cval"))
+          * lit(1e8) + lit(0.5)) / lit(1e8)).cast("decimal(28,8)"))
+      .groupBy("query_id", "subspace", "cl")
+      .agg(sum(col("t")).as("d2"))
+  }
+
+  /** PQ asymmetric-distance top-k: corpus rows are scanned as CODES
+    * only (m small ints per vector — the 8–32× memory shape that lets
+    * a 100 TB corpus serve ANN from RAM); each query's distance to a
+    * corpus vector is the exact DECIMAL sum of m LUT entries. The LUT
+    * is parameter-sized and broadcast; the only fact-sized flow is
+    * codes → per-(query, vec) partial aggregate → top-k.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, cbs: Array[Array[Array[Double]]],
+                k: Int): DataFrame = {
+    val codes = pqCodes(corpus, idCol, vecCol, cbs)
+    val lut = pqAdcLut(queries, idCol, vecCol, cbs)
+    codes.join(broadcast(lut),
+        codes("subspace") === lut("subspace") && codes("code") === lut("cl"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_dec"))
+      .withColumn("adc",
+        floor(col("adc_dec").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dec"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+
   /** The within-cell pair stage over an existing (id, v, cluster)
     * assignment — split out so callers can interpose the cell-size
     * guard (CoreQueries.blockSizeGuard) or a custom assignment between

@@ -176,6 +176,16 @@ object LlmQueries {
   private[operators] val EvalSampleBound = 1000
   private[operators] val PrefixEvalBound = 500
 
+  /** Product-quantization knobs — single source of truth for the Spark
+    * index (Similarity.pqCodebooks) and the oracle's per-subspace CTE
+    * chains: PqM contiguous subspaces of PqSub dims (= the 64-dim
+    * embedding), PqK codewords each, PqIters Lloyd rounds.
+    */
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqSub = 16
+
   /** Number of greedy BPE merge steps `bpe_apply` learns and applies —
     * the single source of truth for the Spark learning loop AND the
     * oracle's unrolled CTE chain (the PageRankIters convention).
@@ -368,6 +378,151 @@ object LlmQueries {
   /** Query multiprobe + candidate CTEs for the IVF chain: `$prefix_ap`
     * holds the approximate (query_id, neighbor_id) top-k.
     */
+  /** One PQ subspace's WITH-bodies: the slice CTE `vp$si` over
+    * `e[lo:hi]`, then the SAME deterministic Lloyd chain as
+    * [[ivfChainCtes]] with every CTE name prefixed `p${si}_` (codebook
+    * in `p${si}_cent$iters`, corpus codes in `p${si}_assign`).
+    */
+  private def pqChainCtes(si: Int, k: Int, iters: Int): String = {
+    val lo = si * PqSub + 1
+    val hi = (si + 1) * PqSub
+    def assign(name: String, centPrev: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT v.vec_id, s.cl,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${ivfScore("v.e")}, s.cl) AS rn
+         |    FROM vp$si v CROSS JOIN $centPrev s)
+         |  WHERE rn = 1)"""
+    val rounds = (1 to iters).map { t =>
+      s"""${assign(s"p${si}_a$t", s"p${si}_cent${t - 1}")},
+         |p${si}_m$t AS (
+         |  SELECT cl, pos, CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT a.cl, unnest(v.e) AS val, generate_subscripts(v.e, 1) AS pos
+         |        FROM p${si}_a$t a JOIN vp$si v USING (vec_id))
+         |  GROUP BY cl, pos),
+         |p${si}_c$t AS (SELECT cl, list(m ORDER BY pos) AS c FROM p${si}_m$t GROUP BY cl),
+         |p${si}_cent$t AS (
+         |  SELECT s.cl, COALESCE(c.c, s.c) AS c
+         |  FROM p${si}_cent${t - 1} s LEFT JOIN p${si}_c$t c USING (cl))"""
+    }.mkString(",\n")
+    s"""vp$si AS (SELECT vec_id, e[$lo:$hi] AS e FROM v),
+       |p${si}_cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
+       |  FROM (SELECT vec_id, e FROM vp$si ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assign(s"p${si}_assign", s"p${si}_cent$iters")}""".stripMargin
+  }
+
+  /** All PqM subspace chains plus the two union views every PQ oracle
+    * reads: `pq_cbu(subspace, cl, c)` — the trained codebooks — and
+    * `pq_codes(vec_id, subspace, code)` — the corpus codes.
+    */
+  private def pqAllCtes(iters: Int): String = {
+    val chains = (0 until PqM).map(si => pqChainCtes(si, PqK, iters)).mkString(",\n")
+    val cbu = (0 until PqM).map(si =>
+      s"SELECT CAST($si AS BIGINT) AS subspace, cl, c FROM p${si}_cent$iters")
+      .mkString("\n  UNION ALL ")
+    val codes = (0 until PqM).map(si =>
+      s"SELECT vec_id, CAST($si AS BIGINT) AS subspace, cl AS code FROM p${si}_assign")
+      .mkString("\n  UNION ALL ")
+    s"""$chains,
+       |pq_cbu AS ($cbu),
+       |pq_codes AS ($codes)""".stripMargin
+  }
+
+  /** Oracle for `pq_codebooks`: the per-subspace Lloyd chains, then the
+    * (subspace, codeword) occupancy + mean 8dp-exact squared
+    * reconstruction error rollup.
+    */
+  private def pqCodebooksOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${pqAllCtes(PqIters)},
+       |terms AS (
+       |  SELECT c.vec_id, c.subspace, c.code, v.e AS fe,
+       |         unnest(cb.c) AS cval, generate_subscripts(cb.c, 1) AS pos
+       |  FROM pq_codes c
+       |  JOIN pq_cbu cb ON cb.subspace = c.subspace AND cb.cl = c.code
+       |  JOIN v ON v.vec_id = c.vec_id),
+       |d AS (
+       |  SELECT vec_id, subspace, code,
+       |         SUM(CAST(floor((fe[subspace * $PqSub + pos] - cval)
+       |                        * (fe[subspace * $PqSub + pos] - cval)
+       |                        * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8))) AS d2
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT subspace, code AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       floor(CAST(SUM(d2) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_dist2
+       |FROM d GROUP BY 1, 2 ORDER BY subspace, cluster""".stripMargin
+
+  /** The ADC LUT + ranked top-k CTEs (`adc_ranked`), assuming `v`,
+    * `pq_cbu`, `pq_codes` in scope: per-(query, subspace, codeword)
+    * 8dp-exact decimal distances, summed per (query, vec) over the m
+    * code lookups.
+    */
+  private def pqAdcCtes(k: Int): String =
+    s"""lutq AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+       |lut_terms AS (
+       |  SELECT q.query_id, cb.subspace, cb.cl, q.e AS qe,
+       |         unnest(cb.c) AS cval, generate_subscripts(cb.c, 1) AS pos
+       |  FROM lutq q CROSS JOIN pq_cbu cb),
+       |lut AS (
+       |  SELECT query_id, subspace, cl,
+       |         SUM(CAST(floor((qe[subspace * $PqSub + pos] - cval)
+       |                        * (qe[subspace * $PqSub + pos] - cval)
+       |                        * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8))) AS d2
+       |  FROM lut_terms GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d2) AS adc_dec
+       |  FROM pq_codes c
+       |  JOIN lut l ON l.subspace = c.subspace AND l.cl = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |adc_ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dec,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dec, neighbor_id) AS rank
+       |  FROM adc)""".stripMargin
+
+  /** Oracle for `ann_pq_topk`. */
+  private def pqAdcTopKOracle(k: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${pqAllCtes(PqIters)},
+       |${pqAdcCtes(k)}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       floor(CAST(adc_dec AS DOUBLE) * 1e6 + 0.5) / 1e6 AS adc
+       |FROM adc_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for `pq_recall`: exact squared-L2 top-k (ranked by the
+    * ivfScore spelling ‖c‖² − 2·q·c, monotone in L2) ∩ the ADC top-k.
+    */
+  private def pqRecallOracle(k: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${pqAllCtes(PqIters)},
+       |${pqAdcCtes(k)},
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_sum(list_transform(c.e, x -> x*x)) - 2.0 *
+       |           list_sum(list_transform(list_zip(q.e, c.e), p -> p[1]*p[2])) AS score
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score, neighbor_id) AS rank
+       |    FROM exs)
+       |  WHERE rank <= $k),
+       |ap AS (SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= $k),
+       |h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+       |n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |      FROM ex GROUP BY 1)
+       |SELECT n.query_id, n.n_exact,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_exact * 1e6 + 0.5)
+       |         / 1e6 AS recall
+       |FROM n LEFT JOIN h ON n.query_id = h.query_id
+       |ORDER BY n.query_id""".stripMargin
+
   private def ivfApCtes(prefix: String, nProbe: Int, k: Int, iters: Int): String =
     s"""${prefix}_probes AS (
        |  SELECT vec_id AS query_id, e, cl FROM (
@@ -2221,6 +2376,96 @@ object LlmQueries {
         Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 10, cs, nProbe = p),
         Similarity.ivfCandidatesWith(e, q, "vec_id", "embedding", cs, nProbe = p)))
       (lsh ++ ivf).reduce(_.union(_)).orderBy("family", "param")
+    }),
+
+    // L281 — product-quantization codebook report (Jégou et al. 2011):
+    // the 64-dim space splits into PqM=4 contiguous subspaces, each
+    // trained by the deterministic Lloyd chain (lowest-id seeds,
+    // decimal-exact means — the IVF convention, so the "trained" index
+    // has ONE exact answer); output is the per-(subspace, codeword)
+    // occupancy and mean squared reconstruction error — the table that
+    // tells you whether m·k is sized right BEFORE re-encoding 100 TB.
+    // Scale shape: codebooks are parameter-sized driver state (the IVF
+    // contract); the distortion pass is one corpus scan joined to the
+    // broadcast codebook, per-position terms 8dp-floored into exact
+    // decimal sums.
+    "pq_codebooks" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqM, PqK, PqIters)
+      val cbDf = broadcast(Similarity.pqCodebookDf(s, cbs))
+      val codes = Similarity.pqCodes(e, "vec_id", "embedding", cbs)
+      val vecs = e.select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.toDouble(col("embedding")).as("fe"))
+      val d = codes
+        .join(cbDf, codes("subspace") === cbDf("subspace") &&
+          codes("code") === cbDf("cl"))
+        .select(codes("vec_id"), codes("subspace"), codes("code"), col("cvec"))
+        .join(vecs, "vec_id")
+        .select(col("vec_id"), col("subspace"), col("code"),
+          posexplode(col("cvec")).as(Seq("pos", "cval")), col("fe"))
+        .withColumn("qval", element_at(col("fe"),
+          (col("subspace") * PqSub + col("pos") + 1).cast("int")))
+        .withColumn("t", (floor((col("qval") - col("cval")) *
+          (col("qval") - col("cval")) * lit(1e8) + lit(0.5)) / lit(1e8))
+          .cast("decimal(28,8)"))
+        .groupBy("vec_id", "subspace", "code").agg(sum(col("t")).as("d2"))
+      d.groupBy(col("subspace"), col("code").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum(col("d2")).cast("double") / count(lit(1)) * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("avg_dist2"))
+        .orderBy("subspace", "cluster")
+    }),
+
+    // L282 — PQ asymmetric-distance top-k (the ADC search loop): corpus
+    // rows are scanned as CODES only — m small ints per vector, the
+    // 8–32× compression that lets a 100 TB corpus serve ANN from RAM —
+    // and each query's distance is the exact DECIMAL sum of m broadcast
+    // LUT entries (per-position terms 8dp-floored, so both engines sum
+    // identical rationals). The only fact-sized flow is codes →
+    // per-(query, vec) partial aggregate → top-k.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqM, PqK, PqIters)
+      Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", cbs, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // L283 — PQ recall vs the exact squared-L2 top-10 (ADC approximates
+    // L2, so the honest ground truth is the L2 ranking, not cosine):
+    // the acceptance gate before shipping a PQ index — the compression
+    // is free only if recall@10 survives it. Exact side ranks by
+    // ‖c‖² − 2·q·c (monotone in L2 distance; the ivfScore spelling both
+    // engines fold identically); one broadcast-query corpus scan.
+    "pq_recall" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.vectorDot
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        Similarity.toDouble(col("embedding")).as("cv"))
+      val qs = q.select(col("vec_id").as("query_id"),
+        Similarity.toDouble(col("embedding")).as("qv"))
+      val exact = c.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+        .withColumn("score",
+          vectorDot(col("cv"), col("cv")) - lit(2.0) * vectorDot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("score"), col("neighbor_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false) // reused: denominator + intersect
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqM, PqK, PqIters)
+      val approx = Similarity.pqAdcTopK(e, q, "vec_id", "embedding", cbs, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6))
+        .orderBy("query_id")
     }),
 
     // L133 — SemDeDup (Abbas et al. 2023): semantic dedup by k-means
@@ -5912,6 +6157,10 @@ object LlmQueries {
          |ORDER BY cluster""".stripMargin,
 
     "ann_ivf_recall" -> ivfRecallOracle(nClusters = 16, nProbe = 4, k = 10, iters = 2),
+
+    "pq_codebooks" -> pqCodebooksOracle,
+    "ann_pq_topk" -> pqAdcTopKOracle(k = 10),
+    "pq_recall" -> pqRecallOracle(k = 10),
 
     "ann_tuning_curve" -> annTuningCurveOracle(nPlanes = 4, dim = 64, k = 10,
       nClusters = 16, iters = 2),

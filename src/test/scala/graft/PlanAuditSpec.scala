@@ -134,8 +134,11 @@ class PlanAuditSpec extends SparkSpec {
       "semantic_dedup", "cluster_balance", "cluster_purity",
       "clustering_coeff", "label_noise_knn", "bpe_apply",
       // k_truss: clustering_coeff's fixed-1MB wedge-prune bloom, built
-      // once per peel round (TrussRounds bounded sketches)
-      "k_truss")
+      // once (canonical keys stay a valid superset across peel rounds)
+      "k_truss",
+      // PQ family: PqM per-subspace Lloyd codebooks — m·k·(dim/m)
+      // doubles of driver state, the same IVF-codebook contract
+      "pq_codebooks", "ann_pq_topk", "pq_recall")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {
