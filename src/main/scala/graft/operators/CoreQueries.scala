@@ -380,6 +380,34 @@ object CoreQueries {
        |       floor(CAST(SUM(t) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS modularity
        |FROM terms""".stripMargin
 
+  /** Oracle for `conductance`: the LPA chain verbatim, then each
+    * community's cut/volume ratio over the DIRECTED edge list (both
+    * orientations ⇒ vol(c) counts every incident edge-end and cut(c)
+    * counts each undirected cut edge once per side — the 2m-consistent
+    * spelling shared with sqlModularity).
+    */
+  private def sqlConductance: String =
+    s"""WITH $sqlLpaCtes,
+       |lab AS MATERIALIZED (SELECT node, lbl FROM l$LpaIters),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY 1),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm FROM e),
+       |cut AS (SELECT la.lbl AS c, CAST(COUNT(*) AS BIGINT) AS ce
+       |        FROM e JOIN lab la ON e.src = la.node
+       |               JOIN lab lb ON e.dst = lb.node
+       |        WHERE la.lbl <> lb.lbl GROUP BY 1),
+       |vol AS (SELECT lab.lbl AS c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |               CAST(SUM(deg.d) AS BIGINT) AS vv
+       |        FROM lab JOIN deg USING (node) GROUP BY 1)
+       |SELECT vol.c AS community, n_nodes, vv AS volume,
+       |       CAST(COALESCE(cut.ce, 0) AS BIGINT) AS cut_edges,
+       |       CASE WHEN least(vv, mm - vv) = 0 THEN NULL
+       |            ELSE floor(CAST(COALESCE(cut.ce, 0) AS DOUBLE) /
+       |                       least(vv, mm - vv) * 1e6 + 0.5) / 1e6
+       |       END AS conductance
+       |FROM vol LEFT JOIN cut USING (c) CROSS JOIN m
+       |ORDER BY community""".stripMargin
+
   /** BFS hop count for `bfs_hops` — fixed hops, unrolled oracle. */
   private val BfsHops = 3
 
@@ -2320,6 +2348,41 @@ object CoreQueries {
           r6(col("q")).as("modularity"))
     }),
 
+    // L286 — per-community conductance φ(c) = cut(c)/min(vol(c), 2m −
+    // vol(c)): the LOCAL quality score next to modularity's single
+    // global number — which specific LPA communities are well-separated
+    // clusters and which are cut-riddled artifacts (the standard triage
+    // before trusting a community for downstream grouping). Same
+    // labeled-edge joins and degree rollup as modularity; both
+    // orientations present, so every term is 2m-consistent.
+    "conductance" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = coPurchaseEdges(s, dir, "dst")
+      val lab = lpaFrom(e, LpaIters)
+        .localCheckpoint(false) // reused: 2 endpoint joins + volume join
+      val deg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
+      val mm = broadcast(e.agg(count(lit(1)).as("mm")))
+      val cut = e
+        .join(lab.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lbl", "lb"), "dst")
+        .join(lab.withColumnRenamed("node", "src")
+          .withColumnRenamed("lbl", "la"), "src")
+        .filter(col("la") =!= col("lb"))
+        .groupBy(col("la").as("c")).agg(count(lit(1)).as("ce"))
+      val vol = lab.join(deg, "node")
+        .groupBy(col("lbl").as("c"))
+        .agg(count(lit(1)).as("n_nodes"), sum("d").as("vv"))
+      vol.join(cut, Seq("c"), "left").crossJoin(mm)
+        .select(col("c").as("community"), col("n_nodes"),
+          col("vv").as("volume"),
+          coalesce(col("ce"), lit(0L)).as("cut_edges"),
+          when(least(col("vv"), col("mm") - col("vv")) === 0, lit(null))
+            .otherwise(r6(coalesce(col("ce"), lit(0L)).cast("double") /
+              least(col("vv"), col("mm") - col("vv"))))
+            .as("conductance"))
+        .orderBy("community")
+    }),
+
     // L126 — multi-source-free BFS reachability profile: frontier and
     // visited sizes per hop from the minimum node id — the hop-expansion
     // curve ("how fast does the graph ball grow") behind diameter
@@ -2484,6 +2547,119 @@ object CoreQueries {
           r2(col("ssb")).as("ss_between"), r2(col("ssw")).as("ss_within"),
           r6((col("ssb") / (col("k") - 1)) /
             (col("ssw") / (col("nn") - col("k")))).as("f_stat"))
+    }),
+
+    // L284 — Tukey HSD post-hoc (the step AFTER anova_f rejects): every
+    // order-priority pair's studentized mean difference
+    // q = |x̄_i − x̄_j| / √(MSW/2 · (1/n_i + 1/n_j)) against the pooled
+    // within-group variance — which specific groups differ, not just
+    // "some group does". One fact pass into k-row moments (shared shape
+    // with anova_f), pairs and MSW are pure k²-row algebra.
+    "tukey_hsd" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val x = col("o_totalprice")
+      val grp = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(18, 2))).cast("double").as("s1"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
+        .localCheckpoint(false) // reused: MSW rollup + both pair sides
+      val msw = broadcast(grp
+        .select(col("n"), r2(col("s2") - col("s1") * col("s1") / col("n"))
+          .cast(DecimalType(28, 2)).as("ssw_t"))
+        .agg(sum("n").as("nn"), count(lit(1)).as("k"),
+          sum("ssw_t").cast("double").as("ssw"))
+        .select((col("ssw") / (col("nn") - col("k"))).as("msw")))
+      val a = grp.select(col("pr").as("pr_a"), col("n").as("na"), col("s1").as("sa"))
+      val b = grp.select(col("pr").as("pr_b"), col("n").as("nb"), col("s1").as("sb"))
+      a.join(b, col("pr_a") < col("pr_b")).crossJoin(msw)
+        .select(col("pr_a"), col("pr_b"), col("na"), col("nb"),
+          r2(col("sa") / col("na") - col("sb") / col("nb")).as("mean_diff"),
+          r6(abs(col("sa") / col("na") - col("sb") / col("nb")) /
+            sqrt(col("msw") / 2.0 * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+            .as("q_stat"))
+        .orderBy("pr_a", "pr_b")
+    }),
+
+    // L285 — Bartlett's variance-homogeneity test (the parametric
+    // sibling of levene_test — more powerful under normality, fragile
+    // off it; run both, trust their agreement): the (N−k)·ln(S²_p) −
+    // Σ(n_i−1)·ln(s²_i) statistic with its small-sample correction,
+    // over per-nation customer balances. One fact pass into k-row
+    // moments; every ln term 8dp-floor-rounded into exact decimal sums
+    // (the theil_index ln convention) so both engines fold identical
+    // rationals.
+    "bartlett_test" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val x = col("c_acctbal")
+      val grp = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(18, 2))).cast("double").as("s1"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
+      grp.select(col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("v"))
+        .select(col("n"),
+          r2((col("n") - 1) * col("v")).cast(DecimalType(28, 2)).as("ssw_t"),
+          r8((col("n") - 1) * log(col("v"))).cast(DecimalType(28, 8)).as("lnv_t"),
+          r8(lit(1.0) / (col("n") - 1)).cast(DecimalType(28, 8)).as("inv_t"))
+        .agg(sum("n").as("nn"), count(lit(1)).as("k"),
+          sum("ssw_t").cast("double").as("ssw"),
+          sum("lnv_t").cast("double").as("sum_ln"),
+          sum("inv_t").cast("double").as("sum_inv"))
+        .select(col("k").as("n_groups"), col("nn").as("n_total"),
+          r2(col("ssw") / (col("nn") - col("k"))).as("pooled_var"),
+          (col("k") - 1).as("dof"),
+          r6(((col("nn") - col("k")) * r8(log(col("ssw") / (col("nn") - col("k"))))
+            - col("sum_ln")) /
+            (lit(1.0) + (col("sum_inv") - lit(1.0) / (col("nn") - col("k"))) /
+              (lit(3.0) * (col("k") - 1)))).as("bartlett_stat"))
+    }),
+
+    // L288 — empirical-Bayes rate shrinkage (beta-binomial, plug-in
+    // method of moments on the raw per-part return rates): every
+    // part's return rate pulled toward the corpus prior by its own
+    // evidence mass — shrunk = (r + α̂)/(n + α̂ + β̂) with ν̂ = α̂+β̂ =
+    // m(1−m)/s² − 1 from the rate moments. THE small-n leaderboard
+    // fix (a 1-for-2 part must not outrank a 40-for-100 one); the
+    // plug-in MoM overstates s² by the binomial sampling noise, which
+    // only makes the shrinkage conservative — documented trade for a
+    // closed-form, iteration-free estimator. One fact rollup to parts;
+    // moments are decimal sums of 8dp-rounded rates; prior is a 1-row
+    // broadcast.
+    "eb_shrinkage" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: Column) = floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val rates = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .select(col("p_partkey"), col("n_lines"), col("n_returns"),
+          (col("n_returns").cast("double") / col("n_lines")).as("p"))
+        .localCheckpoint(false) // reused: moments + per-part posterior
+      val prior = broadcast(rates
+        .select(r8(col("p")).cast(DecimalType(28, 8)).as("pr"),
+          r8(col("p") * col("p")).cast(DecimalType(28, 8)).as("pr2"))
+        .agg(count(lit(1)).as("k"),
+          sum("pr").cast("double").as("sp"),
+          sum("pr2").cast("double").as("spp"))
+        .select((col("sp") / col("k")).as("m"),
+          (col("spp") / col("k") - (col("sp") / col("k")) * (col("sp") / col("k")))
+            .as("s2"))
+        .select(col("m"), col("s2"),
+          (col("m") * (lit(1.0) - col("m")) / col("s2") - lit(1.0)).as("nu")))
+      rates.crossJoin(prior)
+        .select(col("p_partkey"), col("n_lines"), col("n_returns"),
+          r6(col("p")).as("raw_rate"),
+          r6(col("m") * col("nu")).as("alpha"),
+          r6((lit(1.0) - col("m")) * col("nu")).as("beta"),
+          r6((col("n_returns") + col("m") * col("nu")) /
+            (col("n_lines") + col("nu"))).as("shrunk_rate"))
+        .orderBy("p_partkey")
     }),
 
     // L132 — Cramér's V association sweep: chi2_independence generalized
@@ -3398,6 +3574,8 @@ object CoreQueries {
     "wl_refinement" -> sqlWl,
 
     "modularity" -> sqlModularity,
+
+    "conductance" -> sqlConductance,
 
     "bfs_hops" -> sqlBfs,
 
@@ -4369,6 +4547,78 @@ object CoreQueries {
         |       floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 5e-1) / 1e6
         |         AS f_stat
         |FROM agg""".stripMargin,
+
+    "tukey_hsd" ->
+      """WITH grp AS (
+        |  SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+        |              AS DOUBLE) AS s2
+        |  FROM orders GROUP BY 1),
+        |msw AS (
+        |  SELECT CAST(SUM(t) AS DOUBLE) / (SUM(n) - COUNT(*)) AS msw
+        |  FROM (SELECT n, CAST(floor((s2 - s1 * s1 / n) * 1e2 + 5e-1) / 1e2
+        |                       AS DECIMAL(28,2)) AS t FROM grp))
+        |SELECT a.pr AS pr_a, b.pr AS pr_b, a.n AS na, b.n AS nb,
+        |       floor((a.s1 / a.n - b.s1 / b.n) * 1e2 + 5e-1) / 1e2 AS mean_diff,
+        |       floor(abs(a.s1 / a.n - b.s1 / b.n) /
+        |             sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) * 1e6 + 5e-1)
+        |         / 1e6 AS q_stat
+        |FROM grp a JOIN grp b ON a.pr < b.pr CROSS JOIN msw
+        |ORDER BY pr_a, pr_b""".stripMargin,
+
+    "bartlett_test" ->
+      """WITH grp AS (
+        |  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,4)))
+        |              AS DOUBLE) AS s2
+        |  FROM customer GROUP BY 1),
+        |terms AS (
+        |  SELECT n,
+        |         CAST(floor((n - 1) * v * 1e2 + 5e-1) / 1e2 AS DECIMAL(28,2)) AS ssw_t,
+        |         CAST(floor((n - 1) * ln(v) * 1e8 + 5e-1) / 1e8 AS DECIMAL(28,8)) AS lnv_t,
+        |         CAST(floor(1.0 / (n - 1) * 1e8 + 5e-1) / 1e8 AS DECIMAL(28,8)) AS inv_t
+        |  FROM (SELECT n, (s2 - s1 * s1 / n) / (n - 1) AS v FROM grp)),
+        |agg AS (
+        |  SELECT SUM(n) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(ssw_t) AS DOUBLE) AS ssw,
+        |         CAST(SUM(lnv_t) AS DOUBLE) AS sum_ln,
+        |         CAST(SUM(inv_t) AS DOUBLE) AS sum_inv
+        |  FROM terms)
+        |SELECT k AS n_groups, CAST(nn AS BIGINT) AS n_total,
+        |       floor(ssw / (nn - k) * 1e2 + 5e-1) / 1e2 AS pooled_var,
+        |       k - 1 AS dof,
+        |       floor(((nn - k) * (floor(ln(ssw / (nn - k)) * 1e8 + 5e-1) / 1e8)
+        |              - sum_ln) /
+        |             (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+        |             * 1e6 + 5e-1) / 1e6 AS bartlett_stat
+        |FROM agg""".stripMargin,
+
+    "eb_shrinkage" ->
+      """WITH rates AS MATERIALIZED (
+        |  SELECT l_partkey AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_returns,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS DOUBLE) / COUNT(*) AS p
+        |  FROM lineitem GROUP BY 1),
+        |prior AS (
+        |  SELECT m, s2, m * (1.0 - m) / s2 - 1.0 AS nu FROM (
+        |    SELECT sp / k AS m, spp / k - (sp / k) * (sp / k) AS s2 FROM (
+        |      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |             CAST(SUM(CAST(floor(p * 1e8 + 5e-1) / 1e8
+        |                           AS DECIMAL(28,8))) AS DOUBLE) AS sp,
+        |             CAST(SUM(CAST(floor(p * p * 1e8 + 5e-1) / 1e8
+        |                           AS DECIMAL(28,8))) AS DOUBLE) AS spp
+        |      FROM rates)))
+        |SELECT p_partkey, n_lines, n_returns,
+        |       floor(p * 1e6 + 5e-1) / 1e6 AS raw_rate,
+        |       floor(m * nu * 1e6 + 5e-1) / 1e6 AS alpha,
+        |       floor((1.0 - m) * nu * 1e6 + 5e-1) / 1e6 AS beta,
+        |       floor((n_returns + m * nu) / (n_lines + nu) * 1e6 + 5e-1) / 1e6
+        |         AS shrunk_rate
+        |FROM rates, prior ORDER BY p_partkey""".stripMargin,
 
     "cramers_v" -> {
       def pair(aName: String, bName: String, aExpr: String, bExpr: String) =

@@ -1202,6 +1202,73 @@ object EventQueries {
         .orderBy("lag_days")
     }),
 
+    // L287 — Granger lag-1 causality probe: does yesterday's purchase
+    // COUNT improve today's revenue forecast beyond yesterday's revenue
+    // alone? Restricted (y_t ~ y_{t-1}) vs unrestricted (y_t ~ y_{t-1}
+    // + x_{t-1}) OLS by closed-form centered sums, F = (SSE_r − SSE_u)
+    // / (SSE_u / (n − 3)) — the standard lead-lag screening one step
+    // past daily_ccf's symmetric correlations. Day-grid gapfill makes
+    // the lag an equi-join on day+1; every moment is a decimal sum of
+    // 6dp-rounded products (the daily_ccf spelling); the 2×2 normal
+    // equations solve in closed form — no iteration, no matrix library.
+    "granger_lag1" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r2(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val dayUs = 86400000000L
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("a"), decSum(col("value")).as("b"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0.0)).as("b"))
+        .localCheckpoint(false) // both lag-join sides
+      // lagged triples (y_t, y_{t-1}, x_{t-1}) via the day+1 equi-join
+      val tri = series.select((col("day") + 1).as("day"), col("b").as("z"),
+          col("a").cast("double").as("w"))
+        .join(series.select(col("day"), col("b").as("y")), "day")
+        .localCheckpoint(false) // means + centered products
+      val m = broadcast(tri.agg(count(lit(1)).as("n"),
+        (decSum(col("y")) / count(lit(1))).as("muy"),
+        (decSum(col("z")) / count(lit(1))).as("muz"),
+        (decSum(col("w")) / count(lit(1))).as("muw")))
+      tri.crossJoin(m)
+        .select(col("n"),
+          (col("y") - col("muy")).as("dy"),
+          (col("z") - col("muz")).as("dz"),
+          (col("w") - col("muw")).as("dw"))
+        .groupBy("n")
+        .agg(decSum(r6(col("dy") * col("dy"))).as("syy"),
+          decSum(r6(col("dz") * col("dz"))).as("szz"),
+          decSum(r6(col("dw") * col("dw"))).as("sww"),
+          decSum(r6(col("dz") * col("dy"))).as("szy"),
+          decSum(r6(col("dw") * col("dy"))).as("swy"),
+          decSum(r6(col("dz") * col("dw"))).as("szw"))
+        .select(col("n"), col("syy"), col("szy"), col("swy"), col("szz"),
+          // the 2×2 normal-equation solutions, UNROUNDED (both engines
+          // evaluate the identical IEEE expression; rounding only at
+          // the output columns below)
+          ((col("szy") * col("sww") - col("swy") * col("szw")) /
+            (col("szz") * col("sww") - col("szw") * col("szw"))).as("b2"),
+          ((col("swy") * col("szz") - col("szy") * col("szw")) /
+            (col("szz") * col("sww") - col("szw") * col("szw"))).as("c2"))
+        .select(col("n"), col("szz"), col("szy"), col("b2"), col("c2"),
+          (col("syy") - col("szy") * col("szy") / col("szz")).as("sser"),
+          (col("syy") - col("b2") * col("szy") - col("c2") * col("swy")).as("sseu"))
+        .select(col("n").as("n_days"),
+          r6(col("szy") / col("szz")).as("beta_restricted"),
+          r6(col("b2")).as("beta_lag_y"),
+          r6(col("c2")).as("beta_lag_x"),
+          r2(col("sser")).as("sse_r"),
+          r2(col("sseu")).as("sse_u"),
+          r6((col("sser") - col("sseu")) / (col("sseu") / (col("n") - 3)))
+            .as("f_stat"))
+    }),
+
     // Gumbel extreme-value fit by the method of moments over WEEKLY
     // (7-day) block maxima of daily revenue: σ̂ = s√6/π, μ̂ = x̄ − γσ̂,
     // and the 12-block return level μ̂ − σ̂·ln(−ln(1−1/12)) — "what's
@@ -2578,6 +2645,54 @@ object EventQueries {
         |             / (sqrt(dena) * sqrt(denb)) * 1e6 + 5e-1) / 1e6 AS ccf
         |FROM p, den GROUP BY lag_days, dena, denb
         |ORDER BY lag_days""".stripMargin,
+
+    "granger_lag1" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS b
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS MATERIALIZED (
+        |  SELECT g.day, COALESCE(c.a, 0) AS a, COALESCE(c.b, 0.0) AS b
+        |  FROM g LEFT JOIN c USING (day)),
+        |tri AS MATERIALIZED (
+        |  SELECT cur.b AS y, prev.b AS z, CAST(prev.a AS DOUBLE) AS w
+        |  FROM s prev JOIN s cur ON cur.day = prev.day + 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS muy,
+        |             CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS muz,
+        |             CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS muw
+        |      FROM tri),
+        |dv AS (SELECT y - muy AS dy, z - muz AS dz, w - muw AS dw FROM tri, m),
+        |sums AS (
+        |  SELECT (SELECT n FROM m) AS n,
+        |         CAST(SUM(CAST(floor(dy * dy * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(floor(dz * dz * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS szz,
+        |         CAST(SUM(CAST(floor(dw * dw * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS sww,
+        |         CAST(SUM(CAST(floor(dz * dy * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS szy,
+        |         CAST(SUM(CAST(floor(dw * dy * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS swy,
+        |         CAST(SUM(CAST(floor(dz * dw * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))) AS DOUBLE) AS szw
+        |  FROM dv),
+        |coef AS (
+        |  SELECT n, syy, szy, swy, szz,
+        |         (szy * sww - swy * szw) / (szz * sww - szw * szw) AS b2,
+        |         (swy * szz - szy * szw) / (szz * sww - szw * szw) AS c2
+        |  FROM sums),
+        |sse AS (
+        |  SELECT n, szz, szy, b2, c2,
+        |         syy - szy * szy / szz AS sser,
+        |         syy - b2 * szy - c2 * swy AS sseu
+        |  FROM coef)
+        |SELECT n AS n_days,
+        |       floor(szy / szz * 1e6 + 5e-1) / 1e6 AS beta_restricted,
+        |       floor(b2 * 1e6 + 5e-1) / 1e6 AS beta_lag_y,
+        |       floor(c2 * 1e6 + 5e-1) / 1e6 AS beta_lag_x,
+        |       floor(sser * 1e2 + 5e-1) / 1e2 AS sse_r,
+        |       floor(sseu * 1e2 + 5e-1) / 1e2 AS sse_u,
+        |       floor((sser - sseu) / (sseu / (n - 3)) * 1e6 + 5e-1) / 1e6 AS f_stat
+        |FROM sse""".stripMargin,
 
     "extreme_value_fit" ->
       """WITH d AS (

@@ -1985,6 +1985,79 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L289 — Gries' Deviation of Proportions (DP, 2008): per term,
+    // DP = ½·Σ_sources |share-of-term-in-source − source-mass-share| —
+    // the corpus-linguistics dispersion measure that separates a term
+    // USED EVERYWHERE from one with the same total count dumped by a
+    // single source (raw df can't tell them apart; burstiness is
+    // within-doc, this is across-source). The absent-source terms
+    // (|0 − w_s| = w_s) fold in algebraically as (1 − Σ_present w_s),
+    // so the plan never materializes the term×source zero matrix —
+    // present-cell-sized joins only. Top 50 by corpus frequency.
+    "term_dispersion" -> ((s, dir) => {
+      val cnt = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("v"))
+        .localCheckpoint(false) // reused: totals, masses, the term join
+      val f = cnt.groupBy("token")
+        .agg(sum("v").as("f"), count(lit(1)).as("n_sources"))
+      val mass = broadcast(cnt.groupBy("source").agg(sum("v").as("ms"))
+        .crossJoin(broadcast(cnt.agg(sum("v").as("mt")))))
+      cnt.join(mass, "source").join(f, "token")
+        .select(col("token"), col("f"), col("n_sources"),
+          roundHU(abs(col("v").cast("double") / col("f") -
+            col("ms").cast("double") / col("mt")), 1e8)
+            .cast("decimal(18,8)").as("t1"),
+          roundHU(col("ms").cast("double") / col("mt"), 1e8)
+            .cast("decimal(18,8)").as("t2"))
+        .groupBy("token", "f", "n_sources")
+        .agg(sum("t1").cast("double").as("s1"),
+          sum("t2").cast("double").as("s2"))
+        .select(col("token"), col("f").as("n_occurrences"), col("n_sources"),
+          roundHU((col("s1") + (lit(1.0) - col("s2"))) / 2.0, 1e6).as("dp"))
+        .orderBy(desc("n_occurrences"), col("token")).limit(50)
+    }),
+
+    // L290 — DoReMi-style excess-surprisal reweighting (Xie et al.
+    // 2023, one deterministic step): per source, the mean corpus-LM
+    // surprisal; the source's EXCESS over the easiest source is the
+    // "domain difficulty" signal, and the next-epoch sampling weight is
+    // the baseline token share tilted by exp(excess) and renormalized —
+    // upweight domains the reference model finds hard, the data-mixture
+    // move between uniform and temperature_mixture's purely size-based
+    // tilt. Token-keyed joins + k-row softmax algebra; exp under the
+    // floor-round house rule (the perplexity spelling).
+    "doremi_weights" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = broadcast(counts.agg(sum("cnt").as("total_tok")))
+      val perSrc = toks.join(counts, "token").crossJoin(total)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_tok"),
+          sum(roundHU(-log(col("cnt") / col("total_tok")), 1e6)
+            .cast("decimal(18,6)")).as("ssum"))
+        .select(col("source"), col("n_tok"),
+          roundHU(col("ssum").cast("double") / col("n_tok"), 1e6)
+            .as("avg_surprisal"))
+        .localCheckpoint(false) // reused: min row + weight row
+      val base = broadcast(perSrc.agg(min("avg_surprisal").as("amin"),
+        sum("n_tok").as("nt")))
+      val nums = perSrc.crossJoin(base)
+        .select(col("source"), col("n_tok"), col("avg_surprisal"),
+          roundHU(col("avg_surprisal") - col("amin"), 1e6).as("excess"),
+          roundHU((col("n_tok").cast("double") / col("nt")) *
+            roundHU(exp(roundHU(col("avg_surprisal") - col("amin"), 1e6)), 1e6),
+            1e8).cast("decimal(18,8)").as("num"))
+        .localCheckpoint(false) // reused: Z + output
+      val z = broadcast(nums.agg(sum("num").cast("double").as("z")))
+      nums.crossJoin(z)
+        .select(col("source"), col("n_tok"), col("avg_surprisal"),
+          col("excess"),
+          roundHU(col("num").cast("double") / col("z"), 1e6).as("weight"))
+        .orderBy("source")
+    }),
+
     // Bigram conditional surprisal: avg −ln P(w₂|w₁) per document with
     // P = corpus bigram count over prefix-occurrence count — one LM
     // order above unigram_logprob, the stronger fluency/repetition
@@ -5913,6 +5986,54 @@ object LlmQueries {
          |FROM tok JOIN c USING (token), tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "term_dispersion" ->
+      s"""WITH cnt AS MATERIALIZED (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM (SELECT source, unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |f AS (SELECT token, CAST(SUM(v) AS BIGINT) AS f,
+         |             CAST(COUNT(*) AS BIGINT) AS n_sources
+         |      FROM cnt GROUP BY 1),
+         |mass AS (SELECT source, CAST(SUM(v) AS BIGINT) AS ms FROM cnt GROUP BY 1),
+         |mt AS (SELECT CAST(SUM(v) AS BIGINT) AS mt FROM cnt),
+         |terms AS (
+         |  SELECT cnt.token, f.f, f.n_sources,
+         |         CAST(floor(abs(CAST(cnt.v AS DOUBLE) / f.f -
+         |                        CAST(mass.ms AS DOUBLE) / mt.mt) * 1e8 + 5e-1) / 1e8
+         |              AS DECIMAL(18,8)) AS t1,
+         |         CAST(floor(CAST(mass.ms AS DOUBLE) / mt.mt * 1e8 + 5e-1) / 1e8
+         |              AS DECIMAL(18,8)) AS t2
+         |  FROM cnt JOIN mass USING (source) JOIN f USING (token), mt)
+         |SELECT token, f AS n_occurrences, n_sources,
+         |       floor((CAST(SUM(t1) AS DOUBLE) + (1.0 - CAST(SUM(t2) AS DOUBLE))) / 2.0
+         |             * 1e6 + 5e-1) / 1e6 AS dp
+         |FROM terms GROUP BY token, f, n_sources
+         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "doremi_weights" ->
+      s"""WITH tok AS (SELECT source, unnest($sqlTokens) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |tot AS (SELECT SUM(cnt) AS total_tok FROM c),
+         |per AS MATERIALIZED (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |         floor(CAST(SUM(CAST(floor(-ln(cnt / total_tok) * 1e6 + 5e-1) / 1e6
+         |                              AS DECIMAL(18,6))) AS DOUBLE)
+         |               / COUNT(*) * 1e6 + 5e-1) / 1e6 AS avg_surprisal
+         |  FROM tok JOIN c USING (token), tot GROUP BY source),
+         |base AS (SELECT MIN(avg_surprisal) AS amin, SUM(n_tok) AS nt FROM per),
+         |nums AS MATERIALIZED (
+         |  SELECT source, n_tok, avg_surprisal,
+         |         floor((avg_surprisal - amin) * 1e6 + 5e-1) / 1e6 AS excess,
+         |         CAST(floor((CAST(n_tok AS DOUBLE) / nt) *
+         |                    (floor(exp(floor((avg_surprisal - amin) * 1e6 + 5e-1) / 1e6)
+         |                           * 1e6 + 5e-1) / 1e6) * 1e8 + 5e-1) / 1e8
+         |              AS DECIMAL(18,8)) AS num
+         |  FROM per, base),
+         |z AS (SELECT CAST(SUM(num) AS DOUBLE) AS z FROM nums)
+         |SELECT source, n_tok, avg_surprisal, excess,
+         |       floor(CAST(num AS DOUBLE) / z * 1e6 + 5e-1) / 1e6 AS weight
+         |FROM nums, z ORDER BY source""".stripMargin,
 
     "bigram_logprob" ->
       s"""WITH bg AS (SELECT doc_id, unnest($sqlBigrams) AS g FROM documents),
