@@ -2662,6 +2662,45 @@ object CoreQueries {
         .orderBy("p_partkey")
     }),
 
+    // L291 — Wilcoxon signed-rank test on paired customer spend (1995
+    // vs 1996): the PAIRED nonparametric sibling of mann_whitney_u —
+    // same customer, two periods, so between-customer variance cancels
+    // and only the within-pair shift is tested. Average ranks of |d|
+    // come from per-DISTINCT-value counts + the two-phase
+    // exclusivePrefix as exact DOUBLED integers (the spearman_rho rank
+    // machinery — no data-sized global sort); W± and the normal
+    // approximation z are closed-form algebra on one aggregate row.
+    "wilcoxon_signed_rank" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val spend = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("o_custkey").as("ck"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+      val pairs = spend.filter(col("yr") === 1995)
+        .select(col("ck"), col("s").as("s95"))
+        .join(spend.filter(col("yr") === 1996)
+          .select(col("ck"), col("s").as("s96")), "ck")
+        .select((col("s96") - col("s95")).as("d")) // decimal-exact diffs
+        .filter(col("d") =!= 0)
+        .withColumn("ad", abs(col("d")))
+        .localCheckpoint(false) // reused: value counts + the rank join
+      val pv = pairs.groupBy("ad").agg(count(lit(1)).as("cnt"))
+      val ranks = exclusivePrefix(pv, "ad", Seq("cnt"))
+        .select(col("ad"),
+          (lit(2L) * col("cum_cnt") + col("cnt") + lit(1L)).as("r2"))
+      pairs.join(ranks, "ad")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2p"),
+          sum(when(col("d") < 0, col("r2")).otherwise(0L)).as("w2m"))
+        .select(col("n_pairs"),
+          (col("w2p") / lit(2.0)).as("w_plus"),
+          (col("w2m") / lit(2.0)).as("w_minus"),
+          r6((col("w2p") / lit(2.0) -
+            col("n_pairs").cast("double") * (col("n_pairs") + 1) / lit(4.0)) /
+            sqrt(col("n_pairs").cast("double") * (col("n_pairs") + 1) *
+              (lit(2) * col("n_pairs") + 1) / lit(24.0))).as("z_stat"))
+    }),
+
     // L132 — Cramér's V association sweep: chi2_independence generalized
     // to a PROFILING matrix — every configured categorical column pair
     // in the fact table scored with the effect-size V = √(χ²/(n·(min(r,c)
@@ -4593,6 +4632,32 @@ object CoreQueries {
         |              - sum_ln) /
         |             (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
         |             * 1e6 + 5e-1) / 1e6 AS bartlett_stat
+        |FROM agg""".stripMargin,
+
+    "wilcoxon_signed_rank" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT b.s - a.s AS d, abs(b.s - a.s) AS ad
+        |  FROM (SELECT ck, s FROM spend WHERE yr = 1995) a
+        |  JOIN (SELECT ck, s FROM spend WHERE yr = 1996) b USING (ck)
+        |  WHERE b.s - a.s <> 0),
+        |pv AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY ad),
+        |rk AS (SELECT ad,
+        |         2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY ad
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           + cnt + 1 AS r2
+        |       FROM pv),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2p,
+        |          CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2m
+        |        FROM pairs JOIN rk USING (ad))
+        |SELECT n AS n_pairs, w2p / 2.0 AS w_plus, w2m / 2.0 AS w_minus,
+        |       floor((w2p / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0) /
+        |             sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0)
+        |             * 1e6 + 5e-1) / 1e6 AS z_stat
         |FROM agg""".stripMargin,
 
     "eb_shrinkage" ->

@@ -186,6 +186,11 @@ object LlmQueries {
   private val PqIters = 2
   private val PqSub = 16
 
+  /** TextRank round count — shared by the Spark loop and the oracle's
+    * unrolled CTE chain (the PageRankIters convention).
+    */
+  private val TextRankIters = 3
+
   /** Number of greedy BPE merge steps `bpe_apply` learns and applies —
     * the single source of truth for the Spark learning loop AND the
     * oracle's unrolled CTE chain (the PageRankIters convention).
@@ -3475,6 +3480,53 @@ object LlmQueries {
         .limit(30)
     }),
 
+    // L292 — TextRank keyword extraction (Mihalcea & Tarau 2004): the
+    // weighted PageRank rounds run over the ±2-window token
+    // co-occurrence graph instead of the co-purchase graph — the
+    // graph-centrality keyword ranker next to RAKE's degree heuristic
+    // (RAKE scores in one pass; TextRank lets importance FLOW — a word
+    // co-occurring with important words outranks one with the same raw
+    // degree). Same scale shape as pagerank: the offset-explode
+    // equi-join builds the edge list linearly (window_pmi's pattern),
+    // rounds are node-sized rank÷out-weight joins + one streamed pass
+    // over the edge list with decimal-exact contribution sums.
+    "textrank_keywords" -> ((s, dir) => {
+      def r8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val W = 2
+      val tp = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "w")))
+        .localCheckpoint(false) // both co-occurrence join sides
+      val ctx = tp
+        .withColumn("d", explode(sequence(lit(1), lit(W))))
+        .withColumn("p2", col("p") + col("d"))
+        .join(tp.select(col("doc_id"), col("p").as("p2"), col("w").as("w2")),
+          Seq("doc_id", "p2"))
+        .filter(col("w") =!= col("w2"))
+      val e = ctx.select(col("w").as("src"), col("w2").as("dst"))
+        .unionAll(ctx.select(col("w2").as("src"), col("w").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+        .localCheckpoint(false) // reused every round
+      val wsum = e.groupBy(col("src").as("id")).agg(sum("wt").as("wsum"))
+        .localCheckpoint(false)
+      val n = broadcast(wsum.agg(count(lit(1)).as("n_nodes")))
+      var r = wsum.select(col("id")).crossJoin(n)
+        .select(col("id"), (lit(1.0) / col("n_nodes")).as("r"))
+      for (_ <- 1 to TextRankIters) {
+        val rw = r.join(wsum, "id")
+          .select(col("id").as("src"), (col("r") / col("wsum")).as("rw"))
+        r = e.join(rw, "src")
+          .select(col("dst").as("id"),
+            (col("rw") * col("wt")).cast(DecimalType(28, 18)).as("c"))
+          .groupBy("id").agg(sum("c").cast("double").as("in_rank"))
+          .crossJoin(n)
+          .select(col("id"),
+            (lit(0.15) / col("n_nodes") + lit(0.85) * col("in_rank")).as("r"))
+      }
+      r.select(col("id").as("token"), r8(col("r")).as("textrank"))
+        .orderBy(desc("textrank"), col("token")).limit(20)
+    }),
+
     // L173 — shard balance report: per-source shard count, max and mean
     // token mass and the max/mean imbalance under token_shards' budget
     // windows — the straggler predictor read before launching a
@@ -6725,6 +6777,33 @@ object LlmQueries {
          |CROSS JOIN nu CROSS JOIN np
          |ORDER BY pmi DESC, wa, wb
          |LIMIT 30""".stripMargin,
+
+    "textrank_keywords" -> {
+      val rounds = (1 to TextRankIters).map { k =>
+        s"""r$k AS (SELECT e.dst AS id,
+           |  15e-2 / n_nodes + 85e-2 * CAST(SUM(CAST((r${k - 1}.r / deg.wsum) * e.wt AS DECIMAL(28,18))) AS DOUBLE) AS r
+           |  FROM e JOIN deg USING (src) JOIN r${k - 1} ON e.src = r${k - 1}.id CROSS JOIN n
+           |  GROUP BY e.dst, n_nodes)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ts))) - 1 AS p, unnest(ts) AS w
+         |  FROM (SELECT doc_id, $sqlTokens AS ts FROM documents)),
+         |ctx AS (
+         |  SELECT a.w, b.w AS w2
+         |  FROM ex a JOIN ex b
+         |    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p + 1 AND a.p + 2
+         |  WHERE a.w <> b.w),
+         |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt FROM (
+         |        SELECT w AS src, w2 AS dst FROM ctx
+         |        UNION ALL SELECT w2 AS src, w AS dst FROM ctx)
+         |      GROUP BY 1, 2),
+         |deg AS (SELECT src, SUM(wt) AS wsum FROM e GROUP BY src),
+         |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+         |r0 AS (SELECT src AS id, 1e0 / n_nodes AS r FROM deg CROSS JOIN n),
+         |$rounds
+         |SELECT id AS token, floor(r * 1e8 + 5e-1) / 1e8 AS textrank
+         |FROM r$TextRankIters ORDER BY textrank DESC, token LIMIT 20""".stripMargin
+    },
 
     "shard_balance" ->
       s"""WITH sh AS (
