@@ -191,6 +191,19 @@ object LlmQueries {
     */
   private val TextRankIters = 3
 
+  /** RBO persistence and depth for `rbo_rankings`, plus the cumulative
+    * tail weights W(m) = Σ_{d=m..K} (1−p)·p^(d−1)/d, 8dp-floored ONCE in
+    * Scala and interpolated as identical literals into the Spark
+    * when-chain AND the oracle's CASE — so neither engine ever computes
+    * pow/geometric sums at query time (no cross-engine pow risk).
+    */
+  private val RboP = 0.9
+  private val RboK = 10
+  private val RboCumW: IndexedSeq[Double] = {
+    val w = (1 to RboK).map(d => (1 - RboP) * math.pow(RboP, d - 1) / d)
+    (1 to RboK).map(m => math.floor(w.drop(m - 1).sum * 1e8 + 0.5) / 1e8)
+  }
+
   /** Number of greedy BPE merge steps `bpe_apply` learns and applies —
     * the single source of truth for the Spark learning loop AND the
     * oracle's unrolled CTE chain (the PageRankIters convention).
@@ -527,6 +540,48 @@ object LlmQueries {
        |         / 1e6 AS recall
        |FROM n LEFT JOIN h ON n.query_id = h.query_id
        |ORDER BY n.query_id""".stripMargin
+
+  /** Oracle for `rbo_rankings`: the ADC ranking (pqAdcCtes) joined to
+    * the exact squared-L2 ranking on (query, neighbor); each shared
+    * pair contributes the Scala-precomputed cumulative tail weight
+    * W(max(ra, rb)) — identical literals to the Spark when-chain.
+    */
+  private def rboOracle: String = {
+    val cases = (1 to RboK).map(m =>
+      s"WHEN ${m} THEN ${RboCumW(m - 1)}").mkString(" ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${pqAllCtes(PqIters)},
+       |${pqAdcCtes(RboK)},
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_sum(list_transform(c.e, x -> x*x)) - 2.0 *
+       |           list_sum(list_transform(list_zip(q.e, c.e), p -> p[1]*p[2])) AS score
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score, neighbor_id) AS rank
+       |    FROM exs)
+       |  WHERE rank <= $RboK),
+       |paired AS (
+       |  SELECT ex.query_id,
+       |         CAST(CASE greatest(ex.rank, ap.rank) $cases END
+       |              AS DECIMAL(18,8)) AS w
+       |  FROM ex JOIN (SELECT query_id, neighbor_id, rank FROM adc_ranked
+       |                WHERE rank <= $RboK) ap
+       |    USING (query_id, neighbor_id)),
+       |per AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS overlap_at_k,
+       |         CAST(SUM(w) AS DOUBLE) AS rsum
+       |  FROM paired GROUP BY 1)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(per.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+       |       floor(COALESCE(per.rsum, 0.0) * 1e6 + 5e-1) / 1e6 AS rbo
+       |FROM (SELECT vec_id AS query_id FROM v WHERE vec_id < 10) q
+       |LEFT JOIN per USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+  }
 
   private def ivfApCtes(prefix: String, nProbe: Int, k: Int, iters: Int): String =
     s"""${prefix}_probes AS (
@@ -896,6 +951,44 @@ object LlmQueries {
           coalesce(col("by_lsh"), lit(false)).as("by_lsh"),
           coalesce(col("by_snm"), lit(false)).as("by_snm"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // L293 — capture–recapture (Chapman) dedup-coverage estimator: the
+    // two blocking families' catches over the true near-dup pair set
+    // treated as two ecological "captures" — N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    // estimates the TOTAL dup count from catch sizes and overlap alone,
+    // validated here against the known truth (the honest framing: on a
+    // 100 TB corpus you can't afford truth, and this is the estimator
+    // you'd ship; family dependence biases N̂ low when both families
+    // miss the same hard pairs — that bias is exactly what comparing to
+    // true_pairs exposes). Reuses near_dup_ensemble's keyed joins; one
+    // aggregate row of algebra.
+    "capture_recapture" -> ((s, dir) => {
+      def r2(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val d = docs(s, dir).filter(col("doc_id") < EvalSampleBound)
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+        .localCheckpoint(false)
+      val truth = Dedup.confirmJaccard(
+        Dedup.prefixFilterPairs(sigs, "doc_id", threshold = 0.5),
+        sigs, "doc_id", threshold = 0.5)
+      val lshc = Dedup.lshCandidates(sigs, "doc_id")
+        .withColumn("by_lsh", lit(true))
+      val snmc = Dedup.sortedNeighborhoodCandidates(d, "doc_id", "text",
+          window = 8, blockChars = 8)
+        .distinct()
+        .withColumn("by_snm", lit(true))
+      truth.join(lshc, Seq("a_id", "b_id"), "left")
+        .join(snmc, Seq("a_id", "b_id"), "left")
+        .select(coalesce(col("by_lsh"), lit(false)).as("l"),
+          coalesce(col("by_snm"), lit(false)).as("sn"))
+        .agg(count(lit(1)).as("true_pairs"),
+          sum(when(col("l"), 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("sn"), 1L).otherwise(0L)).as("n_snm"),
+          sum(when(col("l") && col("sn"), 1L).otherwise(0L)).as("n_both"))
+        .select(col("true_pairs"), col("n_lsh"), col("n_snm"), col("n_both"),
+          r2((col("n_lsh") + 1).cast("double") * (col("n_snm") + 1) /
+            (col("n_both") + 1) - lit(1.0)).as("chapman_estimate"))
     }),
 
     // L144 — mixture rebalancing planner: corpus_mixture APPLIES fixed
@@ -2543,6 +2636,52 @@ object LlmQueries {
           coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .withColumn("recall",
           roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6))
+        .orderBy("query_id")
+    }),
+
+    // L294 — rank-biased overlap (Webber et al. 2010) between the PQ
+    // ADC ranking and the exact squared-L2 ranking, truncated at K:
+    // recall@k treats the list as a SET; RBO weights agreement
+    // geometrically by depth (p=0.9), so an index that nails the top 3
+    // but shuffles 8–10 scores far above one that inverts them — the
+    // ranking-quality gate next to pq_recall's set-overlap gate. A pair
+    // at depths (ra, rb) contributes the cumulative tail weight
+    // W(max(ra, rb)) — Scala-precomputed 8dp literals (see RboCumW), so
+    // the whole measure is one join + one decimal aggregate per query;
+    // no per-depth explode.
+    "rbo_rankings" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.vectorDot
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        Similarity.toDouble(col("embedding")).as("cv"))
+      val qs = q.select(col("vec_id").as("query_id"),
+        Similarity.toDouble(col("embedding")).as("qv"))
+      val exact = c.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+        .withColumn("ra", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(vectorDot(col("cv"), col("cv")) -
+              lit(2.0) * vectorDot(col("qv"), col("cv")), col("neighbor_id"))))
+        .filter(col("ra") <= RboK)
+        .select(col("query_id"), col("neighbor_id"), col("ra"))
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqM, PqK, PqIters)
+      val adc = Similarity.pqAdcTopK(e, q, "vec_id", "embedding", cbs, k = RboK)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+      val wExpr = (1 to RboK).foldLeft(lit(0.0)) { (acc, m) =>
+        when(greatest(col("ra"), col("rb")) === m, lit(RboCumW(m - 1)))
+          .otherwise(acc)
+      }
+      val per = exact.join(adc, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), wExpr.cast("decimal(18,8)").as("w"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("overlap_at_k"), sum("w").as("rsum"))
+      qs.select(col("query_id"))
+        .join(per, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+          r6(coalesce(col("rsum").cast("double"), lit(0.0))).as("rbo"))
         .orderBy("query_id")
     }),
 
@@ -6334,6 +6473,54 @@ object LlmQueries {
     "pq_codebooks" -> pqCodebooksOracle,
     "ann_pq_topk" -> pqAdcTopKOracle(k = 10),
     "pq_recall" -> pqRecallOracle(k = 10),
+    "rbo_rankings" -> rboOracle,
+
+    "capture_recapture" ->
+      s"""WITH ${sqlSigsBounded(EvalSampleBound)},
+         |truth AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |bands AS (
+         |${(0 until MinhashParams.size / BandRows).map(b =>
+             s"  SELECT doc_id, $b AS band, mh${b * BandRows} AS h0, mh${b * BandRows + 1} AS h1 FROM sigs")
+             .mkString("\n  UNION ALL\n")}
+         |),
+         |lshc AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+         |k AS (
+         |  SELECT doc_id,
+         |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS skey
+         |  FROM documents WHERE doc_id < $EvalSampleBound),
+         |r AS (
+         |  SELECT doc_id, substr(skey, 1, 8) AS blk,
+         |         row_number() OVER (PARTITION BY substr(skey, 1, 8)
+         |                            ORDER BY skey, doc_id) AS rn
+         |  FROM k),
+         |snmc AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+         |         greatest(a.doc_id, b.doc_id) AS b_id
+         |  FROM r a JOIN r b
+         |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 7),
+         |flags AS (
+         |  SELECT (lshc.a_id IS NOT NULL) AS l, (snmc.a_id IS NOT NULL) AS sn
+         |  FROM truth t
+         |  LEFT JOIN lshc ON t.a_id = lshc.a_id AND t.b_id = lshc.b_id
+         |  LEFT JOIN snmc ON t.a_id = snmc.a_id AND t.b_id = snmc.b_id),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs,
+         |         CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |         CAST(SUM(CASE WHEN sn THEN 1 ELSE 0 END) AS BIGINT) AS n_snm,
+         |         CAST(SUM(CASE WHEN l AND sn THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM flags)
+         |SELECT true_pairs, n_lsh, n_snm, n_both,
+         |       floor((CAST(n_lsh + 1 AS DOUBLE) * (n_snm + 1) / (n_both + 1) - 1.0)
+         |             * 1e2 + 5e-1) / 1e2 AS chapman_estimate
+         |FROM agg""".stripMargin,
 
     "ann_tuning_curve" -> annTuningCurveOracle(nPlanes = 4, dim = 64, k = 10,
       nClusters = 16, iters = 2),

@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
       "k_truss",
       // PQ family: PqM per-subspace Lloyd codebooks — m·k·(dim/m)
       // doubles of driver state, the same IVF-codebook contract
-      "pq_codebooks", "ann_pq_topk", "pq_recall")
+      "pq_codebooks", "ann_pq_topk", "pq_recall", "rbo_rankings")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {
