@@ -102,7 +102,11 @@ class PlanAuditSpec extends SparkSpec {
       "dickey_fuller",
       // nelson_aalen shares kaplan_meier's shape: exclusivePrefix's
       // coarse carry window is the constant CumBuckets rollup
-      "nelson_aalen")
+      "nelson_aalen",
+      // wilcoxon_signed_rank ranks |d| through the same exclusivePrefix
+      // machinery as spearman_rho: the only unpartitioned window is the
+      // constant CumBuckets carry rollup
+      "wilcoxon_signed_rank")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
