@@ -2662,6 +2662,39 @@ object CoreQueries {
         .orderBy("p_partkey")
     }),
 
+    // L296 — Cochran–Armitage trend test: is the lineitem return rate
+    // drifting MONOTONICALLY across ship years? The ordered-proportions
+    // test a χ² can't express (χ² sees any deviation; CA weights the
+    // years linearly so only a trend scores) — the data-drift alarm for
+    // a rate metric. T = Σw(r − n·p̄) with integer year scores, so every
+    // aggregate is an EXACT integer sum; p̄ and the variance enter only
+    // in the final one-row algebra.
+    "cochran_armitage" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val yr = t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("yr"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+        .groupBy("yr").agg(count(lit(1)).as("n"), sum("ret").as("r"))
+        .localCheckpoint(false) // reused: score origin + the term sums
+      val tot = broadcast(yr.agg(min("yr").as("y0"),
+        count(lit(1)).as("k"), sum("n").as("nn"), sum("r").as("rr")))
+      yr.crossJoin(tot)
+        .select(col("k"), col("nn"), col("rr"),
+          ((col("yr") - col("y0")) * col("r")).as("wr"),
+          ((col("yr") - col("y0")) * col("n")).as("wn"),
+          ((col("yr") - col("y0")) * (col("yr") - col("y0")) * col("n")).as("w2n"))
+        .groupBy("k", "nn", "rr")
+        .agg(sum("wr").as("swr"), sum("wn").as("swn"), sum("w2n").as("sw2n"))
+        .select(col("k").as("n_years"), col("nn").as("n_total"),
+          col("rr").as("n_returns"),
+          r6(col("rr").cast("double") / col("nn")).as("pbar"),
+          r6((col("swr") - col("rr").cast("double") / col("nn") * col("swn")) /
+            sqrt(col("rr").cast("double") / col("nn") *
+              (lit(1.0) - col("rr").cast("double") / col("nn")) *
+              (col("sw2n") - col("swn").cast("double") * col("swn") / col("nn"))))
+            .as("z_trend"))
+    }),
+
     // L291 — Wilcoxon signed-rank test on paired customer spend (1995
     // vs 1996): the PAIRED nonparametric sibling of mann_whitney_u —
     // same customer, two periods, so between-customer variance cancels
@@ -4633,6 +4666,30 @@ object CoreQueries {
         |             (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
         |             * 1e6 + 5e-1) / 1e6 AS bartlett_stat
         |FROM agg""".stripMargin,
+
+    "cochran_armitage" ->
+      """WITH yr AS (
+        |  SELECT year(l_shipdate) AS yr, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT MIN(yr) AS y0, CAST(COUNT(*) AS BIGINT) AS k,
+        |               CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr
+        |        FROM yr),
+        |sums AS (
+        |  SELECT k, nn, rr,
+        |         CAST(SUM((yr - y0) * r) AS BIGINT) AS swr,
+        |         CAST(SUM((yr - y0) * n) AS BIGINT) AS swn,
+        |         CAST(SUM((yr - y0) * (yr - y0) * n) AS BIGINT) AS sw2n
+        |  FROM yr, tot GROUP BY k, nn, rr)
+        |SELECT k AS n_years, nn AS n_total, rr AS n_returns,
+        |       floor(CAST(rr AS DOUBLE) / nn * 1e6 + 5e-1) / 1e6 AS pbar,
+        |       floor((swr - CAST(rr AS DOUBLE) / nn * swn) /
+        |             sqrt(CAST(rr AS DOUBLE) / nn *
+        |                  (1.0 - CAST(rr AS DOUBLE) / nn) *
+        |                  (sw2n - CAST(swn AS DOUBLE) * swn / nn))
+        |             * 1e6 + 5e-1) / 1e6 AS z_trend
+        |FROM sums""".stripMargin,
 
     "wilcoxon_signed_rank" ->
       """WITH spend AS (

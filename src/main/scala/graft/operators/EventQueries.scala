@@ -48,6 +48,13 @@ object EventQueries {
   private def decSum(c: org.apache.spark.sql.Column, scale: Int = 6) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** `decayed_user_value`'s decay rate (7-day half-life), computed ONCE
+    * in Scala and interpolated as the identical double literal into the
+    * Spark plan and the oracle SQL — neither engine evaluates ln(2)/7
+    * at query time (the RboCumW literal convention).
+    */
+  private[operators] val DecayLambda: Double = math.log(2.0) / 7.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // JSON prop extraction + grouped stats over the extracted value
@@ -1267,6 +1274,32 @@ object EventQueries {
           r2(col("sseu")).as("sse_u"),
           r6((col("sser") - col("sseu")) / (col("sseu") / (col("n") - 3)))
             .as("f_stat"))
+    }),
+
+    // L295 — exponential time-decay user value (7-day half-life): each
+    // user's Σ value·e^(−λ·age_days) as of the stream's last day — the
+    // recency-weighted engagement feature every feature store derives
+    // (a user who spent yesterday outranks one who spent the same a
+    // month ago). λ = ln2/7 is ONE Scala-computed literal interpolated
+    // into both engines (the RboCumW convention — no query-time ln);
+    // per-row terms 6dp-round into exact decimal sums, so the decayed
+    // total is merge-order-free. Top 100 users.
+    "decayed_user_value" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val dayUs = 86400000000L
+      val ev = events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"), col("value"))
+      val mx = broadcast(ev.agg(max("day").as("d1")))
+      ev.crossJoin(mx)
+        .select(col("user_id"),
+          r6(col("value") * exp(lit(-EventQueries.DecayLambda) *
+            (col("d1") - col("day")).cast("double")))
+            .cast(DecimalType(18, 6)).as("t"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("t").cast("double").as("dv"))
+        .select(col("user_id"), col("n_events"), r6(col("dv")).as("decayed_value"))
+        .orderBy(desc("decayed_value"), col("user_id")).limit(100)
     }),
 
     // Gumbel extreme-value fit by the method of moments over WEEKLY
@@ -2693,6 +2726,21 @@ object EventQueries {
         |       floor(sseu * 1e2 + 5e-1) / 1e2 AS sse_u,
         |       floor((sser - sseu) / (sseu / (n - 3)) * 1e6 + 5e-1) / 1e6 AS f_stat
         |FROM sse""".stripMargin,
+
+    "decayed_user_value" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+         |  FROM events),
+         |mx AS (SELECT MAX(day) AS d1 FROM ev),
+         |terms AS (
+         |  SELECT user_id,
+         |         CAST(floor(value * exp(-$DecayLambda * CAST(d1 - day AS DOUBLE))
+         |                    * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6)) AS t
+         |  FROM ev, mx)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       floor(CAST(SUM(t) AS DOUBLE) * 1e6 + 5e-1) / 1e6 AS decayed_value
+         |FROM terms GROUP BY user_id
+         |ORDER BY decayed_value DESC, user_id LIMIT 100""".stripMargin,
 
     "extreme_value_fit" ->
       """WITH d AS (

@@ -2685,6 +2685,34 @@ object LlmQueries {
         .orderBy("query_id")
     }),
 
+    // L297 — mean-reciprocal-rank retrieval eval over the labeled
+    // embedding corpus: for each probe query, 1/rank of the FIRST
+    // same-label neighbor in the exact cosine top-10 — the
+    // first-relevant-result metric next to ndcg_eval's graded gain and
+    // nearest_centroid_eval's global confusion (MRR is what a
+    // retrieval-augmented pipeline actually feels: how deep the user
+    // scrolls before a relevant hit). One broadcast-query corpus scan;
+    // misses surface as NULL rank / rr = 0, never dropped rows.
+    "mrr_eval" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val top = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      val labels = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))
+      val qlab = q.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))
+      val hits = top.join(labels, "neighbor_id")
+        .join(broadcast(qlab), "query_id")
+        .filter(col("n_label") === col("q_label"))
+        .groupBy("query_id").agg(min("rank").as("first_hit_rank"))
+      qlab.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("q_label"), col("first_hit_rank"),
+          r6(coalesce(lit(1.0) / col("first_hit_rank"), lit(0.0))).as("rr"))
+        .orderBy("query_id")
+    }),
+
     // L133 — SemDeDup (Abbas et al. 2023): semantic dedup by k-means
     // clustering + within-cluster cosine. THE corpus-scale embedding-
     // dedup shape: the quadratic comparison runs inside k-means cells
@@ -6474,6 +6502,31 @@ object LlmQueries {
     "ann_pq_topk" -> pqAdcTopKOracle(k = 10),
     "pq_recall" -> pqRecallOracle(k = 10),
     "rbo_rankings" -> rboOracle,
+
+    "mrr_eval" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |exs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${sqlCos("q", "c")} AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM exs)
+         |  WHERE rank <= 10),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |hits AS (
+         |  SELECT t.query_id, MIN(t.rank) AS first_hit_rank
+         |  FROM top t
+         |  JOIN lab nl ON nl.vec_id = t.neighbor_id
+         |  JOIN lab ql ON ql.vec_id = t.query_id
+         |  WHERE nl.label = ql.label GROUP BY 1)
+         |SELECT q.vec_id AS query_id, q.label AS q_label, h.first_hit_rank,
+         |       floor(COALESCE(1.0 / h.first_hit_rank, 0.0) * 1e6 + 5e-1) / 1e6 AS rr
+         |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+         |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "capture_recapture" ->
       s"""WITH ${sqlSigsBounded(EvalSampleBound)},
