@@ -2662,6 +2662,56 @@ object CoreQueries {
         .orderBy("p_partkey")
     }),
 
+    // L298 — CUPED variance reduction (Deng et al. 2013): per market
+    // segment, adjust each customer's 1996 spend by their 1995
+    // pre-period spend — y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) —
+    // and report how much metric variance the covariate removes. THE
+    // A/B-test sensitivity move (same experiment, tighter confidence,
+    // no extra traffic); variance_reduction ≈ ρ² is the value of the
+    // pre-period signal. One fact rollup to per-customer year spend,
+    // segment-keyed moments (decimal-exact), one-row-per-segment
+    // algebra.
+    "cuped_adjustment" -> ((s, dir) => {
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r2(c: Column) = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      val spend = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("o_custkey").as("ck"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("s"))
+      val xy = spend.filter(col("yr") === 1995)
+        .select(col("ck"), col("s").as("x"))
+        .join(spend.filter(col("yr") === 1996)
+          .select(col("ck"), col("s").as("y")), "ck")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment")),
+          "ck")
+      xy.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(18, 2))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(18, 2))).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4)))
+            .cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 4)))
+            .cast("double").as("syy"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 4)))
+            .cast("double").as("sxy"))
+        .select(col("segment"), col("n"),
+          (col("sxy") / col("n") - col("sx") / col("n") * (col("sy") / col("n")))
+            .as("cxy"),
+          (col("sxx") / col("n") - col("sx") / col("n") * (col("sx") / col("n")))
+            .as("vx"),
+          (col("syy") / col("n") - col("sy") / col("n") * (col("sy") / col("n")))
+            .as("vy"))
+        .select(col("segment"), col("n"),
+          r6(col("cxy") / col("vx")).as("theta"),
+          r2(col("vy")).as("var_y"),
+          r2(col("vy") - col("cxy") * col("cxy") / col("vx")).as("var_adjusted"),
+          r6(col("cxy") * col("cxy") / col("vx") / col("vy"))
+            .as("variance_reduction"))
+        .orderBy("segment")
+    }),
+
     // L296 — Cochran–Armitage trend test: is the lineitem return rate
     // drifting MONOTONICALLY across ship years? The ordered-proportions
     // test a χ² can't express (χ² sees any deviation; CA weights the
@@ -4666,6 +4716,37 @@ object CoreQueries {
         |             (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
         |             * 1e6 + 5e-1) / 1e6 AS bartlett_stat
         |FROM agg""".stripMargin,
+
+    "cuped_adjustment" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT c.c_mktsegment AS segment, a.s AS x, b.s AS y
+        |  FROM (SELECT ck, s FROM spend WHERE yr = 1995) a
+        |  JOIN (SELECT ck, s FROM spend WHERE yr = 1996) b USING (ck)
+        |  JOIN customer c ON c.c_custkey = a.ck),
+        |m AS (
+        |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM xy GROUP BY 1),
+        |v AS (
+        |  SELECT segment, n,
+        |         sxy / n - sx / n * (sy / n) AS cxy,
+        |         sxx / n - sx / n * (sx / n) AS vx,
+        |         syy / n - sy / n * (sy / n) AS vy
+        |  FROM m)
+        |SELECT segment, n,
+        |       floor(cxy / vx * 1e6 + 5e-1) / 1e6 AS theta,
+        |       floor(vy * 1e2 + 5e-1) / 1e2 AS var_y,
+        |       floor((vy - cxy * cxy / vx) * 1e2 + 5e-1) / 1e2 AS var_adjusted,
+        |       floor(cxy * cxy / vx / vy * 1e6 + 5e-1) / 1e6 AS variance_reduction
+        |FROM v ORDER BY segment""".stripMargin,
 
     "cochran_armitage" ->
       """WITH yr AS (
