@@ -633,6 +633,76 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc")
   }
 
+  /** IVFADC (Jégou et al. 2011, the FAISS production shape): an IVF
+    * coarse quantizer restricts the search to `nProbe` cells, and a
+    * GLOBAL product quantizer over the RESIDUALS (vector − its cell
+    * centroid) scores candidates by asymmetric distance — residual
+    * encoding is what makes m·k tiny codebooks accurate, because
+    * residual magnitudes are a fraction of the raw vectors'. All
+    * training is the deterministic Lloyd chain (one exact answer);
+    * residual subtraction is exact IEEE on both engines because the
+    * centroids are decimal-exact means. Per query the only fact-sized
+    * flow is the probed cells' codes → per-(query, vec) decimal
+    * aggregate → top-k; codebooks and LUTs are parameter-sized.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, coarseK: Int, nProbe: Int,
+                m: Int, pqK: Int, iters: Int = 2): DataFrame = {
+    val sc = corpus.sparkSession.sparkContext
+    val cs = ivfCentroids(corpus, idCol, vecCol, coarseK, iters)
+    val coarseDf = broadcast(pqCodebookDf(corpus.sparkSession,
+      Array(cs)).select(col("cl").as("cluster"), col("cvec").as("cent")))
+    // residual corpus: (vec_id, embedding := v − cent(cluster), cluster)
+    val bc = sc.broadcast(cs)
+    val resid = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("cluster", clusterOf(col("v"), bc).cast("long"))
+      .join(coarseDf, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("cent"), (a, b) => a - b).as(vecCol))
+      .localCheckpoint(false) // trains the PQ codebooks AND gets coded
+    val cbs = pqCodebooks(resid, "vec_id", vecCol, m, pqK, iters)
+    val sub = cbs(0)(0).length
+    val codes = pqCodes(resid, "vec_id", vecCol, cbs)
+      .join(resid.select(col("vec_id"), col("cluster")), "vec_id")
+    // per-(query, probed-cell) residual, then the ADC LUT against the
+    // global residual codebook — |queries|·nProbe·m·pqK rows, broadcast
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val qr = q0
+      .withColumn("cluster",
+        explode(transform(nearestCentroids(col("qv"), bc, nProbe),
+          s => s.getField("idx").cast("long"))))
+      .join(coarseDf, "cluster")
+      .select(col("query_id"), col("cluster"),
+        zip_with(col("qv"), col("cent"), (a, b) => a - b).as("qres"))
+    val cbDf = pqCodebookDf(corpus.sparkSession, cbs)
+    val lut = qr.crossJoin(broadcast(cbDf))
+      .select(col("query_id"), col("cluster"), col("subspace"), col("cl"),
+        posexplode(col("cvec")).as(Seq("pos", "cval")), col("qres"))
+      .withColumn("qval", element_at(col("qres"),
+        (col("subspace") * sub + col("pos") + 1).cast("int")))
+      .withColumn("t",
+        (floor((col("qval") - col("cval")) * (col("qval") - col("cval"))
+          * lit(1e8) + lit(0.5)) / lit(1e8)).cast("decimal(28,8)"))
+      .groupBy("query_id", "cluster", "subspace", "cl")
+      .agg(sum(col("t")).as("d2"))
+    codes.join(broadcast(lut),
+        codes("cluster") === lut("cluster") &&
+          codes("subspace") === lut("subspace") && codes("code") === lut("cl"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_dec"))
+      .withColumn("adc",
+        floor(col("adc_dec").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dec"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+
   /** The within-cell pair stage over an existing (id, v, cluster)
     * assignment — split out so callers can interpose the cell-size
     * guard (CoreQueries.blockSizeGuard) or a custom assignment between

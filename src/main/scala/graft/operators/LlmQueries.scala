@@ -191,6 +191,34 @@ object LlmQueries {
     */
   private val TextRankIters = 3
 
+  /** IVFADC coarse-quantizer size and probe width (`ann_ivfpq_topk` /
+    * `ivfpq_recall`); the residual PQ reuses PqM/PqK/PqIters.
+    */
+  private val IvfPqCoarseK = 8
+  private val IvfPqProbe = 2
+
+  /** Exact squared-L2 top-k ranking (query_id, neighbor_id, rank) for
+    * the vec_id<10 probe set — the shared ground-truth side of
+    * pq_recall / rbo_rankings / ivfpq_recall. Ranks by ‖c‖² − 2·q·c
+    * (monotone in L2; both engines fold identically via vector_dot /
+    * list_sum).
+    */
+  private def exactL2TopK(e: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.vectorDot
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      Similarity.toDouble(col("embedding")).as("cv"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        Similarity.toDouble(col("embedding")).as("qv"))
+    c.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(vectorDot(col("cv"), col("cv")) -
+            lit(2.0) * vectorDot(col("qv"), col("cv")), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** RBO persistence and depth for `rbo_rankings`, plus the cumulative
     * tail weights W(m) = Σ_{d=m..K} (1−p)·p^(d−1)/d, 8dp-floored ONCE in
     * Scala and interpolated as identical literals into the Spark
@@ -401,7 +429,8 @@ object LlmQueries {
     * [[ivfChainCtes]] with every CTE name prefixed `p${si}_` (codebook
     * in `p${si}_cent$iters`, corpus codes in `p${si}_assign`).
     */
-  private def pqChainCtes(si: Int, k: Int, iters: Int): String = {
+  private def pqChainCtes(si: Int, k: Int, iters: Int,
+                          src: String = "v"): String = {
     val lo = si * PqSub + 1
     val hi = (si + 1) * PqSub
     def assign(name: String, centPrev: String) =
@@ -424,7 +453,7 @@ object LlmQueries {
          |  SELECT s.cl, COALESCE(c.c, s.c) AS c
          |  FROM p${si}_cent${t - 1} s LEFT JOIN p${si}_c$t c USING (cl))"""
     }.mkString(",\n")
-    s"""vp$si AS (SELECT vec_id, e[$lo:$hi] AS e FROM v),
+    s"""vp$si AS (SELECT vec_id, e[$lo:$hi] AS e FROM $src),
        |p${si}_cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
        |  FROM (SELECT vec_id, e FROM vp$si ORDER BY vec_id LIMIT $k)),
@@ -436,8 +465,9 @@ object LlmQueries {
     * reads: `pq_cbu(subspace, cl, c)` — the trained codebooks — and
     * `pq_codes(vec_id, subspace, code)` — the corpus codes.
     */
-  private def pqAllCtes(iters: Int): String = {
-    val chains = (0 until PqM).map(si => pqChainCtes(si, PqK, iters)).mkString(",\n")
+  private def pqAllCtes(iters: Int, src: String = "v"): String = {
+    val chains = (0 until PqM).map(si =>
+      pqChainCtes(si, PqK, iters, src)).mkString(",\n")
     val cbu = (0 until PqM).map(si =>
       s"SELECT CAST($si AS BIGINT) AS subspace, cl, c FROM p${si}_cent$iters")
       .mkString("\n  UNION ALL ")
@@ -530,6 +560,95 @@ object LlmQueries {
        |    FROM exs)
        |  WHERE rank <= $k),
        |ap AS (SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= $k),
+       |h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+       |n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |      FROM ex GROUP BY 1)
+       |SELECT n.query_id, n.n_exact,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_exact * 1e6 + 0.5)
+       |         / 1e6 AS recall
+       |FROM n LEFT JOIN h ON n.query_id = h.query_id
+       |ORDER BY n.query_id""".stripMargin
+
+  /** The IVFADC WITH-body shared by `ann_ivfpq_topk` / `ivfpq_recall`:
+    * the coarse chain (ivfChainCtes → cent$iters, assign), the residual
+    * corpus `vr` (exact IEEE subtraction of the decimal-exact centroid),
+    * the GLOBAL residual-PQ chains (pqAllCtes over vr), the per-(query,
+    * probed-cell) residual LUT, and the ranked ADC candidates
+    * (`ivfpq_ranked`).
+    */
+  private def ivfPqCtes(coarseK: Int, nProbe: Int): String =
+    s"""${ivfChainCtes(coarseK, PqIters)},
+       |vr AS MATERIALIZED (
+       |  SELECT v.vec_id,
+       |         list_transform(list_zip(v.e, s.c), p -> p[1] - p[2]) AS e
+       |  FROM v JOIN assign USING (vec_id) JOIN cent$PqIters s ON s.cl = assign.cl),
+       |${pqAllCtes(PqIters, src = "vr")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, e, cl FROM (
+       |    SELECT v.vec_id, v.e, s.cl,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${ivfScore("v.e")}, s.cl) AS rn
+       |    FROM v CROSS JOIN cent$PqIters s
+       |    WHERE v.vec_id < 10)
+       |  WHERE rn <= $nProbe),
+       |qr AS MATERIALIZED (
+       |  SELECT p.query_id, p.cl AS cluster,
+       |         list_transform(list_zip(p.e, s.c), x -> x[1] - x[2]) AS qres
+       |  FROM probes p JOIN cent$PqIters s ON s.cl = p.cl),
+       |lut_terms AS (
+       |  SELECT q.query_id, q.cluster, cb.subspace, cb.cl, q.qres,
+       |         unnest(cb.c) AS cval, generate_subscripts(cb.c, 1) AS pos
+       |  FROM qr q CROSS JOIN pq_cbu cb),
+       |lut AS (
+       |  SELECT query_id, cluster, subspace, cl,
+       |         SUM(CAST(floor((qres[subspace * $PqSub + pos] - cval)
+       |                        * (qres[subspace * $PqSub + pos] - cval)
+       |                        * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8))) AS d2
+       |  FROM lut_terms GROUP BY 1, 2, 3, 4),
+       |cc AS (SELECT c.vec_id, a.cl AS cluster, c.subspace, c.code
+       |       FROM pq_codes c JOIN assign a USING (vec_id)),
+       |ivfpq_adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d2) AS adc_dec
+       |  FROM cc c
+       |  JOIN lut l ON l.cluster = c.cluster AND l.subspace = c.subspace
+       |            AND l.cl = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ivfpq_ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dec,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dec, neighbor_id) AS rank
+       |  FROM ivfpq_adc)""".stripMargin
+
+  /** Oracle for `ann_ivfpq_topk`. */
+  private def ivfPqTopKOracle(k: Int, coarseK: Int, nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${ivfPqCtes(coarseK, nProbe)}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |       floor(CAST(adc_dec AS DOUBLE) * 1e6 + 0.5) / 1e6 AS adc
+       |FROM ivfpq_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for `ivfpq_recall`: exact squared-L2 top-k ∩ the IVFADC
+    * top-k — cell misses and quantization error land in one number.
+    */
+  private def ivfPqRecallOracle(k: Int, coarseK: Int, nProbe: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |${ivfPqCtes(coarseK, nProbe)},
+       |exs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_sum(list_transform(c.e, x -> x*x)) - 2.0 *
+       |           list_sum(list_transform(list_zip(q.e, c.e), p -> p[1]*p[2])) AS score
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score, neighbor_id) AS rank
+       |    FROM exs)
+       |  WHERE rank <= $k),
+       |ap AS (SELECT query_id, neighbor_id FROM ivfpq_ranked WHERE rank <= $k),
        |h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
        |      FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
        |n AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
@@ -2710,6 +2829,48 @@ object LlmQueries {
       qlab.join(hits, Seq("query_id"), "left")
         .select(col("query_id"), col("q_label"), col("first_hit_rank"),
           r6(coalesce(lit(1.0) / col("first_hit_rank"), lit(0.0))).as("rr"))
+        .orderBy("query_id")
+    }),
+
+    // L299 — IVFADC search (Jégou et al. 2011 — the FAISS production
+    // shape): IVF coarse cells restrict the scan to nProbe cells, and a
+    // GLOBAL product quantizer over the RESIDUALS scores candidates by
+    // asymmetric distance — residual encoding is why tiny m·k codebooks
+    // stay accurate (residual magnitudes are a fraction of the raw
+    // vectors'). The complete memory-resident trillion-vector serving
+    // stack: coarse pruning (sub-linear scan) × 8–32× code compression.
+    // Every training step is the deterministic Lloyd chain; one exact
+    // answer, oracled end to end.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, coarseK = IvfPqCoarseK,
+          nProbe = IvfPqProbe, m = PqM, pqK = PqK, iters = PqIters)
+        .orderBy("query_id", "rank")
+    }),
+
+    // L300 — IVFADC recall vs the exact squared-L2 top-10: cell misses
+    // (the query's true neighbor lives in an unprobed cell) and
+    // quantization error land in ONE number — the acceptance gate for
+    // the full IVF×PQ stack, read next to pq_recall (quantization only)
+    // and ann_ivf_recall (cell pruning only) to attribute the loss.
+    "ivfpq_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = exactL2TopK(e, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false) // reused: denominator + intersect
+      val approx = Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, coarseK = IvfPqCoarseK,
+          nProbe = IvfPqProbe, m = PqM, pqK = PqK, iters = PqIters)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          roundHU(col("n_hit").cast("double") / col("n_exact"), 1e6))
         .orderBy("query_id")
     }),
 
@@ -6502,6 +6663,10 @@ object LlmQueries {
     "ann_pq_topk" -> pqAdcTopKOracle(k = 10),
     "pq_recall" -> pqRecallOracle(k = 10),
     "rbo_rankings" -> rboOracle,
+    "ann_ivfpq_topk" -> ivfPqTopKOracle(k = 10, coarseK = IvfPqCoarseK,
+      nProbe = IvfPqProbe),
+    "ivfpq_recall" -> ivfPqRecallOracle(k = 10, coarseK = IvfPqCoarseK,
+      nProbe = IvfPqProbe),
 
     "mrr_eval" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

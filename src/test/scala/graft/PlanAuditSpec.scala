@@ -141,8 +141,10 @@ class PlanAuditSpec extends SparkSpec {
       // once (canonical keys stay a valid superset across peel rounds)
       "k_truss",
       // PQ family: PqM per-subspace Lloyd codebooks — m·k·(dim/m)
-      // doubles of driver state, the same IVF-codebook contract
-      "pq_codebooks", "ann_pq_topk", "pq_recall", "rbo_rankings")
+      // doubles of driver state, the same IVF-codebook contract;
+      // IVFADC additionally trains the coarse quantizer
+      "pq_codebooks", "ann_pq_topk", "pq_recall", "rbo_rankings",
+      "ann_ivfpq_topk", "ivfpq_recall")
 
   private def factLeafPaths(p: LogicalPlan): Seq[String] =
     p.collectLeaves().flatMap {
