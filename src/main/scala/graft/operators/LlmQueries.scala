@@ -2832,6 +2832,53 @@ object LlmQueries {
         .orderBy("query_id")
     }),
 
+    // L301 — mean average precision @10 over the labeled embeddings:
+    // AP = Σ_{ranks r with a same-label hit} precision@r / min(10, R) —
+    // the area-under-PR summary that completes the retrieval-eval
+    // family (mrr_eval = first hit, ndcg_eval = graded gain, MAP =
+    // every hit weighted by how early). R is the query's true relevant
+    // count, so a query whose label has few corpus neighbors isn't
+    // penalized for the ceiling. The running hit count is a
+    // query-PARTITIONED 10-row window; precision terms 8dp-round into
+    // exact decimal sums.
+    "map_eval" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def r8(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e8) + lit(0.5)) / lit(1e8)
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val top = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      val labels = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))
+      val qlab = q.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))
+      // R per query: same-label corpus count minus the query itself
+      val relCnt = e.groupBy(col("label").as("q_label"))
+        .agg(count(lit(1)).as("n_label_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      val ap = top.join(labels, "neighbor_id")
+        .join(broadcast(qlab), "query_id")
+        .withColumn("hit", (col("n_label") === col("q_label")).cast("long"))
+        .withColumn("cum", sum("hit").over(w))
+        .filter(col("hit") === 1)
+        .select(col("query_id"),
+          r8(col("cum").cast("double") / col("rank"))
+            .cast("decimal(18,8)").as("t"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"), sum("t").cast("double").as("psum"))
+      qlab.join(relCnt, "q_label")
+        .select(col("query_id"), col("q_label"),
+          (col("n_label_total") - 1).as("n_relevant"))
+        .join(ap, Seq("query_id"), "left")
+        .select(col("query_id"), col("q_label"), col("n_relevant"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          r6(coalesce(col("psum"), lit(0.0)) /
+            least(lit(10L), col("n_relevant")).cast("double")).as("ap"))
+        .orderBy("query_id")
+    }),
+
     // L299 — IVFADC search (Jégou et al. 2011 — the FAISS production
     // shape): IVF coarse cells restrict the scan to nProbe cells, and a
     // GLOBAL product quantizer over the RESIDUALS scores candidates by
@@ -6667,6 +6714,48 @@ object LlmQueries {
       nProbe = IvfPqProbe),
     "ivfpq_recall" -> ivfPqRecallOracle(k = 10, coarseK = IvfPqCoarseK,
       nProbe = IvfPqProbe),
+
+    "map_eval" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |exs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${sqlCos("q", "c")} AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM exs)
+         |  WHERE rank <= 10),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |rel AS (SELECT label AS q_label, CAST(COUNT(*) AS BIGINT) AS n_label_total
+         |        FROM embeddings GROUP BY 1),
+         |hits AS (
+         |  SELECT t.query_id, t.rank,
+         |         CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS hit
+         |  FROM top t
+         |  JOIN lab nl ON nl.vec_id = t.neighbor_id
+         |  JOIN lab ql ON ql.vec_id = t.query_id),
+         |cum AS (
+         |  SELECT query_id, rank, hit,
+         |         SUM(hit) OVER (PARTITION BY query_id ORDER BY rank) AS cum
+         |  FROM hits),
+         |ap AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |         CAST(SUM(CAST(floor(CAST(cum AS DOUBLE) / rank * 1e8 + 5e-1) / 1e8
+         |                       AS DECIMAL(18,8))) AS DOUBLE) AS psum
+         |  FROM cum WHERE hit = 1 GROUP BY 1)
+         |SELECT q.vec_id AS query_id, q.label AS q_label,
+         |       rel.n_label_total - 1 AS n_relevant,
+         |       CAST(COALESCE(ap.n_hits, 0) AS BIGINT) AS n_hits,
+         |       floor(COALESCE(ap.psum, 0.0) /
+         |             CAST(least(10, rel.n_label_total - 1) AS DOUBLE)
+         |             * 1e6 + 5e-1) / 1e6 AS ap
+         |FROM embeddings q
+         |JOIN rel ON rel.q_label = q.label
+         |LEFT JOIN ap ON ap.query_id = q.vec_id
+         |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "mrr_eval" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
