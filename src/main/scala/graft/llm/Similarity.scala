@@ -538,12 +538,27 @@ object Similarity {
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
-    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // dim is inferred from row 0, so guard both failure shapes (r9
+    // ADVICE): an EMPTY corpus has no row 0 — name the problem instead
+    // of a bare NoSuchElementException; a RAGGED corpus (one short
+    // vector anywhere) would let slice() silently null-pad that row's
+    // subvectors and train garbage codebooks — fail per-row IN the plan
+    // (the lshBuckets raise_error convention: no extra driver job,
+    // catches the bad row wherever it is).
+    val dimRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dimRow.nonEmpty,
+      s"pqCodebooks: empty corpus - cannot infer dim from $vecCol")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
     val sub = dim / m
+    val vec = col(vecCol)
+    val checked = when(size(vec) === dim, vec)
+      .otherwise(raise_error(concat(
+        lit(s"pqCodebooks: expected dim=$dim but $vecCol has "),
+        coalesce(size(vec).cast("string"), lit("NULL")), lit(" elements"))))
     Array.tabulate(m) { si =>
       ivfCentroids(corpus.select(col(idCol),
-          slice(col(vecCol), si * sub + 1, sub).as(vecCol)),
+          slice(checked, si * sub + 1, sub).as(vecCol)),
         idCol, vecCol, k, iters)
     }
   }

@@ -2651,7 +2651,17 @@ object CoreQueries {
           (col("spp") / col("k") - (col("sp") / col("k")) * (col("sp") / col("k")))
             .as("s2"))
         .select(col("m"), col("s2"),
-          (col("m") * (lit(1.0) - col("m")) / col("s2") - lit(1.0)).as("nu")))
+          // prior-breakdown guard (r9 ADVICE): s² = 0 (all per-part
+          // rates equal) would divide by zero, and s² > m(1−m) makes
+          // ν̂ ≤ 0 — negative pseudo-counts, a nonsensical prior. NULL
+          // the prior in both cases so alpha/beta/shrunk_rate go NULL
+          // loudly instead of Infinity/garbage; mirrored in the oracle.
+          when(col("s2") <= 0, lit(null).cast("double"))
+            .otherwise(col("m") * (lit(1.0) - col("m")) / col("s2") - lit(1.0))
+            .as("nu0"))
+        .select(col("m"), col("s2"),
+          when(col("nu0") <= 0, lit(null).cast("double"))
+            .otherwise(col("nu0")).as("nu")))
       rates.crossJoin(prior)
         .select(col("p_partkey"), col("n_lines"), col("n_returns"),
           r6(col("p")).as("raw_rate"),
@@ -4807,14 +4817,16 @@ object CoreQueries {
         |              AS DOUBLE) / COUNT(*) AS p
         |  FROM lineitem GROUP BY 1),
         |prior AS (
-        |  SELECT m, s2, m * (1.0 - m) / s2 - 1.0 AS nu FROM (
+        |  SELECT m, s2, CASE WHEN nu0 <= 0 THEN NULL ELSE nu0 END AS nu FROM (
+        |  SELECT m, s2, CASE WHEN s2 <= 0 THEN NULL
+        |                     ELSE m * (1.0 - m) / s2 - 1.0 END AS nu0 FROM (
         |    SELECT sp / k AS m, spp / k - (sp / k) * (sp / k) AS s2 FROM (
         |      SELECT CAST(COUNT(*) AS BIGINT) AS k,
         |             CAST(SUM(CAST(floor(p * 1e8 + 5e-1) / 1e8
         |                           AS DECIMAL(28,8))) AS DOUBLE) AS sp,
         |             CAST(SUM(CAST(floor(p * p * 1e8 + 5e-1) / 1e8
         |                           AS DECIMAL(28,8))) AS DOUBLE) AS spp
-        |      FROM rates)))
+        |      FROM rates))))
         |SELECT p_partkey, n_lines, n_returns,
         |       floor(p * 1e6 + 5e-1) / 1e6 AS raw_rate,
         |       floor(m * nu * 1e6 + 5e-1) / 1e6 AS alpha,

@@ -1223,6 +1223,13 @@ object EventQueries {
         floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       def r2(c: org.apache.spark.sql.Column) =
         floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+      // degenerate-series guard (r9 ADVICE): a zero-variance series, a
+      // perfect fit (sseu = 0), or < 4 days (n − 3 = 0) zeroes these
+      // divisors — Spark would emit Infinity/NaN where DuckDB NULLs, a
+      // silent cross-engine divergence. Pin BOTH engines to NULL via
+      // nullif on every divisor (the rolling_zscore convention).
+      def nz(c: org.apache.spark.sql.Column) =
+        when(c === 0, lit(null).cast("double")).otherwise(c.cast("double"))
       val dayUs = 86400000000L
       val counts = events(s, dir)
         .groupBy(expr(s"ts_us div $dayUs").as("day"))
@@ -1260,19 +1267,19 @@ object EventQueries {
           // evaluate the identical IEEE expression; rounding only at
           // the output columns below)
           ((col("szy") * col("sww") - col("swy") * col("szw")) /
-            (col("szz") * col("sww") - col("szw") * col("szw"))).as("b2"),
+            nz(col("szz") * col("sww") - col("szw") * col("szw"))).as("b2"),
           ((col("swy") * col("szz") - col("szy") * col("szw")) /
-            (col("szz") * col("sww") - col("szw") * col("szw"))).as("c2"))
+            nz(col("szz") * col("sww") - col("szw") * col("szw"))).as("c2"))
         .select(col("n"), col("szz"), col("szy"), col("b2"), col("c2"),
-          (col("syy") - col("szy") * col("szy") / col("szz")).as("sser"),
+          (col("syy") - col("szy") * col("szy") / nz(col("szz"))).as("sser"),
           (col("syy") - col("b2") * col("szy") - col("c2") * col("swy")).as("sseu"))
         .select(col("n").as("n_days"),
-          r6(col("szy") / col("szz")).as("beta_restricted"),
+          r6(col("szy") / nz(col("szz"))).as("beta_restricted"),
           r6(col("b2")).as("beta_lag_y"),
           r6(col("c2")).as("beta_lag_x"),
           r2(col("sser")).as("sse_r"),
           r2(col("sseu")).as("sse_u"),
-          r6((col("sser") - col("sseu")) / (col("sseu") / (col("n") - 3)))
+          r6((col("sser") - col("sseu")) / (nz(col("sseu")) / nz(col("n") - 3)))
             .as("f_stat"))
     }),
 
@@ -2710,21 +2717,22 @@ object EventQueries {
         |  FROM dv),
         |coef AS (
         |  SELECT n, syy, szy, swy, szz,
-        |         (szy * sww - swy * szw) / (szz * sww - szw * szw) AS b2,
-        |         (swy * szz - szy * szw) / (szz * sww - szw * szw) AS c2
+        |         (szy * sww - swy * szw) / nullif(szz * sww - szw * szw, 0) AS b2,
+        |         (swy * szz - szy * szw) / nullif(szz * sww - szw * szw, 0) AS c2
         |  FROM sums),
         |sse AS (
         |  SELECT n, szz, szy, b2, c2,
-        |         syy - szy * szy / szz AS sser,
+        |         syy - szy * szy / nullif(szz, 0) AS sser,
         |         syy - b2 * szy - c2 * swy AS sseu
         |  FROM coef)
         |SELECT n AS n_days,
-        |       floor(szy / szz * 1e6 + 5e-1) / 1e6 AS beta_restricted,
+        |       floor(szy / nullif(szz, 0) * 1e6 + 5e-1) / 1e6 AS beta_restricted,
         |       floor(b2 * 1e6 + 5e-1) / 1e6 AS beta_lag_y,
         |       floor(c2 * 1e6 + 5e-1) / 1e6 AS beta_lag_x,
         |       floor(sser * 1e2 + 5e-1) / 1e2 AS sse_r,
         |       floor(sseu * 1e2 + 5e-1) / 1e2 AS sse_u,
-        |       floor((sser - sseu) / (sseu / (n - 3)) * 1e6 + 5e-1) / 1e6 AS f_stat
+        |       floor((sser - sseu) / (nullif(sseu, 0) / nullif(n - 3, 0))
+        |             * 1e6 + 5e-1) / 1e6 AS f_stat
         |FROM sse""".stripMargin,
 
     "decayed_user_value" ->

@@ -2874,8 +2874,13 @@ object LlmQueries {
         .join(ap, Seq("query_id"), "left")
         .select(col("query_id"), col("q_label"), col("n_relevant"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          // n_relevant = 0 guard (r9 ADVICE): a probe whose label is
+          // unique in the corpus would divide 0.0/0 — NaN in Spark but
+          // NULL in DuckDB. Pin both engines to NULL via nullif.
           r6(coalesce(col("psum"), lit(0.0)) /
-            least(lit(10L), col("n_relevant")).cast("double")).as("ap"))
+            when(col("n_relevant") === 0, lit(null).cast("double"))
+              .otherwise(least(lit(10L), col("n_relevant")).cast("double")))
+            .as("ap"))
         .orderBy("query_id")
     }),
 
@@ -6750,7 +6755,7 @@ object LlmQueries {
          |       rel.n_label_total - 1 AS n_relevant,
          |       CAST(COALESCE(ap.n_hits, 0) AS BIGINT) AS n_hits,
          |       floor(COALESCE(ap.psum, 0.0) /
-         |             CAST(least(10, rel.n_label_total - 1) AS DOUBLE)
+         |             CAST(nullif(least(10, rel.n_label_total - 1), 0) AS DOUBLE)
          |             * 1e6 + 5e-1) / 1e6 AS ap
          |FROM embeddings q
          |JOIN rel ON rel.q_label = q.label

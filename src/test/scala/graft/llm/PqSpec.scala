@@ -86,4 +86,27 @@ class PqSpec extends SparkSpec {
     assert(hits.toDouble / exact.count() > 0.5,
       s"PQ recall@10 too low: $hits of ${exact.count()}")
   }
+
+  test("pqCodebooks fails loudly on an empty corpus (named require)") {
+    val empty = corpus.filter(col("vec_id") < 0)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(empty, "vec_id", "embedding", m = 2, k = 4)
+    }
+    assert(ex.getMessage.contains("empty corpus"))
+  }
+
+  test("pqCodebooks fails loudly on a ragged corpus (per-row dim guard)") {
+    // one short vector anywhere must abort training — slice() would
+    // otherwise null-pad its subvectors and silently train on garbage
+    import spark.implicits._
+    val ragged = corpus.unionAll(
+      Seq((1000L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"))
+    val ex = intercept[Exception] {
+      Similarity.pqCodebooks(ragged, "vec_id", "embedding", m = 2, k = 4)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m =>
+      m.contains("expected dim=8") && m.contains("3 elements")))
+  }
 }
