@@ -42,28 +42,41 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reportPath = java.nio.file.Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_REPORT", "reports/bench_per_query.json"))
-    // ---- load-spike guard (r8 verdict ask #1) --------------------------
-    // min-of-N within ONE run does not survive a host-load spike that
-    // spans the whole run: BENCH_r08 recorded ann_lsh_topk at 6.66s when
-    // the idle truth was 0.42s (15x), poisoning round-over-round diffs.
-    // Remedy = the scaling.py min-merge pattern applied to the record
-    // run: read the previous round's COMMITTED per-query map, and any
-    // query whose fresh min lands > GuardRatio x its committed prior
-    // gets up to GuardExtraIters extra timed runs before its number is
-    // recorded. A genuine regression re-measures slow and stays visible
-    // (and is listed in "guard_reruns" so the judge sees it was
-    // re-checked); a load phantom gets a second chance to time clean.
-    // Priors are advisory only — never merged INTO the result (a stale
-    // prior must not fabricate a speed no current code achieves).
-    val GuardRatio = 3.0
-    val GuardExtraIters = 2
-    val prior: Map[String, Double] =
-      if (only.nonEmpty || !java.nio.file.Files.exists(reportPath)) Map.empty
+    // ---- fresh-JVM deviation guard (r9 verdict ask #1) -----------------
+    // The r8 in-run guard (extra timed runs inside the SAME loaded JVM)
+    // was wrong in both directions: a load spike spanning the whole run
+    // survived into the re-runs (nine r9 queries recorded 3-7x above
+    // their idle truth, e.g. kneser_ney_logprob 4.68s vs 1.21s), and
+    // cross-query cache sharing UNDER-recorded k_truss (5.34s recorded
+    // vs a reproducible ~9s isolated). Remedy = adjudicate in a FRESH
+    // JVM, the same procedure the judge's independent idle min-of-3
+    // uses: after the main sweep, any query whose min deviates >1.5x
+    // (either direction, >0.3s absolute) from ANY committed reference
+    // (last round's per-query map OR scaling.json's sf0.1 time) is
+    // re-timed by a forked child Bench process (min-of-iters, isolated
+    // warmup), and the child's number REPLACES the in-run one — replace,
+    // not min-merge, because min-merge would keep under-records like
+    // k_truss's 5.34. "Any reference" not "both": a poisoned prior (a
+    // phantom recorded last round) must itself trigger adjudication.
+    // Queries with no reference (new this round) are left as measured.
+    val GuardRatio = 1.5
+    val GuardAbsDelta = 0.3
+    val freshChild = sys.env.get("SPARK_GRAFT_FRESH_CHILD")
+    val sfName = sfDir.split("/").last // e.g. "sf0.1"
+    def loadQueryMap(p: java.nio.file.Path, key: String,
+                     requireSf: Option[String] = None): Map[String, Double] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
         import org.json4s._
-        val txt = new String(java.nio.file.Files.readAllBytes(reportPath),
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        val parsed = org.json4s.jackson.JsonMethods.parse(txt)
+        val sfOk = requireSf.forall(sf => parsed \ "sf" match {
+          case JString(s) => s.split("/").last == sf
+          case _          => false
+        })
+        if (!sfOk) Map.empty
+        else parsed \ key match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) if v >= 0 => k -> v
             case (k, JInt(v)) if v >= 0    => k -> v.toDouble
@@ -71,10 +84,43 @@ object Bench {
           case _ => Map.empty
         }
       } catch { case e: Throwable =>
-        System.err.println(s"bench: prior report unreadable ($e) - guard off")
+        System.err.println(s"bench: reference $p unreadable ($e)")
         Map.empty
       }
-    val guardReruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // a committed prior from a DIFFERENT scale factor is not a reference
+    // (an sf0.001 smoke run must not adjudicate against sf0.1 numbers)
+    val prior: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else loadQueryMap(reportPath, "queries", requireSf = Some(sfName))
+    // scaling.json: {"per_query": {name: {"secs": {"sf0.1": s}}}} — flatten
+    val scalingRef: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else try {
+        val p = java.nio.file.Paths.get("reports/scaling.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import org.json4s._
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val sfKey = "sf" + sfDir.split("/").last.stripPrefix("sf")
+          org.json4s.jackson.JsonMethods.parse(txt) \ "per_query" match {
+            case JObject(fields) => fields.flatMap { case (name, v) =>
+              v \ "secs" \ sfKey match {
+                case JDouble(d) if d >= 0 => Some(name -> d)
+                case JInt(d) if d >= 0    => Some(name -> d.toDouble)
+                case _                    => None
+              }
+            }.toMap
+            case _ => Map.empty
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: scaling.json unreadable ($e)")
+        Map.empty
+      }
+    def deviates(base: Double, ref: Double): Boolean =
+      base >= 0 && ref > 0 && math.abs(base - ref) > GuardAbsDelta &&
+        (base > ref * GuardRatio || base < ref / GuardRatio)
     // oracled queries + the bench-only sketch tiers (the actual 100 TB
     // path of the four buffer-heavy profiling queries — sketch-valued so
     // never oracled, but a perf regression must show here)
@@ -100,30 +146,76 @@ object Bench {
         }
       }
       val times = (1 to iters).flatMap(_ => timeOnce())
-      val base = if (times.nonEmpty) times.min else -1.0
-      val fin = prior.get(name) match {
-        case Some(p) if base >= 0 && p > 0 &&
-            base > p * GuardRatio && base - p > 0.3 =>
-          val merged = (base +: (1 to GuardExtraIters).flatMap(_ => timeOnce())).min
-          guardReruns(name) = (base, merged)
-          merged
-        case _ => base
-      }
-      name -> fin
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
+    // ---- fresh-JVM adjudication pass -----------------------------------
+    // Fork a child Bench (same classpath + JVM flags as this forked run)
+    // restricted to the flagged queries; it writes its per-query map to
+    // SPARK_GRAFT_FRESH_CHILD and that map replaces the flagged in-run
+    // numbers. Disabled inside the child itself (no recursion), under
+    // SPARK_GRAFT_BENCH_ONLY (targeted runs), or via
+    // SPARK_GRAFT_FRESH_GUARD=0.
+    val flagged: Seq[(String, Double)] = results.filter { case (name, base) =>
+      prior.get(name).exists(deviates(base, _)) ||
+        scalingRef.get(name).exists(deviates(base, _))
+    }
+    val freshTimes: Map[String, Double] =
+      if (flagged.isEmpty || only.nonEmpty || freshChild.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_FRESH_GUARD").contains("0")) Map.empty
+      else try {
+        val tmp = java.nio.file.Files.createTempFile("graft-fresh-pass", ".json")
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        import scala.jdk.CollectionConverters._
+        // inherit only the JVM flags that shape Spark's runtime (heap,
+        // module opens, GC, spark.* system props) — not sbt's own -D noise
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.filter(a =>
+            a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+            a.startsWith("-XX") || a.startsWith("--add-opens") ||
+            a.startsWith("--add-exports") || a.startsWith("-Dspark."))
+        val cmd = (javaBin +: jvmArgs.toSeq) ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment.put("SPARK_GRAFT_BENCH_ONLY",
+          flagged.map(_._1).mkString(","))
+        pb.environment.put("SPARK_GRAFT_FRESH_CHILD", tmp.toString)
+        pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment.put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment.put("SPARK_GRAFT_BENCH_ITERS", iters.toString)
+        // child stdout must not reach this process's stdout (the driver
+        // parses OUR tail); keep its log on stderr for debuggability
+        pb.redirectOutput(ProcessBuilder.Redirect.to(
+          java.nio.file.Files.createTempFile("graft-fresh-out", ".log").toFile))
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"bench: fresh-JVM guard re-timing ${flagged.size} " +
+          s"deviating queries: ${flagged.map(_._1).mkString(",")}")
+        val proc = pb.start()
+        val done = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); Map.empty }
+        else loadQueryMap(tmp, "queries").filter(_._2 >= 0)
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: fresh-JVM guard pass failed: $e")
+        Map.empty
+      }
+    val adjudicated = results.map { case (name, base) =>
+      name -> freshTimes.getOrElse(name, base)
+    }
+    val qs = adjudicated.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // the guard's audit trail: first recorded min vs post-rerun min, so a
-    // diff consumer can see which numbers were load-suspected and re-timed
-    val rerunJson = guardReruns.map { case (k, (first, fin)) =>
-      s"""\"${jsonEscape(k)}\":{"first":$first,"final":$fin,"prior":${prior.getOrElse(k, -1.0)}}"""
+    val total = adjudicated.collect { case (_, v) if v >= 0 => v }.sum
+    // the guard's audit trail: the in-run min, the fresh-JVM min that
+    // replaced it (or -1 if the child pass failed/was skipped), and the
+    // two references that flagged it — so a diff consumer sees exactly
+    // which numbers were adjudicated and against what
+    val rerunJson = flagged.map { case (k, first) =>
+      s"""\"${jsonEscape(k)}\":{"first":$first,"final":${freshTimes.getOrElse(k, -1.0)},"prior":${prior.getOrElse(k, -1.0)},"scaling":${scalingRef.getOrElse(k, -1.0)}}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"guard_reruns":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"fresh_guard":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver's artifact keeps only a bounded TAIL of this output, so
     // the full per-query map above is lost from the round record
@@ -131,11 +223,14 @@ object Bench {
     // question unanswerable from artifacts). Persist the complete map to
     // a committed file, overwritten each run, so every round can diff
     // per-query timings against the previous round's file in git.
-    // Skipped under SPARK_GRAFT_BENCH_ONLY: a targeted timing run must
-    // not clobber the committed full map.
-    if (only.isEmpty) try {
-      Option(reportPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(reportPath,
+    // Skipped under SPARK_GRAFT_BENCH_ONLY (a targeted timing run must
+    // not clobber the committed full map) — EXCEPT in fresh-child mode,
+    // where the map goes to the parent's temp handoff path instead.
+    val childOut = freshChild.map(java.nio.file.Paths.get(_))
+    if (only.isEmpty || childOut.nonEmpty) try {
+      val target = childOut.getOrElse(reportPath)
+      Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(target,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"bench: per-query report write failed: $e")
@@ -309,7 +404,7 @@ object Bench {
     // queries outside the top 5) + per-registry subtotals, so the tail
     // alone localizes a regression to a family even when the full map
     // file is unavailable.
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val top = adjudicated.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val slowest = top.map { case (k, v) => s"\"${jsonEscape(k)}\":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}" }
       .mkString("{", ",", "}")
     val families: Seq[(String, Set[String])] = Seq(
@@ -318,10 +413,13 @@ object Bench {
       "event" -> graft.operators.EventQueries.queries.keySet,
       "approx" -> graft.operators.ApproxTiers.benchQueries.keySet)
     val famJson = families.map { case (fam, names) =>
-      val sub = results.collect { case (k, v) if v >= 0 && names(k) => v }.sum
+      val sub = adjudicated.collect { case (k, v) if v >= 0 && names(k) => v }.sum
       s""""$fam":${"%.3f".formatLocal(java.util.Locale.ROOT, sub)}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"family_totals":$famJson,"guard_reruns":$rerunJson,"queries_omitted":${results.size - top.size},"per_query_report":"reports/bench_per_query.json","iters":$iters,"sf":"$sfDir"}""")
+    // "tail_entries_omitted" = per-query entries elided from THIS compact
+    // tail print (the full map is in per_query_report) — NOT unbenched
+    // queries; the old "queries_omitted" name misread as the latter (r9 #9)
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${adjudicated.size},"n_errors":${errors.size},"slowest":$slowest,"family_totals":$famJson,"fresh_guard":$rerunJson,"tail_entries_omitted":${adjudicated.size - top.size},"per_query_report":"reports/bench_per_query.json","iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
