@@ -88,10 +88,24 @@ def main():
         r = b / a if a > 0 else float("inf")
         if abs(d) >= min_delta and (r >= min_ratio or r <= 1 / min_ratio):
             moved.append((d, r, k, a, b))
+    # fresh-JVM guard verdicts (r9 verdict #6): a move whose NEW number
+    # came out of the fresh-JVM adjudication pass (Bench's "fresh_guard"
+    # audit map) already survived an isolated re-measurement -- report it
+    # as real, not load noise. Moves the guard never flagged were within
+    # 1.5x of the committed references at record time.
+    guard = new.get("fresh_guard") or {}
     if moved:
         print(f"\nmoved (|delta| >= {min_delta}s and ratio >= {min_ratio}x):")
         for d, r, k, a, b in sorted(moved, key=lambda t: -abs(t[0])):
-            print(f"  {k:32s} {a:7.2f} -> {b:7.2f}  ({d:+6.2f}s, {r:5.2f}x)")
+            g = guard.get(k)
+            if g and g.get("final", -1) >= 0:
+                note = (f"  [guard: fresh-JVM {g['first']:.2f}->{g['final']:.2f}"
+                        f" -- survived isolation, real]")
+            elif g:
+                note = "  [guard: flagged but fresh pass failed -- unadjudicated]"
+            else:
+                note = ""
+            print(f"  {k:32s} {a:7.2f} -> {b:7.2f}  ({d:+6.2f}s, {r:5.2f}x){note}")
     else:
         print("\nno per-query moves past thresholds")
     only_new = sorted(set(nq) - set(oq))
