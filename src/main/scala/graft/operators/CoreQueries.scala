@@ -3162,11 +3162,15 @@ object CoreQueries {
       // ONE bloom, canonical-keyed, built from the START edges: rounds
       // only SHRINK the edge set, so the round-1 filter stays a valid
       // superset prefilter for every later round (false positives are
-      // confirm-joined away below). Rebuilding per round — the r8 shape
-      // — paid a full pass + driver collect each time for nothing.
+      // exactly confirmed away below). Rebuilding per round — the r8
+      // shape — paid a full pass + driver collect each time for nothing.
+      // 2^24 bits (2 MB): at 4M expected items Spark picks 3 hash
+      // rounds, ~1% fpp at this edge count — the r9 1MB/1-hash config
+      // measured ~15% fpp, and every false positive is a row through
+      // the confirm shuffle every round. Still SF-constant state.
       val edgeBloom = s.sparkContext.broadcast(
         e.select(xxhash64(col("src"), col("dst")).as("k"))
-          .stat.bloomFilter("k", 4000000L, 1L << 23))
+          .stat.bloomFilter("k", 4000000L, 1L << 24))
       // ONE degree pass + ONE fixed acyclic orientation (start degrees,
       // id tiebreak). Support is orientation-INDEPENDENT — any fixed
       // total order gives each triangle exactly one apex (its rank-min
@@ -3197,45 +3201,57 @@ object CoreQueries {
         // clustering_coeff shape — see there for the full rationale):
         // adjacency groups exchange-free off the u-partitioned
         // checkpoint, the kernel enumerates C(d⁺,2) pairs in a JIT'd
-        // loop, and only bloom survivors become rows for the exact
-        // confirm join
+        // loop, and only bloom survivors become rows. TWO exchanges per
+        // round total (r9 paid four): the survivors' shuffle to the
+        // confirm probe and the vote rows' shuffle into the fused
+        // support checkpoint.
         val adj = oriented.groupBy(col("u"))
           .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
-        val tris = adj
+        val wed = adj
           .select(col("u"), explode(graft.functions.WedgeClosures
             .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
           .select(col("u"), col("w.a").as("a"), col("w.b").as("b"),
             col("w.da").as("da"), col("w.db").as("db"))
-          .join(oriented.select(col("u").as("a"), col("v").as("b"))
-            .hint("shuffle_hash"), Seq("a", "b"))
+        // exact confirm = membership of b in a's OWN out-neighbor array
+        // (a second exchange-free groupBy off the checkpoint; the u→a
+        // alias preserves the declared partitioning, so only the wedge
+        // stream shuffles). The r9 shape instead re-exchanged the full
+        // edge list by (a,b) and hash-built it per partition, per round.
+        // array_contains is a JIT'd linear scan over an
+        // orientation-bounded (≈√m) array — cheaper than the row
+        // machinery it replaces, and false positives die right here.
+        val adjC = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(col("v"))).as("vs"))
+        val tris = wed
+          .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+            Seq("a"))
+          .filter(array_contains(col("vs"), col("b")))
           .select(col("u"), col("a"), col("b"), col("da"), col("db"))
         // votes stay in ORIENTED form — (u→a) and (u→b) are the apex's
         // out-edges, (a→b) is the closing edge already oriented by the
         // wedge filter — so survivors re-enter the loop with no
         // re-canonicalize/re-orient step; dv rides along (functional
-        // on the head node, free in the groupBy)
-        val sup = tris.select(explode(array(
+        // on the head node)
+        val votes = tris.select(explode(array(
             struct(col("u").as("eu"), col("a").as("ev"), col("da").as("dd")),
             struct(col("u").as("eu"), col("b").as("ev"), col("db").as("dd")),
             struct(col("a").as("eu"), col("b").as("ev"), col("db").as("dd"))))
             .as("t"))
-          .groupBy(col("t.eu").as("u"), col("t.ev").as("v"), col("t.dd").as("dv"))
-          .agg(count(lit(1)).as("sup"))
-        // support >= k-2 keeps the edge; edges in NO triangle produce
-        // no sup row and drop implicitly — correct, 0 < k-2 for k >= 3
-        val survivors = sup.filter(col("sup") >= TrussK - 2)
+          .select(col("t.eu").as("u"), col("t.ev").as("v"), col("t.dd").as("dv"))
+        // support count + the >= k−2 threshold + the survivor
+        // checkpoint fused into countedCheckpoint's single exchange:
+        // vote keys are EDGE-cardinality (~3 distinct keys per 5 rows),
+        // so the r9 hash-aggregate's map-side combine barely reduced the
+        // shuffle while paying a full extra stage, then re-exchanged the
+        // survivors again for the checkpoint. Edges in NO triangle
+        // produce no vote row and drop implicitly — correct, 0 < k−2
+        // for k >= 3.
+        oriented = CheckpointBridge.countedCheckpoint(votes,
+            shufflePartitions(s), Seq("u"), Seq("u", "v", "dv"), "sup",
+            minCount = TrussK - 2)
           .select("u", "v", "dv")
-        if (r < TrussRounds) {
-          // survivors feed the next round 3x (both wedge sides + the
-          // confirm join) — checkpoint; the LAST round's survivors are
-          // read once, by the count, so the cut would be pure waste
-          oriented = CheckpointBridge.partitionedCheckpoint(survivors,
-            shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
-          oriented.agg(count(lit(1)).as("n_edges"))
-            .select(lit(r.toLong).as("round"), col("n_edges"))
-        } else
-          survivors.agg(count(lit(1)).as("n_edges"))
-            .select(lit(r.toLong).as("round"), col("n_edges"))
+        oriented.agg(count(lit(1)).as("n_edges"))
+          .select(lit(r.toLong).as("round"), col("n_edges"))
       }
       rounds.reduce(_ unionAll _).orderBy("round")
     }),

@@ -113,6 +113,73 @@ object Prof {
         time(s"[$i] tri_counts") { tri }
         println(f"PROF [$i] total_from_ckpt ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
+    } else if (q == "truss_stages") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      (1 to 3).foreach { it =>
+        val t00 = System.nanoTime()
+        val bo = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items"))
+        val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+          .select(col("src"), explode(col("items")).as("dst"))
+          .filter(col("src") < col("dst"))
+        val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+        time(s"[$it] edge_ckpt") { e.limit(1) }
+        val tb0 = System.nanoTime()
+        val edgeBloom = s.sparkContext.broadcast(
+          e.select(xxhash64(col("src"), col("dst")).as("k"))
+            .stat.bloomFilter("k", 4000000L, 1L << 24))
+        println(f"PROF [$it] bloom_build ${(System.nanoTime() - tb0) / 1e9}%8.3f s")
+        val dk = e.select(explode(array(col("src"), col("dst"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val oriented0 = e
+          .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
+          .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
+          .select(when(col("ds") < col("dd") ||
+              (col("ds") === col("dd") && col("src") < col("dst")),
+              struct(col("src").as("u"), col("dst").as("v"), col("dd").as("dv")))
+            .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+              col("ds").as("dv"))).as("o"))
+          .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+        var oriented = CheckpointBridge.partitionedCheckpoint(oriented0, 32,
+          Seq("u"), Seq("u"), declareStats = false)
+        time(s"[$it] oriented_ckpt") { oriented.limit(1) }
+        (1 to 3).foreach { r =>
+          val tr0 = System.nanoTime()
+          val adj = oriented.groupBy(col("u"))
+            .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+          val wed = adj
+            .select(col("u"), explode(graft.functions.WedgeClosures
+              .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+            .select(col("u"), col("w.a").as("a"), col("w.b").as("b"),
+              col("w.da").as("da"), col("w.db").as("db"))
+          time(s"[$it:r$r] adj+kernel") { wed }
+          val adjC = oriented.groupBy(col("u"))
+            .agg(sort_array(collect_list(col("v"))).as("vs"))
+          val tris = wed
+            .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+              Seq("a"))
+            .filter(array_contains(col("vs"), col("b")))
+            .select(col("u"), col("a"), col("b"), col("da"), col("db"))
+          time(s"[$it:r$r] confirm") { tris }
+          val votes = tris.select(explode(array(
+              struct(col("u").as("eu"), col("a").as("ev"), col("da").as("dd")),
+              struct(col("u").as("eu"), col("b").as("ev"), col("db").as("dd")),
+              struct(col("a").as("eu"), col("b").as("ev"), col("db").as("dd"))))
+              .as("t"))
+            .select(col("t.eu").as("u"), col("t.ev").as("v"), col("t.dd").as("dv"))
+          val tc0 = System.nanoTime()
+          oriented = CheckpointBridge.countedCheckpoint(votes, 32,
+            Seq("u"), Seq("u", "v", "dv"), "sup", minCount = 2)
+            .select("u", "v", "dv")
+          val n = oriented.count()
+          println(f"PROF [$it:r$r] votes+ckpt ${(System.nanoTime() - tc0) / 1e9}%8.3f s  survivors=$n")
+          println(f"PROF [$it:r$r] round_total ${(System.nanoTime() - tr0) / 1e9}%8.3f s")
+        }
+        println(f"PROF [$it] truss_total ${(System.nanoTime() - t00) / 1e9}%8.3f s")
+      }
     } else {
       val df = graft.SparkEntry.queries(q)(s, dir)
       df.write.mode("overwrite").format("noop").save()

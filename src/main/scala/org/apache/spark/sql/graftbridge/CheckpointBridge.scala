@@ -131,7 +131,7 @@ object CheckpointBridge {
     */
   def countedCheckpoint(df: DataFrame, numPartitions: Int,
                         keys: Seq[String], sortCols: Seq[String],
-                        countCol: String): DataFrame = {
+                        countCol: String, minCount: Long = 1L): DataFrame = {
     require(keys.nonEmpty, "countedCheckpoint needs at least one key")
     val covered = (keys ++ sortCols).toSet
     require(df.columns.forall(covered),
@@ -143,23 +143,36 @@ object CheckpointBridge {
     val qe = cds.queryExecution
     val output = qe.analyzed.output
     val types = output.map(_.dataType)
+    // minCount > 1 folds a HAVING count >= minCount into the same pass
+    // (k_truss's per-round support threshold): runs shorter than the
+    // floor emit nothing — the threshold filter costs zero extra rows,
+    // stages, or exchanges on top of the counting collapse.
     val rdd: RDD[InternalRow] = qe.toRdd.mapPartitions { it =>
       new Iterator[InternalRow] {
         private var cur: InternalRow = if (it.hasNext) it.next().copy() else null
-        override def hasNext: Boolean = cur != null
-        override def next(): InternalRow = {
-          var cnt = 1L
-          var nxt: InternalRow = null
-          while (nxt == null && it.hasNext) {
-            val r = it.next()
-            if (r == cur) cnt += 1 else nxt = r.copy()
+        private var pending: InternalRow = null
+        private def advance(): Unit = {
+          while (pending == null && cur != null) {
+            var cnt = 1L
+            var nxt: InternalRow = null
+            while (nxt == null && it.hasNext) {
+              val r = it.next()
+              if (r == cur) cnt += 1 else nxt = r.copy()
+            }
+            if (cnt >= minCount) {
+              val vals = new Array[Any](types.length + 1)
+              var i = 0
+              while (i < types.length) { vals(i) = cur.get(i, types(i)); i += 1 }
+              vals(types.length) = cnt
+              pending = new GenericInternalRow(vals)
+            }
+            cur = nxt
           }
-          val vals = new Array[Any](types.length + 1)
-          var i = 0
-          while (i < types.length) { vals(i) = cur.get(i, types(i)); i += 1 }
-          vals(types.length) = cnt
-          cur = nxt
-          new GenericInternalRow(vals)
+        }
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance()
+          val r = pending; pending = null; r
         }
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)

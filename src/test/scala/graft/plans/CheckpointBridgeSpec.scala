@@ -46,6 +46,24 @@ class CheckpointBridgeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got === want)
   }
 
+  test("countedCheckpoint minCount drops runs below the floor (fused HAVING)") {
+    val got = CheckpointBridge
+      .countedCheckpoint(dupes, 4, Seq("src"), Seq("src", "dst"), "wt",
+        minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = dupes.groupBy("src", "dst").count()
+      .filter(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.values.forall(_ >= 2L))
+    // a floor above every run count must yield an empty (not crashing)
+    // frame — the k_truss fixed point where all edges peel away
+    val none = CheckpointBridge
+      .countedCheckpoint(dupes, 4, Seq("src"), Seq("src", "dst"), "wt",
+        minCount = 100L)
+    assert(none.count() === 0L)
+  }
+
   test("countedCheckpoint side never auto-broadcasts and needs no exchange in a keyed join") {
     import spark.implicits._
     val e = CheckpointBridge
