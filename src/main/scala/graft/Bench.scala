@@ -143,6 +143,19 @@ object Bench {
             errors(name) = (e.getClass.getName + ": " +
               Option(e.getMessage).getOrElse("")).take(200)
             None
+        } finally {
+          // checkpoint-based queries persist RDDs they never release
+          // (rounds are read within the one action, so the operators
+          // can't unpersist eagerly themselves); without this sweep the
+          // block store accumulates every prior iteration's and query's
+          // checkpoints, and later measurements degrade — k_truss
+          // measured 5.9s min-of-3 but 7.9s min-of-6 from its own
+          // leaked rounds, and the r9 "load phantoms" (untouched
+          // queries recorded 3-7x high) were late-sweep evictions, not
+          // slow plans. Clearing makes every iteration a clean slate.
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       val times = (1 to iters).flatMap(_ => timeOnce())

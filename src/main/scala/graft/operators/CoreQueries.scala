@@ -3193,64 +3193,123 @@ object CoreQueries {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"),
               col("ds").as("dv"))).as("o"))
         .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      var oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
+      val oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
         shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
+      // Triangles are enumerated ONCE, from the start graph: peeling
+      // only REMOVES edges, so every triangle alive in a later round is
+      // a start-graph triangle whose 3 edges all survived — round r's
+      // support recount reduces to subtracting, per edge, the triangles
+      // destroyed by round r−1's drops. Re-running the full wedge
+      // enumeration per round (the r9 shape: Σ C(d⁺,2) ≈ 36M probes at
+      // sf0.1) re-derived a triangle set that shrinks by <6% a round;
+      // maintenance instead touches drop-cardinality data (62k/22k/1.7k
+      // edges at sf0.1). At 100 TB the triangle list is fact-sized but
+      // distributed and u-partitioned; the per-round joins key on it,
+      // never all-pairs. Wedge generation + bloom prefilter are fused
+      // into the WedgeClosures kernel over rank-sorted adjacency arrays
+      // (the clustering_coeff shape — see there): adjacency groups
+      // exchange-free off the u-partitioned checkpoint, the kernel
+      // enumerates C(d⁺,2) pairs in a JIT'd loop, and only bloom
+      // survivors become rows.
+      val adj = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+      val wed = adj
+        .select(col("u"), explode(graft.functions.WedgeClosures
+          .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+        .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
+      // exact confirm = membership of b in a's OWN out-neighbor array
+      // (a second exchange-free groupBy off the checkpoint — unsorted:
+      // array_contains is order-blind; the u→a alias preserves the
+      // declared partitioning, so only the wedge stream shuffles).
+      // array_contains is a JIT'd linear scan over an
+      // orientation-bounded (≈√m) array; bloom false positives die
+      // right here, so the rounds never see them.
+      val adjC = oriented.groupBy(col("u"))
+        .agg(collect_list(col("v")).as("vs"))
+      val tri0 = wed
+        .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+          Seq("a"))
+        .filter(array_contains(col("vs"), col("b")))
+        .select(col("u"), col("a"), col("b"))
+      // each triangle's 3 edges, kept in ORIENTED form — (u→a) and
+      // (u→b) are the apex's out-edges, (a→b) the closing edge already
+      // ordered by the wedge filter — so edge keys match the survivor
+      // frame with no re-canonicalize step
+      def edgesOf(t: DataFrame): DataFrame = t
+        .select(col("u"), col("a"), col("b"), explode(array(
+          struct(col("u").as("eu"), col("a").as("ev")),
+          struct(col("u").as("eu"), col("b").as("ev")),
+          struct(col("a").as("eu"), col("b").as("ev")))).as("t"))
+        .select(col("u"), col("a"), col("b"),
+          col("t.eu").as("eu"), col("t.ev").as("ev"))
+      // THE round index: every (triangle, edge) incidence, checkpointed
+      // partitioned AND sorted by the edge key. Each round's destroyed
+      // detection is then a join that moves only the drop set — the big
+      // side streams its sorted partitions with no exchange and no sort
+      // (an earlier cut re-exchanged these 1.9M rows by edge key every
+      // round, ~1.9s/round at sf0.1; a bloom-probe cut avoided that but
+      // paid a per-round filter-build job + a confirm join, ~2s/round
+      // in driver-side planning and jobs).
+      val triByEdge = CheckpointBridge.partitionedCheckpoint(
+        edgesOf(tri0), shufflePartitions(s), Seq("eu", "ev"),
+        Seq("eu", "ev"), declareStats = false)
+      // round-1 support = an exchange-free run-length over the SAME
+      // sorted index; re-keyed (u,v) so the per-round survivor updates
+      // and drop-set derivations below stay co-partitioned with it.
+      // Zero-triangle edges never appear — they drop in round 1 and,
+      // being in no triangle, can never decrement anyone: sup ∈
+      // [1, k−3] rows are the complete RELEVANT drop set of a round.
+      var alive = CheckpointBridge.partitionedCheckpoint(
+        triByEdge.groupBy(col("eu").as("u"), col("ev").as("v"))
+          .agg(count(lit(1)).as("sup")),
+        shufflePartitions(s), Seq("u", "v"), Seq("u", "v"),
+        declareStats = false)
+      // cumulative destroyed-triangle ledger: `triByEdge` stays the
+      // FIXED round-1 index (never rewritten), so a drop-set join can
+      // re-surface a triangle an EARLIER round already destroyed — the
+      // anti-join below keeps each triangle's decrement exactly-once
+      var destroyedSoFar: Option[DataFrame] = None
       val rounds = (1 to TrussRounds).map { r =>
-        // wedge generation + bloom prefilter fused into the
-        // WedgeClosures kernel over rank-sorted adjacency arrays (the
-        // clustering_coeff shape — see there for the full rationale):
-        // adjacency groups exchange-free off the u-partitioned
-        // checkpoint, the kernel enumerates C(d⁺,2) pairs in a JIT'd
-        // loop, and only bloom survivors become rows. TWO exchanges per
-        // round total (r9 paid four): the survivors' shuffle to the
-        // confirm probe and the vote rows' shuffle into the fused
-        // support checkpoint.
-        val adj = oriented.groupBy(col("u"))
-          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
-        val wed = adj
-          .select(col("u"), explode(graft.functions.WedgeClosures
-            .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
-          .select(col("u"), col("w.a").as("a"), col("w.b").as("b"),
-            col("w.da").as("da"), col("w.db").as("db"))
-        // exact confirm = membership of b in a's OWN out-neighbor array
-        // (a second exchange-free groupBy off the checkpoint; the u→a
-        // alias preserves the declared partitioning, so only the wedge
-        // stream shuffles). The r9 shape instead re-exchanged the full
-        // edge list by (a,b) and hash-built it per partition, per round.
-        // array_contains is a JIT'd linear scan over an
-        // orientation-bounded (≈√m) array — cheaper than the row
-        // machinery it replaces, and false positives die right here.
-        val adjC = oriented.groupBy(col("u"))
-          .agg(sort_array(collect_list(col("v"))).as("vs"))
-        val tris = wed
-          .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
-            Seq("a"))
-          .filter(array_contains(col("vs"), col("b")))
-          .select(col("u"), col("a"), col("b"), col("da"), col("db"))
-        // votes stay in ORIENTED form — (u→a) and (u→b) are the apex's
-        // out-edges, (a→b) is the closing edge already oriented by the
-        // wedge filter — so survivors re-enter the loop with no
-        // re-canonicalize/re-orient step; dv rides along (functional
-        // on the head node)
-        val votes = tris.select(explode(array(
-            struct(col("u").as("eu"), col("a").as("ev"), col("da").as("dd")),
-            struct(col("u").as("eu"), col("b").as("ev"), col("db").as("dd")),
-            struct(col("a").as("eu"), col("b").as("ev"), col("db").as("dd"))))
-            .as("t"))
-          .select(col("t.eu").as("u"), col("t.ev").as("v"), col("t.dd").as("dv"))
-        // support count + the >= k−2 threshold + the survivor
-        // checkpoint fused into countedCheckpoint's single exchange:
-        // vote keys are EDGE-cardinality (~3 distinct keys per 5 rows),
-        // so the r9 hash-aggregate's map-side combine barely reduced the
-        // shuffle while paying a full extra stage, then re-exchanged the
-        // survivors again for the checkpoint. Edges in NO triangle
-        // produce no vote row and drop implicitly — correct, 0 < k−2
-        // for k >= 3.
-        oriented = CheckpointBridge.countedCheckpoint(votes,
-            shufflePartitions(s), Seq("u"), Seq("u", "v", "dv"), "sup",
-            minCount = TrussK - 2)
-          .select("u", "v", "dv")
-        oriented.agg(count(lit(1)).as("n_edges"))
+        if (r > 1) {
+          // the previous round's relevant drops: a partition-local
+          // filter off the alive checkpoint, already hashed by the SAME
+          // (u,v) keys as triByEdge's (eu,ev) — the detection join
+          // below is exchange-free on BOTH sides, and the big side is
+          // pre-sorted so only the drop rows sort
+          val dRel = alive.filter(col("sup") < TrussK - 2)
+          // a candidate triangle is destroyed iff ANY of its 3 edges is
+          // a real drop; dedup keeps a triangle losing 2+ edges in one
+          // round dying once
+          val hit = triByEdge
+            .join(dRel.select(col("u").as("eu"), col("v").as("ev")),
+              Seq("eu", "ev"), "left_semi")
+            .select("u", "a", "b").dropDuplicates("u", "a", "b")
+          val nd = destroyedSoFar.fold(hit)(d =>
+              hit.join(d, Seq("u", "a", "b"), "left_anti"))
+            .localCheckpoint(false) // read 2x: decrements + next ledger
+          val dec = edgesOf(nd)
+            .groupBy(col("eu").as("u"), col("ev").as("v"))
+            .agg(count(lit(1)).as("dec"))
+          // survivors carry their support forward minus the destroyed
+          // count; sup = 0 rows leave the frame entirely (in no alive
+          // triangle → can neither survive a later threshold nor
+          // destroy anything). dec is aggregate-small, so AQE turns
+          // the left join into a broadcast at runtime — never forced.
+          // (A persist()-based round — no checkpoints — measured 13.1s
+          // vs 7.5s here: InMemoryRelation's cache serialization and
+          // plan-matching cost more than the checkpoint's exchange.)
+          alive = CheckpointBridge.partitionedCheckpoint(
+            alive.filter(col("sup") >= TrussK - 2)
+              .join(dec, Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+              .filter(col("sup") >= 1),
+            shufflePartitions(s), Seq("u", "v"), Seq("u", "v"),
+            declareStats = false)
+          destroyedSoFar = Some(destroyedSoFar.fold(nd)(_ union nd))
+        }
+        alive.filter(col("sup") >= TrussK - 2)
+          .agg(count(lit(1)).as("n_edges"))
           .select(lit(r.toLong).as("round"), col("n_edges"))
       }
       rounds.reduce(_ unionAll _).orderBy("round")

@@ -116,6 +116,7 @@ object Prof {
     } else if (q == "truss_stages") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graftbridge.CheckpointBridge
+      import org.apache.spark.sql.DataFrame
       (1 to 3).foreach { it =>
         val t00 = System.nanoTime()
         val bo = s.read.parquet(s"$dir/lineitem.parquet")
@@ -143,42 +144,70 @@ object Prof {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"),
               col("ds").as("dv"))).as("o"))
           .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-        var oriented = CheckpointBridge.partitionedCheckpoint(oriented0, 32,
+        val oriented = CheckpointBridge.partitionedCheckpoint(oriented0, 32,
           Seq("u"), Seq("u"), declareStats = false)
         time(s"[$it] oriented_ckpt") { oriented.limit(1) }
-        (1 to 3).foreach { r =>
+        val adj = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+        val wed = adj
+          .select(col("u"), explode(graft.functions.WedgeClosures
+            .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+          .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
+        val adjC = oriented.groupBy(col("u"))
+          .agg(collect_list(col("v")).as("vs"))
+        val tri0 = wed
+          .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+            Seq("a"))
+          .filter(array_contains(col("vs"), col("b")))
+          .select(col("u"), col("a"), col("b"))
+        def edgesOf(t: DataFrame): DataFrame = t
+          .select(col("u"), col("a"), col("b"), explode(array(
+            struct(col("u").as("eu"), col("a").as("ev")),
+            struct(col("u").as("eu"), col("b").as("ev")),
+            struct(col("a").as("eu"), col("b").as("ev")))).as("t"))
+          .select(col("u"), col("a"), col("b"),
+            col("t.eu").as("eu"), col("t.ev").as("ev"))
+        val triByEdge = CheckpointBridge.partitionedCheckpoint(
+          edgesOf(tri0), 32, Seq("eu", "ev"), Seq("eu", "ev"),
+          declareStats = false)
+        time(s"[$it] triByEdge_ckpt") { triByEdge.limit(1) }
+        var alive = CheckpointBridge.partitionedCheckpoint(
+          triByEdge.groupBy(col("eu").as("u"), col("ev").as("v"))
+            .agg(count(lit(1)).as("sup")),
+          32, Seq("u", "v"), Seq("u", "v"), declareStats = false)
+        time(s"[$it] alive_ckpt0") { alive.limit(1) }
+        var destroyedSoFar: Option[DataFrame] = None
+        (2 to 3).foreach { r =>
           val tr0 = System.nanoTime()
-          val adj = oriented.groupBy(col("u"))
-            .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
-          val wed = adj
-            .select(col("u"), explode(graft.functions.WedgeClosures
-              .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
-            .select(col("u"), col("w.a").as("a"), col("w.b").as("b"),
-              col("w.da").as("da"), col("w.db").as("db"))
-          time(s"[$it:r$r] adj+kernel") { wed }
-          val adjC = oriented.groupBy(col("u"))
-            .agg(sort_array(collect_list(col("v"))).as("vs"))
-          val tris = wed
-            .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
-              Seq("a"))
-            .filter(array_contains(col("vs"), col("b")))
-            .select(col("u"), col("a"), col("b"), col("da"), col("db"))
-          time(s"[$it:r$r] confirm") { tris }
-          val votes = tris.select(explode(array(
-              struct(col("u").as("eu"), col("a").as("ev"), col("da").as("dd")),
-              struct(col("u").as("eu"), col("b").as("ev"), col("db").as("dd")),
-              struct(col("a").as("eu"), col("b").as("ev"), col("db").as("dd"))))
-              .as("t"))
-            .select(col("t.eu").as("u"), col("t.ev").as("v"), col("t.dd").as("dv"))
-          val tc0 = System.nanoTime()
-          oriented = CheckpointBridge.countedCheckpoint(votes, 32,
-            Seq("u"), Seq("u", "v", "dv"), "sup", minCount = 2)
-            .select("u", "v", "dv")
-          val n = oriented.count()
-          println(f"PROF [$it:r$r] votes+ckpt ${(System.nanoTime() - tc0) / 1e9}%8.3f s  survivors=$n")
+          val dRel = alive.filter(col("sup") < 2)
+          val hit = triByEdge
+            .join(dRel.select(col("u").as("eu"), col("v").as("ev")),
+              Seq("eu", "ev"), "left_semi")
+            .select("u", "a", "b").dropDuplicates("u", "a", "b")
+          val nd = destroyedSoFar.fold(hit)(d =>
+              hit.join(d, Seq("u", "a", "b"), "left_anti"))
+            .localCheckpoint(false)
+          time(s"[$it:r$r] nd") { nd }
+          val dec = edgesOf(nd)
+            .groupBy(col("eu").as("u"), col("ev").as("v"))
+            .agg(count(lit(1)).as("dec"))
+          alive = CheckpointBridge.partitionedCheckpoint(
+            alive.filter(col("sup") >= 2)
+              .join(dec, Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+              .filter(col("sup") >= 1),
+            32, Seq("u", "v"), Seq("u", "v"), declareStats = false)
+          time(s"[$it:r$r] alive_ckpt") { alive.limit(1) }
+          destroyedSoFar = Some(destroyedSoFar.fold(nd)(_ union nd))
+          val tcc = System.nanoTime()
+          val n = alive.filter(col("sup") >= 2).count()
+          println(f"PROF [$it:r$r] count ${(System.nanoTime() - tcc) / 1e9}%8.3f s survivors=$n")
           println(f"PROF [$it:r$r] round_total ${(System.nanoTime() - tr0) / 1e9}%8.3f s")
         }
         println(f"PROF [$it] truss_total ${(System.nanoTime() - t00) / 1e9}%8.3f s")
+        s.sharedState.cacheManager.clearCache()
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     } else {
       val df = graft.SparkEntry.queries(q)(s, dir)
