@@ -1752,15 +1752,24 @@ object CoreQueries {
       // array positions i<j ARE the oriented wedges
       val adj = oriented.groupBy(col("u"))
         .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+      // exact confirm = membership of b in a's OWN out-neighbor array
+      // (the k_truss shape): a second exchange-free groupBy off the
+      // checkpoint — unsorted, array_contains is order-blind — and the
+      // u→a alias preserves the declared partitioning, so only the
+      // bloom-surviving wedge stream shuffles. The previous shape
+      // re-exchanged the full oriented edge list by (a, b) and
+      // hash-built it per partition; array_contains is a JIT'd linear
+      // scan over an orientation-bounded (≈√m) array, and bloom false
+      // positives die right here.
+      val adjC = oriented.groupBy(col("u"))
+        .agg(collect_list(col("v")).as("vs"))
       val tris = adj
         .select(col("u"), explode(graft.functions.WedgeClosures
           .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
         .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
-        // shuffle_hash: the confirm side is the (small) oriented edge
-        // list — hash-building it per partition skips the SMJ sort of
-        // the bloom-surviving wedge stream on both sides
-        .join(oriented.select(col("u").as("a"), col("v").as("b"))
-          .hint("shuffle_hash"), Seq("a", "b"))
+        .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+          Seq("a"))
+        .filter(array_contains(col("vs"), col("b")))
         .select(col("u"), col("a"), col("b"))
       val tri = tris
         .select(explode(array(col("u"), col("a"), col("b"))).as("w"))
@@ -2320,25 +2329,32 @@ object CoreQueries {
       def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       val e = coPurchaseEdges(s, dir, "dst")
       val lab = lpaFrom(e, LpaIters)
-        .localCheckpoint(false) // reused: 2 endpoint joins + degree join
-      // both orientations are present, so in-degree = out-degree and the
-      // dst-side count (exchange-free on this checkpoint) equals the
-      // oracle's src-side count
-      val deg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
-      val mm = broadcast(e.agg(count(lit(1)).as("mm")))
-      val intra = e
+        .localCheckpoint(false) // reused: neighbor-label join + own-label join
+      // ONE edge-cardinality pass total: the dst-side label join is
+      // exchange-free off the checkpoint, and the groupBy(src, lb)
+      // count collapses the edge list to per-(node, neighbor-label)
+      // rows BEFORE anything moves by src — the previous shape instead
+      // re-exchanged the full labeled edge list by src for the second
+      // endpoint join (~1s at sf0.1). Everything modularity needs
+      // falls out of this one frame after a node-sized label join:
+      // intra_c = Σ cnt where la = lb, dsum_c = Σ cnt (degree rides as
+      // the row count — both orientations present, so the src-side
+      // neighbor count IS the degree), and 2m = Σ dsum.
+      val nbr = e
         .join(lab.withColumnRenamed("node", "dst")
           .withColumnRenamed("lbl", "lb"), "dst")
+        .groupBy(col("src"), col("lb")).agg(count(lit(1)).as("cnt"))
         .join(lab.withColumnRenamed("node", "src")
           .withColumnRenamed("lbl", "la"), "src")
-        .filter(col("la") === col("lb"))
-        .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
-      val dc = lab.join(deg, "node")
-        .groupBy(col("lbl").as("c")).agg(sum("d").as("dsum"))
-        .localCheckpoint(false) // reused: terms + community count
+      val dc = nbr.groupBy(col("la").as("c"))
+        .agg(sum(when(col("la") === col("lb"), col("cnt"))
+            .otherwise(lit(0L))).as("ec"),
+          sum(col("cnt")).as("dsum"))
+        .localCheckpoint(false) // reused: terms + community count + 2m
+      val mm = broadcast(dc.agg(sum("dsum").as("mm")))
       val nc = broadcast(dc.agg(count(lit(1)).as("n_communities")))
-      dc.join(intra, Seq("c"), "left").crossJoin(mm)
-        .select(r6(coalesce(col("ec"), lit(0L)).cast("double") / col("mm") -
+      dc.crossJoin(mm)
+        .select(r6(col("ec").cast("double") / col("mm") -
           (col("dsum").cast("double") / col("mm")) *
             (col("dsum").cast("double") / col("mm")))
           .cast(DecimalType(18, 6)).as("t"))
@@ -2359,25 +2375,35 @@ object CoreQueries {
       def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       val e = coPurchaseEdges(s, dir, "dst")
       val lab = lpaFrom(e, LpaIters)
-        .localCheckpoint(false) // reused: 2 endpoint joins + volume join
-      val deg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("d"))
-      val mm = broadcast(e.agg(count(lit(1)).as("mm")))
-      val cut = e
+        .localCheckpoint(false) // reused: neighbor-label join + own-label join
+      // same single edge-cardinality pass as modularity (see there):
+      // per-(node, neighbor-label) counts from the exchange-free
+      // dst-side join, then cut/volume/node-count all from node-level
+      // rollups — no second full-edge exchange, no separate degree pass
+      // (degree = Σ neighbor counts, both orientations present)
+      val nbr = e
         .join(lab.withColumnRenamed("node", "dst")
           .withColumnRenamed("lbl", "lb"), "dst")
+        .groupBy(col("src"), col("lb")).agg(count(lit(1)).as("cnt"))
         .join(lab.withColumnRenamed("node", "src")
           .withColumnRenamed("lbl", "la"), "src")
-        .filter(col("la") =!= col("lb"))
-        .groupBy(col("la").as("c")).agg(count(lit(1)).as("ce"))
-      val vol = lab.join(deg, "node")
-        .groupBy(col("lbl").as("c"))
-        .agg(count(lit(1)).as("n_nodes"), sum("d").as("vv"))
-      vol.join(cut, Seq("c"), "left").crossJoin(mm)
+      // one community-level rollup directly off the src-partitioned
+      // counts (a (src, la) pre-rollup measured slower — its grouping
+      // keys no longer matched the (src, lb) partitioning, adding an
+      // exchange); n_nodes = distinct nodes per label over
+      // node×label-cardinality rows, so the distinct is trivial
+      val vol = nbr.groupBy(col("la").as("c"))
+        .agg(countDistinct(col("src")).as("n_nodes"), sum("cnt").as("vv"),
+          sum(when(col("la") =!= col("lb"), col("cnt"))
+            .otherwise(lit(0L))).as("ce"))
+        .localCheckpoint(false) // reused: rows + 2m
+      val mm = broadcast(vol.agg(sum("vv").as("mm")))
+      vol.crossJoin(mm)
         .select(col("c").as("community"), col("n_nodes"),
           col("vv").as("volume"),
-          coalesce(col("ce"), lit(0L)).as("cut_edges"),
+          col("ce").as("cut_edges"),
           when(least(col("vv"), col("mm") - col("vv")) === 0, lit(null))
-            .otherwise(r6(coalesce(col("ce"), lit(0L)).cast("double") /
+            .otherwise(r6(col("ce").cast("double") /
               least(col("vv"), col("mm") - col("vv"))))
             .as("conductance"))
         .orderBy("community")
