@@ -4387,6 +4387,63 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L302 — exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", §ExactSubstr): doc
+    // pairs sharing a verbatim token run of >= 50 tokens, the published
+    // flagship dedup pass that position-local fingerprints
+    // (winnow_candidates) and set-semantics shingles (jaccard paths)
+    // both miss — a 50-token quote inside two otherwise-different long
+    // documents has jaccard << 0.5 but is exactly the training-set
+    // contamination ExactSubstr removes. Distributed shape (the suffix
+    // array of the paper is single-machine): every 25-token gram is an
+    // ANCHOR; anchors equi-join df-capped (<= 20 occurrences, the
+    // winnow_candidates convention — bounds hot-anchor blowup at any
+    // SF); a shared run of L tokens at aligned offset (pa − pb
+    // constant) is exactly L−24 consecutive matching anchors on one
+    // diagonal, so gaps-and-islands per (pair, diagonal) recovers the
+    // maximal run length with a PARTITIONED window (never fact-wide).
+    // Deterministic, so fully DuckDB-oracleable. Caveat mirrored in
+    // both engines: an over-frequent anchor inside a run splits its
+    // island, under-reporting that run — the df-cap trades recall on
+    // boilerplate-heavy runs for bounded shuffle, like winnow.
+    "exact_substring_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 25; val minRun = 50; val dfCap = 20
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= K)
+      // anchor = the raw 25-token gram string: exact (no hash-collision
+      // argument needed cross-engine), and only df-capped anchors ever
+      // reach the exchange. Lazy checkpoint: feeds the df count + both
+      // self-join sides.
+      val g = toks.select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("ts")) - K + 1),
+            p => concat_ws(" ", slice(col("ts"), p, lit(K))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("gram"))
+        .localCheckpoint(false)
+      val live = g.join(g.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("gram"), "gram")
+      val m = live.select(col("gram"), col("doc_id").as("a_id"), col("p").as("pa"))
+        .join(live.select(col("gram"), col("doc_id").as("b_id"), col("p").as("pb")),
+          "gram")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("pa"),
+          (col("pa") - col("pb")).as("diag"))
+      // gaps-and-islands: consecutive anchor positions on one diagonal
+      // share (pa − row_number); an island of n anchors spans n+K−1
+      // tokens
+      val isl = m.withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")))
+      val runs = isl.groupBy("a_id", "b_id", "diag", "grp")
+        .agg((count(lit(1)) + K - 1).as("run_tokens"))
+        .filter(col("run_tokens") >= minRun)
+      runs.groupBy("a_id", "b_id")
+        .agg(max("run_tokens").as("run_tokens"),
+          count(lit(1)).as("n_runs"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // L156 — b-bit MinHash similarity estimation (Li & König, CACM
     // 2011): for every LSH candidate pair, the exact shingle jaccard
     // next to the full 8-hash MinHash agreement estimate and the 1-bit
@@ -7670,6 +7727,36 @@ object LlmQueries {
          |JOIN cnt ca ON ca.doc_id = p.a_id
          |JOIN cnt cb ON cb.doc_id = p.b_id
          |ORDER BY p.a_id, p.b_id""".stripMargin,
+
+    "exact_substring_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlTokens AS ts FROM documents
+         |  WHERE len($sqlTokens) >= 25),
+         |g AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |         array_to_string(list_slice(ts, p, p + 24), ' ') AS gram
+         |  FROM toks, unnest(range(1, len(ts) - 23)) AS u(p)),
+         |live AS (
+         |  SELECT g.* FROM g
+         |  JOIN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 20) d
+         |    USING (gram)),
+         |m AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa,
+         |         a.p - b.p AS diag
+         |  FROM live a JOIN live b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT a_id, b_id, diag,
+         |         pa - row_number() OVER (PARTITION BY a_id, b_id, diag
+         |                                 ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (
+         |  SELECT a_id, b_id, diag, grp, COUNT(*) + 24 AS run_tokens
+         |  FROM isl GROUP BY 1, 2, 3, 4
+         |  HAVING COUNT(*) + 24 >= 50)
+         |SELECT a_id, b_id, MAX(run_tokens) AS run_tokens,
+         |       CAST(COUNT(*) AS BIGINT) AS n_runs
+         |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "bbit_minhash_sim" ->
       s"""WITH $sqlSigs,

@@ -213,4 +213,34 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("divide"))
   }
+
+  test("exact_substring_dedup catches a long verbatim run that jaccard-0.5 misses") {
+    import spark.implicits._
+    // two ~125-token docs sharing ONE verbatim 60-token run; everything
+    // else disjoint → shingle jaccard ≈ 1/3 (< 0.5, invisible to the
+    // set-semantics paths) while the shared substring is 60 tokens
+    // (the Lee et al. 2022 ExactSubstr case)
+    val run = (1 to 60).map(i => s"quote$i").mkString(" ")
+    val aText = (1 to 35).map(i => s"alpha$i").mkString(" ") + " " + run +
+      " " + (1 to 30).map(i => s"omega$i").mkString(" ")
+    val bText = (1 to 35).map(i => s"beta$i").mkString(" ") + " " + run +
+      " " + (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq((0L, aText, "web"), (1L, bText, "web"),
+      (2L, (1 to 90).map(i => s"noise$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("essd").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the jaccard path at its usual 0.5 threshold does NOT pair them...
+    val jac = Dedup.bruteForcePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)),
+      "trap invalid: jaccard-0.5 already catches the pair")
+    // ...but the exact-substring pass does, with the exact run length
+    val out = graft.SparkEntry.queries("exact_substring_dedup")(spark, dir)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 0L && out.head.getLong(1) === 1L)
+    assert(out.head.getAs[Long]("run_tokens") === 60L)
+    assert(out.head.getAs[Long]("n_runs") === 1L)
+  }
 }
