@@ -4387,6 +4387,38 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L167/L303 — dHash near-dup banding, end-to-end oracled: the REAL
+    // media path derives the 64-bit difference hash from decoded pixels
+    // (Multimodal.dHashes — ImageIO, not SQL-replicable), so the
+    // CORRECTNESS row drives the exact SAME downstream machinery
+    // (Multimodal.dHashNearDups: 4×16-bit band buckets, blockSizeGuard,
+    // bit_count(xor) confirm, pair dedup) on a dHash derived
+    // deterministically cross-engine from the token-hash stream — bit i
+    // set iff the (cyclically) next token hash exceeds the current one,
+    // the same gradient-sign construction dHash applies to pixels.
+    // 63 bits, not 64: DuckDB raises on 1::BIGINT << 63, and keeping
+    // the sign bit clear also pins arithmetic-shift behavior identical
+    // across engines. Pigeonhole recall to Hamming 3 needs any 4 bands.
+    "dhash_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val powers = array((0 to 62).map(i => lit(1L << i)): _*)
+      val th = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
+        .filter(size(col("hs")) >= 2)
+      val dh = th.select(col("doc_id").as("media_id"),
+        aggregate(
+          transform(sequence(lit(0), lit(62)), i =>
+            when(element_at(col("hs"),
+                (i % (size(col("hs")) - 1)) + 1) >
+              element_at(col("hs"),
+                ((i + 1) % (size(col("hs")) - 1)) + 1),
+              element_at(powers, i + 1)).otherwise(lit(0L))),
+          lit(0L), (a, b) => a.bitwiseOR(b)).as("dhash"))
+      graft.llm.Multimodal.dHashNearDups(
+          dh.as[graft.llm.Multimodal.DHash], maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // L302 — exact-substring dedup (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better", §ExactSubstr): doc
     // pairs sharing a verbatim token run of >= 50 tokens, the published
@@ -7727,6 +7759,29 @@ object LlmQueries {
          |JOIN cnt ca ON ca.doc_id = p.a_id
          |JOIN cnt cb ON cb.doc_id = p.b_id
          |ORDER BY p.a_id, p.b_id""".stripMargin,
+
+    "dhash_near_dup" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, $sqlTokenHashes AS hs
+         |  FROM documents WHERE len($sqlTokens) >= 2),
+         |dh AS (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, 63), i ->
+         |      CASE WHEN hs[(i % (len(hs) - 1)) + 1] >
+         |                hs[((i + 1) % (len(hs) - 1)) + 1]
+         |           THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+         |      'bit_or') AS dhash
+         |  FROM th),
+         |banded AS (
+         |  SELECT doc_id, dhash, b.band, (dhash >> (b.band * 16)) & 65535 AS key
+         |  FROM dh, (SELECT unnest(range(0, 4)) AS band) b),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         bit_count(xor(a.dhash, b.dhash)) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+         |FROM p WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
 
     "exact_substring_dedup" ->
       s"""WITH toks AS (
