@@ -274,7 +274,7 @@ object Bench {
         val rate = if (secs > 0) rows / secs else -1.0
         s""""$name":{"rows":$rows,"secs":$secs,"rows_per_s":${rate.toLong}}"""
       }
-      val dedup = probe("dedup_stream") { () =>
+      def dedupProbeOn(sess: org.apache.spark.sql.SparkSession): (Long, Double) = {
         val raw = spark.read.parquet(s"$sfDir/events.parquet")
         val rows = raw
           .withColumn("ts", graft.sources.EventTime.tsTimestamp(raw))
@@ -283,7 +283,7 @@ object Bench {
           .sort("event_id").take(100000).toSeq
         val mem = MemoryStream[(Long, java.sql.Timestamp, Long)](
           org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Long)],
-          streamSess)
+          sess)
         val ck = java.nio.file.Files.createTempDirectory("graft-bench-ck").toString
         val q = graft.streaming.EventStream
           .dedupStream(mem.toDF().toDF("event_id", "ts", "user_id"), Seq("event_id"))
@@ -297,6 +297,17 @@ object Bench {
           (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       }
+      val dedup = probe("dedup_stream") { () => dedupProbeOn(streamSess) }
+      // the same gate on the RocksDB state store — the 100 TB-stream
+      // posture: dedup state grows with arrival rate and must NOT be
+      // bounded by executor heap; RocksDB spills to local disk with an
+      // in-heap block cache. Recorded side by side so a rate cliff in
+      // either provider shows in the artifact.
+      val rocksSess = spark.newSession()
+      rocksSess.conf.set("spark.sql.shuffle.partitions", "8")
+      rocksSess.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val dedupRocks = probe("dedup_stream_rocksdb") { () => dedupProbeOn(rocksSess) }
       val gate = probe("near_dup_gate") { () =>
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("long"), col("text"))
@@ -385,7 +396,7 @@ object Bench {
           (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       }
-      s"""{"metric":"streaming_throughput",$dedup,$gate,$semGate,$mixGate,"sf":"$sfDir"}"""
+      s"""{"metric":"streaming_throughput",$dedup,$dedupRocks,$gate,$semGate,$mixGate,"sf":"$sfDir"}"""
     } catch {
       case e: Throwable =>
         s"""{"metric":"streaming_throughput","error":"${jsonEscape(

@@ -85,4 +85,35 @@ class DedupStreamSpec extends SparkSpec {
       .filter(_.is_dup).collect().map(v => v.doc_id -> v.dup_of).toMap
     assert(rejected === Map(2L -> 1L))
   }
+
+  test("gate verdicts are identical on the RocksDB state store provider") {
+    // the 100 TB-stream posture: gate state grows with arrival rate and
+    // must not be bounded by executor heap — RocksDB keeps it on local
+    // disk behind a block cache. Same scenario as the default-provider
+    // test above, on a session pinned to RocksDBStateStoreProvider.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Doc](
+      org.apache.spark.sql.Encoders.product[Doc], sess)
+    val work = java.nio.file.Files.createTempDirectory("graft-gate-rocks").toString
+    val q = DedupStream.survivors(
+      DedupStream.nearDupVerdicts(mem.toDS(), threshold = 0.5, maxPerBucket = 16),
+      s"$work/out", s"$work/ckpt")
+    try {
+      mem.addData(Doc(1L, base), Doc(2L, near), Doc(3L, other))
+      q.processAllAvailable()
+      // cross-batch state must survive in RocksDB exactly as in-memory
+      mem.addData(Doc(4L, base),
+        Doc(5L, "entirely new sentence with many novel unrepeated tokens"))
+      q.processAllAvailable()
+      // the conf really took on the session the query runs under
+      assert(sess.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      val admitted = sess.read.parquet(s"$work/out")
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(1L, 3L, 5L),
+        "same verdicts as the default provider: 2 (in-batch) and 4 (cross-batch) rejected")
+    } finally q.stop()
+  }
 }
