@@ -4295,6 +4295,53 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // L304 — UniMax language-budget allocation (Chung et al., "UniMax:
+    // Fairer and More Effective Language Sampling for Large-Scale
+    // Multilingual Pretraining", ICLR 2023): given per-language token
+    // counts, a total training budget B (1.5x the corpus here — the
+    // multi-epoch regime where caps BIND: every tail language caps at
+    // E epochs and the head shares the remainder) and an epoch cap
+    // E = 2, distribute B as uniformly as possible across
+    // languages without repeating any language more than E epochs — the
+    // published alternative to temperature sampling (temperature_mixture)
+    // that removes the head-language bias knob entirely. The paper's
+    // greedy loop is a waterfilling with a closed form: sort languages
+    // by size ascending; the first j* get capped at E·n_i and the rest
+    // share τ = (B − E·P_{j*})/(k − j*), where j* is the largest j with
+    // E·n_j·(k−j+1) ≤ B − E·(P_j − n_j). Window prefix sums over a
+    // language-cardinality frame (never fact-sized); deterministic
+    // doubles, so fully oracled.
+    "unimax_allocation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val E = 2.0
+      val lt = docs(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang").agg(sum("n_tok").as("n"))
+      val w = Window.orderBy(col("n"), col("lang"))
+      val ranked = lt.select(col("lang"), col("n"),
+          row_number().over(w).as("rn"),
+          sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("p"))
+        .crossJoin(broadcast(lt.agg(count(lit(1)).as("k"),
+          (sum("n") * lit(1.5)).as("b"))))
+      // p is monotone in rn (prefix of non-negative n), so max(p) over
+      // the qualifying rows IS the prefix at j*
+      val jstar = broadcast(ranked
+        .filter(lit(E) * col("n") * (col("k") - col("rn") + 1) <=
+          col("b") - lit(E) * (col("p") - col("n")))
+        .agg(coalesce(max(col("rn")), lit(0)).as("js"),
+          coalesce(max(col("p")), lit(0L)).as("pj")))
+      ranked.crossJoin(jstar)
+        .select(col("lang"), col("n").as("n_tokens"),
+          when(col("rn") <= col("js"), lit(E) * col("n"))
+            .otherwise((col("b") - lit(E) * col("pj")) /
+              (col("k") - col("js"))).as("alloc0"))
+        .select(col("lang"), col("n_tokens"),
+          roundHU(col("alloc0"), 1e6).as("alloc_tokens"),
+          roundHU(col("alloc0") / col("n_tokens"), 1e6).as("epochs"))
+        .orderBy("lang")
+    }),
+
     // L158 — Cavnar–Trenkle character-trigram language identification
     // (1994) evaluated as a confusion matrix: even-id docs train top-50
     // trigram rank profiles per labeled lang; odd-id docs classify by
@@ -7759,6 +7806,32 @@ object LlmQueries {
          |JOIN cnt ca ON ca.doc_id = p.a_id
          |JOIN cnt cb ON cb.doc_id = p.b_id
          |ORDER BY p.a_id, p.b_id""".stripMargin,
+
+    "unimax_allocation" ->
+      s"""WITH lt AS (
+         |  SELECT lang, CAST(SUM(len($sqlTokens)) AS BIGINT) AS n
+         |  FROM documents GROUP BY lang),
+         |ranked AS (
+         |  SELECT lang, n,
+         |         row_number() OVER (ORDER BY n, lang) AS rn,
+         |         SUM(n) OVER (ORDER BY n, lang
+         |                      ROWS UNBOUNDED PRECEDING) AS p,
+         |         COUNT(*) OVER () AS k,
+         |         SUM(n) OVER () * 1.5 AS b
+         |  FROM lt),
+         |jstar AS (
+         |  SELECT COALESCE(MAX(rn), 0) AS js, COALESCE(MAX(p), 0) AS pj
+         |  FROM ranked
+         |  WHERE 2.0 * n * (k - rn + 1) <= b - 2.0 * (p - n))
+         |SELECT lang, n AS n_tokens,
+         |       floor(alloc0 * 1e6 + 0.5) / 1e6 AS alloc_tokens,
+         |       floor(alloc0 / n * 1e6 + 0.5) / 1e6 AS epochs
+         |FROM (
+         |  SELECT lang, n,
+         |         CASE WHEN rn <= js THEN 2.0 * n
+         |              ELSE (b - 2.0 * pj) / (k - js) END AS alloc0
+         |  FROM ranked, jstar)
+         |ORDER BY lang""".stripMargin,
 
     "dhash_near_dup" ->
       s"""WITH th AS (
