@@ -4461,6 +4461,13 @@ object LlmQueries {
                 ((i + 1) % (size(col("hs")) - 1)) + 1),
               element_at(powers, i + 1)).otherwise(lit(0L))),
           lit(0L), (a, b) => a.bitwiseOR(b)).as("dhash"))
+        // lazy checkpoint is load-bearing: the interpreted HOF chain
+        // above is consumed by the guard's count join, the 4-band
+        // explode and BOTH self-join sides — without the lineage cut,
+        // CollapseProject inlines the whole expression into every
+        // consumer (~4.5s/pass became 194s total). The real pixel path
+        // gets the same boundary for free from its mapPartitions.
+        .localCheckpoint(false)
       graft.llm.Multimodal.dHashNearDups(
           dh.as[graft.llm.Multimodal.DHash], maxHamming = 3)
         .orderBy("a_id", "b_id")
