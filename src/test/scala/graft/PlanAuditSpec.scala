@@ -106,7 +106,12 @@ class PlanAuditSpec extends SparkSpec {
       // wilcoxon_signed_rank ranks |d| through the same exclusivePrefix
       // machinery as spearman_rho: the only unpartitioned window is the
       // constant CumBuckets carry rollup
-      "wilcoxon_signed_rank")
+      "wilcoxon_signed_rank",
+      // unimax_allocation's waterfilling needs a TOTAL order over the
+      // per-language token totals — a language-cardinality frame
+      // (bounded by the language universe, like roc_auc's score grid),
+      // never fact-sized
+      "unimax_allocation")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
