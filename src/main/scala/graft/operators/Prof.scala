@@ -114,6 +114,8 @@ object Prof {
         println(f"PROF [$i] total_from_ckpt ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
     } else if (q == "truss_stages") {
+      // mirrors the SHIPPED k_truss shape (triangle-edge index built
+      // once, incremental decrement rounds) with per-stage noop timing
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graftbridge.CheckpointBridge
       import org.apache.spark.sql.DataFrame

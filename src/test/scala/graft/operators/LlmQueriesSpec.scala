@@ -1374,4 +1374,56 @@ class LlmQueriesSpec extends SparkSpec {
       val f = r.getAs[Double]("dup_char_frac"); f >= 0.0 && f <= 1.0
     }, "coverage is a true fraction on the real corpus")
   }
+
+  test("exact_substring_dedup: an over-frequent mid-run anchor splits the island (documented df-cap trade)") {
+    import spark.implicits._
+    // doc 0 and doc 1 share one verbatim 85-token run whose MIDDLE
+    // 25 tokens (gram C) also appear verbatim in 22 other docs, so C's
+    // anchor df = 24 > 20 and that ONE anchor position dies. The
+    // documented trade: the island splits at the dead position into two
+    // 54-token runs (30 anchors + K - 1 each) instead of one 85-token
+    // run — under-reported length, never a missed pair. The C-only
+    // docs share nothing that survives the cap, so no spurious pairs.
+    val c = (1 to 25).map(i => s"common$i").mkString(" ")
+    val run = (1 to 30).map(i => s"pre$i").mkString(" ") + " " + c + " " +
+      (1 to 30).map(i => s"post$i").mkString(" ")
+    val docs = Seq(
+      (0L, (1 to 35).map(i => s"alpha$i").mkString(" ") + " " + run),
+      (1L, (1 to 35).map(i => s"beta$i").mkString(" ") + " " + run)) ++
+      (2L to 23L).map(i =>
+        (i, (1 to 5).map(j => s"fill${i}x$j").mkString(" ") + " " + c + " " +
+          (1 to 5).map(j => s"tail${i}x$j").mkString(" ")))
+    val work = java.nio.file.Files.createTempDirectory("essd2").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val out = LlmQueries.queries("exact_substring_dedup")(spark, work).collect()
+    assert(out.length === 1, "only the (0,1) pair survives the df cap")
+    assert(out.head.getLong(0) === 0L && out.head.getLong(1) === 1L)
+    assert(out.head.getAs[Long]("run_tokens") === 54L,
+      "85-token run splits at the dead anchor into two 30-anchor islands")
+    assert(out.head.getAs[Long]("n_runs") === 2L)
+  }
+
+  test("unimax_allocation conserves the budget and respects the epoch cap") {
+    val out = LlmQueries.queries("unimax_allocation")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val n = out.map(r => r.getAs[Long]("n_tokens").toDouble)
+    val alloc = out.map(r => r.getAs[Double]("alloc_tokens"))
+    val epochs = out.map(r => r.getAs[Double]("epochs"))
+    val total = n.sum
+    val budget = 1.5 * total
+    // every language capped at E = 2 epochs (6dp rounding slack)
+    assert(epochs.forall(_ <= 2.0 + 1e-6), "no language exceeds the epoch cap")
+    // the budget is either exactly spent or unreachable (all capped)
+    val spent = alloc.sum
+    assert(spent <= budget + 1e-3)
+    val allCapped = epochs.forall(e => math.abs(e - 2.0) <= 1e-6)
+    assert(allCapped || math.abs(spent - budget) <= 1e-3,
+      "uncapped case must spend the budget exactly")
+    // uncapped languages share one common allocation (waterfill level)
+    val uncapped = out.filter(r => r.getAs[Double]("epochs") < 2.0 - 1e-6)
+      .map(_.getAs[Double]("alloc_tokens")).distinct
+    assert(uncapped.length <= 1, "all uncapped languages sit at the same level")
+  }
 }
