@@ -3284,6 +3284,42 @@ object LlmQueries {
         .orderBy("source", "split")
     }),
 
+    // L305 — leakage-safe train/val/test split: the hash split above
+    // assigns DOCUMENTS independently, so two near-duplicates can land
+    // in train and test — the eval-contamination hole dedup-aware
+    // pipelines close by splitting at the duplicate-FAMILY level (the
+    // Lee et al. 2022 finding: train/test overlap inflates eval). Same
+    // LSH near-dup graph + pointer-doubling CC as component_keep_best;
+    // the split key is the family id, so every transitive family lands
+    // in ONE split by construction, and the output carries the audited
+    // cross-split near-dup pair count (provably 0) next to the
+    // per-(source, split) balance — the number a leakage audit would
+    // otherwise recompute.
+    "leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // lazy checkpoint: the pair list feeds the CC and both sides of
+      // the crossing audit
+      val pairs = Dedup.blockNearDups(d, "doc_id", "text", threshold = 0.5)
+        .select("a_id", "b_id").localCheckpoint(false)
+      val comps = Dedup.connectedComponents(pairs)
+      val b = sampleHash(coalesce(col("comp"), col("doc_id")), 10L)
+      val fam = d.join(comps, d("doc_id") === comps("id"), "left")
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+        .localCheckpoint(false) // reused: counts + both audit sides
+      val cross = broadcast(pairs
+        .join(fam.select(col("doc_id").as("a_id"), col("split").as("sa")),
+          "a_id")
+        .join(fam.select(col("doc_id").as("b_id"), col("split").as("sb")),
+          "b_id")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("cross_split_pairs")))
+      fam.groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .crossJoin(cross)
+        .orderBy("source", "split")
+    }),
+
     // L99 — near-dup family SIZE distribution: how big do duplicate
     // families get (the curation report behind "we removed X% as
     // near-dups")? Reuses the LSH near-dup graph + pointer-doubling CC;
@@ -7073,6 +7109,45 @@ object LlmQueries {
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM (SELECT source, n_chars, ${sqlSampleHash("doc_id", 10L)} AS b FROM documents)
          |GROUP BY source, split
+         |ORDER BY source, split""".stripMargin,
+
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $sqlShingleHashes AS sh FROM documents),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           ${sqlJaccard("a", "b")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id, MIN(comp) AS comp FROM (
+         |    SELECT src AS id, dst AS comp FROM reach
+         |    UNION SELECT src AS id, src AS comp FROM edges)
+         |  GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id, source, n_chars,
+         |         CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT d.doc_id, d.source, d.n_chars,
+         |               ${sqlSampleHash("COALESCE(c.comp, d.doc_id)", 10L)} AS b
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)),
+         |cx AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_pairs
+         |  FROM pairs p
+         |  JOIN sp sa ON p.a_id = sa.doc_id
+         |  JOIN sp sb ON p.b_id = sb.doc_id
+         |  WHERE sa.split <> sb.split)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, cross_split_pairs
+         |FROM sp, cx
+         |GROUP BY source, split, cross_split_pairs
          |ORDER BY source, split""".stripMargin,
 
     "component_size_hist" ->
