@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{CoreQueries, EventQueries, LlmQueries}
+import graft.operators.{CoreQueries, CurationQueries, EventQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ LlmQueries.queries ++ EventQueries.queries
+    CoreQueries.queries ++ LlmQueries.queries ++ EventQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — EVERY registered query has one, including
@@ -20,5 +21,6 @@ object SparkEntry {
     * seeded decimal-exact k-means, so "approximate" still has one exact
     * answer the oracle reproduces). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ LlmQueries.oracleSql ++ EventQueries.oracleSql
+    CoreQueries.oracleSql ++ LlmQueries.oracleSql ++ EventQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

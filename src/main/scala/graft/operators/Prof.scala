@@ -113,6 +113,48 @@ object Prof {
         time(s"[$i] tri_counts") { tri }
         println(f"PROF [$i] total_from_ckpt ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
+    } else if (q == "lpa_stages") {
+      // conductance/modularity breakdown: edge build, per-round LPA
+      // cost, and the scoring tail — which side of the carried <=3s ask
+      // actually needs work
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      (1 to 3).foreach { it =>
+        val t00 = System.nanoTime()
+        val bo = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items"))
+        val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+          .select(col("src"), explode(col("items")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("dst"),
+          Seq("dst", "src"), dedupSorted = true, declareStats = false)
+        time(s"[$it] edge_ckpt") { e.limit(1) }
+        var lbl = e.groupBy(col("src").as("node"))
+          .agg(mode(col("dst"), deterministic = true).as("lbl"))
+        time(s"[$it] lpa_round1") { lbl }
+        for (i <- 2 to 4) {
+          lbl = e.join(lbl.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+          time(s"[$it] lpa_round$i") { lbl }
+        }
+        val lab = lbl.localCheckpoint(false)
+        time(s"[$it] lab_ckpt") { lab.limit(1) }
+        val nbr = e
+          .join(lab.withColumnRenamed("node", "dst")
+            .withColumnRenamed("lbl", "lb"), "dst")
+          .groupBy(col("src"), col("lb")).agg(count(lit(1)).as("cnt"))
+          .join(lab.withColumnRenamed("node", "src")
+            .withColumnRenamed("lbl", "la"), "src")
+        val vol = nbr.groupBy(col("la").as("c"))
+          .agg(countDistinct(col("src")).as("n_nodes"), sum("cnt").as("vv"),
+            sum(when(col("la") =!= col("lb"), col("cnt"))
+              .otherwise(lit(0L))).as("ce"))
+        time(s"[$it] score_tail") { vol }
+        println(f"PROF [$it] lpa_total ${(System.nanoTime() - t00) / 1e9}%8.3f s")
+        s.sharedState.cacheManager.clearCache()
+      }
     } else if (q == "truss_stages") {
       // mirrors the SHIPPED k_truss shape (triangle-edge index built
       // once, incremental decrement rounds) with per-stage noop timing

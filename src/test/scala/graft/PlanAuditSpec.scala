@@ -111,7 +111,13 @@ class PlanAuditSpec extends SparkSpec {
       // per-language token totals — a language-cardinality frame
       // (bounded by the language universe, like roc_auc's score grid),
       // never fact-sized
-      "unimax_allocation")
+      "unimax_allocation",
+      // bh_fdr's p-value rank runs over SOURCE-cardinality rows (the
+      // unimax_allocation class); ses_forecast's day index over the
+      // calendar-sized gapfilled series (the forecast_eval class);
+      // effect_sizes' only unpartitioned window is exclusivePrefix's
+      // constant CumBuckets carry rollup (the wilcoxon class)
+      "bh_fdr", "ses_forecast", "effect_sizes")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
