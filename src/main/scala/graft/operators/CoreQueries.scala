@@ -306,9 +306,15 @@ object CoreQueries {
     // itself, so the first edge⨝label join is an identity — round 1 is
     // just the deterministic mode of each node's neighbor IDS, and the
     // init-label `distinct` disappears with the join (two fewer stages;
-    // the update rule below is unchanged from round 2 on)
-    var lbl = e.groupBy(col("src").as("node"))
-      .agg(mode(col("dst"), deterministic = true).as("lbl"))
+    // the update rule below is unchanged from round 2 on). Grouped by
+    // DST, not src: the co-purchase edge set is symmetric (both
+    // orientations present — a lpaFrom contract), so the per-node
+    // neighbor multiset is identical either way, and dst is the
+    // checkpoint's declared partitioning — round 1 runs exchange-free
+    // where the src spelling re-shuffled the full edge list (r11:
+    // ~0.5s of the 2.4M-edge build at sf0.1).
+    var lbl = e.groupBy(col("dst").as("node"))
+      .agg(mode(col("src"), deterministic = true).as("lbl"))
     for (i <- 2 to iters) {
       // ONE aggregation per round, not two: deterministic mode(lbl) is
       // exactly LPA's update rule (most frequent neighbor label, ties ->
@@ -317,8 +323,14 @@ object CoreQueries {
       // the previous count-per-(node,lbl) + max_by-per-node pair paid a
       // second full shuffle every round for the same result (r8: LPA
       // 4.6s vs pagerank's 3.6s on the same edge list; the extra
-      // per-round exchange was the difference)
-      lbl = e.join(lbl.withColumnRenamed("node", "dst"), "dst")
+      // per-round exchange was the difference). shuffle_hash on the
+      // node-sized label side: the SMJ's streamed merge costs more per
+      // edge row than a hash probe into the (small) per-partition label
+      // map, and the edge side's declared ordering buys SMJ nothing the
+      // hash probe doesn't get for free (r11 A/B: 4 rounds 3.0s -> 2.4s
+      // at sf0.1; same rows, same labels, any join type).
+      lbl = e.join(lbl.withColumnRenamed("node", "dst")
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node"))
         .agg(mode(col("lbl"), deterministic = true).as("lbl"))
       if (i % LpaCheckpointStride == 0 && i < iters)
@@ -1747,27 +1759,29 @@ object CoreQueries {
         oriented.select(xxhash64(least(col("u"), col("v")),
           greatest(col("u"), col("v"))).as("k"))
           .stat.bloomFilter("k", 4000000L, 1L << 23))
-      // adjacency off the u-partitioned checkpoint: exchange-free
-      // groupBy; sort by (dv, v) = the wedge rank order, so ordered
-      // array positions i<j ARE the oriented wedges
-      val adj = oriented.groupBy(col("u"))
-        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
+      // ONE adjacency pass off the u-partitioned checkpoint (exchange-
+      // free groupBy) serving BOTH consumers: the rank-sorted struct
+      // array (sort by (dv, v) = the wedge rank order, so ordered array
+      // positions i<j ARE the oriented wedges) and the plain v list the
+      // confirm probes (array_contains is order-blind). The r10 shape
+      // ran the same aggregate twice; checkpointed node-sized rows make
+      // it one pass + two cache scans.
+      val adjA = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"),
+          collect_list(col("v")).as("vs"))
+        .localCheckpoint(false)
       // exact confirm = membership of b in a's OWN out-neighbor array
-      // (the k_truss shape): a second exchange-free groupBy off the
-      // checkpoint — unsorted, array_contains is order-blind — and the
-      // u→a alias preserves the declared partitioning, so only the
-      // bloom-surviving wedge stream shuffles. The previous shape
+      // (the k_truss shape), u→a aliased off the same cached adjacency,
+      // so only the bloom-surviving wedge stream shuffles. The r9 shape
       // re-exchanged the full oriented edge list by (a, b) and
       // hash-built it per partition; array_contains is a JIT'd linear
       // scan over an orientation-bounded (≈√m) array, and bloom false
       // positives die right here.
-      val adjC = oriented.groupBy(col("u"))
-        .agg(collect_list(col("v")).as("vs"))
-      val tris = adj
+      val tris = adjA
         .select(col("u"), explode(graft.functions.WedgeClosures
           .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
         .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
-        .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+        .join(adjA.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
           Seq("a"))
         .filter(array_contains(col("vs"), col("b")))
         .select(col("u"), col("a"), col("b"))
@@ -2301,7 +2315,8 @@ object CoreQueries {
       var colors = e.select(col("src").as("n")).distinct()
         .select(col("n"), lit(1L).as("c"))
       for (_ <- 1 to WlRounds) {
-        val agg = e.join(colors.withColumnRenamed("n", "dst"), "dst")
+        val agg = e.join(colors.withColumnRenamed("n", "dst")
+            .hint("shuffle_hash"), "dst")
           .groupBy(col("src"))
           .agg(sum((col("c") * lit(WlM2)) % lit(WlP)).as("sh0"),
             count(lit(1)).as("deg"))
@@ -2342,10 +2357,10 @@ object CoreQueries {
       // neighbor count IS the degree), and 2m = Σ dsum.
       val nbr = e
         .join(lab.withColumnRenamed("node", "dst")
-          .withColumnRenamed("lbl", "lb"), "dst")
+          .withColumnRenamed("lbl", "lb").hint("shuffle_hash"), "dst")
         .groupBy(col("src"), col("lb")).agg(count(lit(1)).as("cnt"))
         .join(lab.withColumnRenamed("node", "src")
-          .withColumnRenamed("lbl", "la"), "src")
+          .withColumnRenamed("lbl", "la").hint("shuffle_hash"), "src")
       val dc = nbr.groupBy(col("la").as("c"))
         .agg(sum(when(col("la") === col("lb"), col("cnt"))
             .otherwise(lit(0L))).as("ec"),
@@ -2383,19 +2398,25 @@ object CoreQueries {
       // (degree = Σ neighbor counts, both orientations present)
       val nbr = e
         .join(lab.withColumnRenamed("node", "dst")
-          .withColumnRenamed("lbl", "lb"), "dst")
+          .withColumnRenamed("lbl", "lb").hint("shuffle_hash"), "dst")
         .groupBy(col("src"), col("lb")).agg(count(lit(1)).as("cnt"))
         .join(lab.withColumnRenamed("node", "src")
-          .withColumnRenamed("lbl", "la"), "src")
+          .withColumnRenamed("lbl", "la").hint("shuffle_hash"), "src")
       // one community-level rollup directly off the src-partitioned
       // counts (a (src, la) pre-rollup measured slower — its grouping
       // keys no longer matched the (src, lb) partitioning, adding an
-      // exchange); n_nodes = distinct nodes per label over
-      // node×label-cardinality rows, so the distinct is trivial
+      // exchange); n_nodes comes from the NODE-sized label frame (every
+      // labeled node has >= 1 neighbor by construction), not a
+      // countDistinct over the node×label-cardinality rows — the
+      // distinct's expand + second agg phase was pure overhead for the
+      // same number
+      val nodes = lab.groupBy(col("lbl").as("c"))
+        .agg(count(lit(1)).as("n_nodes"))
       val vol = nbr.groupBy(col("la").as("c"))
-        .agg(countDistinct(col("src")).as("n_nodes"), sum("cnt").as("vv"),
+        .agg(sum("cnt").as("vv"),
           sum(when(col("la") =!= col("lb"), col("cnt"))
             .otherwise(lit(0L))).as("ce"))
+        .join(nodes, "c")
         .localCheckpoint(false) // reused: rows + 2m
       val mm = broadcast(vol.agg(sum("vv").as("mm")))
       vol.crossJoin(mm)
@@ -3237,23 +3258,27 @@ object CoreQueries {
       // exchange-free off the u-partitioned checkpoint, the kernel
       // enumerates C(d⁺,2) pairs in a JIT'd loop, and only bloom
       // survivors become rows.
-      val adj = oriented.groupBy(col("u"))
-        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
-      val wed = adj
+      // ONE adjacency pass for BOTH the wedge source (rank-sorted
+      // struct array) and the confirm probe array (plain v list): the
+      // r10 shape ran two exchange-free groupBys over the checkpoint —
+      // same input, same keys, two full agg passes (~8 cpu-s apiece at
+      // sf0.1). Checkpointed because two consumers scan it (the wedge
+      // explode + the confirm build side); node-sized rows.
+      val adjA = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"),
+          collect_list(col("v")).as("vs"))
+        .localCheckpoint(false)
+      val wed = adjA
         .select(col("u"), explode(graft.functions.WedgeClosures
           .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
         .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
       // exact confirm = membership of b in a's OWN out-neighbor array
-      // (a second exchange-free groupBy off the checkpoint — unsorted:
-      // array_contains is order-blind; the u→a alias preserves the
-      // declared partitioning, so only the wedge stream shuffles).
-      // array_contains is a JIT'd linear scan over an
+      // (the u→a alias off the same cached adjacency; only the wedge
+      // stream shuffles). array_contains is a JIT'd linear scan over an
       // orientation-bounded (≈√m) array; bloom false positives die
       // right here, so the rounds never see them.
-      val adjC = oriented.groupBy(col("u"))
-        .agg(collect_list(col("v")).as("vs"))
       val tri0 = wed
-        .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+        .join(adjA.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
           Seq("a"))
         .filter(array_contains(col("vs"), col("b")))
         .select(col("u"), col("a"), col("b"))
@@ -3276,39 +3301,81 @@ object CoreQueries {
       // round, ~1.9s/round at sf0.1; a bloom-probe cut avoided that but
       // paid a per-round filter-build job + a confirm join, ~2s/round
       // in driver-side planning and jobs).
+      // UNSORTED: every consumer either hash-aggregates (the support
+      // rollup) or hash-probes a tiny drop set (the detection SHJ), so
+      // the r10 sort of all 5.7M incidence rows bought nothing
       val triByEdge = CheckpointBridge.partitionedCheckpoint(
         edgesOf(tri0), shufflePartitions(s), Seq("eu", "ev"),
-        Seq("eu", "ev"), declareStats = false)
+        declareStats = false)
       // round-1 support = an exchange-free run-length over the SAME
-      // sorted index; re-keyed (u,v) so the per-round survivor updates
-      // and drop-set derivations below stay co-partitioned with it.
+      // sorted index; re-keyed (u,v) and kept co-partitioned with it.
       // Zero-triangle edges never appear — they drop in round 1 and,
       // being in no triangle, can never decrement anyone: sup ∈
       // [1, k−3] rows are the complete RELEVANT drop set of a round.
-      var alive = CheckpointBridge.partitionedCheckpoint(
+      // `base` is IMMUTABLE: the peel removes so little per round
+      // (sf0.1: 62k → 1.7k of 1.2M edges) that rewriting the survivor
+      // table was the round cost — the r10 shape re-checkpointed all
+      // 1.1M supports AND ran a full count scan every round (~1.5-2s/
+      // round). Rounds below instead carry a DROP LEDGER: per-edge
+      // cumulative decrements (drop-proportional smalls), a newly-
+      // dropped set derived by one exchange-free stream of `base`
+      // against the (AQE-broadcast) decrement table, and survivor
+      // counts as pure 1-row arithmetic n_r = n_{r-1} − |new drops|.
+      // At 100 TB this is the difference between touching O(drops) and
+      // rewriting O(edges) per round.
+      val base = CheckpointBridge.partitionedCheckpoint(
         triByEdge.groupBy(col("eu").as("u"), col("ev").as("v"))
           .agg(count(lit(1)).as("sup")),
-        shufflePartitions(s), Seq("u", "v"), Seq("u", "v"),
+        shufflePartitions(s), Seq("u", "v"),
         declareStats = false)
       // cumulative destroyed-triangle ledger: `triByEdge` stays the
       // FIXED round-1 index (never rewritten), so a drop-set join can
       // re-surface a triangle an EARLIER round already destroyed — the
-      // anti-join below keeps each triangle's decrement exactly-once
+      // anti-join below keeps each triangle's decrement exactly-once.
+      // Per round only TWO frames materialize (`nd`, `touched`) — the
+      // r10 shape's four-materialization rounds spent more wall time in
+      // driver planning + job scheduling than in the (tiny) data they
+      // moved, so everything else below is a cheap re-filter of one of
+      // those small cached frames.
       var destroyedSoFar: Option[DataFrame] = None
+      // `touched` of the previous round: (u, v, sup, dec) for every
+      // edge decremented so far, dec cumulative. An edge is newly
+      // dropped in round r iff sup − dec_{r−1} ≥ k−2 and sup − dec_r <
+      // k−2 (sup-0 edges propagate harmlessly: all their triangles are
+      // already destroyed, so they can hit nothing).
+      var touchedPrev: Option[DataFrame] = None
+      def dropsOf(touched: DataFrame, prev: Option[DataFrame]): DataFrame = {
+        val withPrev = prev.fold(touched.withColumn("d0", lit(0L)))(p =>
+          touched.join(p.select(col("u"), col("v"), col("dec").as("d0")),
+            Seq("u", "v"), "left"))
+        withPrev
+          .filter(col("sup") - coalesce(col("d0"), lit(0L)) >= TrussK - 2 &&
+            col("sup") - col("dec") < TrussK - 2)
+          .select(col("u"), col("v"))
+      }
+      // round-1 drop set and survivor count: plain filters over the
+      // base checkpoint (no extra materialization — base is cached)
+      var lastDrops = base.filter(col("sup") < TrussK - 2)
+        .select(col("u"), col("v"))
+      // 1-row, checkpointed: it appears in EVERY round's output row, and
+      // uncheckpointed each row re-ran the full base scan
+      val n1 = base.filter(col("sup") >= TrussK - 2)
+        .agg(count(lit(1)).as("n_edges"))
+        .localCheckpoint(false)
+      // survivor counts are PURE ARITHMETIC off the drop counts:
+      // n_r = n_1 − Σ_{j≤r} |newDrops_j| — no full-table scan, no
+      // survivor-table rewrite, ever
+      var dropCounts: Seq[DataFrame] = Nil
       val rounds = (1 to TrussRounds).map { r =>
         if (r > 1) {
-          // the previous round's relevant drops: a partition-local
-          // filter off the alive checkpoint, already hashed by the SAME
-          // (u,v) keys as triByEdge's (eu,ev) — the detection join
-          // below is exchange-free on BOTH sides, and the big side is
-          // pre-sorted so only the drop rows sort
-          val dRel = alive.filter(col("sup") < TrussK - 2)
-          // a candidate triangle is destroyed iff ANY of its 3 edges is
-          // a real drop; dedup keeps a triangle losing 2+ edges in one
-          // round dying once
+          // triangles hit by the previous round's drops: a shuffle-hash
+          // semi probe — the index streams exchange-free off its
+          // declared partitioning, only the tiny drop set exchanges and
+          // hash-builds, and NOBODY sorts (the r10 SMJ spelling needed
+          // the whole 5.7M-row index sorted at build time)
           val hit = triByEdge
-            .join(dRel.select(col("u").as("eu"), col("v").as("ev")),
-              Seq("eu", "ev"), "left_semi")
+            .join(lastDrops.select(col("u").as("eu"), col("v").as("ev"))
+              .hint("shuffle_hash"), Seq("eu", "ev"), "left_semi")
             .select("u", "a", "b").dropDuplicates("u", "a", "b")
           val nd = destroyedSoFar.fold(hit)(d =>
               hit.join(d, Seq("u", "a", "b"), "left_anti"))
@@ -3316,27 +3383,31 @@ object CoreQueries {
           val dec = edgesOf(nd)
             .groupBy(col("eu").as("u"), col("ev").as("v"))
             .agg(count(lit(1)).as("dec"))
-          // survivors carry their support forward minus the destroyed
-          // count; sup = 0 rows leave the frame entirely (in no alive
-          // triangle → can neither survive a later threshold nor
-          // destroy anything). dec is aggregate-small, so AQE turns
-          // the left join into a broadcast at runtime — never forced.
-          // (A persist()-based round — no checkpoints — measured 13.1s
-          // vs 7.5s here: InMemoryRelation's cache serialization and
-          // plan-matching cost more than the checkpoint's exchange.)
-          alive = CheckpointBridge.partitionedCheckpoint(
-            alive.filter(col("sup") >= TrussK - 2)
-              .join(dec, Seq("u", "v"), "left")
+          // cumulative decrements live on `touched` rows (dec keys are
+          // always base edges, so the inner join loses nothing); the
+          // drop-proportional dec side is AQE-broadcast at runtime —
+          // never forced, the dec-join contract from r9 — and the base
+          // side streams exchange-free off its declared partitioning
+          val decCum = touchedPrev.fold(dec)(p =>
+            p.select(col("u"), col("v"), col("dec").as("d0"))
+              .join(dec, Seq("u", "v"), "full_outer")
               .select(col("u"), col("v"),
-                (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
-              .filter(col("sup") >= 1),
-            shufflePartitions(s), Seq("u", "v"), Seq("u", "v"),
-            declareStats = false)
+                (coalesce(col("d0"), lit(0L)) +
+                  coalesce(col("dec"), lit(0L))).as("dec")))
+          val touched = base.join(decCum.hint("shuffle_hash"), Seq("u", "v"))
+            .localCheckpoint(false) // read 3x+: drops ×2 + next round's d0
+          lastDrops = dropsOf(touched, touchedPrev)
+          // 1-row ckpt: read by every output row from round r on
+          dropCounts = dropCounts :+ lastDrops
+            .agg(count(lit(1)).as(s"nd$r"))
+            .localCheckpoint(false)
+          touchedPrev = Some(touched)
           destroyedSoFar = Some(destroyedSoFar.fold(nd)(_ union nd))
         }
-        alive.filter(col("sup") >= TrussK - 2)
-          .agg(count(lit(1)).as("n_edges"))
-          .select(lit(r.toLong).as("round"), col("n_edges"))
+        dropCounts.foldLeft(n1)((acc, dc) => acc.crossJoin(dc))
+          .select(lit(r.toLong).as("round"),
+            (2 to r).foldLeft(col("n_edges"))((c, j) =>
+              c - col(s"nd$j")).as("n_edges"))
       }
       rounds.reduce(_ unionAll _).orderBy("round")
     }),

@@ -4,10 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 // Temporary stage-level profiler for the graph-family constant-factor hunt.
 object Prof {
+  // cumulative executor task time, fed by the listener registered in main
+  val cpuNs = new java.util.concurrent.atomic.AtomicLong
   private def time(name: String)(df: => DataFrame): Unit = {
     val t0 = System.nanoTime()
+    val c0 = cpuNs.get
     df.write.mode("overwrite").format("noop").save()
-    println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    Thread.sleep(150) // let the listener drain
+    println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+      f"  cpu=${(cpuNs.get - c0) / 1e9}%8.2f s")
   }
 
   def main(args: Array[String]): Unit = {
@@ -20,6 +25,13 @@ object Prof {
     s.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val q = sys.env.getOrElse("SPARK_GRAFT_PROF_Q", "pagerank")
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            cpuNs.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+      })
     // warm-up: file indexes + codegen
     Seq("lineitem", "documents").foreach(t =>
       s.read.parquet(s"$dir/$t.parquet").count())
@@ -155,9 +167,137 @@ object Prof {
         println(f"PROF [$it] lpa_total ${(System.nanoTime() - t00) / 1e9}%8.3f s")
         s.sharedState.cacheManager.clearCache()
       }
+    } else if (q == "lpa_shapes") {
+      // candidate round shapes for the LPA family: (A) shipped
+      // edge-join + mode, (B) adjacency-array join + in-stage explode +
+      // mode, (C) edge-join with shuffle_hash hint
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      (1 to 3).foreach { it =>
+        val bo = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items"))
+        val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+          .select(col("src"), explode(col("items")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("dst"),
+          Seq("dst", "src"), dedupSorted = true, declareStats = false)
+        time(s"[$it] edge_ckpt") { e.limit(1) }
+        // (A) shipped: 4 rounds of edge-join + mode
+        val tA = System.nanoTime()
+        var lblA = e.groupBy(col("src").as("node"))
+          .agg(mode(col("dst"), deterministic = true).as("lbl"))
+        for (_ <- 2 to 4)
+          lblA = e.join(lblA.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        lblA.write.mode("overwrite").format("noop").save()
+        println(f"PROF [$it] shape_A_edge_join ${(System.nanoTime() - tA) / 1e9}%8.3f s")
+        // (B) adjacency arrays: one exchange-free collect_list off the
+        // checkpoint, then node-sized joins + in-stage explode per round
+        val tB = System.nanoTime()
+        val adj = CheckpointBridge.partitionedCheckpoint(
+          e.groupBy(col("dst")).agg(collect_list(col("src")).as("outs")),
+          32, Seq("dst"), Seq("dst"), declareStats = false)
+        var lblB = e.groupBy(col("src").as("node"))
+          .agg(mode(col("dst"), deterministic = true).as("lbl"))
+        for (_ <- 2 to 4)
+          lblB = adj.join(lblB.withColumnRenamed("node", "dst"), "dst")
+            .select(explode(col("outs")).as("node"), col("lbl"))
+            .groupBy("node")
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        lblB.write.mode("overwrite").format("noop").save()
+        println(f"PROF [$it] shape_B_adjacency ${(System.nanoTime() - tB) / 1e9}%8.3f s")
+        // (C) shipped join but hash join instead of SMJ
+        val tC = System.nanoTime()
+        var lblC = e.groupBy(col("src").as("node"))
+          .agg(mode(col("dst"), deterministic = true).as("lbl"))
+        for (_ <- 2 to 4)
+          lblC = e.join(lblC.withColumnRenamed("node", "dst")
+              .hint("shuffle_hash"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        lblC.write.mode("overwrite").format("noop").save()
+        println(f"PROF [$it] shape_C_shuffle_hash ${(System.nanoTime() - tC) / 1e9}%8.3f s")
+        // (D) adjacency + shuffle_hash on the label side
+        val tD = System.nanoTime()
+        val adjD = CheckpointBridge.partitionedCheckpoint(
+          e.groupBy(col("dst")).agg(collect_list(col("src")).as("outs")),
+          32, Seq("dst"), Seq("dst"), declareStats = false)
+        var lblD = e.groupBy(col("src").as("node"))
+          .agg(mode(col("dst"), deterministic = true).as("lbl"))
+        for (_ <- 2 to 4)
+          lblD = adjD.join(lblD.withColumnRenamed("node", "dst")
+              .hint("shuffle_hash"), "dst")
+            .select(explode(col("outs")).as("node"), col("lbl"))
+            .groupBy("node")
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        lblD.write.mode("overwrite").format("noop").save()
+        println(f"PROF [$it] shape_D_adj_shj ${(System.nanoTime() - tD) / 1e9}%8.3f s")
+        // (E) = C + symmetric round 1: groupBy(dst) is exchange-free off
+        // the checkpoint and equals groupBy(src) on a symmetric edge set
+        val tE = System.nanoTime()
+        var lblE = e.groupBy(col("dst").as("node"))
+          .agg(mode(col("src"), deterministic = true).as("lbl"))
+        for (_ <- 2 to 4)
+          lblE = e.join(lblE.withColumnRenamed("node", "dst")
+              .hint("shuffle_hash"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        lblE.write.mode("overwrite").format("noop").save()
+        println(f"PROF [$it] shape_E_sym_r1_shj ${(System.nanoTime() - tE) / 1e9}%8.3f s")
+        s.sharedState.cacheManager.clearCache()
+      }
+    } else if (q == "cond_ab") {
+      // conductance scoring tail A/B: countDistinct over node×label rows
+      // vs a node-sized label rollup join
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      (1 to 3).foreach { it =>
+        val bo = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items"))
+        val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+          .select(col("src"), explode(col("items")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("dst"),
+          Seq("dst", "src"), dedupSorted = true, declareStats = false)
+        var lbl = e.groupBy(col("dst").as("node"))
+          .agg(mode(col("src"), deterministic = true).as("lbl"))
+        for (_ <- 2 to 4)
+          lbl = e.join(lbl.withColumnRenamed("node", "dst")
+              .hint("shuffle_hash"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        val lab = lbl.localCheckpoint(false)
+        time(s"[$it] lab") { lab.limit(1) }
+        def nbrOf = e
+          .join(lab.withColumnRenamed("node", "dst")
+            .withColumnRenamed("lbl", "lb").hint("shuffle_hash"), "dst")
+          .groupBy(col("src"), col("lb")).agg(count(lit(1)).as("cnt"))
+          .join(lab.withColumnRenamed("node", "src")
+            .withColumnRenamed("lbl", "la").hint("shuffle_hash"), "src")
+        time(s"[$it] A_countDistinct") {
+          nbrOf.groupBy(col("la").as("c"))
+            .agg(countDistinct(col("src")).as("n_nodes"),
+              sum("cnt").as("vv"),
+              sum(when(col("la") =!= col("lb"), col("cnt"))
+                .otherwise(lit(0L))).as("ce"))
+        }
+        time(s"[$it] B_nodes_join") {
+          nbrOf.groupBy(col("la").as("c"))
+            .agg(sum("cnt").as("vv"),
+              sum(when(col("la") =!= col("lb"), col("cnt"))
+                .otherwise(lit(0L))).as("ce"))
+            .join(lab.groupBy(col("lbl").as("c"))
+              .agg(count(lit(1)).as("n_nodes")), "c")
+        }
+        s.sharedState.cacheManager.clearCache()
+      }
     } else if (q == "truss_stages") {
-      // mirrors the SHIPPED k_truss shape (triangle-edge index built
-      // once, incremental decrement rounds) with per-stage noop timing
+      // mirrors the SHIPPED k_truss shape (r11: merged adjacency pass,
+      // unsorted index/support checkpoints, drop-ledger rounds) with
+      // per-stage wall + executor-cpu timing
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graftbridge.CheckpointBridge
       import org.apache.spark.sql.DataFrame
@@ -172,11 +312,11 @@ object Prof {
         val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("src"),
           Seq("src", "dst"), dedupSorted = true, declareStats = false)
         time(s"[$it] edge_ckpt") { e.limit(1) }
-        val tb0 = System.nanoTime()
+        val tb0 = System.nanoTime(); val cb0 = cpuNs.get
         val edgeBloom = s.sparkContext.broadcast(
           e.select(xxhash64(col("src"), col("dst")).as("k"))
             .stat.bloomFilter("k", 4000000L, 1L << 24))
-        println(f"PROF [$it] bloom_build ${(System.nanoTime() - tb0) / 1e9}%8.3f s")
+        println(f"PROF [$it] bloom_build ${(System.nanoTime() - tb0) / 1e9}%8.3f s  cpu=${(cpuNs.get - cb0) / 1e9}%8.2f s")
         val dk = e.select(explode(array(col("src"), col("dst"))).as("n"))
           .groupBy("n").agg(count(lit(1)).as("d"))
         val oriented0 = e
@@ -191,16 +331,18 @@ object Prof {
         val oriented = CheckpointBridge.partitionedCheckpoint(oriented0, 32,
           Seq("u"), Seq("u"), declareStats = false)
         time(s"[$it] oriented_ckpt") { oriented.limit(1) }
-        val adj = oriented.groupBy(col("u"))
-          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"))
-        val wed = adj
+        val adjA = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"),
+            collect_list(col("v")).as("vs"))
+          .localCheckpoint(false)
+        time(s"[$it] adjA_ckpt") { adjA.limit(1) }
+        val wed = adjA
           .select(col("u"), explode(graft.functions.WedgeClosures
             .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
           .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
-        val adjC = oriented.groupBy(col("u"))
-          .agg(collect_list(col("v")).as("vs"))
+        time(s"[$it] wedge_only") { wed }
         val tri0 = wed
-          .join(adjC.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+          .join(adjA.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
             Seq("a"))
           .filter(array_contains(col("vs"), col("b")))
           .select(col("u"), col("a"), col("b"))
@@ -212,21 +354,33 @@ object Prof {
           .select(col("u"), col("a"), col("b"),
             col("t.eu").as("eu"), col("t.ev").as("ev"))
         val triByEdge = CheckpointBridge.partitionedCheckpoint(
-          edgesOf(tri0), 32, Seq("eu", "ev"), Seq("eu", "ev"),
-          declareStats = false)
+          edgesOf(tri0), 32, Seq("eu", "ev"), declareStats = false)
         time(s"[$it] triByEdge_ckpt") { triByEdge.limit(1) }
-        var alive = CheckpointBridge.partitionedCheckpoint(
+        val base = CheckpointBridge.partitionedCheckpoint(
           triByEdge.groupBy(col("eu").as("u"), col("ev").as("v"))
             .agg(count(lit(1)).as("sup")),
-          32, Seq("u", "v"), Seq("u", "v"), declareStats = false)
-        time(s"[$it] alive_ckpt0") { alive.limit(1) }
+          32, Seq("u", "v"), declareStats = false)
+        time(s"[$it] base_ckpt") { base.limit(1) }
         var destroyedSoFar: Option[DataFrame] = None
+        var touchedPrev: Option[DataFrame] = None
+        def dropsOf(touched: DataFrame, prev: Option[DataFrame]): DataFrame = {
+          val withPrev = prev.fold(touched.withColumn("d0", lit(0L)))(p =>
+            touched.join(p.select(col("u"), col("v"), col("dec").as("d0")),
+              Seq("u", "v"), "left"))
+          withPrev
+            .filter(col("sup") - coalesce(col("d0"), lit(0L)) >= 2 &&
+              col("sup") - col("dec") < 2)
+            .select(col("u"), col("v"))
+        }
+        var lastDrops = base.filter(col("sup") < 2).select(col("u"), col("v"))
+        val n1 = base.filter(col("sup") >= 2)
+          .agg(count(lit(1)).as("n_edges")).localCheckpoint(false)
+        time(s"[$it] n1") { n1 }
         (2 to 3).foreach { r =>
-          val tr0 = System.nanoTime()
-          val dRel = alive.filter(col("sup") < 2)
+          val tr0 = System.nanoTime(); val cr0 = cpuNs.get
           val hit = triByEdge
-            .join(dRel.select(col("u").as("eu"), col("v").as("ev")),
-              Seq("eu", "ev"), "left_semi")
+            .join(lastDrops.select(col("u").as("eu"), col("v").as("ev"))
+              .hint("shuffle_hash"), Seq("eu", "ev"), "left_semi")
             .select("u", "a", "b").dropDuplicates("u", "a", "b")
           val nd = destroyedSoFar.fold(hit)(d =>
               hit.join(d, Seq("u", "a", "b"), "left_anti"))
@@ -235,23 +389,69 @@ object Prof {
           val dec = edgesOf(nd)
             .groupBy(col("eu").as("u"), col("ev").as("v"))
             .agg(count(lit(1)).as("dec"))
-          alive = CheckpointBridge.partitionedCheckpoint(
-            alive.filter(col("sup") >= 2)
-              .join(dec, Seq("u", "v"), "left")
+          val decCum = touchedPrev.fold(dec)(p =>
+            p.select(col("u"), col("v"), col("dec").as("d0"))
+              .join(dec, Seq("u", "v"), "full_outer")
               .select(col("u"), col("v"),
-                (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
-              .filter(col("sup") >= 1),
-            32, Seq("u", "v"), Seq("u", "v"), declareStats = false)
-          time(s"[$it:r$r] alive_ckpt") { alive.limit(1) }
+                (coalesce(col("d0"), lit(0L)) +
+                  coalesce(col("dec"), lit(0L))).as("dec")))
+          val touched = base.join(decCum.hint("shuffle_hash"), Seq("u", "v"))
+            .localCheckpoint(false)
+          time(s"[$it:r$r] touched") { touched }
+          val dcount = dropsOf(touched, touchedPrev)
+            .agg(count(lit(1)).as(s"nd$r")).localCheckpoint(false)
+          time(s"[$it:r$r] dropcount") { dcount }
+          lastDrops = dropsOf(touched, touchedPrev)
+          touchedPrev = Some(touched)
           destroyedSoFar = Some(destroyedSoFar.fold(nd)(_ union nd))
-          val tcc = System.nanoTime()
-          val n = alive.filter(col("sup") >= 2).count()
-          println(f"PROF [$it:r$r] count ${(System.nanoTime() - tcc) / 1e9}%8.3f s survivors=$n")
-          println(f"PROF [$it:r$r] round_total ${(System.nanoTime() - tr0) / 1e9}%8.3f s")
+          println(f"PROF [$it:r$r] round_total ${(System.nanoTime() - tr0) / 1e9}%8.3f s  cpu=${(cpuNs.get - cr0) / 1e9}%8.2f s")
         }
         println(f"PROF [$it] truss_total ${(System.nanoTime() - t00) / 1e9}%8.3f s")
         s.sharedState.cacheManager.clearCache()
         s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    } else if (q.endsWith(":jobs")) {
+      // wall vs executor accounting: if Σ task time / cores << wall,
+      // the query is driver-bound (planning/scheduling), not data-bound
+      val name = q.stripSuffix(":jobs")
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd, SparkListenerStageCompleted}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val taskNs = new java.util.concurrent.atomic.AtomicLong
+      val perStage = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+      val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          stageNames.put(st.stageInfo.stageId, st.stageInfo.name.take(70))
+        }
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            taskNs.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+            perStage.merge(t.stageId,
+              (s"${t.stageId}", t.taskMetrics.executorRunTime),
+              (a, b) => (a._1, a._2 + b._2))
+          }
+      })
+      (1 to 3).foreach { it =>
+        jobs.set(0); stages.set(0); taskNs.set(0)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(s, dir)
+          .write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let listener drain
+        println(f"PROF [$it] $name wall=$wall%.3f s jobs=${jobs.get} " +
+          f"stages=${stages.get} taskSum=${taskNs.get / 1e9}%.2f s " +
+          f"(=${taskNs.get / 1e9 / 32}%.3f s at 32x)")
+        import scala.jdk.CollectionConverters._
+        perStage.asScala.toSeq.sortBy(-_._2._2).take(10).foreach {
+          case (id, (_, ms)) =>
+            val nm = Option(stageNames.get(id)).getOrElse("?")
+            println(f"PROF [$it]   stage $id%4d ${ms / 1e3}%8.2f cpu-s  $nm")
+        }
+        perStage.clear(); stageNames.clear()
       }
     } else {
       val df = graft.SparkEntry.queries(q)(s, dir)
