@@ -510,7 +510,10 @@ object CoreQueries {
       // pass over the src-partitioned-and-sorted edge checkpoint
       val rw = r.join(wsum, "id")
         .select(col("id").as("src"), (col("r") / col("wsum")).as("rw"))
-      r = e.join(rw, "src")
+      // hash-probe the node-sized rank table against the streamed edge
+      // checkpoint — the lpaFrom round-join spelling (SMJ's merge costs
+      // more per edge row than the per-partition hash probe)
+      r = e.join(rw.hint("shuffle_hash"), "src")
         .select(col("dst").as("id"),
           (col("rw") * col("wt")).cast(DecimalType(28, 18)).as("c"))
         .groupBy("id").agg(sum("c").cast("double").as("in_rank"))
@@ -2235,12 +2238,12 @@ object CoreQueries {
         // + the normalized division), so without the node-sized lineage
         // cut every round would re-run the whole prefix per consumer —
         // 2^rounds edge joins (measured: 16s vs 4s at sf0.1)
-        val araw = ec.join(h, "c").groupBy("p")
+        val araw = ec.join(h.hint("shuffle_hash"), "c").groupBy("p")
           .agg(sum(col("h").cast(DecimalType(28, 18))).cast("double").as("ar"))
           .localCheckpoint(false)
         a = araw.crossJoin(l1Norm(araw, "ar"))
           .select(col("p"), (col("ar") / col("z")).as("a"))
-        val hraw = ep.join(a, "p").groupBy("c")
+        val hraw = ep.join(a.hint("shuffle_hash"), "p").groupBy("c")
           .agg(sum(col("a").cast(DecimalType(28, 18))).cast("double").as("hr"))
           .localCheckpoint(false)
         h = hraw.crossJoin(l1Norm(hraw, "hr"))
@@ -2282,8 +2285,10 @@ object CoreQueries {
         // aggregates behind it run once per round, not three times
         val keep = dk.filter(col("d") >= KCoreK).select("n")
           .localCheckpoint(false)
-        e = e.join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+        e = e.join(keep.withColumnRenamed("n", "src").hint("shuffle_hash"),
+            Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("n", "dst").hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
           .localCheckpoint(false)
         keep.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
@@ -3020,7 +3025,7 @@ object CoreQueries {
         .select(col("p"), col("n").as("w"))
       cand.join(nbr.select(col("z").as("w"), col("n").as("b")), "w")
         .filter(col("b") =!= col("p"))
-        .join(term.select(col("z").as("w"), col("t8")), "w")
+        .join(term.select(col("z").as("w"), col("t8")).hint("shuffle_hash"), "w")
         .groupBy("p", "b")
         .agg(count(lit(1)).as("n_common"), sum("t8").as("s8"))
         .join(e.select(col("src").as("x"), col("dst").as("y")),
@@ -3113,8 +3118,9 @@ object CoreQueries {
       val v1 = broadcast(probes).join(nbr, col("p") === col("z"))
         .select(col("p"), col("n").as("b"), lit(1L).as("c"))
         .localCheckpoint(false) // reused: level-2 input + the merge
-      def step(v: DataFrame): DataFrame = v
-        .join(nbr.select(col("z").as("b"), col("n").as("b2")), "b")
+      def step(v: DataFrame): DataFrame = nbr
+        .select(col("z").as("b"), col("n").as("b2"))
+        .join(v.hint("shuffle_hash"), "b")
         .groupBy(col("p"), col("b2").as("b"))
         .agg(sum("c").as("c"))
         .select(col("p"), col("b"), col("c"))
@@ -3675,7 +3681,7 @@ object CoreQueries {
         .select(col("p"), col("n").as("w"))
       cand.join(nbr.select(col("z").as("w"), col("n").as("b")), "w")
         .filter(col("b") =!= col("p"))
-        .join(term.select(col("z").as("w"), col("t8")), "w")
+        .join(term.select(col("z").as("w"), col("t8")).hint("shuffle_hash"), "w")
         .groupBy("p", "b")
         .agg(count(lit(1)).as("n_common"), sum("t8").as("s8"))
         .join(e.select(col("src").as("x"), col("dst").as("y")),
