@@ -78,7 +78,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // L303 — Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995)
+    // L306 — Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995)
     // over the per-source "is this source's English share different
     // from the rest of the corpus" two-proportion z family — the
     // multiple-testing correction every per-source screening battery
@@ -122,7 +122,7 @@ object CurationQueries {
         .orderBy("p_rank")
     }),
 
-    // L304 — Kish effective sample size (Kish 1965) of the temperature
+    // L307 — Kish effective sample size (Kish 1965) of the temperature
     // mixture: sampling sources at q_s ∝ p_s^α (α=1/2, the mT5 tilt)
     // means each kept doc carries importance weight w_s = q_s/p_s, and
     // ESS = (Σw)²/Σw² is the honest "how many uniform docs is this
@@ -164,7 +164,7 @@ object CurationQueries {
             .as("design_effect"))
     }),
 
-    // L305 — soft deduplication (the SoftDeDup move, He et al. 2024):
+    // L308 — soft deduplication (the SoftDeDup move, He et al. 2024):
     // instead of dedup_exact's remove-all-but-one, every duplicate
     // family keeps ALL members at sampling weight 1/|family| — total
     // evidence per distinct text is preserved (removal changes the
@@ -189,7 +189,7 @@ object CurationQueries {
         .orderBy("source")
     }),
 
-    // L306 — t-closeness (Li, Li & Venkatasubramanian 2007), completing
+    // L309 — t-closeness (Li, Li & Venkatasubramanian 2007), completing
     // the privacy-release trio: k_anonymity bounds class SIZE,
     // l_diversity bounds sensitive-value VARIETY, t-closeness bounds the
     // DISTANCE between each class's sensitive distribution and the
@@ -240,7 +240,7 @@ object CurationQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
-    // L307 — simple-exponential-smoothing forecast baseline (Brown
+    // L310 — simple-exponential-smoothing forecast baseline (Brown
     // 1956; the third row of Hyndman's baseline battery next to
     // forecast_eval's naive/seasonal-naive): level ℓ_t = αy_t +
     // (1−α)ℓ_{t−1}, one-step forecast ŷ_{t+1} = ℓ_t, evaluated by MAE/
@@ -293,7 +293,7 @@ object CurationQueries {
           col("next_forecast"))
     }),
 
-    // L308 — standardized effect-size panel for the "en vs rest" doc-
+    // L311 — standardized effect-size panel for the "en vs rest" doc-
     // length contrast: Cohen's d (pooled-SD mean gap), Hedges' g (the
     // small-sample-corrected d), and Cliff's δ (the rank-based,
     // distribution-free P(a>b)−P(a<b)) — the numbers a significance
@@ -336,9 +336,294 @@ object CurationQueries {
           (lit(4.0) * (col("n_a") + col("n_b")) - 9L)), 1e6).as("hedges_g"),
         roundHU((col("u2") - col("n_a") * col("n_b")).cast("double") /
           (col("n_a") * col("n_b")), 1e6).as("cliffs_delta"))
+    }),
+
+    // L312 — isotonic recalibration of the reliability table (PAVA;
+    // Zadrozny & Elkan 2002): fit the best MONOTONE per-bin hit rate to
+    // the stopword-score/en-label calibration curve — the standard
+    // post-hoc calibrator when a classifier's reliability curve is
+    // non-monotone. Spelled as the minimax closed form f(i) = max_{j≤i}
+    // min_{k≥i} wmean(y[j..k]) — exactly the weighted-PAVA solution —
+    // over the FIXED 11-cell score grid, so the triple index expansion
+    // is ≤11³ rows of pure algebra at any SF: no windows, no recursion,
+    // one fact pass to the bins. Range means come from bin⨝bin prefix
+    // algebra (Σ over [j,k] = two aggregates), range-mean terms
+    // 8dp-round before the minimax so both engines agree bit-for-bit.
+    "isotonic_calibration" -> ((s, dir) => {
+      import graft.llm.TextOps.{tokens, stopwordHits}
+      val nTok = size(tokens(col("text")))
+      val bins = docs(s, dir).filter(nTok > 0)
+        .select(least(lit(10L), floor(stopwordHits(col("text"))
+          .cast("double") / nTok * 10).cast("long")).as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("hits"))
+        .localCheckpoint(false) // reused: range sums (both sides) + output
+      // inclusive range aggregates over bin pairs j<=k (<=66 rows)
+      val rng = bins.select(col("bin").as("j"))
+        .join(bins.select(col("bin").as("k")), col("j") <= col("k"))
+        .join(bins.withColumnRenamed("bin", "m"),
+          col("m") >= col("j") && col("m") <= col("k"))
+        .groupBy("j", "k")
+        .agg(roundHU(sum("hits").cast("double") / sum("n"), 1e8).as("avg"))
+      // f(i) = max_{j<=i} min_{k>=i} avg(j,k): min over k first, then max
+      val inner = bins.select(col("bin").as("i"))
+        .join(rng, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min("avg").as("mn"))
+      val iso = inner.groupBy("i").agg(max("mn").as("iso"))
+      bins.join(iso, col("bin") === col("i"))
+        .select(col("bin"), col("n").as("n_docs"),
+          roundHU(col("hits").cast("double") / col("n"), 1e6).as("raw_rate"),
+          roundHU(col("iso"), 1e6).as("iso_rate"))
+        .orderBy("bin")
+    }),
+
+    // L313 — weighted sampling without replacement (Efraimidis &
+    // Spirakis 2006): each doc draws key −ln(u)/w from a DETERMINISTIC
+    // hash uniform u and its length weight w; the k smallest keys ARE a
+    // weight-proportional sample without replacement — THE distributed
+    // one-pass reservoir (state = k rows per partition, merge = top-k),
+    // next to weighted_sample's Bernoulli (with-replacement-ish) rates.
+    // One scan + TakeOrdered(k); no shuffle beyond the final k-row
+    // merge. The hash/ln arithmetic is the house token-hash spelling,
+    // so DuckDB replays keys bit-for-bit.
+    "es_weighted_sample" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L))
+      val u = (h + lit(1.0)) / lit(2147483648.0)
+      docs(s, dir).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          roundHU(-log(u) / col("n_chars"), 1e12).as("key"))
+        .orderBy(col("key"), col("doc_id")).limit(32)
+        .select(row_number().over(Window.orderBy(col("key"), col("doc_id")))
+          .cast("long").as("rank"), col("doc_id"), col("weight"), col("key"))
+    }),
+
+    // L314 — Chao1 vocabulary-richness estimate (Chao 1984) + Good's
+    // coverage: V̂ = V + F1(F1−1)/(2(F2+1)) from the singleton/doubleton
+    // counts of the token frequency spectrum — "how many token types
+    // exist that this corpus hasn't seen yet", the capture-recapture
+    // answer for vocabulary that heaps_law_fit extrapolates and
+    // good_turing_counts discounts; C = 1 − F1/N is the Good coverage
+    // of the observed vocabulary. One token pass to the count spectrum
+    // (vocabulary-sized), then 1-row algebra.
+    "chao1_vocab" -> ((s, dir) => {
+      import graft.llm.TextOps.tokens
+      val cnt = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      cnt.agg(count(lit(1)).as("v_observed"),
+          sum("c").as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+        .select(col("v_observed"), col("n_tokens"), col("f1"), col("f2"),
+          roundHU(col("v_observed") + col("f1").cast("double") *
+            (col("f1") - 1L) / (lit(2.0) * (col("f2") + 1L)), 1e6)
+            .as("chao1_est"),
+          roundHU(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 1e6)
+            .as("good_coverage"))
+    }),
+
+    // L315 — Newey–West HAC standard error (1987) of the daily mean
+    // revenue: autocorrelation-robust variance γ0 + 2Σ(1−l/(L+1))γl
+    // with Bartlett weights at L=7 — the SE a time-series mean must
+    // report when daily_acf shows serial correlation (the naive s/√n is
+    // anti-conservative exactly then). Lag products come from a
+    // day-offset self-join over the CALENDAR-sized gapfilled rollup
+    // (the daily_acf shape); every γ term 8dp-rounds into decimal sums.
+    "newey_west_se" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val nwL = 7
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+        .localCheckpoint(false) // reused: mean + both lag-join sides
+      val m = broadcast(series.agg(count(lit(1)).as("n"),
+        (decSum(col("x")) / count(lit(1))).as("mu")))
+      val dev = series.crossJoin(m)
+        .select(col("day"), (col("x") - col("mu")).as("d"), col("n"))
+        .localCheckpoint(false) // reused: lag join both sides
+      val gam = dev.select(explode(sequence(lit(0), lit(nwL))).as("l"),
+          col("day"), col("d"), col("n"))
+        .join(dev.select(col("day").as("day0"), col("d").as("d0")),
+          col("day0") === col("day") - col("l"))
+      gam
+        .select(col("l"), col("n"),
+          roundHU(col("d") * col("d0"), 1e8)
+            .cast(DecimalType(18, 8)).as("t"))
+        .groupBy("l", "n").agg(sum("t").cast("double").as("g"))
+        .select(col("n"),
+          roundHU((when(col("l") === 0, lit(1.0))
+            .otherwise(lit(2.0) * (lit(1.0) - col("l") / lit(nwL + 1.0)))) *
+            col("g") / col("n"), 1e8).cast(DecimalType(18, 8)).as("term"))
+        .groupBy("n").agg(sum("term").cast("double").as("nw_var"))
+        .select(col("n").as("n_days"),
+          roundHU(col("nw_var"), 1e6).as("nw_variance"),
+          roundHU(sqrt(col("nw_var") / col("n")), 1e6).as("nw_se"))
+    }),
+
+    // L316 — split-conformal prediction interval (Vovk; Lei et al.
+    // 2018) on the naive daily forecast: calibrate |x_t − x_{t−1}| on
+    // the first half of days, take the ⌈(m+1)(1−α)⌉-smallest residual
+    // as the radius q̂, and report the EMPIRICAL coverage of x̂ ± q̂ on
+    // the held-out half — the distribution-free "this interval really
+    // covers 90%" guarantee a parametric σ-band can't make. The
+    // quantile pick is a count-below self-join over the calendar-sized
+    // calibration rollup (the pettitt class) — no global sort.
+    "conformal_interval" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val alpha = 0.1
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"),
+        ((min("day") + max("day")) / 2).as("mid"))
+      val series = grid
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"), col("mid"))
+        .join(counts, Seq("day"), "left")
+        .select(col("day"), col("mid"), coalesce(col("x"), lit(0.0)).as("x"))
+      val resid = series.as("a")
+        .join(series.select((col("day") + 1).as("day"), col("x").as("xp")),
+          Seq("day"))
+        .select(col("day"), col("mid"), roundHU(abs(col("x") - col("xp")), 1e6)
+          .as("r"))
+        .localCheckpoint(false) // reused: cal (2 sides) + test
+      val cal = resid.filter(col("day") <= col("mid")).select("r")
+        .localCheckpoint(false) // reused: both quantile-join sides + m
+      val mct = broadcast(cal.agg(count(lit(1)).as("m")))
+      // q = smallest r whose inclusive below-count reaches ceil((m+1)(1-alpha))
+      val q = broadcast(cal.as("a")
+        .join(cal.as("b"), col("b.r") <= col("a.r"), "left")
+        .groupBy(col("a.r").as("r")).agg(count(col("b.r")).as("cle"))
+        .crossJoin(mct)
+        .filter(col("cle") >= ceil((col("m") + 1) * lit(1.0 - alpha)))
+        .agg(min("r").as("q")))
+      resid.filter(col("day") > col("mid"))
+        .crossJoin(q).crossJoin(mct)
+        .agg(max("m").as("n_cal"), count(lit(1)).as("n_test"),
+          max("q").as("q_hat"),
+          roundHU(sum(when(col("r") <= col("q"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 1e6).as("coverage"))
+        .select(col("n_cal"), col("n_test"), col("q_hat"),
+          col("coverage"), lit(1.0 - alpha).as("target"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    "isotonic_calibration" -> {
+      import graft.llm.TextOps.{sqlTokens, sqlStopwordHits}
+      s"""WITH bins AS MATERIALIZED (
+         |  SELECT least(10, CAST(floor(CAST($sqlStopwordHits AS DOUBLE)
+         |           / len($sqlTokens) * 10) AS BIGINT)) AS bin,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM documents WHERE len($sqlTokens) > 0 GROUP BY 1),
+         |rng AS (
+         |  SELECT j.bin AS j, k.bin AS k,
+         |         floor(CAST(SUM(m.hits) AS DOUBLE) / SUM(m.n) * 1e8 + 5e-1) / 1e8 AS avg
+         |  FROM bins j JOIN bins k ON j.bin <= k.bin
+         |  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+         |  GROUP BY 1, 2),
+         |inner_mn AS (
+         |  SELECT i.bin AS i, r.j, MIN(r.avg) AS mn
+         |  FROM bins i JOIN rng r ON r.j <= i.bin AND r.k >= i.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, MAX(mn) AS iso FROM inner_mn GROUP BY i)
+         |SELECT bin, n AS n_docs,
+         |       floor(CAST(hits AS DOUBLE) / n * 1e6 + 5e-1) / 1e6 AS raw_rate,
+         |       floor(iso * 1e6 + 5e-1) / 1e6 AS iso_rate
+         |FROM bins JOIN iso ON iso.i = bins.bin
+         |ORDER BY bin""".stripMargin
+    },
+
+    "es_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |         floor(-ln(((doc_id * 2654435761) % 2147483647 + 1.0)
+        |               / 2147483648.0) / n_chars * 1e12 + 5e-1) / 1e12 AS key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
+        |       doc_id, weight, key
+        |FROM keyed ORDER BY key, doc_id LIMIT 32""".stripMargin,
+
+    "chao1_vocab" -> {
+      import graft.llm.TextOps.sqlTokens
+      s"""WITH cnt AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($sqlTokens) AS token FROM documents)
+         |  GROUP BY token),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS v_observed,
+         |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM cnt)
+         |SELECT v_observed, n_tokens, f1, f2,
+         |       floor((v_observed + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)))
+         |             * 1e6 + 5e-1) / 1e6 AS chao1_est,
+         |       floor((1.0 - CAST(f1 AS DOUBLE) / n_tokens) * 1e6 + 5e-1) / 1e6
+         |         AS good_coverage
+         |FROM a""".stripMargin
+    },
+
+    "newey_west_se" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS MATERIALIZED (SELECT g.day, COALESCE(c.x, 0.0) AS x
+        |                   FROM g LEFT JOIN c USING (day)),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+        |      FROM s),
+        |dev AS MATERIALIZED (SELECT day, x - mu AS d, n FROM s, m),
+        |lags AS (SELECT unnest(generate_series(0, 7)) AS l),
+        |gam AS (
+        |  SELECT l, MAX(a.n) AS n,
+        |         CAST(SUM(CAST(floor(a.d * b.d * 1e8 + 5e-1) / 1e8
+        |                       AS DECIMAL(18,8))) AS DOUBLE) AS g
+        |  FROM lags JOIN dev a ON TRUE
+        |  JOIN dev b ON b.day = a.day - l
+        |  GROUP BY l),
+        |terms AS (
+        |  SELECT n, CAST(floor((CASE WHEN l = 0 THEN 1.0
+        |                             ELSE 2.0 * (1.0 - l / 8.0) END) * g / n
+        |                       * 1e8 + 5e-1) / 1e8 AS DECIMAL(18,8)) AS term
+        |  FROM gam),
+        |v AS (SELECT n, CAST(SUM(term) AS DOUBLE) AS nw_var FROM terms GROUP BY n)
+        |SELECT n AS n_days,
+        |       floor(nw_var * 1e6 + 5e-1) / 1e6 AS nw_variance,
+        |       floor(sqrt(nw_var / n) * 1e6 + 5e-1) / 1e6 AS nw_se
+        |FROM v""".stripMargin,
+
+    "conformal_interval" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day,
+        |             (MIN(day) + MAX(day)) // 2 AS mid FROM c),
+        |s AS (SELECT g.day, g.mid, COALESCE(c.x, 0.0) AS x
+        |      FROM g LEFT JOIN c USING (day)),
+        |resid AS MATERIALIZED (
+        |  SELECT a.day, a.mid,
+        |         floor(abs(a.x - b.x) * 1e6 + 5e-1) / 1e6 AS r
+        |  FROM s a JOIN s b ON b.day = a.day - 1),
+        |cal AS MATERIALIZED (SELECT r FROM resid WHERE day <= mid),
+        |mct AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cal),
+        |q AS (
+        |  SELECT MIN(r) AS q FROM (
+        |    SELECT a.r, CAST(COUNT(b.r) AS BIGINT) AS cle
+        |    FROM cal a LEFT JOIN cal b ON b.r <= a.r
+        |    GROUP BY a.r), mct
+        |  WHERE cle >= ceil((m + 1) * 0.9))
+        |SELECT MAX(m) AS n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |       MAX(q.q) AS q_hat,
+        |       floor(CAST(SUM(CASE WHEN r <= q.q THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*) * 1e6 + 5e-1) / 1e6 AS coverage,
+        |       0.9 AS target
+        |FROM resid, q, mct WHERE day > mid""".stripMargin,
 
     "bh_fdr" -> {
       val z = "z_stat"

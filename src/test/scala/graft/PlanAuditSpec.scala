@@ -116,8 +116,10 @@ class PlanAuditSpec extends SparkSpec {
       // unimax_allocation class); ses_forecast's day index over the
       // calendar-sized gapfilled series (the forecast_eval class);
       // effect_sizes' only unpartitioned window is exclusivePrefix's
-      // constant CumBuckets carry rollup (the wilcoxon class)
-      "bh_fdr", "ses_forecast", "effect_sizes")
+      // constant CumBuckets carry rollup (the wilcoxon class);
+      // es_weighted_sample's rank window runs AFTER the TakeOrdered
+      // limit(32) — a constant 32-row frame at any SF
+      "bh_fdr", "ses_forecast", "effect_sizes", "es_weighted_sample")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

@@ -100,6 +100,56 @@ class CurationQueriesSpec extends SparkSpec {
       s"closed form ${r.getAs[Double]("next_forecast")} vs recursion $lvl")
   }
 
+  test("isotonic_calibration: fit is monotone and preserves the weighted mean") {
+    val rows = q("isotonic_calibration").collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "PAVA fit must be nondecreasing")
+    iso.foreach(v => assert(v >= -1e-9 && v <= 1 + 1e-9))
+    // PAVA preserves the weighted mean of the response
+    val n = rows.map(_.getAs[Long]("n_docs").toDouble)
+    val raw = rows.map(_.getAs[Double]("raw_rate"))
+    val mRaw = n.zip(raw).map { case (a, b) => a * b }.sum / n.sum
+    val mIso = n.zip(iso).map { case (a, b) => a * b }.sum / n.sum
+    assert(math.abs(mRaw - mIso) < 1e-4,
+      s"weighted mean must be preserved: raw $mRaw vs iso $mIso")
+  }
+
+  test("es_weighted_sample: 32 rows, keys sorted, all keys positive") {
+    val rows = q("es_weighted_sample").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.length === 32)
+    val keys = rows.map(_.getAs[Double]("key"))
+    assert(keys.forall(_ > 0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("chao1_vocab: estimate >= observed, coverage in [0,1], f1+f2 <= V") {
+    val r = q("chao1_vocab").head()
+    val v = r.getAs[Long]("v_observed")
+    assert(r.getAs[Double]("chao1_est") >= v - 1e-6)
+    val c = r.getAs[Double]("good_coverage")
+    assert(c >= 0 && c <= 1)
+    assert(r.getAs[Long]("f1") + r.getAs[Long]("f2") <= v)
+  }
+
+  test("newey_west_se: variance nonnegative (Bartlett PSD), se consistent") {
+    val r = q("newey_west_se").head()
+    val v = r.getAs[Double]("nw_variance")
+    val se = r.getAs[Double]("nw_se")
+    val n = r.getAs[Long]("n_days")
+    assert(v >= 0, "Bartlett-weighted HAC variance must be PSD")
+    assert(math.abs(se - math.sqrt(v / n)) < 1e-4)
+  }
+
+  test("conformal_interval: halves partition the residual days, q covers cal share") {
+    val r = q("conformal_interval").head()
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0 && cov <= 1)
+    assert(r.getAs[Double]("q_hat") >= 0)
+    assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
+  }
+
   test("effect_sizes: delta in [-1,1], g shrinks d, d sign = mean gap sign") {
     val r = q("effect_sizes").head()
     val d = r.getAs[Double]("cohens_d")
