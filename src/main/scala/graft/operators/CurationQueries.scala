@@ -508,6 +508,93 @@ object CurationQueries {
             .cast("double") / count(lit(1)), 1e6).as("coverage"))
         .select(col("n_cal"), col("n_test"), col("q_hat"),
           col("coverage"), lit(1.0 - alpha).as("target"))
+    }),
+
+    // L317 — precision–recall AUC (step-wise average precision) of the
+    // stopword-density score against the en label: AP = Σ ΔTP·P / n_pos
+    // over thresholds descending — the imbalanced-class companion to
+    // roc_auc (AUC stays flattering when positives are rare; AP does
+    // not). Same quantized-score-grid machinery as roc_auc: the only
+    // ordered pass runs over the ≤10⁴+1 distinct 4dp scores, never
+    // fact-sized; per-threshold AP terms 8dp-round into decimal sums.
+    "pr_auc" -> ((s, dir) => {
+      import graft.llm.TextOps.{tokens, stopwordHits}
+      val nTok = size(tokens(col("text")))
+      val g = docs(s, dir).filter(nTok > 0)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          (floor(stopwordHits(col("text")).cast("double") / nTok * lit(1e4) +
+            lit(0.5)) / lit(1e4)).as("score"))
+        .groupBy("score")
+        .agg(sum("y").as("n1s"), (count(lit(1)) - sum("y")).as("n0s"))
+      val w = Window.orderBy(desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("ctp", sum("n1s").over(w))
+        .withColumn("cfp", sum("n0s").over(w))
+        .select(col("n1s"),
+          roundHU(col("n1s") * col("ctp").cast("double") /
+            (col("ctp") + col("cfp")), 1e8).cast(DecimalType(18, 8)).as("t"))
+        .agg(sum("n1s").as("n_pos"), sum("t").cast("double").as("st"))
+        .select(col("n_pos"),
+          roundHU(col("st") / col("n_pos"), 1e6).as("pr_auc"))
+    }),
+
+    // L318 — trend/seasonality strength (Hyndman & Athanasopoulos, FPP:
+    // F_T = max(0, 1 − V(R)/V(T+R)), F_S = max(0, 1 − V(R)/V(S+R))) of
+    // the daily revenue decomposition — the one-number "is there REAL
+    // weekly structure here" readout of seasonal_decompose's per-day
+    // table (decides whether snaive7/dow-features earn their keep).
+    // Identical decomposition spelling (7-day centered MA, dow means);
+    // variances from calendar-sized rollups, terms 8dp-rounded into
+    // decimal sums.
+    "seasonality_strength" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val counts = events(s, dir)
+        .groupBy(expr(s"ts_us div $dayUs").as("day"))
+        .agg(decSum(col("value")).as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      def r6(c: org.apache.spark.sql.Column) = roundHU(c, 1e6)
+      val tr = series
+        .withColumn("win_n", count(lit(1)).over(w7))
+        .withColumn("trend",
+          sum(col("x").cast(DecimalType(18, 6))).over(w7).cast("double") /
+            lit(7.0))
+        .filter(col("win_n") === 7)
+        .withColumn("detr", r6(col("x") - col("trend")))
+        .withColumn("dow", col("day") % 7)
+        .localCheckpoint(false) // reused: seasonal means + the term pass
+      val seas = tr.groupBy("dow")
+        .agg((decSum(col("detr")) / count(lit(1))).as("sr"))
+      val comp = tr.join(seas, "dow")
+        .select(r6(col("detr") - col("sr")).as("r"),
+          col("detr"),
+          r6(col("x") - col("sr")).as("deseas"))
+        .localCheckpoint(false) // reused: means + the variance pass
+      val mu = broadcast(comp.agg(count(lit(1)).as("n"),
+        (decSum(col("r")) / count(lit(1))).as("mr"),
+        (decSum(col("detr")) / count(lit(1))).as("md"),
+        (decSum(col("deseas")) / count(lit(1))).as("ms")))
+      comp.crossJoin(mu)
+        .select(col("n"),
+          roundHU((col("r") - col("mr")) * (col("r") - col("mr")), 1e8)
+            .cast(DecimalType(18, 8)).as("vr"),
+          roundHU((col("detr") - col("md")) * (col("detr") - col("md")), 1e8)
+            .cast(DecimalType(18, 8)).as("vd"),
+          roundHU((col("deseas") - col("ms")) * (col("deseas") - col("ms")),
+            1e8).cast(DecimalType(18, 8)).as("vs"))
+        .groupBy("n")
+        .agg(sum("vr").cast("double").as("vr"),
+          sum("vd").cast("double").as("vd"),
+          sum("vs").cast("double").as("vs"))
+        .select(col("n").as("n_days"),
+          roundHU(col("vr") / col("n"), 1e6).as("var_resid"),
+          roundHU(greatest(lit(0.0), lit(1.0) - col("vr") / col("vs")), 1e6)
+            .as("f_trend"),
+          roundHU(greatest(lit(0.0), lit(1.0) - col("vr") / col("vd")), 1e6)
+            .as("f_seasonal"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -624,6 +711,74 @@ object CurationQueries {
         |             / COUNT(*) * 1e6 + 5e-1) / 1e6 AS coverage,
         |       0.9 AS target
         |FROM resid, q, mct WHERE day > mid""".stripMargin,
+
+    "pr_auc" -> {
+      import graft.llm.TextOps.{sqlTokens, sqlStopwordHits}
+      s"""WITH sc AS (SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |              floor(CAST($sqlStopwordHits AS DOUBLE) / len($sqlTokens)
+         |                    * 1e4 + 5e-1) / 1e4 AS score
+         |            FROM documents WHERE len($sqlTokens) > 0),
+         |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS n1s,
+         |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0s
+         |      FROM sc GROUP BY score),
+         |cum AS (
+         |  SELECT n1s,
+         |         CAST(SUM(n1s) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS ctp,
+         |         CAST(SUM(n0s) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+         |              AS BIGINT) AS cfp
+         |  FROM g),
+         |t AS (SELECT n1s,
+         |        CAST(floor(n1s * CAST(ctp AS DOUBLE) / (ctp + cfp) * 1e8 + 5e-1)
+         |             / 1e8 AS DECIMAL(18,8)) AS t
+         |      FROM cum)
+         |SELECT CAST(SUM(n1s) AS BIGINT) AS n_pos,
+         |       floor(CAST(SUM(t) AS DOUBLE) / SUM(n1s) * 1e6 + 5e-1) / 1e6 AS pr_auc
+         |FROM t""".stripMargin
+    },
+
+    "seasonality_strength" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+        |s AS (SELECT g.day, COALESCE(c.x, 0.0) AS x FROM g LEFT JOIN c USING (day)),
+        |tr AS MATERIALIZED (
+        |  SELECT day, x,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) / 7.0 AS trend,
+        |    COUNT(*) OVER w AS win_n
+        |  FROM s
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS MATERIALIZED (
+        |  SELECT day, x, trend, floor((x - trend) * 1e6 + 5e-1) / 1e6 AS detr,
+        |         day % 7 AS dow
+        |  FROM tr WHERE win_n = 7),
+        |seas AS (SELECT dow,
+        |           CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS sr
+        |         FROM dt GROUP BY dow),
+        |comp AS MATERIALIZED (
+        |  SELECT floor((detr - sr) * 1e6 + 5e-1) / 1e6 AS r, detr,
+        |         floor((x - sr) * 1e6 + 5e-1) / 1e6 AS deseas
+        |  FROM dt JOIN seas USING (dow)),
+        |mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mr,
+        |         CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS md,
+        |         CAST(SUM(CAST(deseas AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ms
+        |       FROM comp),
+        |v AS (
+        |  SELECT n,
+        |    CAST(SUM(CAST(floor((r - mr) * (r - mr) * 1e8 + 5e-1) / 1e8
+        |                  AS DECIMAL(18,8))) AS DOUBLE) AS vr,
+        |    CAST(SUM(CAST(floor((detr - md) * (detr - md) * 1e8 + 5e-1) / 1e8
+        |                  AS DECIMAL(18,8))) AS DOUBLE) AS vd,
+        |    CAST(SUM(CAST(floor((deseas - ms) * (deseas - ms) * 1e8 + 5e-1) / 1e8
+        |                  AS DECIMAL(18,8))) AS DOUBLE) AS vs
+        |  FROM comp, mu GROUP BY n)
+        |SELECT n AS n_days,
+        |       floor(vr / n * 1e6 + 5e-1) / 1e6 AS var_resid,
+        |       floor(greatest(0.0, 1.0 - vr / vs) * 1e6 + 5e-1) / 1e6 AS f_trend,
+        |       floor(greatest(0.0, 1.0 - vr / vd) * 1e6 + 5e-1) / 1e6 AS f_seasonal
+        |FROM v""".stripMargin,
 
     "bh_fdr" -> {
       val z = "z_stat"

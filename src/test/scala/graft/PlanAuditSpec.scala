@@ -118,8 +118,12 @@ class PlanAuditSpec extends SparkSpec {
       // effect_sizes' only unpartitioned window is exclusivePrefix's
       // constant CumBuckets carry rollup (the wilcoxon class);
       // es_weighted_sample's rank window runs AFTER the TakeOrdered
-      // limit(32) — a constant 32-row frame at any SF
-      "bh_fdr", "ses_forecast", "effect_sizes", "es_weighted_sample")
+      // limit(32) — a constant 32-row frame at any SF; pr_auc's
+      // cumulative runs over the 4dp score grid (the roc_auc class);
+      // seasonality_strength's MA window over the calendar-sized daily
+      // rollup (the seasonal_decompose class)
+      "bh_fdr", "ses_forecast", "effect_sizes", "es_weighted_sample",
+      "pr_auc", "seasonality_strength")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

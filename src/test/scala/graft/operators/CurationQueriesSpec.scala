@@ -150,6 +150,22 @@ class CurationQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
   }
 
+  test("pr_auc: AP in [baseline prevalence floor sense, 1]") {
+    val r = q("pr_auc").head()
+    val ap = r.getAs[Double]("pr_auc")
+    assert(ap > 0 && ap <= 1 + 1e-9)
+    assert(r.getAs[Long]("n_pos") > 0)
+  }
+
+  test("seasonality_strength: strengths in [0,1], residual variance nonnegative") {
+    val r = q("seasonality_strength").head()
+    assert(r.getAs[Double]("var_resid") >= 0)
+    Seq("f_trend", "f_seasonal").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0 && v <= 1 + 1e-9, s"$c = $v")
+    }
+  }
+
   test("effect_sizes: delta in [-1,1], g shrinks d, d sign = mean gap sign") {
     val r = q("effect_sizes").head()
     val d = r.getAs[Double]("cohens_d")
