@@ -1735,14 +1735,13 @@ object CoreQueries {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"),
               col("ds").as("dv"))).as("o"))
         .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      // partitioned AND sorted by the wedge join key via the bridge
-      // (plain localCheckpoint loses the partitioning under AQE, see
-      // CheckpointBridge): the wedge self-join reads BOTH sides from
-      // the checkpoint exchange-free and sort-free; reused again by the
-      // closure probe
-      val oriented = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .partitionedCheckpoint(oriented0, shufflePartitions(s), Seq("u"), Seq("u"),
-          declareStats = false)
+      // NOT checkpointed: the only consumer is the merged adjacency
+      // pass below (the bloom now builds from `e`, whose src < dst rows
+      // are already the canonical (least, greatest) key order), so the
+      // r11 bridge checkpoint here paid a cache materialization + a
+      // scheduler round-trip to feed a single groupBy that performs the
+      // same exchange by u either way.
+      val oriented = oriented0
       // Wedge generation + bloom prefilter FUSED into one kernel over
       // rank-sorted adjacency arrays (see WedgeClosures): the join-form
       // wedge self-join was exchange-free but materialized every wedge
@@ -1759,8 +1758,7 @@ object CoreQueries {
       // or hash collisions. Broadcast HANDLE, not embedded bytes: see
       // BloomMightContainLong.
       val edgeBloom = s.sparkContext.broadcast(
-        oriented.select(xxhash64(least(col("u"), col("v")),
-          greatest(col("u"), col("v"))).as("k"))
+        e.select(xxhash64(col("src"), col("dst")).as("k"))
           .stat.bloomFilter("k", 4000000L, 1L << 23))
       // ONE adjacency pass off the u-partitioned checkpoint (exchange-
       // free groupBy) serving BOTH consumers: the rank-sorted struct
@@ -3246,8 +3244,13 @@ object CoreQueries {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"),
               col("ds").as("dv"))).as("o"))
         .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      val oriented = CheckpointBridge.partitionedCheckpoint(oriented0,
-        shufflePartitions(s), Seq("u"), Seq("u"), declareStats = false)
+      // NOT checkpointed: unlike clustering_coeff's oriented frame this
+      // one has exactly ONE consumer (the merged adjacency pass below —
+      // the bloom builds from `e` directly), so a materialization here
+      // bought a cache write + an extra scheduler round-trip and saved
+      // nothing; the orientation joins flow straight into adjA's
+      // exchange by u.
+      val oriented = oriented0
       // Triangles are enumerated ONCE, from the start graph: peeling
       // only REMOVES edges, so every triangle alive in a later round is
       // a start-graph triangle whose 3 edges all survived — round r's
@@ -3363,11 +3366,12 @@ object CoreQueries {
       // base checkpoint (no extra materialization — base is cached)
       var lastDrops = base.filter(col("sup") < TrussK - 2)
         .select(col("u"), col("v"))
-      // 1-row, checkpointed: it appears in EVERY round's output row, and
-      // uncheckpointed each row re-ran the full base scan
+      // LAZY: base is already a cached checkpoint, so each of the three
+      // output rows re-running this 1-row aggregate is a cheap cache
+      // scan inside the ONE final action — the r11 localCheckpoint here
+      // paid a scheduler round-trip to save three sub-second scans
       val n1 = base.filter(col("sup") >= TrussK - 2)
         .agg(count(lit(1)).as("n_edges"))
-        .localCheckpoint(false)
       // survivor counts are PURE ARITHMETIC off the drop counts:
       // n_r = n_1 − Σ_{j≤r} |newDrops_j| — no full-table scan, no
       // survivor-table rewrite, ever
@@ -3403,10 +3407,13 @@ object CoreQueries {
           val touched = base.join(decCum.hint("shuffle_hash"), Seq("u", "v"))
             .localCheckpoint(false) // read 3x+: drops ×2 + next round's d0
           lastDrops = dropsOf(touched, touchedPrev)
-          // 1-row ckpt: read by every output row from round r on
+          // LAZY 1-row aggregate: `touched` is a cached drop-
+          // proportional checkpoint, so later output rows re-deriving
+          // this count is a trivial cache filter inside the one final
+          // action — eager-checkpointing it (the r11 shape) cost one
+          // scheduler round-trip per round for nothing
           dropCounts = dropCounts :+ lastDrops
             .agg(count(lit(1)).as(s"nd$r"))
-            .localCheckpoint(false)
           touchedPrev = Some(touched)
           destroyedSoFar = Some(destroyedSoFar.fold(nd)(_ union nd))
         }

@@ -294,6 +294,118 @@ object Prof {
         }
         s.sharedState.cacheManager.clearCache()
       }
+    } else if (q == "truss_lazy") {
+      // EXPERIMENT: the shipped k_truss shape minus (a) the `oriented`
+      // bridge checkpoint (it has exactly one consumer — the adjacency
+      // groupBy — so the materialization bought nothing) and (b) ALL
+      // per-round eager localCheckpoints: rounds stay lazy DataFrames
+      // and the whole drop cascade runs as ONE action, letting
+      // ReuseExchange share the repeated subtrees instead of paying a
+      // scheduler round-trip per materialization.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      import org.apache.spark.sql.DataFrame
+      (1 to 3).foreach { it =>
+        val t00 = System.nanoTime(); val c00 = cpuNs.get
+        val bo = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("items"))
+        val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+          .select(col("src"), explode(col("items")).as("dst"))
+          .filter(col("src") < col("dst"))
+        val e = CheckpointBridge.partitionedCheckpoint(e0, 32, Seq("src"),
+          Seq("src", "dst"), dedupSorted = true, declareStats = false)
+        val edgeBloom = s.sparkContext.broadcast(
+          e.select(xxhash64(col("src"), col("dst")).as("k"))
+            .stat.bloomFilter("k", 4000000L, 1L << 24))
+        val dk = e.select(explode(array(col("src"), col("dst"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val oriented = e
+          .join(dk.select(col("n").as("src"), col("d").as("ds")), "src")
+          .join(dk.select(col("n").as("dst"), col("d").as("dd")), "dst")
+          .select(when(col("ds") < col("dd") ||
+              (col("ds") === col("dd") && col("src") < col("dst")),
+              struct(col("src").as("u"), col("dst").as("v"), col("dd").as("dv")))
+            .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+              col("ds").as("dv"))).as("o"))
+          .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+        val adjA = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"),
+            collect_list(col("v")).as("vs"))
+          .localCheckpoint(false)
+        val wed = adjA
+          .select(col("u"), explode(graft.functions.WedgeClosures
+            .wedgeClosures(edgeBloom, col("nbrs"))).as("w"))
+          .select(col("u"), col("w.a").as("a"), col("w.b").as("b"))
+        val tri0 = wed
+          .join(adjA.select(col("u").as("a"), col("vs")).hint("shuffle_hash"),
+            Seq("a"))
+          .filter(array_contains(col("vs"), col("b")))
+          .select(col("u"), col("a"), col("b"))
+        def edgesOf(t: DataFrame): DataFrame = t
+          .select(col("u"), col("a"), col("b"), explode(array(
+            struct(col("u").as("eu"), col("a").as("ev")),
+            struct(col("u").as("eu"), col("b").as("ev")),
+            struct(col("a").as("eu"), col("b").as("ev")))).as("t"))
+          .select(col("u"), col("a"), col("b"),
+            col("t.eu").as("eu"), col("t.ev").as("ev"))
+        val triByEdge = CheckpointBridge.partitionedCheckpoint(
+          edgesOf(tri0), 32, Seq("eu", "ev"), declareStats = false)
+        val base = CheckpointBridge.partitionedCheckpoint(
+          triByEdge.groupBy(col("eu").as("u"), col("ev").as("v"))
+            .agg(count(lit(1)).as("sup")),
+          32, Seq("u", "v"), declareStats = false)
+        var destroyedSoFar: Option[DataFrame] = None
+        var touchedPrev: Option[DataFrame] = None
+        def dropsOf(touched: DataFrame, prev: Option[DataFrame]): DataFrame = {
+          val withPrev = prev.fold(touched.withColumn("d0", lit(0L)))(p =>
+            touched.join(p.select(col("u"), col("v"), col("dec").as("d0")),
+              Seq("u", "v"), "left"))
+          withPrev
+            .filter(col("sup") - coalesce(col("d0"), lit(0L)) >= 2 &&
+              col("sup") - col("dec") < 2)
+            .select(col("u"), col("v"))
+        }
+        var lastDrops = base.filter(col("sup") < 2).select(col("u"), col("v"))
+        val n1 = base.filter(col("sup") >= 2)
+          .agg(count(lit(1)).as("n_edges"))
+        var dropCounts: Seq[DataFrame] = Nil
+        val rounds = (1 to 3).map { r =>
+          if (r > 1) {
+            val hit = triByEdge
+              .join(lastDrops.select(col("u").as("eu"), col("v").as("ev"))
+                .hint("shuffle_hash"), Seq("eu", "ev"), "left_semi")
+              .select("u", "a", "b").dropDuplicates("u", "a", "b")
+            val nd = destroyedSoFar.fold(hit)(d =>
+              hit.join(d, Seq("u", "a", "b"), "left_anti"))
+            val dec = edgesOf(nd)
+              .groupBy(col("eu").as("u"), col("ev").as("v"))
+              .agg(count(lit(1)).as("dec"))
+            val decCum = touchedPrev.fold(dec)(p =>
+              p.select(col("u"), col("v"), col("dec").as("d0"))
+                .join(dec, Seq("u", "v"), "full_outer")
+                .select(col("u"), col("v"),
+                  (coalesce(col("d0"), lit(0L)) +
+                    coalesce(col("dec"), lit(0L))).as("dec")))
+            val touched = base.join(decCum.hint("shuffle_hash"), Seq("u", "v"))
+            lastDrops = dropsOf(touched, touchedPrev)
+            dropCounts = dropCounts :+ lastDrops
+              .agg(count(lit(1)).as(s"nd$r"))
+            touchedPrev = Some(touched)
+            destroyedSoFar = Some(destroyedSoFar.fold(nd)(_ union nd))
+          }
+          dropCounts.foldLeft(n1)((acc, dc) => acc.crossJoin(dc))
+            .select(lit(r.toLong).as("round"),
+              (2 to r).foldLeft(col("n_edges"))((c, j) =>
+                c - col(s"nd$j")).as("n_edges"))
+        }
+        time(s"[$it] truss_lazy_all") {
+          rounds.reduce(_ unionAll _).orderBy("round")
+        }
+        println(f"PROF [$it] truss_lazy_total ${(System.nanoTime() - t00) / 1e9}%8.3f s  cpu=${(cpuNs.get - c00) / 1e9}%8.2f s")
+        s.sharedState.cacheManager.clearCache()
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     } else if (q == "truss_stages") {
       // mirrors the SHIPPED k_truss shape (r11: merged adjacency pass,
       // unsorted index/support checkpoints, drop-ledger rounds) with
