@@ -436,6 +436,7 @@ object Bench {
       "llm" -> graft.operators.LlmQueries.queries.keySet,
       "event" -> graft.operators.EventQueries.queries.keySet,
       "curation" -> graft.operators.CurationQueries.queries.keySet,
+      "analytics" -> graft.operators.AnalyticsQueries.queries.keySet,
       "approx" -> graft.operators.ApproxTiers.benchQueries.keySet)
     val famJson = families.map { case (fam, names) =>
       val sub = adjudicated.collect { case (k, v) if v >= 0 && names(k) => v }.sum

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{CoreQueries, CurationQueries, EventQueries, LlmQueries}
+import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, EventQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ LlmQueries.queries ++ EventQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — EVERY registered query has one, including
@@ -22,5 +22,5 @@ object SparkEntry {
     * answer the oracle reproduces). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ LlmQueries.oracleSql ++ EventQueries.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

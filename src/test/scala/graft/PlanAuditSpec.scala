@@ -123,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
       // seasonality_strength's MA window over the calendar-sized daily
       // rollup (the seasonal_decompose class)
       "bh_fdr", "ses_forecast", "effect_sizes", "es_weighted_sample",
-      "pr_auc", "seasonality_strength")
+      "pr_auc", "seasonality_strength",
+      // sprt_ab's cumulative log-likelihood walk runs over the
+      // calendar-sized daily rollup (the daily_acf / forecast_eval class)
+      "sprt_ab")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
