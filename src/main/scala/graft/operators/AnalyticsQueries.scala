@@ -528,6 +528,359 @@ object AnalyticsQueries {
           .otherwise(lit(null)).as("r_hat"),
         when(col("s2") > col("m"), roundHU(col("m") / col("s2"), 1e6))
           .otherwise(lit(null)).as("p_hat"))
+    }),
+
+    // L330 — Anderson–Darling normality test (Anderson & Darling 1954;
+    // the D'Agostino case-3 variant with estimated μ, σ) on daily
+    // log-revenue: A² = −n − (1/n)Σ[(2i−1)lnΦ(zᵢ) + (2(n−i)+1)
+    // ln(1−Φ(zᵢ))] with the small-sample correction A*² =
+    // A²(1 + 0.75/n + 2.25/n²) against the 5% critical value 0.752 —
+    // the tail-WEIGHTED normality test next to jarque_bera's
+    // moment-based one (AD sees heavy tails JB's skew/kurtosis summary
+    // dilutes). Ranks come from one ordered window over the
+    // calendar-sized daily rollup (allowlisted); Φ is the shared
+    // Abramowitz–Stegun 26.2.17 polynomial (|err| < 7.5e-8), branch-
+    // stable: each tail's log always evaluates ln(Q) directly, never
+    // ln(1 − (1 − tiny)).
+    "anderson_darling" -> ((s, dir) => {
+      val x0 = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(decSum(col("o_totalprice"), 2).as("v"))
+        .select(col("day"), roundHU(log(col("v")), 1e6).as("x"))
+        .localCheckpoint(false) // reused: moment pass + the ranked pass
+      val m = x0.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 6))).cast("double")
+          .as("sxx"))
+        .select(col("n"), (col("sx") / col("n")).as("mu"),
+          roundHU(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1.0)), 1e6).as("sd"))
+      val w = Window.orderBy("x", "day")
+      val z = x0.crossJoin(broadcast(m))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("z", roundHU((col("x") - col("mu")) / col("sd"), 1e6))
+      def qUpper(az: Column): Column = {
+        val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+        val poly = lit(0.319381530) * tt +
+          lit(-0.356563782) * tt * tt +
+          lit(1.781477937) * tt * tt * tt +
+          lit(-1.821255978) * tt * tt * tt * tt +
+          lit(1.330274429) * tt * tt * tt * tt * tt
+        lit(0.3989422804014327) * exp(-az * az / 2.0) * poly
+      }
+      val q = qUpper(abs(col("z")))
+      val lnPhi = when(col("z") >= 0, log(lit(1.0) - q)).otherwise(log(q))
+      val lnOneMinusPhi = when(col("z") >= 0, log(q))
+        .otherwise(log(lit(1.0) - q))
+      z.select(col("n"), col("mu"), col("sd"),
+          roundHU((lit(2L) * col("i") - 1L) * lnPhi +
+            (lit(2L) * (col("n") - col("i")) + 1L) * lnOneMinusPhi, 1e8)
+            .cast(DecimalType(28, 8)).as("term"))
+        .groupBy("n", "mu", "sd")
+        .agg(sum("term").cast("double").as("st"))
+        .select(col("n").as("n_days"), roundHU(col("mu"), 1e6).as("mean"),
+          col("sd"),
+          roundHU(-col("n") - col("st") / col("n"), 1e6).as("a2"))
+        .withColumn("a2_star",
+          roundHU(col("a2") * (lit(1.0) + lit(0.75) / col("n_days") +
+            lit(2.25) / (col("n_days") * col("n_days"))), 1e6))
+        .withColumn("reject_5pct", col("a2_star") > 0.752)
+    }),
+
+    // L331 — Fleiss' κ (Fleiss 1971) over THREE quality raters — the
+    // C4 line/sentence rules, the Gopher shape rules, and a stopword-
+    // density gate — the multi-rater agreement statistic cohens_kappa
+    // (2 raters) cannot express: per doc P_i = (Σⱼn_ij² − N)/(N(N−1)),
+    // κ = (P̄ − P̄_e)/(1 − P̄_e) with P̄_e = Σⱼ p_j². The "do our
+    // quality filters even agree" readout before ensembling them. One
+    // doc-cardinality pass (three per-row rule columns), two scalar
+    // aggregates.
+    "fleiss_kappa" -> ((s, dir) => {
+      import graft.llm.TextOps.{tokens, stopwordHits}
+      val c4 = LlmQueries.c4Frame(s, dir).select(col("doc_id"),
+        col("keep").cast("long").as("r1"))
+      val go = LlmQueries.gopherFrame(s, dir).select(col("doc_id"),
+        col("keep").cast("long").as("r2"))
+      val nTok = size(tokens(col("text"))).cast("long")
+      val sw = docs(s, dir).select(col("doc_id"),
+        (nTok > 0 && roundHU(stopwordHits(col("text")).cast("double") /
+          nTok, 1e6) >= 0.05).cast("long").as("r3"))
+      val k = c4.join(go, "doc_id").join(sw, "doc_id")
+        .select((col("r1") + col("r2") + col("r3")).as("k"))
+        .select(col("k"),
+          roundHU((col("k") * col("k") +
+            (lit(3L) - col("k")) * (lit(3L) - col("k")) - 3L) / 6.0, 1e8)
+            .cast(DecimalType(18, 8)).as("pi"))
+      k.agg(count(lit(1)).as("n_docs"),
+          sum("k").as("sk"),
+          sum("pi").cast("double").as("spi"))
+        .select(col("n_docs"),
+          roundHU(col("sk").cast("double") / (lit(3.0) * col("n_docs")), 1e6)
+            .as("p_keep"),
+          roundHU(col("spi") / col("n_docs"), 1e6).as("p_bar"),
+          col("sk"))
+        .withColumn("p_e",
+          roundHU((col("sk").cast("double") / (lit(3.0) * col("n_docs"))) *
+            (col("sk").cast("double") / (lit(3.0) * col("n_docs"))) +
+            (lit(1.0) - col("sk").cast("double") / (lit(3.0) * col("n_docs"))) *
+              (lit(1.0) - col("sk").cast("double") / (lit(3.0) * col("n_docs"))),
+            1e6))
+        .select(col("n_docs"), col("p_keep"), col("p_bar"), col("p_e"),
+          roundHU((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 1e6)
+            .as("fleiss_kappa"))
+    }),
+
+    // L332 — Bland–Altman agreement analysis (Bland & Altman 1986) of
+    // the chars/5 token-count heuristic against the whitespace
+    // tokenizer: mean difference (bias), 1.96σ limits of agreement,
+    // and the fraction of docs outside them — the method-comparison
+    // readout that a correlation coefficient famously fakes (two
+    // measures can correlate 0.99 and still disagree by 30%). One
+    // doc-cardinality pass + scalar moments.
+    "bland_altman" -> ((s, dir) => {
+      import graft.llm.TextOps.tokens
+      val d = docs(s, dir)
+        .select(col("doc_id"),
+          (size(tokens(col("text"))).cast("double") -
+            roundHU(col("n_chars") / 5.0, 1e6)).as("d"))
+        .localCheckpoint(false) // reused: moment pass + the outside count
+      val m = d.agg(count(lit(1)).as("n"),
+        sum(col("d").cast(DecimalType(38, 6))).cast("double").as("sd1"),
+        sum((col("d") * col("d")).cast(DecimalType(38, 6))).cast("double")
+          .as("sdd"))
+        .select(col("n"),
+          roundHU(col("sd1") / col("n"), 1e6).as("mean_diff"),
+          roundHU(sqrt((col("sdd") - col("sd1") * col("sd1") / col("n")) /
+            (col("n") - 1.0)), 1e6).as("sd_diff"))
+      d.crossJoin(broadcast(m))
+        .select(col("n"), col("mean_diff"), col("sd_diff"),
+          when(abs(col("d") - col("mean_diff")) >
+            lit(1.96) * col("sd_diff"), 1L).otherwise(0L).as("out"))
+        .groupBy("n", "mean_diff", "sd_diff")
+        .agg(sum("out").as("n_outside"))
+        .select(col("n").as("n_docs"), col("mean_diff"), col("sd_diff"),
+          roundHU(col("mean_diff") - lit(1.96) * col("sd_diff"), 1e6)
+            .as("loa_low"),
+          roundHU(col("mean_diff") + lit(1.96) * col("sd_diff"), 1e6)
+            .as("loa_high"),
+          col("n_outside"),
+          roundHU(col("n_outside").cast("double") / col("n"), 1e6)
+            .as("pct_outside"))
+    }),
+
+    // L333 — Hill tail-index estimator (Hill 1975) of order values:
+    // α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top k = 100 order statistics
+    // — the tail-heaviness number behind capacity planning and
+    // whale-customer risk, and the order-statistics complement of
+    // powerlaw_alpha's all-data rank fit (Hill reads ONLY the tail, so
+    // it is robust to the body's shape). Scale shape: the only ordered
+    // structure is a TakeOrdered top-(k+1) — constant rows at any SF —
+    // then one bounded aggregate; the CI is the standard α̂(1 ±
+    // 1.96/√k) asymptotic band.
+    "hill_estimator" -> ((s, dir) => {
+      val k = 100
+      // rank INSIDE the bounded top-(k+1) (a 101-row window — constant
+      // at any SF, allowlisted), so boundary ties resolve by the same
+      // (x desc, orderkey) total order in both engines
+      val top = t(s, dir, "orders")
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+        .orderBy(desc("x"), col("o_orderkey")).limit(k + 1)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("x"), col("o_orderkey"))).cast("long"))
+        .localCheckpoint(false) // reused: threshold row + the k tail rows
+      val thr = top.filter(col("rn") === k + 1).select(col("x").as("xk1"))
+      top.filter(col("rn") <= k).crossJoin(broadcast(thr))
+        .select(col("xk1"),
+          roundHU(log(col("x") / col("xk1")), 1e8)
+            .cast(DecimalType(18, 8)).as("lr"))
+        .groupBy("xk1")
+        .agg(count(lit(1)).as("k"), sum("lr").cast("double").as("slr"))
+        .select(col("k"), col("xk1").as("x_k1"),
+          roundHU(col("k") / col("slr"), 1e6).as("alpha"),
+          roundHU(col("k") / col("slr") *
+            (lit(1.0) - lit(1.96) / sqrt(col("k").cast("double"))), 1e6)
+            .as("ci_low"),
+          roundHU(col("k") / col("slr") *
+            (lit(1.0) + lit(1.96) / sqrt(col("k").cast("double"))), 1e6)
+            .as("ci_high"))
+    }),
+
+    // L334 — Horvitz–Thompson / IPW treatment-effect estimate (Horvitz
+    // & Thompson 1952; stratified propensities à la Rosenbaum & Rubin
+    // 1983): treatment = deep discount (≥ 0.06), outcome = quantity,
+    // propensity e_s = the BRAND-stratum treatment rate — the
+    // confounding-adjusted effect next to the raw treated-vs-control
+    // gap (brands differ in both discount policy and volume, so the
+    // naive difference is biased; weighting by 1/e_s re-balances).
+    // Strata with degenerate propensity (0 or 1) are excluded
+    // loudly via the n_strata_dropped column. One fact+dim join, one
+    // stratum rollup, one weighted pass.
+    "horvitz_thompson" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("stratum"),
+          when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("tr"),
+          col("l_quantity").as("y"))
+      val e = j.groupBy("stratum")
+        .agg(count(lit(1)).as("ns"), roundHU(avg("tr"), 1e6).as("es"))
+        .localCheckpoint(false) // reused: the kept-strata join + drop count
+      val kept = e.filter(col("es") > 0.0 && col("es") < 1.0)
+      val dropped = e.filter(col("es") <= 0.0 || col("es") >= 1.0)
+        .agg(count(lit(1)).as("n_strata_dropped"))
+      j.join(kept.select("stratum", "es"), "stratum")
+        .select(col("es"),
+          roundHU(col("tr") * col("y") / col("es"), 1e6)
+            .cast(DecimalType(28, 6)).as("w1"),
+          roundHU((lit(1L) - col("tr")) * col("y") / (lit(1.0) - col("es")),
+            1e6).cast(DecimalType(28, 6)).as("w0"))
+        .agg(count(lit(1)).as("n"),
+          sum("w1").cast("double").as("sw1"),
+          sum("w0").cast("double").as("sw0"))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_strata"))))
+        .crossJoin(broadcast(dropped))
+        .select(col("n"), col("n_strata"), col("n_strata_dropped"),
+          roundHU(col("sw1") / col("n"), 1e6).as("mu_treated"),
+          roundHU(col("sw0") / col("n"), 1e6).as("mu_control"),
+          roundHU(col("sw1") / col("n") - col("sw0") / col("n"), 1e6)
+            .as("ate_ipw"))
+    }),
+
+    // L335 — difference-in-differences (the Card & Krueger 1994 2×2):
+    // treated = users who ever fired a signup event, periods = the
+    // calendar halves, outcome = per-user event value — DiD = (ȳ_T,post
+    // − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the parallel-trends causal
+    // readout that a raw post-period comparison confounds with group
+    // composition. Users missing a period contribute explicit zeros
+    // (the user × period grid), so both engines average over the same
+    // denominator. One fact pass to user-period cells, bounded math.
+    "diff_in_diff" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .localCheckpoint(false) // reused: bounds + groups + cells
+      val bounds = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val grp = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("treated"))
+      val up = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"),
+          when(col("day") <= col("mid"), "pre").otherwise("post").as("period"))
+        .agg(decSum(col("value"), 2).as("v"))
+      val grid = grp.crossJoin(
+        broadcast(ev.sparkSession.range(0, 1).select(
+          explode(array(lit("pre"), lit("post"))).as("period"))))
+      val cells = grid.join(up, Seq("user_id", "period"), "left")
+        .select(col("treated"), col("period"),
+          coalesce(col("v"), lit(0.0)).as("v"))
+        .groupBy("treated", "period")
+        .agg(count(lit(1)).as("n_users"),
+          roundHU(decSum(col("v"), 2) / count(lit(1)), 1e6).as("ybar"))
+      cells.groupBy()
+        .agg(
+          max(when(col("treated") === 1 && col("period") === "pre",
+            col("n_users"))).as("n_treated"),
+          max(when(col("treated") === 0 && col("period") === "pre",
+            col("n_users"))).as("n_control"),
+          max(when(col("treated") === 1 && col("period") === "pre",
+            col("ybar"))).as("y_t_pre"),
+          max(when(col("treated") === 1 && col("period") === "post",
+            col("ybar"))).as("y_t_post"),
+          max(when(col("treated") === 0 && col("period") === "pre",
+            col("ybar"))).as("y_c_pre"),
+          max(when(col("treated") === 0 && col("period") === "post",
+            col("ybar"))).as("y_c_post"))
+        .select(col("n_treated"), col("n_control"),
+          col("y_t_pre"), col("y_t_post"), col("y_c_pre"), col("y_c_post"),
+          roundHU((col("y_t_post") - col("y_t_pre")) -
+            (col("y_c_post") - col("y_c_pre")), 1e6).as("did"))
+    }),
+
+    // L336 — sharp regression discontinuity (Thistlethwaite & Campbell
+    // 1960; local-linear à la Imbens & Lemieux 2008): running variable
+    // = account balance, cutoff 0 (credit standing flips sign),
+    // outcome = the customer's order count, bandwidth ±1000 — the two
+    // one-sided OLS boundary limits and their gap, the quasi-
+    // experimental effect estimate when treatment is assigned by a
+    // threshold. Customers without orders enter as explicit zeros
+    // (left join), both side fits are closed-form moment sums.
+    "regression_discontinuity" -> ((s, dir) => {
+      val h = 1000.0
+      val oc = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("m"))
+      val pts = t(s, dir, "customer")
+        .filter(col("c_acctbal") >= -h && col("c_acctbal") < h)
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_acctbal").as("x"),
+          coalesce(col("m"), lit(0L)).cast("double").as("y"),
+          when(col("c_acctbal") >= 0, "right").otherwise("left").as("side"))
+      val fits = pts.groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(38, 6))).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 6))).cast("double")
+            .as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 6))).cast("double")
+            .as("sxy"))
+        .select(col("side"), col("n"),
+          roundHU((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 1e6)
+            .as("limit_at_cutoff"))
+      val l = fits.filter(col("side") === "left")
+        .select(col("n").as("n_left"), col("limit_at_cutoff").as("limit_left"))
+      val r = fits.filter(col("side") === "right")
+        .select(col("n").as("n_right"), col("limit_at_cutoff").as("limit_right"))
+      l.crossJoin(r)
+        .select(col("n_left"), col("n_right"), col("limit_left"),
+          col("limit_right"),
+          roundHU(col("limit_right") - col("limit_left"), 1e6)
+            .as("rd_estimate"), lit(h).as("bandwidth"))
+    }),
+
+    // L337 — maximum mean discrepancy (Gretton et al. 2012, the
+    // U-statistic over unordered pairs) between two embedding label
+    // groups under an RBF kernel with the median-heuristic bandwidth —
+    // the kernel two-sample test behind "did the embedding
+    // distribution shift between snapshots/slices", sharper than
+    // embedding_drift's single centroid-cosine (MMD sees shape, not
+    // just the mean). Input bounded to EvalSampleBound ids (the
+    // lsh_tuning_curve convention) so the pair fan-out is constant at
+    // any SF; squared distances via the codegen'd dot kernel; one
+    // median pass then one kernel-mean pass over the same cached pairs.
+    "mmd_shift" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.vectorDot
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < LlmQueries.EvalSampleBound &&
+          col("label").isin(0, 1))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          graft.llm.Similarity.toDouble(col("embedding")).as("v"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          roundHU(vectorDot(col("a.v"), col("a.v")) +
+            vectorDot(col("b.v"), col("b.v")) -
+            lit(2.0) * vectorDot(col("a.v"), col("b.v")), 1e6).as("d2"))
+        .localCheckpoint(false) // reused: median pass + kernel-mean pass
+      val med = pairs.agg(roundHU(expr("percentile(d2, 0.5)"), 1e6)
+        .as("med"))
+      pairs.crossJoin(broadcast(med))
+        .select(col("med"),
+          when(col("la") === col("lb"),
+            concat(lit("k"), col("la"))).otherwise(lit("kxy")).as("cell"),
+          roundHU(exp(-col("d2") / col("med")), 1e8)
+            .cast(DecimalType(18, 8)).as("kv"))
+        .groupBy("med", "cell")
+        .agg(count(lit(1)).as("n"), sum("kv").cast("double").as("sk"))
+        .groupBy("med")
+        .agg(
+          max(when(col("cell") === "k0", col("n"))).as("n_xx_pairs"),
+          max(when(col("cell") === "k1", col("n"))).as("n_yy_pairs"),
+          max(when(col("cell") === "kxy", col("n"))).as("n_xy_pairs"),
+          max(when(col("cell") === "k0", col("sk"))).as("skxx"),
+          max(when(col("cell") === "k1", col("sk"))).as("skyy"),
+          max(when(col("cell") === "kxy", col("sk"))).as("skxy"))
+        .select(col("med").as("median_d2"),
+          col("n_xx_pairs"), col("n_yy_pairs"), col("n_xy_pairs"),
+          roundHU(col("skxx") / col("n_xx_pairs") +
+            col("skyy") / col("n_yy_pairs") -
+            lit(2.0) * col("skxy") / col("n_xy_pairs"), 1e6).as("mmd2"))
     }))
 
   private val sqlDaily =
@@ -851,6 +1204,292 @@ object AnalyticsQueries {
          |       floor(CAST(SUM(cov) AS DOUBLE) / COUNT(*) * 1e6 + 5e-1) / 1e6
          |         AS coverage
          |FROM l GROUP BY tau ORDER BY tau""".stripMargin,
+
+    "anderson_darling" -> {
+      // Q(z) for z = abs(z6): the shared Abramowitz–Stegun 26.2.17 form
+      val q = """(0.3989422804014327 * exp(-az * az / 2.0) *
+                |  (0.319381530 * tt + -0.356563782 * tt * tt +
+                |   1.781477937 * tt * tt * tt +
+                |   -1.821255978 * tt * tt * tt * tt +
+                |   1.330274429 * tt * tt * tt * tt * tt))""".stripMargin
+      s"""WITH d AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         floor(ln(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |                       AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS x
+         |  FROM orders GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu,
+         |         floor(sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+         |                - CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) *
+         |                  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+         |               / (COUNT(*) - 1.0)) * 1e6 + 5e-1) / 1e6 AS sd
+         |  FROM d),
+         |z AS (
+         |  SELECT m.n, m.mu, m.sd,
+         |         CAST(row_number() OVER (ORDER BY d.x, d.day) AS BIGINT) AS i,
+         |         floor((d.x - m.mu) / m.sd * 1e6 + 5e-1) / 1e6 AS z
+         |  FROM d CROSS JOIN m),
+         |qv AS (
+         |  SELECT n, mu, sd, i, z, $q AS q
+         |  FROM (SELECT n, mu, sd, i, z, abs(z) AS az,
+         |               1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM z)),
+         |terms AS (
+         |  SELECT n, mu, sd,
+         |         CAST(floor(((2 * i - 1) *
+         |             (CASE WHEN z >= 0 THEN ln(1.0 - q) ELSE ln(q) END) +
+         |             (2 * (n - i) + 1) *
+         |             (CASE WHEN z >= 0 THEN ln(q) ELSE ln(1.0 - q) END))
+         |             * 1e8 + 5e-1) / 1e8 AS DECIMAL(28,8)) AS term
+         |  FROM qv),
+         |agg AS (
+         |  SELECT n, mu, sd, CAST(SUM(term) AS DOUBLE) AS st
+         |  FROM terms GROUP BY n, mu, sd),
+         |a AS (
+         |  SELECT n AS n_days, floor(mu * 1e6 + 5e-1) / 1e6 AS mean, sd,
+         |         floor((-n - st / n) * 1e6 + 5e-1) / 1e6 AS a2
+         |  FROM agg),
+         |astar AS (
+         |  SELECT n_days, mean, sd, a2,
+         |         floor(a2 * (1.0 + 0.75 / n_days + 2.25 / (n_days * n_days))
+         |               * 1e6 + 5e-1) / 1e6 AS a2_star
+         |  FROM a)
+         |SELECT n_days, mean, sd, a2, a2_star, a2_star > 0.752 AS reject_5pct
+         |FROM astar""".stripMargin
+    },
+
+    "fleiss_kappa" -> {
+      import graft.llm.TextOps.{sqlTokens, sqlStopwordHits}
+      s"""WITH r1 AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS r1
+         |            FROM (${LlmQueries.sqlC4Rules})),
+         |r2 AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS r2
+         |       FROM (${LlmQueries.sqlGopherRules})),
+         |r3 AS (SELECT doc_id,
+         |         CASE WHEN len($sqlTokens) > 0 AND
+         |                   floor(CAST($sqlStopwordHits AS DOUBLE) /
+         |                         len($sqlTokens) * 1e6 + 0.5) / 1e6 >= 0.05
+         |              THEN 1 ELSE 0 END AS r3
+         |       FROM documents),
+         |k AS (
+         |  SELECT r1.r1 + r2.r2 + r3.r3 AS k,
+         |         CAST(floor(((r1.r1 + r2.r2 + r3.r3) * (r1.r1 + r2.r2 + r3.r3) +
+         |               (3 - r1.r1 - r2.r2 - r3.r3) * (3 - r1.r1 - r2.r2 - r3.r3)
+         |               - 3) / 6.0 * 1e8 + 5e-1) / 1e8 AS DECIMAL(18,8)) AS pi
+         |  FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(k) AS BIGINT) AS sk,
+         |         CAST(SUM(pi) AS DOUBLE) AS spi
+         |  FROM k),
+         |s2 AS (
+         |  SELECT n_docs,
+         |         floor(CAST(sk AS DOUBLE) / (3.0 * n_docs) * 1e6 + 5e-1) / 1e6
+         |           AS p_keep,
+         |         floor(spi / n_docs * 1e6 + 5e-1) / 1e6 AS p_bar,
+         |         floor(((CAST(sk AS DOUBLE) / (3.0 * n_docs)) *
+         |                (CAST(sk AS DOUBLE) / (3.0 * n_docs)) +
+         |                (1.0 - CAST(sk AS DOUBLE) / (3.0 * n_docs)) *
+         |                (1.0 - CAST(sk AS DOUBLE) / (3.0 * n_docs)))
+         |               * 1e6 + 5e-1) / 1e6 AS p_e
+         |  FROM agg)
+         |SELECT n_docs, p_keep, p_bar, p_e,
+         |       floor((p_bar - p_e) / (1.0 - p_e) * 1e6 + 5e-1) / 1e6
+         |         AS fleiss_kappa
+         |FROM s2""".stripMargin
+    },
+
+    "bland_altman" -> {
+      import graft.llm.TextOps.sqlTokens
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len($sqlTokens) AS DOUBLE) -
+         |           floor(n_chars / 5.0 * 1e6 + 0.5) / 1e6 AS d
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         floor(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         |               * 1e6 + 5e-1) / 1e6 AS mean_diff,
+         |         floor(sqrt((CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE)
+         |                - CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) *
+         |                  CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+         |               / (COUNT(*) - 1.0)) * 1e6 + 5e-1) / 1e6 AS sd_diff
+         |  FROM d),
+         |o AS (
+         |  SELECT m.n, m.mean_diff, m.sd_diff,
+         |         CAST(SUM(CASE WHEN abs(d.d - m.mean_diff) > 1.96 * m.sd_diff
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+         |  FROM d CROSS JOIN m GROUP BY m.n, m.mean_diff, m.sd_diff)
+         |SELECT n AS n_docs, mean_diff, sd_diff,
+         |       floor((mean_diff - 1.96 * sd_diff) * 1e6 + 5e-1) / 1e6 AS loa_low,
+         |       floor((mean_diff + 1.96 * sd_diff) * 1e6 + 5e-1) / 1e6 AS loa_high,
+         |       n_outside,
+         |       floor(CAST(n_outside AS DOUBLE) / n * 1e6 + 5e-1) / 1e6
+         |         AS pct_outside
+         |FROM o""".stripMargin
+    },
+
+    "hill_estimator" ->
+      """WITH top AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x DESC, o_orderkey)
+        |                 AS BIGINT) AS rn
+        |  FROM (SELECT o_totalprice AS x, o_orderkey FROM orders
+        |        ORDER BY x DESC, o_orderkey LIMIT 101)),
+        |thr AS (SELECT x AS xk1 FROM top WHERE rn = 101),
+        |lr AS (
+        |  SELECT thr.xk1,
+        |         CAST(floor(ln(top.x / thr.xk1) * 1e8 + 5e-1) / 1e8
+        |              AS DECIMAL(18,8)) AS lr
+        |  FROM top CROSS JOIN thr WHERE top.rn <= 100),
+        |agg AS (
+        |  SELECT xk1, CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(lr) AS DOUBLE) AS slr
+        |  FROM lr GROUP BY xk1)
+        |SELECT k, xk1 AS x_k1,
+        |       floor(k / slr * 1e6 + 5e-1) / 1e6 AS alpha,
+        |       floor(k / slr * (1.0 - 1.96 / sqrt(CAST(k AS DOUBLE)))
+        |             * 1e6 + 5e-1) / 1e6 AS ci_low,
+        |       floor(k / slr * (1.0 + 1.96 / sqrt(CAST(k AS DOUBLE)))
+        |             * 1e6 + 5e-1) / 1e6 AS ci_high
+        |FROM agg""".stripMargin,
+
+    "horvitz_thompson" ->
+      """WITH j AS (
+        |  SELECT p_brand AS stratum,
+        |         CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS tr,
+        |         l_quantity AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |e AS (
+        |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS ns,
+        |         floor(AVG(CAST(tr AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS es
+        |  FROM j GROUP BY stratum),
+        |kept AS (SELECT * FROM e WHERE es > 0.0 AND es < 1.0),
+        |dropped AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_dropped
+        |  FROM e WHERE es <= 0.0 OR es >= 1.0),
+        |w AS (
+        |  SELECT CAST(floor(j.tr * j.y / kept.es * 1e6 + 0.5) / 1e6
+        |              AS DECIMAL(28,6)) AS w1,
+        |         CAST(floor((1 - j.tr) * j.y / (1.0 - kept.es) * 1e6 + 0.5) / 1e6
+        |              AS DECIMAL(28,6)) AS w0
+        |  FROM j JOIN kept USING (stratum)),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(w1) AS DOUBLE) AS sw1,
+        |         CAST(SUM(w0) AS DOUBLE) AS sw0
+        |  FROM w)
+        |SELECT n, (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_strata,
+        |       (SELECT n_strata_dropped FROM dropped) AS n_strata_dropped,
+        |       floor(sw1 / n * 1e6 + 5e-1) / 1e6 AS mu_treated,
+        |       floor(sw0 / n * 1e6 + 5e-1) / 1e6 AS mu_control,
+        |       floor((sw1 / n - sw0 / n) * 1e6 + 5e-1) / 1e6 AS ate_ipw
+        |FROM agg""".stripMargin,
+
+    "diff_in_diff" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, value,
+         |         epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |bounds AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev),
+         |grp AS (
+         |  SELECT user_id,
+         |         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         |           AS treated
+         |  FROM ev GROUP BY user_id),
+         |up AS (
+         |  SELECT user_id,
+         |         CASE WHEN day <= bounds.mid THEN 'pre' ELSE 'post' END AS period,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |  FROM ev, bounds GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT grp.user_id, grp.treated, p.period
+         |  FROM grp CROSS JOIN (SELECT unnest(['pre', 'post']) AS period) p),
+         |cells AS (
+         |  SELECT grid.treated, grid.period,
+         |         CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         floor(CAST(SUM(CAST(COALESCE(up.v, 0.0) AS DECIMAL(18,2)))
+         |                    AS DOUBLE) / COUNT(*) * 1e6 + 5e-1) / 1e6 AS ybar
+         |  FROM grid LEFT JOIN up
+         |    ON grid.user_id = up.user_id AND grid.period = up.period
+         |  GROUP BY 1, 2)
+         |SELECT
+         |  MAX(CASE WHEN treated = 1 AND period = 'pre' THEN n_users END)
+         |    AS n_treated,
+         |  MAX(CASE WHEN treated = 0 AND period = 'pre' THEN n_users END)
+         |    AS n_control,
+         |  MAX(CASE WHEN treated = 1 AND period = 'pre' THEN ybar END) AS y_t_pre,
+         |  MAX(CASE WHEN treated = 1 AND period = 'post' THEN ybar END) AS y_t_post,
+         |  MAX(CASE WHEN treated = 0 AND period = 'pre' THEN ybar END) AS y_c_pre,
+         |  MAX(CASE WHEN treated = 0 AND period = 'post' THEN ybar END) AS y_c_post,
+         |  floor(((MAX(CASE WHEN treated = 1 AND period = 'post' THEN ybar END) -
+         |          MAX(CASE WHEN treated = 1 AND period = 'pre' THEN ybar END)) -
+         |         (MAX(CASE WHEN treated = 0 AND period = 'post' THEN ybar END) -
+         |          MAX(CASE WHEN treated = 0 AND period = 'pre' THEN ybar END)))
+         |        * 1e6 + 5e-1) / 1e6 AS did
+         |FROM cells""".stripMargin,
+
+    "regression_discontinuity" ->
+      """WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS m
+        |            FROM orders GROUP BY o_custkey),
+        |pts AS (
+        |  SELECT c_acctbal AS x,
+        |         CAST(COALESCE(oc.m, 0) AS DOUBLE) AS y,
+        |         CASE WHEN c_acctbal >= 0 THEN 'right' ELSE 'left' END AS side
+        |  FROM customer LEFT JOIN oc ON c_custkey = oc.o_custkey
+        |  WHERE c_acctbal >= -1000.0 AND c_acctbal < 1000.0),
+        |fits AS (
+        |  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+        |         floor((CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) *
+        |                CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) -
+        |                CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) *
+        |                CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)) /
+        |               (COUNT(*) * CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+        |                - CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) *
+        |                  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE))
+        |               * 1e6 + 5e-1) / 1e6 AS limit_at_cutoff
+        |  FROM pts GROUP BY side)
+        |SELECT l.n AS n_left, r.n AS n_right,
+        |       l.limit_at_cutoff AS limit_left,
+        |       r.limit_at_cutoff AS limit_right,
+        |       floor((r.limit_at_cutoff - l.limit_at_cutoff) * 1e6 + 5e-1) / 1e6
+        |         AS rd_estimate,
+        |       1000.0 AS bandwidth
+        |FROM (SELECT * FROM fits WHERE side = 'left') l
+        |CROSS JOIN (SELECT * FROM fits WHERE side = 'right') r""".stripMargin,
+
+    "mmd_shift" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE vec_id < ${LlmQueries.EvalSampleBound} AND label IN (0, 1)),
+         |pairs AS (
+         |  SELECT a.label AS la, b.label AS lb,
+         |         floor((list_sum(list_transform(list_zip(a.v, a.v), s -> s[1]*s[2])) +
+         |                list_sum(list_transform(list_zip(b.v, b.v), s -> s[1]*s[2])) -
+         |                2.0 * list_sum(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])))
+         |               * 1e6 + 5e-1) / 1e6 AS d2
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |med AS (SELECT floor(quantile_cont(d2, 0.5) * 1e6 + 5e-1) / 1e6 AS med
+         |        FROM pairs),
+         |kv AS (
+         |  SELECT med.med,
+         |         CASE WHEN la = lb THEN 'k' || la ELSE 'kxy' END AS cell,
+         |         CAST(floor(exp(-d2 / med.med) * 1e8 + 5e-1) / 1e8
+         |              AS DECIMAL(18,8)) AS kv
+         |  FROM pairs CROSS JOIN med),
+         |cells AS (
+         |  SELECT med, cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(kv) AS DOUBLE) AS sk
+         |  FROM kv GROUP BY med, cell)
+         |SELECT med AS median_d2,
+         |       MAX(CASE WHEN cell = 'k0' THEN n END) AS n_xx_pairs,
+         |       MAX(CASE WHEN cell = 'k1' THEN n END) AS n_yy_pairs,
+         |       MAX(CASE WHEN cell = 'kxy' THEN n END) AS n_xy_pairs,
+         |       floor((MAX(CASE WHEN cell = 'k0' THEN sk / n END) +
+         |              MAX(CASE WHEN cell = 'k1' THEN sk / n END) -
+         |              2.0 * MAX(CASE WHEN cell = 'kxy' THEN sk / n END))
+         |             * 1e6 + 5e-1) / 1e6 AS mmd2
+         |FROM cells GROUP BY med""".stripMargin,
 
     "negbin_fit" ->
       """WITH cu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c

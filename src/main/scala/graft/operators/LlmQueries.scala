@@ -61,7 +61,7 @@ object LlmQueries {
     * by `c4_rules` and the filter-agreement pair (`cohens_kappa`,
     * `mcnemar_test`), so the rule expressions can never drift apart.
     */
-  private def c4Frame(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def c4Frame(s: SparkSession, dir: String): DataFrame = {
     val lines = split(col("text"), "\n")
     def lineWords(l: org.apache.spark.sql.Column) =
       size(filter(split(trim(l), "\\s+"), w => w =!= lit("")))
@@ -85,7 +85,7 @@ object LlmQueries {
   /** The per-doc Gopher repetition/shape-rule frame (doc_id .. keep) —
     * shared by `gopher_rules` and the filter-agreement pair.
     */
-  private def gopherFrame(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def gopherFrame(s: SparkSession, dir: String): DataFrame = {
     val ts = tokens(col("text"))
     val nW = size(ts).cast("long")
     val charSum = aggregate(ts, lit(0L), (a, t) => a + length(t))
@@ -5514,7 +5514,7 @@ object LlmQueries {
     * filter-agreement oracles (`cohens_kappa` / `mcnemar_test`) —
     * mirrors [[c4Frame]].
     */
-  private def sqlC4Rules: String =
+  private[operators] def sqlC4Rules: String =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM documents),
        |m AS (
@@ -5541,7 +5541,7 @@ object LlmQueries {
   /** Oracle for `gopher_rules`, also embedded by the filter-agreement
     * oracles — mirrors [[gopherFrame]].
     */
-  private def sqlGopherRules: String =
+  private[operators] def sqlGopherRules: String =
     s"""WITH t AS (
        |  SELECT doc_id, $sqlTokens AS ts, string_split(text, chr(10)) AS ls, text
        |  FROM documents),

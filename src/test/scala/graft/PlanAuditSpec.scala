@@ -125,8 +125,12 @@ class PlanAuditSpec extends SparkSpec {
       "bh_fdr", "ses_forecast", "effect_sizes", "es_weighted_sample",
       "pr_auc", "seasonality_strength",
       // sprt_ab's cumulative log-likelihood walk runs over the
-      // calendar-sized daily rollup (the daily_acf / forecast_eval class)
-      "sprt_ab")
+      // calendar-sized daily rollup (the daily_acf / forecast_eval
+      // class); anderson_darling ranks the SAME calendar-sized daily
+      // rollup; hill_estimator's rank window runs AFTER the TakeOrdered
+      // limit(101) — a constant 101-row frame at any SF (the
+      // es_weighted_sample class)
+      "sprt_ab", "anderson_darling", "hill_estimator")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):
