@@ -746,40 +746,36 @@ object AnalyticsQueries {
     }),
 
     // L335 — difference-in-differences (the Card & Krueger 1994 2×2):
-    // treated = users who ever fired a signup event, periods = the
-    // calendar halves, outcome = per-user event value — DiD = (ȳ_T,post
-    // − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the parallel-trends causal
-    // readout that a raw post-period comparison confounds with group
-    // composition. Users missing a period contribute explicit zeros
-    // (the user × period grid), so both engines average over the same
-    // denominator. One fact pass to user-period cells, bounded math.
+    // treated = the BUILDING market segment, periods = the calendar
+    // halves of the order history, outcome = order value — DiD =
+    // (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the parallel-trends
+    // causal readout that a raw post-period comparison confounds with
+    // group composition. Segment membership guarantees every 2×2 cell
+    // is populated at any SF (an event-stream "ever signed up" split
+    // degenerates: dense per-user streams make everyone treated). One
+    // fact+dim join to four cells, bounded math.
     "diff_in_diff" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .withColumn("day", expr(s"ts_us div $DayUs"))
-        .localCheckpoint(false) // reused: bounds + groups + cells
-      val bounds = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
-      val grp = ev.groupBy("user_id")
-        .agg(max(when(col("event_type") === "signup", 1L).otherwise(0L))
-          .as("treated"))
-      val up = ev.crossJoin(broadcast(bounds))
-        .groupBy(col("user_id"),
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderdate").cast("date").as("day"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("treated"),
+          col("o_totalprice").as("y"))
+        .localCheckpoint(false) // reused: bounds + the cell rollup
+      val bounds = j.agg(expr(
+        "date_add(min(day), cast(datediff(max(day), min(day)) / 2 as int))")
+        .as("mid"))
+      val cells = j.crossJoin(broadcast(bounds))
+        .groupBy(col("treated"),
           when(col("day") <= col("mid"), "pre").otherwise("post").as("period"))
-        .agg(decSum(col("value"), 2).as("v"))
-      val grid = grp.crossJoin(
-        broadcast(ev.sparkSession.range(0, 1).select(
-          explode(array(lit("pre"), lit("post"))).as("period"))))
-      val cells = grid.join(up, Seq("user_id", "period"), "left")
-        .select(col("treated"), col("period"),
-          coalesce(col("v"), lit(0.0)).as("v"))
-        .groupBy("treated", "period")
-        .agg(count(lit(1)).as("n_users"),
-          roundHU(decSum(col("v"), 2) / count(lit(1)), 1e6).as("ybar"))
+        .agg(count(lit(1)).as("n_orders"),
+          roundHU(decSum(col("y"), 2) / count(lit(1)), 1e6).as("ybar"))
       cells.groupBy()
         .agg(
           max(when(col("treated") === 1 && col("period") === "pre",
-            col("n_users"))).as("n_treated"),
+            col("n_orders"))).as("n_treated"),
           max(when(col("treated") === 0 && col("period") === "pre",
-            col("n_users"))).as("n_control"),
+            col("n_orders"))).as("n_control"),
           max(when(col("treated") === 1 && col("period") === "pre",
             col("ybar"))).as("y_t_pre"),
           max(when(col("treated") === 1 && col("period") === "post",
@@ -1385,36 +1381,26 @@ object AnalyticsQueries {
         |FROM agg""".stripMargin,
 
     "diff_in_diff" ->
-      s"""WITH ev AS (
-         |  SELECT user_id, event_type, value,
-         |         epoch_us(ts) // 86400000000 AS day
-         |  FROM events),
-         |bounds AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev),
-         |grp AS (
-         |  SELECT user_id,
-         |         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-         |           AS treated
-         |  FROM ev GROUP BY user_id),
-         |up AS (
-         |  SELECT user_id,
-         |         CASE WHEN day <= bounds.mid THEN 'pre' ELSE 'post' END AS period,
-         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-         |  FROM ev, bounds GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT grp.user_id, grp.treated, p.period
-         |  FROM grp CROSS JOIN (SELECT unnest(['pre', 'post']) AS period) p),
+      s"""WITH j AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+         |           AS treated,
+         |         o_totalprice AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |bounds AS (
+         |  SELECT MIN(day) + CAST((MAX(day) - MIN(day)) / 2 AS INT) AS mid
+         |  FROM j),
          |cells AS (
-         |  SELECT grid.treated, grid.period,
-         |         CAST(COUNT(*) AS BIGINT) AS n_users,
-         |         floor(CAST(SUM(CAST(COALESCE(up.v, 0.0) AS DECIMAL(18,2)))
-         |                    AS DOUBLE) / COUNT(*) * 1e6 + 5e-1) / 1e6 AS ybar
-         |  FROM grid LEFT JOIN up
-         |    ON grid.user_id = up.user_id AND grid.period = up.period
-         |  GROUP BY 1, 2)
+         |  SELECT treated,
+         |         CASE WHEN day <= bounds.mid THEN 'pre' ELSE 'post' END AS period,
+         |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         floor(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE)
+         |               / COUNT(*) * 1e6 + 5e-1) / 1e6 AS ybar
+         |  FROM j, bounds GROUP BY 1, 2)
          |SELECT
-         |  MAX(CASE WHEN treated = 1 AND period = 'pre' THEN n_users END)
+         |  MAX(CASE WHEN treated = 1 AND period = 'pre' THEN n_orders END)
          |    AS n_treated,
-         |  MAX(CASE WHEN treated = 0 AND period = 'pre' THEN n_users END)
+         |  MAX(CASE WHEN treated = 0 AND period = 'pre' THEN n_orders END)
          |    AS n_control,
          |  MAX(CASE WHEN treated = 1 AND period = 'pre' THEN ybar END) AS y_t_pre,
          |  MAX(CASE WHEN treated = 1 AND period = 'post' THEN ybar END) AS y_t_post,
