@@ -44,6 +44,9 @@ object AnalyticsQueries {
   private def roundHU(c: Column, pow: Double): Column =
     floor(c * lit(pow) + lit(0.5)) / lit(pow)
 
+  private def shufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   private def decSum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
@@ -877,6 +880,320 @@ object AnalyticsQueries {
           roundHU(col("skxx") / col("n_xx_pairs") +
             col("skyy") / col("n_yy_pairs") -
             lit(2.0) * col("skxy") / col("n_xy_pairs"), 1e6).as("mmd2"))
+    }),
+
+    // L338 — Cook's distance influence audit (Cook 1977) for the
+    // price~quantity OLS: D_i = e_i²·h_i/(p·s²·(1−h_i)²) with leverage
+    // h_i = 1/n + (x_i−x̄)²/Sxx — the per-point "does this row steer
+    // the fit" diagnostic the residual alone misses (a huge residual
+    // at the mean barely moves the line; a modest one at extreme x
+    // rewrites it). Top-10 by D via TakeOrdered; one moment pass, one
+    // per-row pass, exact decimal moments.
+    "cooks_distance" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        .localCheckpoint(false) // reused: moment pass + per-row pass
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 4))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 4))).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 4))).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).cast("double").as("syy"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("b"),
+          (col("sx") / col("n")).as("mx"),
+          ((col("sxx") - col("sx") * col("sx") / col("n"))).as("ssx"),
+          col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+        .select(col("n"), col("b"), col("mx"), col("ssx"),
+          ((col("sy") - col("b") * col("sx")) / col("n")).as("a"),
+          roundHU((col("syy") - col("sy") * col("sy") / col("n") -
+            col("b") * col("b") * col("ssx")) / (col("n") - 2.0), 1e4)
+            .as("s2"))
+      li.crossJoin(broadcast(m))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          col("n"), col("s2"),
+          roundHU(col("y") - col("a") - col("b") * col("x"), 1e4).as("e"),
+          roundHU(lit(1.0) / col("n") +
+            (col("x") - col("mx")) * (col("x") - col("mx")) / col("ssx"),
+            1e8).as("h"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          roundHU(col("e"), 1e2).as("residual"),
+          roundHU(col("h"), 1e8).as("leverage"),
+          roundHU(col("e") * col("e") * col("h") /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+              (lit(1.0) - col("h"))), 1e8).as("cooks_d"))
+        .orderBy(desc("cooks_d"), col("l_orderkey"), col("l_linenumber"),
+          col("x"), col("y"))
+        .limit(10)
+    }),
+
+    // L339 — Breusch–Pagan heteroskedasticity test (1979): the LM =
+    // n·R² statistic of the auxiliary regression e² ~ x on the same
+    // price~quantity fit — durbin_watson's cross-sectional sibling
+    // (DW asks "are residuals serially correlated", BP asks "does
+    // their VARIANCE grow with x", the assumption OLS standard errors
+    // die on). χ²(1) p-value via the normal-tail identity
+    // P(χ²₁ > t) = 2Q(√t) with the shared A&S polynomial. Two moment
+    // passes, no per-row state.
+    "breusch_pagan" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        .localCheckpoint(false) // reused: fit pass + auxiliary pass
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 4))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 4))).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 4))).cast("double").as("sxy"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("b"),
+          col("sx"), col("sy"))
+        .select(col("n"), col("b"),
+          ((col("sy") - col("b") * col("sx")) / col("n")).as("a"))
+      val aux = li.crossJoin(broadcast(m))
+        .select(col("n"), col("x"),
+          roundHU((col("y") - col("a") - col("b") * col("x")) *
+            (col("y") - col("a") - col("b") * col("x")), 1e2).as("u"))
+        .groupBy("n")
+        .agg(
+          sum(col("x").cast(DecimalType(38, 4))).cast("double").as("sx"),
+          sum(col("u").cast(DecimalType(38, 2))).cast("double").as("su"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+          sum((col("x") * col("u")).cast(DecimalType(38, 2))).cast("double").as("sxu"),
+          sum((col("u") * col("u")).cast(DecimalType(38, 2))).cast("double").as("suu"))
+      val r2 = ((col("n") * col("sxu") - col("sx") * col("su")) *
+        (col("n") * col("sxu") - col("sx") * col("su"))) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("suu") - col("su") * col("su")))
+      val lm = roundHU(col("n") * r2, 1e6)
+      val az = sqrt(lm)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val pv = lit(2.0) * lit(0.3989422804014327) * exp(-az * az / 2.0) *
+        (lit(0.319381530) * tt + lit(-0.356563782) * tt * tt +
+          lit(1.781477937) * tt * tt * tt +
+          lit(-1.821255978) * tt * tt * tt * tt +
+          lit(1.330274429) * tt * tt * tt * tt * tt)
+      aux.select(col("n"), lm.as("lm_stat"),
+        roundHU(pv, 1e8).as("p_value"),
+        (lm > 3.841459).as("reject_5pct"))
+    }),
+
+    // L340 — Theta-method forecast (Assimakopoulos & Nikolopoulos 2000;
+    // the Hyndman–Billah 2003 two-line form that won M3): θ(0) = the
+    // OLS trend line, θ(2)_t = 2y_t − trend_t, SES(α = ½) on θ(2), and
+    // the forecast = the average of the two lines at T+1 — the
+    // drift-aware competitor of ses_forecast (pure SES flatlines a
+    // trending series). α = ½ makes every SES weight an exact power of
+    // two (the ses_forecast convention), and only the FINAL level is
+    // needed, so the closed form is one weighted sum over the
+    // calendar-sized series — no t×i pair expansion at all.
+    "theta_method" -> ((s, dir) => {
+      val counts = dailyEvents(s, dir).select(col("day"), col("v").as("x"))
+      val grid = counts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0.0)).as("x"))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .localCheckpoint(false) // reused: trend moments + the theta pass
+      val m = series.agg(count(lit(1)).as("n"),
+        sum(col("k").cast(DecimalType(38, 6))).cast("double").as("sk"),
+        sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"),
+        sum((col("k") * col("k")).cast(DecimalType(38, 6))).cast("double").as("skk"),
+        sum((col("k") * col("x")).cast(DecimalType(38, 6))).cast("double").as("skx"))
+        .select(col("n"),
+          roundHU((col("n") * col("skx") - col("sk") * col("sx")) /
+            (col("n") * col("skk") - col("sk") * col("sk")), 1e6).as("b"))
+        .crossJoin(broadcast(series.agg(
+          sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx2"),
+          sum(col("k").cast(DecimalType(38, 6))).cast("double").as("sk2"),
+          count(lit(1)).as("n2"))))
+        .select(col("n"), col("b"),
+          roundHU((col("sx2") - col("b") * col("sk2")) / col("n2"), 1e6)
+            .as("a"))
+      series.crossJoin(broadcast(m))
+        .select(col("n"), col("a"), col("b"),
+          roundHU((lit(2.0) * col("x") - col("a") - col("b") * col("k")) *
+            when(col("k") === 1L, pow(lit(0.5), col("n") - 1))
+              .otherwise(pow(lit(0.5), col("n") - col("k") + 1)), 1e8)
+            .cast(DecimalType(18, 8)).as("term"))
+        .groupBy("n", "a", "b")
+        .agg(sum("term").cast("double").as("ses_level"))
+        .select(col("n").as("n_days"), col("b").as("slope"),
+          col("a").as("intercept"),
+          roundHU(col("ses_level"), 1e6).as("theta2_level"),
+          roundHU(col("a") + col("b") * (col("n") + 1), 1e6)
+            .as("forecast_trend"),
+          roundHU((col("a") + col("b") * (col("n") + 1) +
+            col("ses_level")) / 2.0, 1e6).as("forecast_combined"))
+    }),
+
+    // L341 — Croston's method for intermittent demand (Croston 1972):
+    // SES(α = ½) separately on the non-zero demand SIZES and the
+    // INTER-ARRIVAL intervals of one part's daily shipments, forecast
+    // = ẑ/p̂ — the forecasting family built for the sparse series
+    // (spare parts, long-tail SKUs) that plain SES systematically
+    // biases after each zero run. The probe part is the minimum
+    // partkey (deterministic); its arrival list is part-bounded (~tens
+    // of rows at any SF, TPC-H part frequency is SF-invariant), so the
+    // rank/lag windows run on a constant-sized frame (allowlisted).
+    "croston" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val probe = li.agg(min("l_partkey").as("pk"))
+      val dem = li.crossJoin(broadcast(probe))
+        .filter(col("l_partkey") === col("pk"))
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(decSum(col("l_quantity"), 2).as("z"))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("gap",
+          datediff(col("day"), lag("day", 1).over(Window.orderBy("day")))
+            .cast("double"))
+        .localCheckpoint(false) // reused: counts + both SES sums
+      val nK = broadcast(dem.agg(count(lit(1)).as("nk")))
+      val zhat = dem.crossJoin(nK)
+        .select(roundHU(col("z") *
+          when(col("k") === 1L, pow(lit(0.5), col("nk") - 1))
+            .otherwise(pow(lit(0.5), col("nk") - col("k") + 1)), 1e8)
+          .cast(DecimalType(18, 8)).as("term"))
+        .agg(sum("term").cast("double").as("z_hat"))
+      val phat = dem.filter(col("k") > 1L).crossJoin(nK)
+        .select(roundHU(col("gap") *
+          when(col("k") === 2L, pow(lit(0.5), col("nk") - 2))
+            .otherwise(pow(lit(0.5), col("nk") - col("k") + 1)), 1e8)
+          .cast(DecimalType(18, 8)).as("term"))
+        .agg(sum("term").cast("double").as("p_hat"))
+      dem.agg(count(lit(1)).as("n_arrivals"),
+          roundHU(decSum(col("z"), 2) / count(lit(1)), 1e6).as("mean_size"))
+        .crossJoin(broadcast(zhat)).crossJoin(broadcast(phat))
+        .select(col("n_arrivals"), col("mean_size"),
+          roundHU(col("z_hat"), 1e6).as("z_hat"),
+          roundHU(col("p_hat"), 1e6).as("p_hat"),
+          when(col("p_hat") > 0, roundHU(col("z_hat") / col("p_hat"), 1e6))
+            .otherwise(lit(null)).as("croston_forecast"))
+    }),
+
+    // L342 — energy distance two-sample test (Székely & Rizzo 2004):
+    // E = 2·mean‖x−y‖ − mean‖x−x'‖ − mean‖y−y'‖ between the same two
+    // embedding label groups as mmd_shift — the DISTANCE-kernel
+    // counterpart of MMD's RBF (no bandwidth to pick; metric-space
+    // native), reported beside it so a shift verdict never hangs on
+    // one kernel family. Same bounded pair frame and dot kernel;
+    // distances are √ of the 6dp-rounded squared form.
+    "energy_distance" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.vectorDot
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < LlmQueries.EvalSampleBound &&
+          col("label").isin(0, 1))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          graft.llm.Similarity.toDouble(col("embedding")).as("v"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          roundHU(sqrt(roundHU(vectorDot(col("a.v"), col("a.v")) +
+            vectorDot(col("b.v"), col("b.v")) -
+            lit(2.0) * vectorDot(col("a.v"), col("b.v")), 1e6)), 1e8)
+            .cast(DecimalType(18, 8)).as("d"))
+      pairs
+        .select(when(col("la") === col("lb"),
+          concat(lit("d"), col("la"))).otherwise(lit("dxy")).as("cell"),
+          col("d"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("d").cast("double").as("sd"))
+        .groupBy()
+        .agg(
+          max(when(col("cell") === "d0", col("n"))).as("n_xx_pairs"),
+          max(when(col("cell") === "d1", col("n"))).as("n_yy_pairs"),
+          max(when(col("cell") === "dxy", col("n"))).as("n_xy_pairs"),
+          max(when(col("cell") === "d0", col("sd"))).as("sdxx"),
+          max(when(col("cell") === "d1", col("sd"))).as("sdyy"),
+          max(when(col("cell") === "dxy", col("sd"))).as("sdxy"))
+        .select(col("n_xx_pairs"), col("n_yy_pairs"), col("n_xy_pairs"),
+          roundHU(lit(2.0) * col("sdxy") / col("n_xy_pairs") -
+            col("sdxx") / col("n_xx_pairs") -
+            col("sdyy") / col("n_yy_pairs"), 1e6).as("energy_distance"))
+    }),
+
+    // L343 — eigenvector centrality (Bonacich 1972): three max-
+    // normalized power-iteration rounds x ← A·x/‖A·x‖∞ on the
+    // co-purchase graph from a uniform start — the "important because
+    // connected to the important" score that completes the centrality
+    // shelf (pagerank adds teleport damping, katz truncates walks,
+    // HITS is bipartite; this is the undamped spectral limit). Same
+    // loop shape as LPA: the edge list is checkpointed partitioned by
+    // the round join key, each round is one streamed join + one
+    // node-sized aggregate + a broadcast 1-row normalizer.
+    "eigenvector_centrality" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val e = CheckpointBridge.partitionedCheckpoint(e0,
+        shufflePartitions(s), Seq("src"), Seq("src", "dst"),
+        dedupSorted = true, declareStats = false)
+      var x = e.select(col("src").as("node")).distinct()
+        .withColumn("score", lit(1.0))
+      for (_ <- 1 to 3) {
+        val y = e.join(x.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("score").cast(DecimalType(28, 12))).cast("double")
+            .as("y"))
+          .localCheckpoint(false) // reused: the max normalizer + the divide
+        val mx = broadcast(y.agg(max("y").as("mx")))
+        x = y.crossJoin(mx)
+          .select(col("node"), roundHU(col("y") / col("mx"), 1e6).as("score"))
+      }
+      x.select(col("node").as("p_partkey"), col("score"))
+        .orderBy("p_partkey")
+    }),
+
+    // L344 — Kendall's W coefficient of concordance (Kendall &
+    // Babington Smith 1939) across THREE document rankings — by chars,
+    // by whitespace tokens, by stopword hits: W = 12S/(m²(n³−n) −
+    // m·ΣT_j) with the tie correction T_j = Σ(t³−t) — "do our length/
+    // quality signals even rank documents the same way" (kendall_tau
+    // compares two rankings; W generalizes to m judges). Average ranks
+    // ride the exclusivePrefix doubled-rank machinery (no global sort,
+    // no fact-sized window — the spearman_rho class), ΣR deviations
+    // 8dp-round into decimal sums.
+    "kendall_w" -> ((s, dir) => {
+      import graft.llm.TextOps.{tokens, stopwordHits}
+      val d = docs(s, dir).select(col("doc_id"),
+        col("n_chars").as("m1"),
+        size(tokens(col("text"))).cast("long").as("m2"),
+        stopwordHits(col("text")).cast("long").as("m3"))
+        .localCheckpoint(false) // reused: three rank maps + the join-back
+      def ranks2(c: String) = {
+        val pv = d.groupBy(c).agg(count(lit(1)).as("cnt"))
+        CoreQueries.exclusivePrefix(pv, c, Seq("cnt"))
+          .select(col(c), (lit(2L) * col("cum_cnt") + col("cnt") + lit(1L))
+            .as(s"r2_$c"),
+          (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as(s"t_$c"))
+      }
+      val ranked = d
+        .join(ranks2("m1"), "m1").join(ranks2("m2"), "m2")
+        .join(ranks2("m3"), "m3")
+        .select((col("r2_m1") + col("r2_m2") + col("r2_m3")).as("rr2"))
+      val ties = broadcast(Seq("m1", "m2", "m3").map(c =>
+          ranks2(c).agg(sum(col(s"t_$c")).as("t")).select(col("t")))
+        .reduce(_ unionAll _).agg(sum("t").as("tsum")))
+      val n = broadcast(d.agg(count(lit(1)).as("n")))
+      ranked.crossJoin(n)
+        .select(col("n"),
+          roundHU((col("rr2") - lit(3.0) * (col("n") + 1)) *
+            (col("rr2") - lit(3.0) * (col("n") + 1)), 1e4)
+            .cast(DecimalType(38, 4)).as("dev2"))
+        .groupBy("n").agg(sum("dev2").cast("double").as("s2"))
+        .crossJoin(ties)
+        .select(col("n").as("n_docs"),
+          roundHU(lit(3.0) * col("s2") /
+            (lit(9.0) * (col("n") * col("n") * col("n") - col("n")) -
+              lit(3.0) * col("tsum")), 1e6).as("kendall_w"))
+        .withColumn("chi2",
+          roundHU(lit(3.0) * (col("n_docs") - 1) * col("kendall_w"), 1e6))
     }))
 
   private val sqlDaily =
@@ -1476,6 +1793,254 @@ object AnalyticsQueries {
          |              2.0 * MAX(CASE WHEN cell = 'kxy' THEN sk / n END))
          |             * 1e6 + 5e-1) / 1e6 AS mmd2
          |FROM cells GROUP BY med""".stripMargin,
+
+    "cooks_distance" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS x,
+        |         l_extendedprice AS y
+        |  FROM lineitem),
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM li),
+        |m1 AS (
+        |  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+        |         sx / n AS mx, sxx - sx * sx / n AS ssx,
+        |         sx, sy, sxx, sxy, syy
+        |  FROM m0),
+        |m AS (
+        |  SELECT n, b, mx, ssx, (sy - b * sx) / n AS a,
+        |         floor((syy - sy * sy / n - b * b * ssx) / (n - 2.0)
+        |               * 1e4 + 5e-1) / 1e4 AS s2
+        |  FROM m1),
+        |rows_d AS (
+        |  SELECT li.l_orderkey, li.l_linenumber, li.x, li.y, m.n, m.s2,
+        |         floor((li.y - m.a - m.b * li.x) * 1e4 + 5e-1) / 1e4 AS e,
+        |         floor((1.0 / m.n + (li.x - m.mx) * (li.x - m.mx) / m.ssx)
+        |               * 1e8 + 5e-1) / 1e8 AS h
+        |  FROM li CROSS JOIN m)
+        |SELECT l_orderkey, l_linenumber, x, y,
+        |       floor(e * 1e2 + 5e-1) / 1e2 AS residual,
+        |       floor(h * 1e8 + 5e-1) / 1e8 AS leverage,
+        |       floor(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+        |             * 1e8 + 5e-1) / 1e8 AS cooks_d
+        |FROM rows_d
+        |ORDER BY cooks_d DESC, l_orderkey, l_linenumber, x, y
+        |LIMIT 10""".stripMargin,
+
+    "breusch_pagan" ->
+      """WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM li),
+        |m AS (
+        |  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+        |         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+        |  FROM m0),
+        |aux AS (
+        |  SELECT m.n,
+        |         CAST(SUM(CAST(li.x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(floor((li.y - m.a - m.b * li.x) *
+        |                 (li.y - m.a - m.b * li.x) * 1e2 + 5e-1) / 1e2
+        |               AS DECIMAL(38,2))) AS DOUBLE) AS su,
+        |         CAST(SUM(CAST(li.x * li.x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(li.x * (floor((li.y - m.a - m.b * li.x) *
+        |                 (li.y - m.a - m.b * li.x) * 1e2 + 5e-1) / 1e2)
+        |               AS DECIMAL(38,2))) AS DOUBLE) AS sxu,
+        |         CAST(SUM(CAST((floor((li.y - m.a - m.b * li.x) *
+        |                 (li.y - m.a - m.b * li.x) * 1e2 + 5e-1) / 1e2) *
+        |                 (floor((li.y - m.a - m.b * li.x) *
+        |                 (li.y - m.a - m.b * li.x) * 1e2 + 5e-1) / 1e2)
+        |               AS DECIMAL(38,2))) AS DOUBLE) AS suu
+        |  FROM li CROSS JOIN m GROUP BY m.n),
+        |lm AS (
+        |  SELECT n,
+        |         floor(n * ((n * sxu - sx * su) * (n * sxu - sx * su)) /
+        |               ((n * sxx - sx * sx) * (n * suu - su * su))
+        |               * 1e6 + 5e-1) / 1e6 AS lm_stat
+        |  FROM aux),
+        |pv AS (
+        |  SELECT n, lm_stat,
+        |         2.0 * 0.3989422804014327 * exp(-az * az / 2.0) *
+        |           (0.319381530 * tt + -0.356563782 * tt * tt +
+        |            1.781477937 * tt * tt * tt +
+        |            -1.821255978 * tt * tt * tt * tt +
+        |            1.330274429 * tt * tt * tt * tt * tt) AS p
+        |  FROM (SELECT n, lm_stat, sqrt(lm_stat) AS az,
+        |               1.0 / (1.0 + 0.2316419 * sqrt(lm_stat)) AS tt FROM lm))
+        |SELECT n, lm_stat, floor(p * 1e8 + 5e-1) / 1e8 AS p_value,
+        |       lm_stat > 3.841459 AS reject_5pct
+        |FROM pv""".stripMargin,
+
+    "theta_method" ->
+      s"""WITH c AS ($sqlDaily),
+         |g AS (SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM c),
+         |s AS (SELECT g.day, COALESCE(c.v, 0.0) AS x,
+         |             CAST(row_number() OVER (ORDER BY g.day) AS BIGINT) AS k
+         |      FROM g LEFT JOIN c USING (day)),
+         |m0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(k AS DECIMAL(38,6))) AS DOUBLE) AS sk,
+         |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(k * k AS DECIMAL(38,6))) AS DOUBLE) AS skk,
+         |         CAST(SUM(CAST(k * x AS DECIMAL(38,6))) AS DOUBLE) AS skx
+         |  FROM s),
+         |m AS (
+         |  SELECT n,
+         |         floor((n * skx - sk * sx) / (n * skk - sk * sk)
+         |               * 1e6 + 5e-1) / 1e6 AS b,
+         |         floor((sx - floor((n * skx - sk * sx) / (n * skk - sk * sk)
+         |                           * 1e6 + 5e-1) / 1e6 * sk) / n
+         |               * 1e6 + 5e-1) / 1e6 AS a
+         |  FROM m0),
+         |lvl AS (
+         |  SELECT m.n, m.a, m.b,
+         |         CAST(SUM(CAST(floor((2.0 * s.x - m.a - m.b * s.k) *
+         |             (CASE WHEN s.k = 1 THEN power(0.5, m.n - 1)
+         |                   ELSE power(0.5, m.n - s.k + 1) END)
+         |             * 1e8 + 5e-1) / 1e8 AS DECIMAL(18,8))) AS DOUBLE) AS lv
+         |  FROM s CROSS JOIN m GROUP BY m.n, m.a, m.b)
+         |SELECT n AS n_days, b AS slope, a AS intercept,
+         |       floor(lv * 1e6 + 5e-1) / 1e6 AS theta2_level,
+         |       floor((a + b * (n + 1)) * 1e6 + 5e-1) / 1e6 AS forecast_trend,
+         |       floor((a + b * (n + 1) + lv) / 2.0 * 1e6 + 5e-1) / 1e6
+         |         AS forecast_combined
+         |FROM lvl""".stripMargin,
+
+    "croston" ->
+      """WITH probe AS (SELECT MIN(l_partkey) AS pk FROM lineitem),
+        |dem AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS z
+        |  FROM lineitem, probe WHERE l_partkey = probe.pk
+        |  GROUP BY 1),
+        |idx AS (
+        |  SELECT day, z,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |         CAST(day - lag(day) OVER (ORDER BY day) AS DOUBLE) AS gap
+        |  FROM dem),
+        |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM idx),
+        |zh AS (
+        |  SELECT CAST(SUM(CAST(floor(z *
+        |           (CASE WHEN k = 1 THEN power(0.5, nk - 1)
+        |                 ELSE power(0.5, nk - k + 1) END) * 1e8 + 5e-1) / 1e8
+        |           AS DECIMAL(18,8))) AS DOUBLE) AS z_hat
+        |  FROM idx, nk),
+        |ph AS (
+        |  SELECT CAST(SUM(CAST(floor(gap *
+        |           (CASE WHEN k = 2 THEN power(0.5, nk - 2)
+        |                 ELSE power(0.5, nk - k + 1) END) * 1e8 + 5e-1) / 1e8
+        |           AS DECIMAL(18,8))) AS DOUBLE) AS p_hat
+        |  FROM idx, nk WHERE k > 1)
+        |SELECT (SELECT nk FROM nk) AS n_arrivals,
+        |       floor(CAST(SUM(CAST(z AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |             * 1e6 + 5e-1) / 1e6 AS mean_size,
+        |       floor((SELECT z_hat FROM zh) * 1e6 + 5e-1) / 1e6 AS z_hat,
+        |       floor((SELECT p_hat FROM ph) * 1e6 + 5e-1) / 1e6 AS p_hat,
+        |       CASE WHEN (SELECT p_hat FROM ph) > 0
+        |            THEN floor((SELECT z_hat FROM zh) / (SELECT p_hat FROM ph)
+        |                       * 1e6 + 5e-1) / 1e6 END AS croston_forecast
+        |FROM idx""".stripMargin,
+
+    "energy_distance" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE vec_id < ${LlmQueries.EvalSampleBound} AND label IN (0, 1)),
+         |pairs AS (
+         |  SELECT CASE WHEN a.label = b.label THEN 'd' || a.label
+         |              ELSE 'dxy' END AS cell,
+         |         CAST(floor(sqrt(floor(
+         |             (list_sum(list_transform(list_zip(a.v, a.v), s -> s[1]*s[2])) +
+         |              list_sum(list_transform(list_zip(b.v, b.v), s -> s[1]*s[2])) -
+         |              2.0 * list_sum(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2])))
+         |             * 1e6 + 5e-1) / 1e6) * 1e8 + 5e-1) / 1e8
+         |           AS DECIMAL(18,8)) AS d
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |cells AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(d) AS DOUBLE) AS sd
+         |  FROM pairs GROUP BY cell)
+         |SELECT MAX(CASE WHEN cell = 'd0' THEN n END) AS n_xx_pairs,
+         |       MAX(CASE WHEN cell = 'd1' THEN n END) AS n_yy_pairs,
+         |       MAX(CASE WHEN cell = 'dxy' THEN n END) AS n_xy_pairs,
+         |       floor((2.0 * MAX(CASE WHEN cell = 'dxy' THEN sd / n END) -
+         |              MAX(CASE WHEN cell = 'd0' THEN sd / n END) -
+         |              MAX(CASE WHEN cell = 'd1' THEN sd / n END))
+         |             * 1e6 + 5e-1) / 1e6 AS energy_distance
+         |FROM cells""".stripMargin,
+
+    "eigenvector_centrality" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""y$r AS (SELECT e.dst AS node,
+           |  CAST(SUM(CAST(x${r - 1}.score AS DECIMAL(28,12))) AS DOUBLE) AS y
+           |  FROM e JOIN x${r - 1} ON e.src = x${r - 1}.node GROUP BY e.dst),
+           |x$r AS (SELECT node,
+           |  floor(y / (SELECT MAX(y) FROM y$r) * 1e6 + 5e-1) / 1e6 AS score
+           |  FROM y$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+         |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+         |x0 AS (SELECT DISTINCT src AS node, 1e0 AS score FROM e),
+         |$rounds
+         |SELECT node AS p_partkey, score FROM x3 ORDER BY p_partkey""".stripMargin
+    },
+
+    "kendall_w" -> {
+      import graft.llm.TextOps.{sqlTokens, sqlStopwordHits}
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars AS m1,
+         |         CAST(len($sqlTokens) AS BIGINT) AS m2,
+         |         CAST($sqlStopwordHits AS BIGINT) AS m3
+         |  FROM documents),
+         |r1 AS (SELECT m1, CAST(2 * COALESCE(CAST(SUM(COUNT(*)) OVER (ORDER BY m1
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |              + COUNT(*) + 1 AS BIGINT) AS r2_m1,
+         |              CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS BIGINT) AS t1
+         |       FROM d GROUP BY m1),
+         |r2 AS (SELECT m2, CAST(2 * COALESCE(CAST(SUM(COUNT(*)) OVER (ORDER BY m2
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |              + COUNT(*) + 1 AS BIGINT) AS r2_m2,
+         |              CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS BIGINT) AS t2
+         |       FROM d GROUP BY m2),
+         |r3 AS (SELECT m3, CAST(2 * COALESCE(CAST(SUM(COUNT(*)) OVER (ORDER BY m3
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |              + COUNT(*) + 1 AS BIGINT) AS r2_m3,
+         |              CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS BIGINT) AS t3
+         |       FROM d GROUP BY m3),
+         |tsum AS (
+         |  SELECT (SELECT COALESCE(SUM(t1), 0) FROM r1) +
+         |         (SELECT COALESCE(SUM(t2), 0) FROM r2) +
+         |         (SELECT COALESCE(SUM(t3), 0) FROM r3) AS tsum),
+         |ranked AS (
+         |  SELECT r1.r2_m1 + r2.r2_m2 + r3.r2_m3 AS rr2
+         |  FROM d JOIN r1 USING (m1) JOIN r2 USING (m2) JOIN r3 USING (m3)),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(floor((rr2 - 3.0 * ((SELECT COUNT(*) FROM d) + 1)) *
+         |               (rr2 - 3.0 * ((SELECT COUNT(*) FROM d) + 1)) * 1e4 + 5e-1)
+         |               / 1e4 AS DECIMAL(38,4))) AS DOUBLE) AS s2
+         |  FROM ranked)
+         |SELECT n AS n_docs,
+         |       floor(3.0 * s2 / (9.0 * (CAST(n AS DOUBLE) * n * n - n)
+         |             - 3.0 * (SELECT tsum FROM tsum)) * 1e6 + 5e-1) / 1e6
+         |         AS kendall_w,
+         |       floor(3.0 * (n - 1) *
+         |             (floor(3.0 * s2 / (9.0 * (CAST(n AS DOUBLE) * n * n - n)
+         |              - 3.0 * (SELECT tsum FROM tsum)) * 1e6 + 5e-1) / 1e6)
+         |             * 1e6 + 5e-1) / 1e6 AS chi2
+         |FROM agg""".stripMargin
+    },
 
     "negbin_fit" ->
       """WITH cu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c

@@ -130,7 +130,14 @@ class PlanAuditSpec extends SparkSpec {
       // rollup; hill_estimator's rank window runs AFTER the TakeOrdered
       // limit(101) — a constant 101-row frame at any SF (the
       // es_weighted_sample class)
-      "sprt_ab", "anderson_darling", "hill_estimator")
+      "sprt_ab", "anderson_darling", "hill_estimator",
+      // theta_method indexes the calendar-sized gapfilled series (the
+      // ses_forecast class); croston's rank/lag windows run on ONE
+      // part's arrival list — part frequency is SF-invariant in TPC-H,
+      // so the frame is constant-sized; kendall_w's only unpartitioned
+      // window is exclusivePrefix's constant CumBuckets carry rollup
+      // (the wilcoxon/spearman class)
+      "theta_method", "croston", "kendall_w")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

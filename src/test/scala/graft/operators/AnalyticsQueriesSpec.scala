@@ -185,6 +185,63 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(l(r, "n_left") > 0 && l(r, "n_right") > 0)
   }
 
+  test("cooks_distance: descending, bounded leverage, top-10 shape") {
+    val rows = q("cooks_distance").collect()
+    assert(rows.length === 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(d(a, "cooks_d") >= d(b, "cooks_d"))
+    }
+    rows.foreach { r =>
+      assert(d(r, "leverage") > 0 && d(r, "leverage") < 1)
+      assert(d(r, "cooks_d") >= 0)
+    }
+  }
+
+  test("breusch_pagan: LM non-negative, verdict matches the 3.84 cut") {
+    val r = q("breusch_pagan").head()
+    assert(d(r, "lm_stat") >= 0)
+    assert(r.getAs[Boolean]("reject_5pct") === (d(r, "lm_stat") > 3.841459))
+    assert(d(r, "p_value") >= 0 && d(r, "p_value") <= 1)
+  }
+
+  test("theta_method: combined forecast is the average of the two lines") {
+    val r = q("theta_method").head()
+    val want = (d(r, "forecast_trend") + d(r, "theta2_level")) / 2.0
+    assert(math.abs(d(r, "forecast_combined") - want) < 1e-3)
+  }
+
+  test("croston: forecast is the SES size over the SES interval") {
+    val r = q("croston").head()
+    assert(l(r, "n_arrivals") > 1)
+    assert(d(r, "p_hat") >= 1.0) // intervals are at least one day
+    assert(math.abs(d(r, "croston_forecast") - d(r, "z_hat") / d(r, "p_hat"))
+      < 1e-3)
+  }
+
+  test("energy_distance: pair counts match mmd_shift's lattice") {
+    val e = q("energy_distance").head()
+    val m = q("mmd_shift").head()
+    assert(l(e, "n_xx_pairs") === l(m, "n_xx_pairs"))
+    assert(l(e, "n_xy_pairs") === l(m, "n_xy_pairs"))
+    // E-distance of two samples from one corpus should be small but >= ~0
+    assert(d(e, "energy_distance") > -0.05)
+  }
+
+  test("eigenvector_centrality: max-normalized — top score is exactly 1") {
+    val rows = q("eigenvector_centrality").collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(d(_, "score"))
+    assert(math.abs(scores.max - 1.0) < 1e-9)
+    assert(scores.forall(s => s >= 0 && s <= 1.0))
+  }
+
+  test("kendall_w: inside [0,1] for concordant length-like rankings") {
+    val r = q("kendall_w").head()
+    assert(d(r, "kendall_w") >= 0 && d(r, "kendall_w") <= 1.0 + 1e-9)
+    // chars, tokens and stopword hits all grow with doc length — W high
+    assert(d(r, "kendall_w") > 0.5, s"W ${d(r, "kendall_w")}")
+  }
+
   test("mmd_shift: near-zero for identically-distributed halves, pairs complete") {
     val r = q("mmd_shift").head()
     // U-statistic can dip slightly negative; it must not be wildly so
