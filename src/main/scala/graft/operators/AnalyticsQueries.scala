@@ -115,7 +115,15 @@ object AnalyticsQueries {
     // within-patch fan-out is bounded by cell density, the DBSCAN
     // scale contract.
     "dbscan_core" -> ((s, dir) => {
-      val epsI = 750L // 0.075 in log10 units
+      // eps = 0.03 log10 units: neighborhoods sized to minPts (the
+      // Ester et al. k-dist guidance) — the r12 0.075 packed >1200
+      // points per cell at sf0.1 and the 3×3 candidate join emitted
+      // ~86M pairs (12.5s); this eps keeps cells minPts-dense, and the
+      // FORWARD-cell probe below generates each unordered pair ONCE
+      // (self-cell ordered by id, plus the 4 lexicographically-forward
+      // neighbor cells), crediting both endpoints — half the candidate
+      // volume of the symmetric 3×3 probe at any density.
+      val epsI = 300L
       val eps2 = epsI * epsI
       val minPts = 4L
       val pts = t(s, dir, "orders")
@@ -129,30 +137,47 @@ object AnalyticsQueries {
         .withColumn("cx", expr(s"xi div $epsI"))
         .withColumn("cy", expr(s"yi div $epsI"))
         .localCheckpoint(false) // reused: probe side + build side + verdicts
-      val offs = Seq(-1L, 0L, 1L)
+      // forward offsets: (0,0) self-cell (pairs ordered by id), then
+      // (1,-1),(1,0),(1,1),(0,1) — every unordered cell pair within
+      // Chebyshev distance 1 appears exactly once in this orientation
+      val offs = Seq((0L, 0L), (1L, -1L), (1L, 0L), (1L, 1L), (0L, 1L))
       val probes = pts.select(col("ck"), col("xi"), col("yi"),
-        explode(array(offs.flatMap(dx => offs.map(dy =>
-          struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py")))): _*))
-          .as("p"))
-        .select(col("ck"), col("xi"), col("yi"),
+        col("cx"), col("cy"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))
+        }: _*)).as("p"))
+        .select(col("ck"), col("xi"), col("yi"), col("cx"), col("cy"),
           col("p.px").as("px"), col("p.py").as("py"))
       val pairs = probes.join(pts
           .select(col("ck").as("bk"), col("xi").as("bxi"),
             col("yi").as("byi"), col("cx").as("px"), col("cy").as("py"))
           .hint("shuffle_hash"),
           Seq("px", "py"))
-        .filter((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
-          (col("yi") - col("byi")) * (col("yi") - col("byi")) <= eps2)
+        .filter((col("px") =!= col("cx") || col("py") =!= col("cy") ||
+          col("ck") < col("bk")) &&
+          (col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
+            (col("yi") - col("byi")) * (col("yi") - col("byi")) <= eps2)
         .select(col("ck"), col("bk"))
         .localCheckpoint(false) // reused: core counts + the border probe
-      val cores = pairs.groupBy("ck").agg(count(lit(1)).as("n_nbr"))
+      // each surviving pair credits BOTH endpoints; the point itself
+      // counts too (|N_eps| includes self — the paper's convention)
+      val cores = pts.select(col("ck"))
+        .join(pairs.select(explode(array(col("ck"), col("bk"))).as("pk")),
+          col("ck") === col("pk"), "left")
+        .groupBy("ck")
+        .agg((lit(1L) + count(col("pk"))).as("n_nbr")) // self + matches
         .withColumn("core", col("n_nbr") >= minPts)
         .localCheckpoint(false) // reused: border join + the final rollup
+      val coreIds = cores.filter(col("core")).select(col("ck").as("cid"))
       val border = pairs
-        .join(cores.filter(col("core")).select(col("ck").as("bk")), Seq("bk"),
-          "left_semi")
-        .select(col("ck")).distinct()
-        .withColumnRenamed("ck", "bck")
+        .join(coreIds, pairs("ck") === coreIds("cid"), "left")
+        .withColumnRenamed("cid", "a_core")
+        .join(coreIds, pairs("bk") === coreIds("cid"), "left")
+        .select(
+          when(col("a_core").isNotNull && col("cid").isNull, col("bk"))
+            .when(col("cid").isNotNull && col("a_core").isNull, col("ck"))
+            .as("bck"))
+        .filter(col("bck").isNotNull).distinct()
       cores.join(border, cores("ck") === border("bck"), "left")
         .select(when(col("core"), "core")
           .when(col("bck").isNotNull, "border")
@@ -1194,6 +1219,383 @@ object AnalyticsQueries {
               lit(3.0) * col("tsum")), 1e6).as("kendall_w"))
         .withColumn("chi2",
           roundHU(lit(3.0) * (col("n_docs") - 1) * col("kendall_w"), 1e6))
+    }),
+
+    // L345 — Cochrane–Orcutt serial-correlation correction (1949): fit
+    // daily revenue ~ t, estimate ρ from lag-1 residuals, refit on the
+    // quasi-differenced series (y_t − ρy_{t−1}) ~ (t − ρ(t−1)) — the
+    // REMEDY for what durbin_watson diagnoses (an autocorrelated-error
+    // trend fit understates its own uncertainty and biases nothing but
+    // fools everything downstream). Two calendar-sized passes; the
+    // lag window runs over the daily rollup (allowlisted).
+    "cochrane_orcutt" -> ((s, dir) => {
+      val d0 = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(decSum(col("o_totalprice"), 2).as("y0"))
+      val d = d0.withColumn("k",
+          row_number().over(Window.orderBy("day")).cast("long"))
+        .select(col("k"), roundHU(col("y0") / 1e6, 1e6).as("y"))
+        .localCheckpoint(false) // reused: fit + residual + refit passes
+      def fit(g: DataFrame, xc: String, yc: String, pfx: String) =
+        g.agg(count(lit(1)).as(s"${pfx}n"),
+          sum(col(xc).cast(DecimalType(38, 8))).cast("double").as(s"${pfx}sx"),
+          sum(col(yc).cast(DecimalType(38, 8))).cast("double").as(s"${pfx}sy"),
+          sum((col(xc) * col(xc)).cast(DecimalType(38, 8))).cast("double")
+            .as(s"${pfx}sxx"),
+          sum((col(xc) * col(yc)).cast(DecimalType(38, 8))).cast("double")
+            .as(s"${pfx}sxy"))
+          .select(col(s"${pfx}n"),
+            roundHU((col(s"${pfx}n") * col(s"${pfx}sxy") -
+              col(s"${pfx}sx") * col(s"${pfx}sy")) /
+              (col(s"${pfx}n") * col(s"${pfx}sxx") -
+                col(s"${pfx}sx") * col(s"${pfx}sx")), 1e6).as(s"${pfx}b"))
+          .select(col(s"${pfx}n"), col(s"${pfx}b"))
+      val ols = fit(d, "k", "y", "o_")
+      val a0 = d.crossJoin(broadcast(ols))
+        .agg(roundHU((sum(col("y").cast(DecimalType(38, 8))).cast("double") -
+          max("o_b") * sum(col("k").cast(DecimalType(38, 8))).cast("double")) /
+          count(lit(1)), 1e6).as("o_a"))
+      val resid = d.crossJoin(broadcast(ols)).crossJoin(broadcast(a0))
+        .select(col("k"), col("y"),
+          roundHU(col("y") - col("o_a") - col("o_b") * col("k"), 1e6).as("e"))
+        .withColumn("e1", lag("e", 1).over(Window.orderBy("k")))
+        .withColumn("y1", lag("y", 1).over(Window.orderBy("k")))
+        .localCheckpoint(false) // reused: rho + the transformed refit
+      val rho = resid.filter(col("e1").isNotNull)
+        .agg(roundHU(
+          sum(roundHU(col("e") * col("e1"), 1e8).cast(DecimalType(38, 8)))
+            .cast("double") /
+          sum(roundHU(col("e1") * col("e1"), 1e8).cast(DecimalType(38, 8)))
+            .cast("double"), 1e6).as("rho"))
+      val star = resid.filter(col("y1").isNotNull).crossJoin(broadcast(rho))
+        .select(col("rho"),
+          (col("k") - col("rho") * (col("k") - 1)).as("xs"),
+          roundHU(col("y") - col("rho") * col("y1"), 1e6).as("ys"))
+      val co = star.groupBy("rho")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xs").cast(DecimalType(38, 8))).cast("double").as("sx"),
+          sum(col("ys").cast(DecimalType(38, 8))).cast("double").as("sy"),
+          sum((col("xs") * col("xs")).cast(DecimalType(38, 8))).cast("double")
+            .as("sxx"),
+          sum((col("xs") * col("ys")).cast(DecimalType(38, 8))).cast("double")
+            .as("sxy"))
+      co.crossJoin(broadcast(ols))
+        .select(col("o_n").as("n_days"), col("rho"),
+          col("o_b").as("slope_ols"),
+          roundHU((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 1e6)
+            .as("slope_co"),
+          roundHU((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 1e6).as("intercept_co"))
+    }),
+
+    // L346 — Moran's I network autocorrelation (Moran 1950): do
+    // co-purchased parts have SIMILAR retail prices? I = (n/ΣW)·
+    // Σ_{ij} w_ij z_i z_j / Σ z_i² over the co-purchase edge list with
+    // unit weights — the graph-structured companion of daily_acf
+    // (autocorrelation along EDGES instead of time), the standard
+    // "does the network cluster on this attribute" audit before
+    // graph-feature engineering. One edge pass with two node-keyed
+    // label joins (the modularity shape), exact decimal sums; E[I] =
+    // −1/(n−1) reported alongside.
+    "moran_i" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val e = CheckpointBridge.partitionedCheckpoint(e0,
+        shufflePartitions(s), Seq("dst"), Seq("dst", "src"),
+        dedupSorted = true, declareStats = false)
+      val nodes = e.select(col("dst").as("node")).distinct()
+        .join(t(s, dir, "part").select(col("p_partkey").as("node"),
+          col("p_retailprice").as("p")), "node")
+        .localCheckpoint(false) // reused: mean + z + both edge joins
+      val mu = broadcast(nodes.agg(count(lit(1)).as("n"),
+        (sum(col("p").cast(DecimalType(38, 4))).cast("double") /
+          count(lit(1))).as("m")))
+      val z = nodes.crossJoin(mu)
+        .select(col("node"), roundHU(col("p") - col("m"), 1e4).as("z"),
+          col("n"))
+        .localCheckpoint(false) // reused: denominator + both endpoint joins
+      val den = z.agg(max("n").as("n"),
+        sum(roundHU(col("z") * col("z"), 1e4).cast(DecimalType(38, 4)))
+          .cast("double").as("szz"))
+      val num = e
+        .join(z.select(col("node").as("dst"), col("z").as("zd"))
+          .hint("shuffle_hash"), "dst")
+        .join(z.select(col("node").as("src"), col("z").as("zs"))
+          .hint("shuffle_hash"), "src")
+        .agg(count(lit(1)).as("w_sum"),
+          sum(roundHU(col("zs") * col("zd"), 1e4).cast(DecimalType(38, 4)))
+            .cast("double").as("szizj"))
+      num.crossJoin(broadcast(den))
+        .select(col("n").as("n_nodes"), col("w_sum").as("n_directed_edges"),
+          roundHU(col("n") / col("w_sum").cast("double") *
+            col("szizj") / col("szz"), 1e6).as("moran_i"),
+          roundHU(lit(-1.0) / (col("n") - 1), 1e6).as("expected_i"))
+    }),
+
+    // L347 — turning-point randomness test (Kendall 1973): count of
+    // local extrema in the daily revenue series against the i.i.d.
+    // expectation E[T] = 2(n−2)/3, Var = (16n−29)/90 — the cheapest
+    // published "is this series random or structured" screen, read
+    // before spending on ACF/decomposition. Strict inequalities (a
+    // flat step is not a turn — stated convention); lag/lead windows
+    // over the calendar-sized rollup (allowlisted); p via the shared
+    // A&S tail.
+    "turning_point_test" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(decSum(col("o_totalprice"), 2).as("y"))
+      val w = Window.orderBy("day")
+      val tp = d
+        .withColumn("yp", lag("y", 1).over(w))
+        .withColumn("yn", lead("y", 1).over(w))
+        .filter(col("yp").isNotNull && col("yn").isNotNull)
+        .select(when((col("y") - col("yp")) * (col("yn") - col("y")) < 0, 1L)
+          .otherwise(0L).as("turn"))
+        .agg(count(lit(1)).as("n_inner"), sum("turn").as("t"))
+      val n = col("n_inner") + 2
+      val ev = lit(2.0) * (n - 2) / 3.0
+      val vv = (lit(16.0) * n - 29.0) / 90.0
+      val z = roundHU((col("t") - ev) / sqrt(vv), 1e6)
+      val az = abs(z)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val pv = lit(2.0) * lit(0.3989422804014327) * exp(-az * az / 2.0) *
+        (lit(0.319381530) * tt + lit(-0.356563782) * tt * tt +
+          lit(1.781477937) * tt * tt * tt +
+          lit(-1.821255978) * tt * tt * tt * tt +
+          lit(1.330274429) * tt * tt * tt * tt * tt)
+      tp.select(n.as("n_days"), col("t").as("turning_points"),
+        roundHU(ev, 1e6).as("expected"), z.as("z"),
+        roundHU(pv, 1e8).as("p_value"))
+    }),
+
+    // L348 — Hodges–Lehmann location estimator (1963): the median of
+    // all Walsh averages (xᵢ+xⱼ)/2, i ≤ j, of daily revenue — the
+    // rank-based location number with 86% efficiency AND a 29%
+    // breakdown point, the robust center the plain median (50% but
+    // inefficient) and mean (efficient but 0% breakdown) bracket.
+    // Walsh pairs are calendar²-bounded (the pettitt/theilsen class);
+    // exact-percentile parity per the doc_len_quantiles precedent.
+    "hodges_lehmann" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(roundHU(decSum(col("o_totalprice"), 2) / 1e6, 1e6).as("y"))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .localCheckpoint(false) // reused: both Walsh-pair sides + median
+      val a = d.select(col("k").as("i"), col("y").as("yi"))
+      val b = d.select(col("k").as("j"), col("y").as("yj"))
+      val walsh = a.join(b, col("i") <= col("j"))
+        .select(roundHU((col("yi") + col("yj")) / 2.0, 1e6).as("w"))
+      walsh.agg(count(lit(1)).as("n_pairs"),
+          roundHU(expr("percentile(w, 0.5)"), 1e6).as("hl_estimate"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_days"),
+          roundHU(expr("percentile(y, 0.5)"), 1e6).as("plain_median"))))
+        .select(col("n_days"), col("n_pairs"), col("hl_estimate"),
+          col("plain_median"))
+    }),
+
+    // L349 — sample entropy (Richman & Moorman 2000; m = 2, r = 0.2σ):
+    // −ln(A/B) where B counts template pairs matching at length m and
+    // A at length m+1 over the daily event-value series — the
+    // regularity number behind "is this series predictable at all"
+    // (low SampEn ⇒ structure; high ⇒ noise), self-match-free unlike
+    // ApEn. Template pairs are calendar²-bounded (the pettitt class);
+    // the Chebyshev-distance matches compare 6dp-rounded values.
+    "sample_entropy" -> ((s, dir) => {
+      val d = dailyEvents(s, dir)
+        .select(col("day"), roundHU(col("v"), 1e2).as("x"))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("x1", lead("x", 1).over(Window.orderBy("day")))
+        .withColumn("x2", lead("x", 2).over(Window.orderBy("day")))
+        .filter(col("x2").isNotNull)
+        .localCheckpoint(false) // reused: r + both template-join sides
+      val r = broadcast(d.agg(count(lit(1)).as("nt"),
+        (sum(col("x").cast(DecimalType(38, 6))).cast("double") /
+          count(lit(1))).as("mx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 6))).cast("double")
+          .as("sxx"),
+        sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"))
+        .select(col("nt"),
+          roundHU(lit(0.2) * sqrt((col("sxx") - col("sx") * col("sx") /
+            col("nt")) / (col("nt") - 1.0)), 1e6).as("r")))
+      val a = d.select(col("k").as("i"), col("x").as("xi"),
+        col("x1").as("xi1"), col("x2").as("xi2"))
+      val b = d.select(col("k").as("j"), col("x").as("xj"),
+        col("x1").as("xj1"), col("x2").as("xj2"))
+      a.join(b, col("i") < col("j")).crossJoin(r)
+        .select(col("nt"), col("r"),
+          when(greatest(abs(col("xi") - col("xj")),
+            abs(col("xi1") - col("xj1"))) <= col("r"), 1L).otherwise(0L)
+            .as("bm"),
+          when(greatest(abs(col("xi") - col("xj")),
+            abs(col("xi1") - col("xj1")),
+            abs(col("xi2") - col("xj2"))) <= col("r"), 1L).otherwise(0L)
+            .as("am"))
+        .groupBy("nt", "r")
+        .agg(sum("bm").as("b_count"), sum("am").as("a_count"))
+        .select(col("nt").as("n_templates"), col("r"),
+          col("b_count"), col("a_count"),
+          when(col("a_count") > 0 && col("b_count") > 0,
+            roundHU(-log(col("a_count").cast("double") / col("b_count")),
+              1e6)).otherwise(lit(null)).as("sampen"))
+    }),
+
+    // L350 — normalized spectral entropy (the tsfeatures/forecastability
+    // number; Goerg 2013): H = −Σ p̂ₖ ln p̂ₖ / ln K over the normalized
+    // periodogram mass at harmonics k = 1..10 — one number from
+    // periodogram's table: ≈1 means white-noise-flat spectrum (don't
+    // bother forecasting), ≈0 means concentrated cycles (seasonal
+    // models will work). Same calendar-sized machinery.
+    "spectral_entropy" -> ((s, dir) => {
+      val counts = dailyEvents(s, dir).select(col("day"), col("n_ev"))
+      val mm = counts.agg(min("day").as("d0"), max("day").as("d1"),
+        (max("day") - min("day") + 1L).as("n"))
+        .localCheckpoint(false)
+      val grid = mm.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_ev"), lit(0L)).as("x"))
+      val ks = mm.select(explode(sequence(lit(1L), lit(10L))).as("k"),
+        col("d0"), col("n"))
+      val pk = series.join(broadcast(ks), series("day") >= ks("d0"))
+        .select(col("k"),
+          (lit(2.0 * math.Pi) * col("k") * (col("day") - col("d0")) /
+            col("n")).as("ang"), col("x"))
+        .select(col("k"),
+          roundHU(col("x") * cos(col("ang")), 1e8)
+            .cast(DecimalType(18, 8)).as("ct"),
+          roundHU(col("x") * sin(col("ang")), 1e8)
+            .cast(DecimalType(18, 8)).as("st"))
+        .groupBy("k")
+        .agg((sum("ct").cast("double") * sum("ct").cast("double") +
+          sum("st").cast("double") * sum("st").cast("double")).as("p"))
+        .select(col("k"), roundHU(col("p"), 1e6).as("p"))
+        .localCheckpoint(false) // reused: total mass + the entropy pass
+      val tot = broadcast(pk.agg(
+        sum(col("p").cast(DecimalType(38, 6))).cast("double").as("pt")))
+      pk.crossJoin(tot)
+        .select(roundHU(
+          when(col("p") > 0, -(col("p") / col("pt")) *
+            log(col("p") / col("pt"))).otherwise(lit(0.0)), 1e8)
+          .cast(DecimalType(18, 8)).as("term"))
+        .agg(sum("term").cast("double").as("h"))
+        .select(lit(10L).as("n_harmonics"),
+          roundHU(col("h"), 1e6).as("entropy"),
+          roundHU(col("h") / math.log(10.0), 1e6).as("spectral_entropy"))
+    }),
+
+    // L351 — Fisher randomization (sign-flip) test: is the
+    // week-over-week daily-value change symmetric around zero? T_obs =
+    // |mean Δ| against 99 DETERMINISTIC sign-flip replicates (the
+    // house Knuth-hash uniforms keyed by (day, replicate)), p = (1 +
+    // #{T_k ≥ T_obs})/(K+1) — the assumption-free location test next
+    // to the parametric battery (no normality, no large-n), and the
+    // template for any permutation test at scale: replicates fan out
+    // as a bounded crossJoin, never a data shuffle. Calendar × 99
+    // rows, exact decimal sums per replicate.
+    "randomization_test" -> ((s, dir) => {
+      val d = dailyEvents(s, dir)
+        .select(col("day"), roundHU(col("v"), 1e2).as("y"))
+      val diff = d.as("a").join(d.as("b"),
+          col("a.day") === col("b.day") + 7)
+        .select(col("a.day").as("day"),
+          roundHU(col("a.y") - col("b.y"), 1e2).as("dd"))
+        .localCheckpoint(false) // reused: observed stat + the replicates
+      val obs = broadcast(diff.agg(count(lit(1)).as("n"),
+        roundHU(abs(sum(col("dd").cast(DecimalType(38, 2))).cast("double") /
+          count(lit(1))), 1e6).as("t_obs")))
+      val reps = diff.select(col("day"), col("dd"),
+          explode(sequence(lit(1L), lit(99L))).as("rep"))
+        .select(col("rep"),
+          when(pmod(col("day") * lit(2654435761L) + col("rep") *
+            lit(40503L), lit(2147483647L)) % 2 === 0, col("dd"))
+            .otherwise(-col("dd")).as("sd"))
+        .groupBy("rep")
+        .agg(abs(sum(col("sd").cast(DecimalType(38, 2))).cast("double"))
+          .as("ts"))
+      reps.crossJoin(obs)
+        .select(col("n"), col("t_obs"),
+          when(roundHU(col("ts") / col("n"), 1e6) >= col("t_obs"), 1L)
+            .otherwise(0L).as("ge"))
+        .groupBy("n", "t_obs")
+        .agg(count(lit(1)).as("k_reps"), sum("ge").as("n_ge"))
+        .select(col("n").as("n_days"), col("t_obs"), col("k_reps"),
+          roundHU((col("n_ge") + 1.0) / (col("k_reps") + 1.0), 1e6)
+            .as("p_value"))
+    }),
+
+    // L352 — detrended fluctuation analysis (Peng et al. 1994; scales
+    // s ∈ {4,8,16,32}): per-segment linear detrending of the
+    // integrated profile, F(s) = √(mean residual variance), α = the
+    // log-log slope — the long-range-dependence exponent that, unlike
+    // hurst_exponent's R/S, is robust to nonstationary level shifts
+    // (α ≈ 0.5 noise, ≈ 1 1/f, ≈ 1.5 random walk). Profile via one
+    // calendar window (allowlisted); per-(scale, segment) OLS residual
+    // variance in closed form; 4-point log-log fit.
+    "dfa_alpha" -> ((s, dir) => {
+      val prof = dailyEvents(s, dir)
+        .select(col("day"), roundHU(col("v"), 1e2).as("x"))
+        .crossJoin(broadcast(dailyEvents(s, dir).agg(
+          (sum(col("v").cast(DecimalType(38, 2))).cast("double") /
+            count(lit(1))).as("mx"))))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("yprof", roundHU(sum(roundHU(col("x") - col("mx"), 1e2)
+          .cast(DecimalType(38, 2))).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 1e2))
+        .select(col("k"), col("yprof"))
+        .localCheckpoint(false) // reused: all four scale passes
+      val scales = prof.sparkSession.range(0, 1)
+        .select(explode(array(lit(4L), lit(8L), lit(16L), lit(32L))).as("s"))
+      val seg = prof.crossJoin(broadcast(scales))
+        .select(col("s"), expr("(k - 1) div s").as("seg"),
+          col("k").cast("double").as("t"), col("yprof").as("y"))
+      val segN = seg.groupBy("s", "seg").agg(count(lit(1)).as("m"))
+        .filter(col("m") === col("s")) // drop the ragged tail segment
+      val fits = seg.join(segN, Seq("s", "seg"))
+        .groupBy("s", "seg")
+        .agg(count(lit(1)).as("m"),
+          sum(col("t").cast(DecimalType(38, 8))).cast("double").as("st"),
+          sum(col("y").cast(DecimalType(38, 8))).cast("double").as("sy"),
+          sum((col("t") * col("t")).cast(DecimalType(38, 8))).cast("double")
+            .as("stt"),
+          sum((col("t") * col("y")).cast(DecimalType(38, 8))).cast("double")
+            .as("sty"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 8))).cast("double")
+            .as("syy"))
+        .select(col("s"),
+          roundHU((col("syy") - col("sy") * col("sy") / col("m") -
+            (col("sty") - col("st") * col("sy") / col("m")) *
+              (col("sty") - col("st") * col("sy") / col("m")) /
+              (col("stt") - col("st") * col("st") / col("m"))) / col("m"),
+            1e6).as("v"))
+      val fs = fits.groupBy("s")
+        .agg(count(lit(1)).as("n_segments"),
+          roundHU(sqrt(sum(col("v").cast(DecimalType(38, 6))).cast("double") /
+            count(lit(1))), 1e6).as("f"))
+        .select(col("s"), col("n_segments"),
+          roundHU(log(col("s").cast("double")), 1e8).as("ls"),
+          roundHU(log(col("f")), 1e8).as("lf"), col("f"))
+        .localCheckpoint(false) // reused: the alpha fit + the output rows
+      val alpha = broadcast(fs.agg(count(lit(1)).as("np"),
+        sum(col("ls").cast(DecimalType(38, 8))).cast("double").as("sx"),
+        sum(col("lf").cast(DecimalType(38, 8))).cast("double").as("sy"),
+        sum((col("ls") * col("ls")).cast(DecimalType(38, 8))).cast("double")
+          .as("sxx"),
+        sum((col("ls") * col("lf")).cast(DecimalType(38, 8))).cast("double")
+          .as("sxy"))
+        .select(roundHU((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx")), 1e6)
+          .as("dfa_alpha")))
+      fs.crossJoin(alpha)
+        .select(col("s").as("scale"), col("n_segments"), col("f")
+          .as("fluctuation"), col("dfa_alpha"))
+        .orderBy("scale")
     }))
 
   private val sqlDaily =
@@ -1238,14 +1640,14 @@ object AnalyticsQueries {
         |         CAST(floor(log10(CAST(COUNT(*) AS DOUBLE) + 1.0) * 1e4 + 0.5)
         |              AS BIGINT) AS yi
         |  FROM orders GROUP BY o_custkey),
-        |cells AS (SELECT ck, xi, yi, xi // 750 AS cx, yi // 750 AS cy FROM pts),
+        |cells AS (SELECT ck, xi, yi, xi // 300 AS cx, yi // 300 AS cy FROM pts),
         |pairs AS (
         |  SELECT a.ck AS ck, b.ck AS bk
         |  FROM cells a JOIN cells b
         |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
         |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
         |   AND (a.xi - b.xi) * (a.xi - b.xi) +
-        |       (a.yi - b.yi) * (a.yi - b.yi) <= 562500),
+        |       (a.yi - b.yi) * (a.yi - b.yi) <= 90000),
         |cores AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_nbr,
         |                 COUNT(*) >= 4 AS core
         |          FROM pairs GROUP BY ck),
@@ -2041,6 +2443,309 @@ object AnalyticsQueries {
          |             * 1e6 + 5e-1) / 1e6 AS chi2
          |FROM agg""".stripMargin
     },
+
+    "cochrane_orcutt" ->
+      """WITH d0 AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y0
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |         floor(y0 / 1e6 * 1e6 + 5e-1) / 1e6 AS y
+        |  FROM d0),
+        |ols AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS o_n,
+        |         floor((COUNT(*) * CAST(SUM(CAST(k * y AS DECIMAL(38,8))) AS DOUBLE)
+        |                - CAST(SUM(CAST(k AS DECIMAL(38,8))) AS DOUBLE) *
+        |                  CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE)) /
+        |               (COUNT(*) * CAST(SUM(CAST(k * k AS DECIMAL(38,8))) AS DOUBLE)
+        |                - CAST(SUM(CAST(k AS DECIMAL(38,8))) AS DOUBLE) *
+        |                  CAST(SUM(CAST(k AS DECIMAL(38,8))) AS DOUBLE))
+        |               * 1e6 + 5e-1) / 1e6 AS o_b
+        |  FROM d),
+        |a0 AS (
+        |  SELECT floor((CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE)
+        |                - ols.o_b * CAST(SUM(CAST(k AS DECIMAL(38,8))) AS DOUBLE))
+        |               / COUNT(*) * 1e6 + 5e-1) / 1e6 AS o_a
+        |  FROM d, ols GROUP BY ols.o_b),
+        |resid AS (
+        |  SELECT k, y,
+        |         floor((y - a0.o_a - ols.o_b * k) * 1e6 + 5e-1) / 1e6 AS e,
+        |         lag(floor((y - a0.o_a - ols.o_b * k) * 1e6 + 5e-1) / 1e6)
+        |           OVER (ORDER BY k) AS e1,
+        |         lag(y) OVER (ORDER BY k) AS y1
+        |  FROM d, ols, a0),
+        |rho AS (
+        |  SELECT floor(
+        |    CAST(SUM(CAST(floor(e * e1 * 1e8 + 5e-1) / 1e8 AS DECIMAL(38,8)))
+        |         AS DOUBLE) /
+        |    CAST(SUM(CAST(floor(e1 * e1 * 1e8 + 5e-1) / 1e8 AS DECIMAL(38,8)))
+        |         AS DOUBLE) * 1e6 + 5e-1) / 1e6 AS rho
+        |  FROM resid WHERE e1 IS NOT NULL),
+        |star AS (
+        |  SELECT rho.rho, k - rho.rho * (k - 1) AS xs,
+        |         floor((y - rho.rho * y1) * 1e6 + 5e-1) / 1e6 AS ys
+        |  FROM resid, rho WHERE y1 IS NOT NULL),
+        |co AS (
+        |  SELECT rho, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(xs AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(ys AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(xs * xs AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(xs * ys AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        |  FROM star GROUP BY rho)
+        |SELECT ols.o_n AS n_days, co.rho, ols.o_b AS slope_ols,
+        |       floor((co.n * co.sxy - co.sx * co.sy) /
+        |             (co.n * co.sxx - co.sx * co.sx) * 1e6 + 5e-1) / 1e6
+        |         AS slope_co,
+        |       floor((co.sy - (co.n * co.sxy - co.sx * co.sy) /
+        |              (co.n * co.sxx - co.sx * co.sx) * co.sx) / co.n
+        |             * 1e6 + 5e-1) / 1e6 AS intercept_co
+        |FROM co, ols""".stripMargin,
+
+    "moran_i" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+        |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+        |nodes AS (
+        |  SELECT n0.node, part.p_retailprice AS p
+        |  FROM (SELECT DISTINCT dst AS node FROM e) n0
+        |  JOIN part ON part.p_partkey = n0.node),
+        |mu AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(p AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM nodes),
+        |z AS (SELECT node, floor((p - mu.m) * 1e4 + 5e-1) / 1e4 AS z, mu.n
+        |      FROM nodes, mu),
+        |den AS (
+        |  SELECT MAX(n) AS n,
+        |         CAST(SUM(CAST(floor(z * z * 1e4 + 5e-1) / 1e4
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS szz
+        |  FROM z),
+        |num AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS w_sum,
+        |         CAST(SUM(CAST(floor(zs.z * zd.z * 1e4 + 5e-1) / 1e4
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS szizj
+        |  FROM e JOIN z zd ON e.dst = zd.node JOIN z zs ON e.src = zs.node)
+        |SELECT den.n AS n_nodes, num.w_sum AS n_directed_edges,
+        |       floor(den.n / CAST(num.w_sum AS DOUBLE) * num.szizj / den.szz
+        |             * 1e6 + 5e-1) / 1e6 AS moran_i,
+        |       floor(-1.0 / (den.n - 1) * 1e6 + 5e-1) / 1e6 AS expected_i
+        |FROM num, den""".stripMargin,
+
+    "turning_point_test" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |tp0 AS (
+        |  SELECT y, lag(y) OVER (ORDER BY day) AS yp,
+        |         lead(y) OVER (ORDER BY day) AS yn
+        |  FROM d),
+        |tp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_inner,
+        |         CAST(SUM(CASE WHEN (y - yp) * (yn - y) < 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS t
+        |  FROM tp0 WHERE yp IS NOT NULL AND yn IS NOT NULL),
+        |st AS (
+        |  SELECT n_inner + 2 AS n_days, t,
+        |         2.0 * (n_inner + 2 - 2) / 3.0 AS ev,
+        |         (16.0 * (n_inner + 2) - 29.0) / 90.0 AS vv
+        |  FROM tp),
+        |zz AS (
+        |  SELECT n_days, t, ev,
+        |         floor((t - ev) / sqrt(vv) * 1e6 + 5e-1) / 1e6 AS z
+        |  FROM st),
+        |pv AS (
+        |  SELECT n_days, t, ev, z,
+        |         2.0 * 0.3989422804014327 * exp(-az * az / 2.0) *
+        |           (0.319381530 * tt + -0.356563782 * tt * tt +
+        |            1.781477937 * tt * tt * tt +
+        |            -1.821255978 * tt * tt * tt * tt +
+        |            1.330274429 * tt * tt * tt * tt * tt) AS p
+        |  FROM (SELECT n_days, t, ev, z, abs(z) AS az,
+        |               1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zz))
+        |SELECT n_days, t AS turning_points,
+        |       floor(ev * 1e6 + 5e-1) / 1e6 AS expected, z,
+        |       floor(p * 1e8 + 5e-1) / 1e8 AS p_value
+        |FROM pv""".stripMargin,
+
+    "hodges_lehmann" ->
+      """WITH d AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k, y
+        |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |               floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                          AS DOUBLE) / 1e6 * 1e6 + 5e-1) / 1e6 AS y
+        |        FROM orders GROUP BY 1)),
+        |walsh AS (
+        |  SELECT floor((a.y + b.y) / 2.0 * 1e6 + 5e-1) / 1e6 AS w
+        |  FROM d a JOIN d b ON a.k <= b.k)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       floor(quantile_cont(w, 0.5) * 1e6 + 5e-1) / 1e6 AS hl_estimate,
+        |       (SELECT floor(quantile_cont(y, 0.5) * 1e6 + 5e-1) / 1e6 FROM d)
+        |         AS plain_median
+        |FROM walsh""".stripMargin,
+
+    "sample_entropy" ->
+      s"""WITH c AS ($sqlDaily),
+         |d0 AS (
+         |  SELECT day, floor(v * 1e2 + 5e-1) / 1e2 AS x FROM c),
+         |d AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k, x,
+         |         lead(x, 1) OVER (ORDER BY day) AS x1,
+         |         lead(x, 2) OVER (ORDER BY day) AS x2
+         |  FROM d0
+         |  QUALIFY x2 IS NOT NULL),
+         |r AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+         |         floor(0.2 * sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,6)))
+         |                 AS DOUBLE)
+         |                - CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) *
+         |                  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+         |                  / COUNT(*))
+         |               / (COUNT(*) - 1.0)) * 1e6 + 5e-1) / 1e6 AS r
+         |  FROM d),
+         |pairs AS (
+         |  SELECT r.nt, r.r,
+         |         CASE WHEN greatest(abs(a.x - b.x), abs(a.x1 - b.x1)) <= r.r
+         |              THEN 1 ELSE 0 END AS bm,
+         |         CASE WHEN greatest(abs(a.x - b.x), abs(a.x1 - b.x1),
+         |                            abs(a.x2 - b.x2)) <= r.r
+         |              THEN 1 ELSE 0 END AS am
+         |  FROM d a JOIN d b ON a.k < b.k CROSS JOIN r)
+         |SELECT nt AS n_templates, r,
+         |       CAST(SUM(bm) AS BIGINT) AS b_count,
+         |       CAST(SUM(am) AS BIGINT) AS a_count,
+         |       CASE WHEN SUM(am) > 0 AND SUM(bm) > 0
+         |            THEN floor(-ln(CAST(SUM(am) AS DOUBLE) / SUM(bm))
+         |                       * 1e6 + 5e-1) / 1e6 END AS sampen
+         |FROM pairs GROUP BY nt, r""".stripMargin,
+
+    "spectral_entropy" ->
+      s"""WITH c AS ($sqlDaily),
+         |mm AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+         |              MAX(day) - MIN(day) + 1 AS n FROM c),
+         |g AS (SELECT unnest(generate_series(mm.d0, mm.d1)) AS day FROM mm),
+         |s AS (SELECT g.day, COALESCE(c.n_ev, 0) AS x
+         |      FROM g LEFT JOIN c USING (day)),
+         |ks AS (SELECT unnest(generate_series(1, 10)) AS k, d0, n FROM mm),
+         |t AS (SELECT ks.k,
+         |             2.0 * pi() * ks.k * (s.day - ks.d0) / ks.n AS ang, s.x
+         |      FROM s JOIN ks ON s.day >= ks.d0),
+         |agg AS (
+         |  SELECT k,
+         |    CAST(SUM(CAST(floor(x * cos(ang) * 1e8 + 5e-1) / 1e8
+         |                  AS DECIMAL(18,8))) AS DOUBLE) AS c,
+         |    CAST(SUM(CAST(floor(x * sin(ang) * 1e8 + 5e-1) / 1e8
+         |                  AS DECIMAL(18,8))) AS DOUBLE) AS sn
+         |  FROM t GROUP BY k),
+         |pk AS (SELECT k, floor((c * c + sn * sn) * 1e6 + 5e-1) / 1e6 AS p
+         |       FROM agg),
+         |tot AS (SELECT CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS pt
+         |        FROM pk),
+         |terms AS (
+         |  SELECT CAST(floor((CASE WHEN p > 0
+         |           THEN -(p / tot.pt) * ln(p / tot.pt) ELSE 0.0 END)
+         |           * 1e8 + 5e-1) / 1e8 AS DECIMAL(18,8)) AS term
+         |  FROM pk CROSS JOIN tot)
+         |SELECT CAST(10 AS BIGINT) AS n_harmonics,
+         |       floor(CAST(SUM(term) AS DOUBLE) * 1e6 + 5e-1) / 1e6 AS entropy,
+         |       floor(CAST(SUM(term) AS DOUBLE) / 2.302585092994046
+         |             * 1e6 + 5e-1) / 1e6 AS spectral_entropy
+         |FROM terms""".stripMargin,
+
+    "randomization_test" ->
+      s"""WITH c AS ($sqlDaily),
+         |d AS (SELECT day, floor(v * 1e2 + 5e-1) / 1e2 AS y FROM c),
+         |diff AS (
+         |  SELECT a.day, floor((a.y - b.y) * 1e2 + 5e-1) / 1e2 AS dd
+         |  FROM d a JOIN d b ON a.day = b.day + 7),
+         |obs AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         floor(abs(CAST(SUM(CAST(dd AS DECIMAL(38,2))) AS DOUBLE)
+         |                   / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS t_obs
+         |  FROM diff),
+         |reps AS (
+         |  SELECT r.rep,
+         |         abs(CAST(SUM(CAST(
+         |           CASE WHEN ((diff.day * 2654435761 + r.rep * 40503)
+         |                      % 2147483647) % 2 = 0
+         |                THEN diff.dd ELSE -diff.dd END
+         |           AS DECIMAL(38,2))) AS DOUBLE)) AS ts
+         |  FROM diff CROSS JOIN (SELECT unnest(generate_series(1, 99)) AS rep) r
+         |  GROUP BY r.rep)
+         |SELECT obs.n AS n_days, obs.t_obs,
+         |       CAST(COUNT(*) AS BIGINT) AS k_reps,
+         |       floor((CAST(SUM(CASE WHEN floor(reps.ts / obs.n * 1e6 + 5e-1)
+         |                                 / 1e6 >= obs.t_obs
+         |                           THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) /
+         |             (COUNT(*) + 1.0) * 1e6 + 5e-1) / 1e6 AS p_value
+         |FROM reps, obs GROUP BY obs.n, obs.t_obs""".stripMargin,
+
+    "dfa_alpha" ->
+      s"""WITH c AS ($sqlDaily),
+         |d AS (SELECT day, floor(v * 1e2 + 5e-1) / 1e2 AS x FROM c),
+         |mu AS (SELECT CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE)
+         |              / COUNT(*) AS mx FROM c),
+         |prof AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         |         floor(CAST(SUM(CAST(floor((x - mu.mx) * 1e2 + 5e-1) / 1e2
+         |                 AS DECIMAL(38,2))) OVER (ORDER BY day
+         |                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |               * 1e2 + 5e-1) / 1e2 AS yprof
+         |  FROM d, mu),
+         |seg AS (
+         |  SELECT sc.s, (prof.k - 1) // sc.s AS seg,
+         |         CAST(prof.k AS DOUBLE) AS t, prof.yprof AS y
+         |  FROM prof CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS s) sc),
+         |segn AS (
+         |  SELECT s, seg, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM seg GROUP BY s, seg HAVING COUNT(*) = MAX(s)),
+         |fits AS (
+         |  SELECT seg.s,
+         |         floor((CAST(SUM(CAST(seg.y * seg.y AS DECIMAL(38,8))) AS DOUBLE)
+         |            - CAST(SUM(CAST(seg.y AS DECIMAL(38,8))) AS DOUBLE) *
+         |              CAST(SUM(CAST(seg.y AS DECIMAL(38,8))) AS DOUBLE)
+         |              / COUNT(*)
+         |            - (CAST(SUM(CAST(seg.t * seg.y AS DECIMAL(38,8))) AS DOUBLE)
+         |               - CAST(SUM(CAST(seg.t AS DECIMAL(38,8))) AS DOUBLE) *
+         |                 CAST(SUM(CAST(seg.y AS DECIMAL(38,8))) AS DOUBLE)
+         |                 / COUNT(*)) *
+         |              (CAST(SUM(CAST(seg.t * seg.y AS DECIMAL(38,8))) AS DOUBLE)
+         |               - CAST(SUM(CAST(seg.t AS DECIMAL(38,8))) AS DOUBLE) *
+         |                 CAST(SUM(CAST(seg.y AS DECIMAL(38,8))) AS DOUBLE)
+         |                 / COUNT(*)) /
+         |              (CAST(SUM(CAST(seg.t * seg.t AS DECIMAL(38,8))) AS DOUBLE)
+         |               - CAST(SUM(CAST(seg.t AS DECIMAL(38,8))) AS DOUBLE) *
+         |                 CAST(SUM(CAST(seg.t AS DECIMAL(38,8))) AS DOUBLE)
+         |                 / COUNT(*)))
+         |               / COUNT(*) * 1e6 + 5e-1) / 1e6 AS v
+         |  FROM seg JOIN segn ON seg.s = segn.s AND seg.seg = segn.seg
+         |  GROUP BY seg.s, seg.seg),
+         |fs AS (
+         |  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |         floor(sqrt(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+         |                    / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS f
+         |  FROM fits GROUP BY s),
+         |fl AS (
+         |  SELECT s, n_segments, f,
+         |         floor(ln(CAST(s AS DOUBLE)) * 1e8 + 5e-1) / 1e8 AS ls,
+         |         floor(ln(f) * 1e8 + 5e-1) / 1e8 AS lf
+         |  FROM fs),
+         |alpha AS (
+         |  SELECT floor((COUNT(*) * CAST(SUM(CAST(ls * lf AS DECIMAL(38,8)))
+         |                               AS DOUBLE)
+         |                - CAST(SUM(CAST(ls AS DECIMAL(38,8))) AS DOUBLE) *
+         |                  CAST(SUM(CAST(lf AS DECIMAL(38,8))) AS DOUBLE)) /
+         |               (COUNT(*) * CAST(SUM(CAST(ls * ls AS DECIMAL(38,8)))
+         |                               AS DOUBLE)
+         |                - CAST(SUM(CAST(ls AS DECIMAL(38,8))) AS DOUBLE) *
+         |                  CAST(SUM(CAST(ls AS DECIMAL(38,8))) AS DOUBLE))
+         |               * 1e6 + 5e-1) / 1e6 AS dfa_alpha
+         |  FROM fl)
+         |SELECT fl.s AS scale, fl.n_segments, fl.f AS fluctuation,
+         |       alpha.dfa_alpha
+         |FROM fl CROSS JOIN alpha ORDER BY scale""".stripMargin,
 
     "negbin_fit" ->
       """WITH cu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c

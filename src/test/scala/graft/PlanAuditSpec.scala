@@ -137,7 +137,12 @@ class PlanAuditSpec extends SparkSpec {
       // so the frame is constant-sized; kendall_w's only unpartitioned
       // window is exclusivePrefix's constant CumBuckets carry rollup
       // (the wilcoxon/spearman class)
-      "theta_method", "croston", "kendall_w")
+      "theta_method", "croston", "kendall_w",
+      // batch-4 time-series family: every ordered window (lag/lead,
+      // row_number, profile cumsum) runs over the calendar-sized daily
+      // rollup — the durbin_watson / seasonal_decompose class
+      "cochrane_orcutt", "turning_point_test", "hodges_lehmann",
+      "sample_entropy", "dfa_alpha")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

@@ -242,6 +242,69 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(d(r, "kendall_w") > 0.5, s"W ${d(r, "kendall_w")}")
   }
 
+  test("cochrane_orcutt: rho inside (-1,1), corrected slope finite") {
+    val r = q("cochrane_orcutt").head()
+    assert(math.abs(d(r, "rho")) < 1.0, s"rho ${d(r, "rho")}")
+    assert(!d(r, "slope_co").isNaN && !d(r, "slope_co").isInfinite)
+    assert(l(r, "n_days") > 2)
+  }
+
+  test("moran_i: inside [-1,1]-ish bounds with the right expectation") {
+    val r = q("moran_i").head()
+    assert(math.abs(d(r, "moran_i")) <= 1.5, s"I ${d(r, "moran_i")}")
+    assert(math.abs(d(r, "expected_i") -
+      math.floor(-1.0 / (l(r, "n_nodes") - 1) * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("turning_point_test: T bracketed by the interior length") {
+    val r = q("turning_point_test").head()
+    assert(l(r, "turning_points") >= 0 &&
+      l(r, "turning_points") <= l(r, "n_days") - 2)
+    assert(d(r, "p_value") >= 0 && d(r, "p_value") <= 1)
+  }
+
+  test("hodges_lehmann: pair count is n(n+1)/2 and HL is a plausible center") {
+    val r = q("hodges_lehmann").head()
+    val n = l(r, "n_days")
+    assert(l(r, "n_pairs") === n * (n + 1) / 2)
+    // HL lies within the data range spanned by the Walsh averages
+    assert(d(r, "hl_estimate") > 0)
+  }
+
+  test("sample_entropy: A-matches are a subset of B-matches") {
+    val r = q("sample_entropy").head()
+    assert(l(r, "a_count") <= l(r, "b_count"))
+    assert(d(r, "r") > 0)
+    if (!r.isNullAt(r.fieldIndex("sampen"))) assert(d(r, "sampen") >= 0)
+  }
+
+  test("spectral_entropy: normalized entropy inside [0,1]") {
+    val r = q("spectral_entropy").head()
+    assert(d(r, "spectral_entropy") >= 0 &&
+      d(r, "spectral_entropy") <= 1.0 + 1e-6)
+    assert(math.abs(d(r, "spectral_entropy") -
+      math.floor(d(r, "entropy") / math.log(10.0) * 1e6 + 0.5) / 1e6) < 1e-3)
+  }
+
+  test("randomization_test: p in [1/100, 1] with 99 replicates") {
+    val r = q("randomization_test").head()
+    assert(l(r, "k_reps") === 99L)
+    assert(d(r, "p_value") >= 0.01 - 1e-9 && d(r, "p_value") <= 1.0)
+    assert(d(r, "t_obs") >= 0)
+  }
+
+  test("dfa_alpha: known scales, positive fluctuations, shared alpha") {
+    val rows = q("dfa_alpha").orderBy("scale").collect()
+    // scales with no complete segment drop (a ~30-day sf0.001 series
+    // has none at s = 32) — both engines drop them identically
+    assert(rows.nonEmpty)
+    assert(rows.map(l(_, "scale")).toSet.subsetOf(Set(4L, 8L, 16L, 32L)))
+    rows.foreach(r => assert(d(r, "fluctuation") > 0))
+    assert(rows.map(d(_, "dfa_alpha")).distinct.length === 1)
+    // integrated profile of any real series: alpha positive
+    assert(d(rows.head, "dfa_alpha") > 0)
+  }
+
   test("mmd_shift: near-zero for identically-distributed halves, pairs complete") {
     val r = q("mmd_shift").head()
     // U-statistic can dip slightly negative; it must not be wildly so
