@@ -26,13 +26,23 @@ def run(sf):
     # converge on the least-perturbed timing per query
     path = f"/tmp/scaling_{sf}.json"
     prev = json.load(open(path)) if os.path.exists(path) else None
+    # SPARK_GRAFT_SCALING_REUSE=1: when a cached per-SF file already
+    # exists (e.g. seeded from the round's committed full-sweep report
+    # at the SAME config — 32 cpus, min-of-3), skip re-benching that SF
+    # and use it as-is. Only legitimate for files produced by a real
+    # graft.Bench run on the current build.
+    if prev is not None and os.environ.get("SPARK_GRAFT_SCALING_REUSE") == "1":
+        print(f"== reuse cached {sf}", flush=True)
+        return prev
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
                SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_ITERS="3",
                SPARK_GRAFT_BENCH_REPORT=path)
     print(f"== bench {sf}", flush=True)
-    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+    # plain-java fork (tools/run_bench.sh), not sbt: no build-server
+    # contention and no per-leg sbt startup in the timing environment
+    subprocess.run(["tools/run_bench.sh", "", path], env=env,
                    cwd="/root/repo", check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
     fresh = json.load(open(path))
