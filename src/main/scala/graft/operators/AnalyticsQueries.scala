@@ -1392,11 +1392,30 @@ object AnalyticsQueries {
       val b = d.select(col("k").as("j"), col("y").as("yj"))
       val walsh = a.join(b, col("i") <= col("j"))
         .select(roundHU((col("yi") + col("yj")) / 2.0, 1e6).as("w"))
-      walsh.agg(count(lit(1)).as("n_pairs"),
-          roundHU(expr("percentile(w, 0.5)"), 1e6).as("hl_estimate"))
+      // median via the two-phase exclusivePrefix rank, NOT percentile():
+      // Spark's exact Percentile buffers every value into one aggregate
+      // buffer — 2.9M Walsh rows made this the sweep's #2 query (10.3s)
+      // and at 100 TB it is a driver-sized-state smell. Distinct-value
+      // counts + the bucketed running sum pick the two middle order
+      // statistics and interpolate exactly like quantile_cont.
+      val pv = walsh.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val ranked = CoreQueries.exclusivePrefix(pv, "w", Seq("cnt"))
+      val np = broadcast(pv.agg(sum("cnt").as("np")))
+      val mids = ranked.crossJoin(np)
+        .select(col("w"), col("cnt"), col("cum_cnt"),
+          expr("(np + 1) div 2").as("kl"),
+          expr("np div 2 + 1").as("kh"))
+      val med = mids
+        .select(
+          sum(when(col("cum_cnt") < col("kl") &&
+            col("kl") <= col("cum_cnt") + col("cnt"), col("w"))).as("lo"),
+          sum(when(col("cum_cnt") < col("kh") &&
+            col("kh") <= col("cum_cnt") + col("cnt"), col("w"))).as("hi"))
+        .select(roundHU((col("lo") + col("hi")) / 2.0, 1e6).as("hl_estimate"))
+      med.crossJoin(broadcast(np))
         .crossJoin(broadcast(d.agg(count(lit(1)).as("n_days"),
           roundHU(expr("percentile(y, 0.5)"), 1e6).as("plain_median"))))
-        .select(col("n_days"), col("n_pairs"), col("hl_estimate"),
+        .select(col("n_days"), col("np").as("n_pairs"), col("hl_estimate"),
           col("plain_median"))
     }),
 
