@@ -1615,6 +1615,165 @@ object AnalyticsQueries {
         .select(col("s").as("scale"), col("n_segments"), col("f")
           .as("fluctuation"), col("dfa_alpha"))
         .orderBy("scale")
+    }),
+
+    // L353 — content-defined chunking dedup profile (LBFS,
+    // Muthitacharoen et al. 2001; the FastCDC family): chunk
+    // boundaries fall where the rolling token hash ≡ 0 (mod 64), so
+    // chunk edges survive insertions/deletions — the dedup granularity
+    // that FIXED-window chunking (doc_chunks) destroys with one
+    // shifted token. Per source: chunk count, distinct-fingerprint
+    // count, the duplicated-chunk rate, and chunks shared across
+    // documents — the storage/near-dup readout at sub-document
+    // granularity. All windows are doc-partitioned; fingerprints ride
+    // the house (a·31+b) mod P fold, so DuckDB replays them exactly.
+    "cdc_chunking" -> ((s, dir) => {
+      import graft.llm.TextOps.tokenHashes
+      val mask = 64L
+      val th = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(tokenHashes(col("text"))))
+        .select(col("doc_id"), col("source"), col("pos"),
+          col("col").as("h"),
+          when(col("col") % mask === 0L, 1L).otherwise(0L).as("b"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = th
+        .withColumn("chunk", coalesce(sum("b").over(wDoc), lit(0L)))
+        .groupBy(col("doc_id"), col("source"), col("chunk"))
+        .agg(count(lit(1)).as("len"),
+          sort_array(collect_list(struct(col("pos"), col("h")))).as("hs"))
+        .select(col("doc_id"), col("source"), col("len"),
+          aggregate(expr("transform(hs, x -> x.h)"), lit(0L),
+            (a, b) => (a * 31 + b) % graft.llm.TextOps.HashP).as("fp"))
+        .localCheckpoint(false) // reused: per-source rollup + cross-doc
+      val crossDoc = chunks.groupBy("source", "fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .groupBy("source")
+        .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("fp").as("n_unique"),
+          roundHU(avg("len"), 1e6).as("avg_chunk_len"))
+        .join(crossDoc, "source")
+        .select(col("source"), col("n_chunks"), col("n_unique"),
+          roundHU(lit(1.0) - col("n_unique").cast("double") / col("n_chunks"),
+            1e6).as("dup_chunk_rate"),
+          col("avg_chunk_len"), col("n_shared_chunks"))
+        .orderBy("source")
+    }),
+
+    // L354 — Geary's C local autocorrelation (Geary 1954): C = (n−1)·
+    // Σw_ij(z_i−z_j)² / (2W·Σz²) on the same price-over-co-purchase
+    // frame as moran_i — the LOCAL-difference statistic read beside
+    // Moran's cross-product one (C is sensitive to neighbor-level
+    // contrast where I reads global structure; C < 1 clustered, > 1
+    // dispersed). Same single edge pass + node-keyed joins.
+    "geary_c" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      val bo = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("items"))
+      val e0 = bo.select(explode(col("items")).as("src"), col("items"))
+        .select(col("src"), explode(col("items")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val e = CheckpointBridge.partitionedCheckpoint(e0,
+        shufflePartitions(s), Seq("dst"), Seq("dst", "src"),
+        dedupSorted = true, declareStats = false)
+      val nodes = e.select(col("dst").as("node")).distinct()
+        .join(t(s, dir, "part").select(col("p_partkey").as("node"),
+          col("p_retailprice").as("p")), "node")
+        .localCheckpoint(false)
+      val mu = broadcast(nodes.agg(count(lit(1)).as("n"),
+        (sum(col("p").cast(DecimalType(38, 4))).cast("double") /
+          count(lit(1))).as("m")))
+      val z = nodes.crossJoin(mu)
+        .select(col("node"), roundHU(col("p") - col("m"), 1e4).as("z"),
+          col("n"))
+        .localCheckpoint(false)
+      val den = z.agg(max("n").as("n"),
+        sum(roundHU(col("z") * col("z"), 1e4).cast(DecimalType(38, 4)))
+          .cast("double").as("szz"))
+      val num = e
+        .join(z.select(col("node").as("dst"), col("z").as("zd"))
+          .hint("shuffle_hash"), "dst")
+        .join(z.select(col("node").as("src"), col("z").as("zs"))
+          .hint("shuffle_hash"), "src")
+        .agg(count(lit(1)).as("w_sum"),
+          sum(roundHU((col("zs") - col("zd")) * (col("zs") - col("zd")),
+            1e4).cast(DecimalType(38, 4))).cast("double").as("sdiff2"))
+      num.crossJoin(broadcast(den))
+        .select(col("n").as("n_nodes"), col("w_sum").as("n_directed_edges"),
+          roundHU((col("n") - 1) * col("sdiff2") /
+            (lit(2.0) * col("w_sum") * col("szz")), 1e6).as("geary_c"))
+    }),
+
+    // L355 — Bass diffusion fit (Bass 1969, the discrete OLS form):
+    // new adopters n_t = a + b·N_{t−1} + c·N²_{t−1} over the first-
+    // event adoption series, back-solved to market size m, innovation
+    // p and imitation q — the product-adoption forecast that separates
+    // "advertising-driven" from "word-of-mouth" growth, one level past
+    // cumulative_users' raw curve. Closed-form 3×3 normal equations by
+    // Cramer's rule on exact decimal power sums; degenerate fits
+    // (disc < 0, c ≥ 0) surface as NULL parameters, never nonsense.
+    "bass_diffusion" -> ((s, dir) => {
+      // adoption = a customer's FIRST order month over the 6.5-year
+      // order history — a real S-curve with varying N (the 30-day event
+      // stream saturates in days: constant N makes the normal-equation
+      // matrix singular and the fit meaningless)
+      val first = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(date_format(col("o_orderdate"), "yyyy-MM")).as("month"))
+        .groupBy("month").agg(count(lit(1)).as("n_new"))
+        .withColumn("mi",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+      val grid = first.agg(min("mi").as("d0"), max("mi").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("mi"))
+      val w = Window.orderBy("mi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val series = grid.join(first, Seq("mi"), "left")
+        .select(col("mi"), coalesce(col("n_new"), lit(0L)).as("y"))
+        .withColumn("nprev", coalesce(sum("y").over(w), lit(0L)))
+      val m0 = series.agg(count(lit(1)).as("s0"),
+        sum(col("nprev").cast(DecimalType(38, 0))).cast("double").as("s1"),
+        sum((col("nprev") * col("nprev")).cast(DecimalType(38, 0)))
+          .cast("double").as("s2"),
+        sum((col("nprev") * col("nprev") * col("nprev"))
+          .cast(DecimalType(38, 0))).cast("double").as("s3"),
+        sum((col("nprev") * col("nprev") * col("nprev") * col("nprev"))
+          .cast(DecimalType(38, 0))).cast("double").as("s4"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("t0"),
+        sum((col("nprev") * col("y")).cast(DecimalType(38, 0)))
+          .cast("double").as("t1"),
+        sum((col("nprev") * col("nprev") * col("y"))
+          .cast(DecimalType(38, 0))).cast("double").as("t2"))
+      val det = col("s0") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+        col("s1") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+        col("s2") * (col("s1") * col("s3") - col("s2") * col("s2"))
+      val aN = col("t0") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+        col("s1") * (col("t1") * col("s4") - col("t2") * col("s3")) +
+        col("s2") * (col("t1") * col("s3") - col("t2") * col("s2"))
+      val bN = col("s0") * (col("t1") * col("s4") - col("t2") * col("s3")) -
+        col("t0") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+        col("s2") * (col("s1") * col("t2") - col("s2") * col("t1"))
+      val cN = col("s0") * (col("s2") * col("t2") - col("s3") * col("t1")) -
+        col("s1") * (col("s1") * col("t2") - col("s2") * col("t1")) +
+        col("t0") * (col("s1") * col("s3") - col("s2") * col("s2"))
+      val fit = m0.select(col("s0").as("n_months"),
+        when(det =!= 0.0, roundHU(aN / det, 1e6)).otherwise(lit(null)).as("a"),
+        when(det =!= 0.0, roundHU(bN / det, 1e6)).otherwise(lit(null)).as("b"),
+        when(det =!= 0.0, roundHU(cN / det, 1e6)).otherwise(lit(null)).as("c"))
+      val disc = col("b") * col("b") - lit(4.0) * col("a") * col("c")
+      fit.select(col("n_months"), col("a"), col("b"), col("c"),
+          when(col("c") < 0 && disc >= 0,
+            roundHU((-col("b") - sqrt(disc)) / (lit(2.0) * col("c")), 1e6))
+            .otherwise(lit(null)).as("m_hat"))
+        .select(col("n_months"), col("a"), col("b"), col("c"), col("m_hat"),
+          when(col("m_hat") > 0, roundHU(col("a") / col("m_hat"), 1e6))
+            .otherwise(lit(null)).as("p_hat"),
+          when(col("m_hat") > 0, roundHU(-col("c") * col("m_hat"), 1e6))
+            .otherwise(lit(null)).as("q_hat"))
     }))
 
   private val sqlDaily =
@@ -2765,6 +2924,130 @@ object AnalyticsQueries {
          |SELECT fl.s AS scale, fl.n_segments, fl.f AS fluctuation,
          |       alpha.dfa_alpha
          |FROM fl CROSS JOIN alpha ORDER BY scale""".stripMargin,
+
+    "cdc_chunking" -> {
+      import graft.llm.TextOps.{sqlTokenHashes, HashP}
+      s"""WITH th AS (
+         |  SELECT doc_id, source, u.pos - 1 AS pos, u.h AS h,
+         |         CASE WHEN u.h % 64 = 0 THEN 1 ELSE 0 END AS b
+         |  FROM (SELECT doc_id, source, unnest(hs) AS h,
+         |               generate_subscripts(hs, 1) AS pos
+         |        FROM (SELECT doc_id, source, $sqlTokenHashes AS hs
+         |              FROM documents)) u),
+         |ch AS (
+         |  SELECT doc_id, source, pos, h,
+         |         COALESCE(CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS chunk
+         |  FROM th),
+         |chunks AS (
+         |  SELECT doc_id, source, chunk, CAST(COUNT(*) AS BIGINT) AS len,
+         |         list_reduce(list(h ORDER BY pos),
+         |                     (a, b) -> (a*31 + b) % $HashP) AS fp
+         |  FROM ch GROUP BY doc_id, source, chunk),
+         |shared AS (
+         |  SELECT source,
+         |         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_shared_chunks
+         |  FROM (SELECT source, fp, COUNT(DISTINCT doc_id) AS nd
+         |        FROM chunks GROUP BY source, fp)
+         |  GROUP BY source),
+         |per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+         |         floor(AVG(CAST(len AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |           AS avg_chunk_len
+         |  FROM chunks GROUP BY source)
+         |SELECT per.source, per.n_chunks, per.n_unique,
+         |       floor((1.0 - CAST(per.n_unique AS DOUBLE) / per.n_chunks)
+         |             * 1e6 + 5e-1) / 1e6 AS dup_chunk_rate,
+         |       per.avg_chunk_len, shared.n_shared_chunks
+         |FROM per JOIN shared USING (source)
+         |ORDER BY source""".stripMargin
+    },
+
+    "geary_c" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, c.pk AS dst
+        |      FROM b a JOIN b c ON a.ok = c.ok AND a.pk <> c.pk),
+        |nodes AS (
+        |  SELECT n0.node, part.p_retailprice AS p
+        |  FROM (SELECT DISTINCT dst AS node FROM e) n0
+        |  JOIN part ON part.p_partkey = n0.node),
+        |mu AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(p AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM nodes),
+        |z AS (SELECT node, floor((p - mu.m) * 1e4 + 5e-1) / 1e4 AS z, mu.n
+        |      FROM nodes, mu),
+        |den AS (
+        |  SELECT MAX(n) AS n,
+        |         CAST(SUM(CAST(floor(z * z * 1e4 + 5e-1) / 1e4
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS szz
+        |  FROM z),
+        |num AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS w_sum,
+        |         CAST(SUM(CAST(floor((zs.z - zd.z) * (zs.z - zd.z)
+        |                       * 1e4 + 5e-1) / 1e4
+        |                       AS DECIMAL(38,4))) AS DOUBLE) AS sdiff2
+        |  FROM e JOIN z zd ON e.dst = zd.node JOIN z zs ON e.src = zs.node)
+        |SELECT den.n AS n_nodes, num.w_sum AS n_directed_edges,
+        |       floor((den.n - 1) * num.sdiff2 /
+        |             (2.0 * num.w_sum * den.szz) * 1e6 + 5e-1) / 1e6 AS geary_c
+        |FROM num, den""".stripMargin,
+
+    "bass_diffusion" ->
+      """WITH first_ord AS (
+        |  SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS month
+        |  FROM orders GROUP BY o_custkey),
+        |fc AS (SELECT CAST(substr(month, 1, 4) AS BIGINT) * 12 +
+        |              CAST(substr(month, 6, 2) AS BIGINT) AS mi,
+        |              CAST(COUNT(*) AS BIGINT) AS n_new
+        |       FROM first_ord GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(MIN(mi), MAX(mi))) AS mi FROM fc),
+        |series AS (
+        |  SELECT g.mi, COALESCE(fc.n_new, 0) AS y,
+        |         COALESCE(CAST(SUM(COALESCE(fc.n_new, 0)) OVER (ORDER BY g.mi
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS nprev
+        |  FROM g LEFT JOIN fc USING (mi)),
+        |m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+        |         CAST(SUM(CAST(nprev AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(nprev * nprev AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST(nprev * nprev * nprev AS DECIMAL(38,0)))
+        |              AS DOUBLE) AS s3,
+        |         CAST(SUM(CAST(nprev * nprev * nprev * nprev AS DECIMAL(38,0)))
+        |              AS DOUBLE) AS s4,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS t0,
+        |         CAST(SUM(CAST(nprev * y AS DECIMAL(38,0))) AS DOUBLE) AS t1,
+        |         CAST(SUM(CAST(nprev * nprev * y AS DECIMAL(38,0))) AS DOUBLE)
+        |           AS t2
+        |  FROM series),
+        |fit AS (
+        |  SELECT s0 AS n_months,
+        |    floor((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - t2*s3) + s2*(t1*s3 - t2*s2))
+        |      / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s2*s3) + s2*(s1*s3 - s2*s2))
+        |      * 1e6 + 5e-1) / 1e6 AS a,
+        |    floor((s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s2*s3) + s2*(s1*t2 - s2*t1))
+        |      / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s2*s3) + s2*(s1*s3 - s2*s2))
+        |      * 1e6 + 5e-1) / 1e6 AS b,
+        |    floor((s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2))
+        |      / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s2*s3) + s2*(s1*s3 - s2*s2))
+        |      * 1e6 + 5e-1) / 1e6 AS c
+        |  FROM m0),
+        |mm AS (
+        |  SELECT n_months, a, b, c,
+        |         CASE WHEN c < 0 AND b*b - 4.0*a*c >= 0
+        |              THEN floor((-b - sqrt(b*b - 4.0*a*c)) / (2.0*c)
+        |                         * 1e6 + 5e-1) / 1e6 END AS m_hat
+        |  FROM fit)
+        |SELECT n_months, a, b, c, m_hat,
+        |       CASE WHEN m_hat > 0
+        |            THEN floor(a / m_hat * 1e6 + 5e-1) / 1e6 END AS p_hat,
+        |       CASE WHEN m_hat > 0
+        |            THEN floor(-c * m_hat * 1e6 + 5e-1) / 1e6 END AS q_hat
+        |FROM mm""".stripMargin,
 
     "negbin_fit" ->
       """WITH cu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c

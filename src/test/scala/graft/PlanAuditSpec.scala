@@ -142,7 +142,10 @@ class PlanAuditSpec extends SparkSpec {
       // row_number, profile cumsum) runs over the calendar-sized daily
       // rollup — the durbin_watson / seasonal_decompose class
       "cochrane_orcutt", "turning_point_test", "hodges_lehmann",
-      "sample_entropy", "dfa_alpha")
+      "sample_entropy", "dfa_alpha",
+      // bass_diffusion's cumulative-adopter window runs over the
+      // calendar-sized gapfilled adoption series (the ses_forecast class)
+      "bass_diffusion")
 
   /** Queries documented to run BOUNDED driver-side jobs while the plan is
     * being constructed (never corpus-sized):

@@ -305,6 +305,37 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(d(rows.head, "dfa_alpha") > 0)
   }
 
+  test("cdc_chunking: unique chunks never exceed totals; rate consistent") {
+    q("cdc_chunking").collect().foreach { r =>
+      assert(l(r, "n_unique") <= l(r, "n_chunks"))
+      assert(l(r, "n_shared_chunks") <= l(r, "n_unique"))
+      assert(math.abs(d(r, "dup_chunk_rate") -
+        math.floor((1.0 - l(r, "n_unique").toDouble / l(r, "n_chunks")) * 1e6
+          + 0.5) / 1e6) < 1e-9)
+      assert(d(r, "avg_chunk_len") >= 1.0)
+    }
+  }
+
+  test("geary_c: positive, and reads the same graph as moran_i") {
+    val g = q("geary_c").head()
+    val m = q("moran_i").head()
+    assert(d(g, "geary_c") >= 0)
+    assert(l(g, "n_nodes") === l(m, "n_nodes"))
+    assert(l(g, "n_directed_edges") === l(m, "n_directed_edges"))
+  }
+
+  test("bass_diffusion: parameters coherent when the fit is non-degenerate") {
+    val r = q("bass_diffusion").head()
+    assert(l(r, "n_months") > 24)
+    if (!r.isNullAt(r.fieldIndex("m_hat"))) {
+      assert(d(r, "m_hat") > 0)
+      if (!r.isNullAt(r.fieldIndex("p_hat"))) {
+        assert(d(r, "p_hat") > 0 && d(r, "p_hat") < 1)
+        assert(d(r, "q_hat") > 0)
+      }
+    }
+  }
+
   test("mmd_shift: near-zero for identically-distributed halves, pairs complete") {
     val r = q("mmd_shift").head()
     // U-statistic can dip slightly negative; it must not be wildly so
