@@ -1663,6 +1663,68 @@ object AnalyticsQueries {
         .orderBy("source")
     }),
 
+    // L356 — self-BLEU corpus-diversity score (Zhu et al. 2018; BLEU
+    // from Papineni et al. 2002): each sampled doc scored as a BLEU
+    // candidate against ALL other docs as references — the named
+    // diversity metric of the generation/curation literature (high
+    // self-BLEU = a templated, mode-collapsed corpus; the distribution
+    // complement of the dedup family's pairwise verdicts). BLEU here is
+    // the n ≤ 2 form: BP·√(p₁p₂) with multi-reference clipped counts
+    // and the closest-reference-length brevity penalty. The clipping
+    // max over "every reference except me" folds to a per-gram global
+    // top-2 (m₁ with its multiplicity, m₂) — gram-cardinality frames,
+    // no doc×doc gram join; lengths are sample-bounded (≤ 200 rows) so
+    // the closest-length pass is a constant-size self-join.
+    "self_bleu" -> ((s, dir) => {
+      val bound = 200
+      import graft.llm.TextOps.{tokens, bigrams}
+      val d = docs(s, dir).filter(col("doc_id") < bound)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(false) // reused: both gram passes + lengths
+      def pn(gram: Column): DataFrame = {
+        val cnt = d.select(col("doc_id"), explode(gram).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false) // reused: top-2 build + the clip join
+        val top = cnt.groupBy("g").agg(max("c").as("m1"))
+        val top2 = cnt.join(top, "g")
+          .groupBy("g", "m1")
+          .agg(sum(when(col("c") === col("m1"), 1L).otherwise(0L)).as("c1"),
+            max(when(col("c") < col("m1"), col("c"))).as("m2"))
+        cnt.join(top2, "g")
+          .select(col("doc_id"), col("c"),
+            when(col("c") < col("m1") || col("c1") > 1, col("m1"))
+              .otherwise(coalesce(col("m2"), lit(0L))).as("maxref"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("tot"), sum(least(col("c"), col("maxref"))).as("clip"))
+          .select(col("doc_id"),
+            roundHU(col("clip").cast("double") / col("tot"), 1e8).as("p"))
+      }
+      val p1 = pn(tokens(col("text"))).withColumnRenamed("p", "p1")
+      val p2 = pn(bigrams(col("text"))).withColumnRenamed("p", "p2")
+      val lens = d.select(col("doc_id"), size(tokens(col("text")))
+        .cast("long").as("len"))
+        .localCheckpoint(false) // reused: both sides of the closest join
+      val closest = lens.as("a")
+        .join(lens.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("a.len").as("c"),
+          col("b.len").as("r"),
+          row_number().over(Window.partitionBy(col("a.doc_id"))
+            .orderBy(abs(col("a.len") - col("b.len")), col("b.len"),
+              col("b.doc_id"))).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          when(col("c") >= col("r"), lit(1.0))
+            .otherwise(roundHU(exp(lit(1.0) - col("r").cast("double") /
+              col("c")), 1e8)).as("bp"))
+      val per = p1.join(p2, "doc_id").join(closest, "doc_id")
+        .select(col("doc_id"),
+          roundHU(col("bp") * sqrt(col("p1") * col("p2")), 1e6).as("bleu"))
+      per.agg(count(lit(1)).as("n_docs"),
+        roundHU(sum(col("bleu").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 1e6).as("mean_self_bleu"),
+        roundHU(expr("percentile(bleu, 0.5)"), 1e6).as("median_self_bleu"))
+    }),
+
     // L354 — Geary's C local autocorrelation (Geary 1954): C = (n−1)·
     // Σw_ij(z_i−z_j)² / (2W·Σz²) on the same price-over-co-purchase
     // frame as moran_i — the LOCAL-difference statistic read beside
@@ -2964,6 +3026,58 @@ object AnalyticsQueries {
          |       per.avg_chunk_len, shared.n_shared_chunks
          |FROM per JOIN shared USING (source)
          |ORDER BY source""".stripMargin
+    },
+
+    "self_bleu" -> {
+      import graft.llm.TextOps.{sqlTokens, sqlBigrams}
+      def pnSql(gramExpr: String, nm: String) =
+        s"""cnt_$nm AS (
+           |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, unnest($gramExpr) AS g
+           |        FROM documents WHERE doc_id < 200)
+           |  GROUP BY doc_id, g),
+           |top_$nm AS (SELECT g, MAX(c) AS m1 FROM cnt_$nm GROUP BY g),
+           |top2_$nm AS (
+           |  SELECT cnt_$nm.g, top_$nm.m1,
+           |         CAST(SUM(CASE WHEN c = m1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |         MAX(CASE WHEN c < m1 THEN c END) AS m2
+           |  FROM cnt_$nm JOIN top_$nm ON cnt_$nm.g = top_$nm.g
+           |  GROUP BY cnt_$nm.g, top_$nm.m1),
+           |p_$nm AS (
+           |  SELECT doc_id,
+           |         floor(CAST(SUM(least(c, maxref)) AS DOUBLE) / SUM(c)
+           |               * 1e8 + 5e-1) / 1e8 AS p_$nm
+           |  FROM (SELECT cnt_$nm.doc_id, cnt_$nm.c,
+           |               CASE WHEN cnt_$nm.c < t.m1 OR t.c1 > 1 THEN t.m1
+           |                    ELSE COALESCE(t.m2, 0) END AS maxref
+           |        FROM cnt_$nm JOIN top2_$nm t ON cnt_$nm.g = t.g)
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH ${pnSql(sqlTokens, "u")},
+         |${pnSql(sqlBigrams, "b")},
+         |lens AS (
+         |  SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS len
+         |  FROM documents WHERE doc_id < 200),
+         |closest AS (
+         |  SELECT doc_id,
+         |         CASE WHEN c >= r THEN 1.0
+         |              ELSE floor(exp(1.0 - CAST(r AS DOUBLE) / c)
+         |                         * 1e8 + 5e-1) / 1e8 END AS bp
+         |  FROM (SELECT a.doc_id, a.len AS c, b2.len AS r,
+         |               row_number() OVER (PARTITION BY a.doc_id
+         |                 ORDER BY abs(a.len - b2.len), b2.len, b2.doc_id) AS rn
+         |        FROM lens a JOIN lens b2 ON a.doc_id <> b2.doc_id)
+         |  WHERE rn = 1),
+         |per AS (
+         |  SELECT p_u.doc_id,
+         |         floor(closest.bp * sqrt(p_u.p_u * p_b.p_b) * 1e6 + 5e-1)
+         |           / 1e6 AS bleu
+         |  FROM p_u JOIN p_b USING (doc_id) JOIN closest USING (doc_id))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       floor(CAST(SUM(CAST(bleu AS DECIMAL(18,6))) AS DOUBLE)
+         |             / COUNT(*) * 1e6 + 5e-1) / 1e6 AS mean_self_bleu,
+         |       floor(quantile_cont(bleu, 0.5) * 1e6 + 5e-1) / 1e6
+         |         AS median_self_bleu
+         |FROM per""".stripMargin
     },
 
     "geary_c" ->

@@ -336,6 +336,16 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("self_bleu: scores in [0,1]; templated synthetic corpus reads high") {
+    val r = q("self_bleu").head()
+    assert(d(r, "mean_self_bleu") >= 0 && d(r, "mean_self_bleu") <= 1.0)
+    assert(d(r, "median_self_bleu") >= 0 && d(r, "median_self_bleu") <= 1.0)
+    assert(l(r, "n_docs") > 0)
+    // the generator emits templated text — diversity must read LOW
+    // (self-BLEU high); a shuffled-vocab corpus would sit far below
+    assert(d(r, "mean_self_bleu") > 0.5, s"${d(r, "mean_self_bleu")}")
+  }
+
   test("mmd_shift: near-zero for identically-distributed halves, pairs complete") {
     val r = q("mmd_shift").head()
     // U-statistic can dip slightly negative; it must not be wildly so
