@@ -50,17 +50,31 @@ object Bench {
     // cross-query cache sharing UNDER-recorded k_truss (5.34s recorded
     // vs a reproducible ~9s isolated). Remedy = adjudicate in a FRESH
     // JVM, the same procedure the judge's independent idle min-of-3
-    // uses: after the main sweep, any query whose min deviates >1.5x
-    // (either direction, >0.3s absolute) from ANY committed reference
-    // (last round's per-query map OR scaling.json's sf0.1 time) is
-    // re-timed by a forked child Bench process (min-of-iters, isolated
-    // warmup), and the child's number REPLACES the in-run one — replace,
-    // not min-merge, because min-merge would keep under-records like
-    // k_truss's 5.34. "Any reference" not "both": a poisoned prior (a
-    // phantom recorded last round) must itself trigger adjudication.
-    // Queries with no reference (new this round) are left as measured.
-    val GuardRatio = 1.5
-    val GuardAbsDelta = 0.3
+    // uses: after the main sweep, any query whose min deviates from ANY
+    // committed reference (last round's per-query map OR scaling.json's
+    // sf0.1 time) is re-timed by a forked child Bench process
+    // (min-of-iters, isolated warmup), and the child's number REPLACES
+    // the in-run one — replace, not min-merge, because min-merge would
+    // keep under-records like k_truss's 5.34. "Any reference" not
+    // "both": a poisoned prior (a phantom recorded last round) must
+    // itself trigger adjudication. Queries with no reference (new this
+    // round) are left as measured.
+    // Ratio 1.25 / abs 0.5s (r10 verdict #6): the r10 thresholds
+    // (1.5x / 0.3s) let 1.2-1.5x load inflation pass into the committed
+    // record un-adjudicated (~250 queries carried a 1.28 median ratio
+    // vs r9 while the judge's idle re-times ran 10-45% lower); the
+    // tighter ratio catches that band and the raised absolute floor
+    // keeps sub-half-second jitter from flooding the flag set.
+    val GuardRatio = 1.25
+    val GuardAbsDelta = 0.5
+    // Cap the child's re-time set (r10 verdict #1b): the r10 run forked
+    // a child that re-timed 61 queries — effectively a second sweep of
+    // the slow tail — and the driver run TIMED OUT (BENCH_r10 rc=124,
+    // no parsed record). Adjudicate only the top deviators by absolute
+    // in-run seconds: those are the entries that move the total and the
+    // slowest-20 tail; a sub-second deviator left as measured costs the
+    // record at most its own magnitude.
+    val GuardMaxChild = 15
     val freshChild = sys.env.get("SPARK_GRAFT_FRESH_CHILD")
     val sfName = sfDir.split("/").last // e.g. "sf0.1"
     def loadQueryMap(p: java.nio.file.Path, key: String,
@@ -121,6 +135,23 @@ object Bench {
     def deviates(base: Double, ref: Double): Boolean =
       base >= 0 && ref > 0 && math.abs(base - ref) > GuardAbsDelta &&
         (base > ref * GuardRatio || base < ref / GuardRatio)
+    // ---- sweep wall budget (r10 verdict ask #1) -------------------------
+    // BENCH_r10 rc=124: 368 queries x min-of-3 plus the 61-query child
+    // overran the driver's window. Two cuts keep the sweep bounded:
+    // (a) EARLY-STOP — min-of-N exists to shave load spikes, so once a
+    //     query's min agrees with a committed reference (not `deviates`
+    //     in either direction) further iterations only polish noise the
+    //     guard already tolerates; stop. Queries with no reference (new
+    //     this round) and persistent deviators still run all `iters`
+    //     (a deviator's min-of-3 is what the fresh-JVM child audits).
+    // (b) HARD BUDGET — once the sweep has consumed the budget, every
+    //     remaining query runs exactly once. A single-shot record is
+    //     worse than min-of-3 but infinitely better than rc=124's
+    //     nothing; the guard child still adjudicates the deviators.
+    val sweepBudgetS = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    val sweepStart = System.nanoTime()
+    def sweepElapsed(): Double = (System.nanoTime() - sweepStart) / 1e9
     // oracled queries + the bench-only sketch tiers (the actual 100 TB
     // path of the four buffer-heavy profiling queries — sketch-valued so
     // never oracled, but a perf regression must show here)
@@ -158,8 +189,23 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
         }
       }
-      val times = (1 to iters).flatMap(_ => timeOnce())
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      val refs = Seq(prior.get(name), scalingRef.get(name)).flatten
+      val effIters = if (sweepElapsed() > sweepBudgetS) 1 else iters
+      var best = -1.0
+      var i = 0
+      var stop = false
+      while (i < effIters && !stop) {
+        timeOnce() match {
+          case Some(sec) =>
+            best = if (best < 0) sec else math.min(best, sec)
+            // early-stop: agrees with a committed reference -> done
+            if (refs.nonEmpty && refs.exists(r => !deviates(best, r)))
+              stop = true
+          case None => stop = true // error entry recorded; don't re-fail
+        }
+        i += 1
+      }
+      name -> best
     }
     // ---- fresh-JVM adjudication pass -----------------------------------
     // Fork a child Bench (same classpath + JVM flags as this forked run)
@@ -168,10 +214,16 @@ object Bench {
     // numbers. Disabled inside the child itself (no recursion), under
     // SPARK_GRAFT_BENCH_ONLY (targeted runs), or via
     // SPARK_GRAFT_FRESH_GUARD=0.
-    val flagged: Seq[(String, Double)] = results.filter { case (name, base) =>
+    val flaggedAll: Seq[(String, Double)] = results.filter { case (name, base) =>
       prior.get(name).exists(deviates(base, _)) ||
         scalingRef.get(name).exists(deviates(base, _))
     }
+    // re-time only the biggest movers by absolute seconds (see
+    // GuardMaxChild above); the rest keep their in-run min and appear
+    // in the fresh_guard audit with final = -1 so a diff consumer can
+    // see they were flagged but not adjudicated
+    val flagged: Seq[(String, Double)] =
+      flaggedAll.sortBy(-_._2).take(GuardMaxChild)
     val freshTimes: Map[String, Double] =
       if (flagged.isEmpty || only.nonEmpty || freshChild.nonEmpty ||
           sys.env.get("SPARK_GRAFT_FRESH_GUARD").contains("0")) Map.empty
@@ -224,7 +276,7 @@ object Bench {
     // replaced it (or -1 if the child pass failed/was skipped), and the
     // two references that flagged it — so a diff consumer sees exactly
     // which numbers were adjudicated and against what
-    val rerunJson = flagged.map { case (k, first) =>
+    val rerunJson = flaggedAll.map { case (k, first) =>
       s"""\"${jsonEscape(k)}\":{"first":$first,"final":${freshTimes.getOrElse(k, -1.0)},"prior":${prior.getOrElse(k, -1.0)},"scaling":${scalingRef.getOrElse(k, -1.0)}}"""
     }.mkString("{", ",", "}")
     val fullLine =
@@ -247,6 +299,80 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"bench: per-query report write failed: $e")
+    }
+    // ---- propagate adjudicated finals into scaling.json (r10 ask #8) ---
+    // The guard flags deviation against scaling.json's leg for this SF;
+    // if that leg goes stale (a query got genuinely faster and the
+    // committed map moved on), every later round re-flags the same
+    // queries against the stale reference and re-pays the child pass.
+    // After a full sweep, fold this run's adjudicated numbers back into
+    // the matching scaling leg and refresh the derived ratio fields.
+    if (only.isEmpty && freshChild.isEmpty) try {
+      val sp = java.nio.file.Paths.get("reports/scaling.json")
+      if (java.nio.file.Files.exists(sp)) {
+        import org.json4s._
+        import org.json4s.JsonDSL._
+        val txt = new String(java.nio.file.Files.readAllBytes(sp),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val root = org.json4s.jackson.JsonMethods.parse(txt)
+        val adjMap = adjudicated.toMap
+        def r4(d: Double) = math.round(d * 1e4) / 1e4
+        val newPerQuery: JValue = root \ "per_query" match {
+          case JObject(fields) => JObject(fields.map { case (q, entry) =>
+            adjMap.get(q).filter(_ >= 0) match {
+              case None => q -> entry
+              case Some(sec) =>
+                val secs0 = entry \ "secs" match {
+                  case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue]
+                }
+                val secs = secs0 + (sfName -> JDouble(r4(sec)))
+                def num(v: JValue): Option[Double] = v match {
+                  case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+                  case _ => None
+                }
+                val sf01 = secs.get("sf0.01").flatMap(num)
+                val sf1 = secs.get("sf0.1").flatMap(num)
+                val derived: JObject = (sf01, sf1) match {
+                  case (Some(d), Some(t)) if d >= 0.05 =>
+                    JObject("ratio_10x" -> JDouble(math.round(t / d * 100) / 100.0))
+                  case (Some(_), Some(_)) =>
+                    JObject("overhead_bound" -> JBool(true))
+                  case _ => JObject()
+                }
+                q -> JObject(List("secs" -> JObject(secs.toList.sortBy(_._1))) ++
+                  derived.obj)
+            }
+          })
+          case other => other
+        }
+        val newTotal = newPerQuery match {
+          case JObject(fs) => fs.flatMap { case (_, e) => e \ "secs" \ sfName match {
+            case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble); case _ => None
+          } }.sum
+          case _ => 0.0
+        }
+        val ratios: Seq[(Double, String)] = newPerQuery match {
+          case JObject(fs) => fs.flatMap { case (q, e) => e \ "ratio_10x" match {
+            case JDouble(d) => Some(d -> q); case _ => None
+          } }.sortBy(_._1)
+          case _ => Nil
+        }
+        val merged = root.replace(List("per_query"), newPerQuery)
+          .replace(List("totals", sfName), JDouble(math.round(newTotal * 100) / 100.0))
+          .replace(List("median_ratio_10x"),
+            if (ratios.isEmpty) JNull else JDouble(ratios(ratios.size / 2)._1))
+          .replace(List("worst_ratio_10x"), JArray(ratios.takeRight(10).reverse
+            .map { case (r, q) => JObject("query" -> JString(q),
+              "ratio" -> JDouble(r)): JValue }.toList))
+        java.nio.file.Files.write(sp,
+          (org.json4s.jackson.JsonMethods.pretty(
+            org.json4s.jackson.JsonMethods.render(merged)) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"bench: scaling.json $sfName leg refreshed " +
+          s"(${adjMap.size} queries, total ${math.round(newTotal)}s)")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: scaling.json propagation failed: $e")
     }
     // ---- streaming throughput probes ----------------------------------
     // The streaming surface is correctness-specced (DedupStreamSpec /
@@ -409,8 +535,16 @@ object Bench {
       // lived only in the driver's volatile tail capture and could not
       // be diffed from artifacts once a tail truncated (r8 verdict #2)
       try {
+        // sf-clobber guard (r10 verdict #5): the committed record is the
+        // sf0.1 measurement the round's throughput gates are judged on;
+        // an sf0.01 smoke run once overwrote it with warmup-dominated
+        // feeds that under-read the gates ~8x. Smaller-SF runs write a
+        // suffixed side file instead of the canonical record.
+        val defaultStreamReport =
+          if (sfName == "sf0.1") "reports/streaming_throughput.json"
+          else s"reports/streaming_throughput_$sfName.json"
         val sp = java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_STREAM_REPORT", "reports/streaming_throughput.json"))
+          "SPARK_GRAFT_STREAM_REPORT", defaultStreamReport))
         Option(sp.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(sp,
           (streamLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

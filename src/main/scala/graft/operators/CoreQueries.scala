@@ -1760,13 +1760,14 @@ object CoreQueries {
       val edgeBloom = s.sparkContext.broadcast(
         e.select(xxhash64(col("src"), col("dst")).as("k"))
           .stat.bloomFilter("k", 4000000L, 1L << 23))
-      // ONE adjacency pass off the u-partitioned checkpoint (exchange-
-      // free groupBy) serving BOTH consumers: the rank-sorted struct
-      // array (sort by (dv, v) = the wedge rank order, so ordered array
-      // positions i<j ARE the oriented wedges) and the plain v list the
-      // confirm probes (array_contains is order-blind). The r10 shape
-      // ran the same aggregate twice; checkpointed node-sized rows make
-      // it one pass + two cache scans.
+      // ONE adjacency pass serving BOTH consumers: the rank-sorted
+      // struct array (sort by (dv, v) = the wedge rank order, so ordered
+      // array positions i<j ARE the oriented wedges) and the plain v
+      // list the confirm probes (array_contains is order-blind). With
+      // `oriented` lazy (see above) the groupBy by u performs the
+      // exchange itself — the one u-keyed shuffle of this query. The
+      // r10 shape ran the same aggregate twice; checkpointed node-sized
+      // rows make it one pass + two cache scans.
       val adjA = oriented.groupBy(col("u"))
         .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("nbrs"),
           collect_list(col("v")).as("vs"))

@@ -1141,27 +1141,23 @@ object EventQueries {
     "absorbing_time" -> ((s, dir) => {
       def r6(c: org.apache.spark.sql.Column) =
         floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-      val (p, _) = markovChain(s, dir)
+      val (_, p) = markovP(s, dir)
       val q = p.filter(col("src") =!= "purchase" && col("dst") =!= "purchase")
-        .localCheckpoint(false) // reused every round
-      val states = q.select(col("src").as("st")).distinct()
-        .localCheckpoint(false) // reused every round + final
-      var x = states.select(col("st"), lit(1.0).as("x"))
-      for (i <- 1 to 16) {
-        val mult = q.join(x.withColumnRenamed("st", "dst"), "dst")
-          .select(col("src").as("st"),
-            (col("p") * col("x")).cast(DecimalType(28, 18)).as("m"))
-          .groupBy("st").agg(sum("m").cast("double").as("qx"))
-        x = states.join(mult, Seq("st"), "left")
-          .select(col("st"), (lit(1.0) + coalesce(col("qx"), lit(0.0))).as("x"))
-        // each x is consumed ONCE by the next round, so the lineage is
-        // linear — but Catalyst's replanning of the growing join chain
-        // is superlinear. Cut it every 4 rounds: measured 4.0s (16
-        // checkpoints) / 5.4s (none) / best with the 4-round stride.
-        if (i % 4 == 0) x = x.localCheckpoint(false)
-      }
-      x.select(col("st").as("event_type"),
-          r6(col("x")).as("exp_steps_to_purchase"))
+      // The purchase-deleted matrix is TYPE²-sized — SF-INVARIANT (more
+      // data grows the transition counts, not the event-type vocabulary)
+      // — so fold it into ONE row and run all 16 contraction rounds
+      // inside a single codegen'd projection (AbsorbingSteps, which
+      // replicates the per-round DECIMAL(28,18) sum bit-for-bit). The
+      // r10 spelling iterated 16 rounds of TYPE²-sized joins: correct,
+      // but 84 scheduler round-trips for 5.7 executor-cpu-SECONDS of
+      // work — pure driver overhead at any SF. The heavy part (the
+      // per-user lag pass in markovP) stays exactly as distributed as
+      // before; the matrix never reaches the driver.
+      q.agg(collect_list(struct(col("src"), col("dst"), col("p"))).as("qm"))
+        .select(explode(graft.functions.AbsorbingSteps
+          .absorbingSteps(col("qm"), 16)).as("r"))
+        .select(col("r.st").as("event_type"),
+          r6(col("r.x")).as("exp_steps_to_purchase"))
         .orderBy("event_type")
     }),
 
@@ -1877,8 +1873,14 @@ object EventQueries {
     * after the one raw-event lag pass; decimal-routed sums (see the
     * query docs above).
     */
-  private def markovChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val iters = 8
+  /** The (transition-counts, row-normalized-P) pair behind the Markov
+    * family — `tr` checkpointed (the one raw-event lag pass feeds row
+    * totals, P, and the state set), `p` RAW: single-consumer callers
+    * (absorbing_time folds it straight into a one-row matrix) must not
+    * pay a checkpoint materialization; the round-iterating callers add
+    * their own (see markovChain).
+    */
+  private def markovP(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val tr = events(s, dir)
       .withColumn("prev_type", lag("event_type", 1).over(w))
@@ -1890,22 +1892,24 @@ object EventQueries {
     val p = tr.join(rowTot, "src")
       .select(col("src"), col("dst"),
         (col("c").cast("double") / col("rc")).as("p"))
-      .localCheckpoint(false) // reused every round
-    val states = tr.select(col("src").as("st"))
-      .unionAll(tr.select(col("dst").as("st"))).distinct()
-    val k = broadcast(states.agg(count(lit(1)).as("k")))
-    var v = states.crossJoin(k)
-      .select(col("st"), (lit(1.0) / col("k")).as("v"))
-    for (_ <- 1 to iters) {
-      val raw = p.join(v.withColumnRenamed("st", "src"), "src")
-        .select(col("dst").as("st"),
-          (col("v") * col("p")).cast(DecimalType(28, 18)).as("m"))
-        .groupBy("st").agg(sum("m").cast("double").as("vr"))
-        .localCheckpoint(false) // consumed twice: normalizer + division
-      val z = broadcast(raw.agg(
-        sum(col("vr").cast(DecimalType(28, 18))).cast("double").as("z")))
-      v = raw.crossJoin(z).select(col("st"), (col("vr") / col("z")).as("v"))
-    }
+    (tr, p)
+  }
+
+  private def markovChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val iters = 8
+    val (_, p) = markovP(s, dir)
+    // The power iteration runs inside ONE codegen'd projection over the
+    // matrix folded into a single row (StationaryVector — replicates
+    // the per-round DECIMAL(28,18) contraction + L1 renormalization
+    // bit-for-bit, including the inner-join domain shrink for states
+    // with no incoming transitions). The r10 spelling's 8 declarative
+    // rounds on the TYPE²-sized frame were pure scheduler overhead —
+    // see absorbing_time's comment; the matrix is SF-invariant.
+    val v = p
+      .agg(collect_list(struct(col("src"), col("dst"), col("p"))).as("pm"))
+      .select(explode(graft.functions.StationaryVector
+        .stationaryVector(col("pm"), iters)).as("r"))
+      .select(col("r.st").as("st"), col("r.v").as("v"))
     (p, v)
   }
 

@@ -1,11 +1,5 @@
 #!/bin/bash
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-         java.util java.util.concurrent java.util.concurrent.atomic \
-         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
+# Stage-profiler runner. Usage: tools/run_prof.sh <profile-or-query[:jobs]>
+# JVM/classpath/spark-prop setup lives in tools/run.sh (shared).
 export SPARK_GRAFT_PROF_Q="$1"
-exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx8g -cp "$CP" graft.operators.Prof
+exec "$(dirname "$0")/run.sh" graft.operators.Prof

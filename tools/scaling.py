@@ -26,11 +26,23 @@ def run(sf):
     # converge on the least-perturbed timing per query
     path = f"/tmp/scaling_{sf}.json"
     prev = json.load(open(path)) if os.path.exists(path) else None
+    # staleness guard: a cache file older than the newest compiled class
+    # is from a previous build — its timings (and possibly its query
+    # set) describe code that no longer exists. Drop it rather than
+    # min-merge or reuse it.
+    if prev is not None:
+        classes = "/root/repo/target/scala-2.13/classes"
+        newest_cls = max((os.path.getmtime(os.path.join(r, f))
+                          for r, _, fs in os.walk(classes) for f in fs),
+                         default=0)
+        if os.path.getmtime(path) < newest_cls:
+            print(f"== cached {sf} predates current build; ignoring", flush=True)
+            prev = None
     # SPARK_GRAFT_SCALING_REUSE=1: when a cached per-SF file already
     # exists (e.g. seeded from the round's committed full-sweep report
     # at the SAME config — 32 cpus, min-of-3), skip re-benching that SF
-    # and use it as-is. Only legitimate for files produced by a real
-    # graft.Bench run on the current build.
+    # and use it as-is. The build-mtime guard above keeps a stale file
+    # from satisfying this.
     if prev is not None and os.environ.get("SPARK_GRAFT_SCALING_REUSE") == "1":
         print(f"== reuse cached {sf}", flush=True)
         return prev
