@@ -313,8 +313,18 @@ object CoreQueries {
     // checkpoint's declared partitioning — round 1 runs exchange-free
     // where the src spelling re-shuffled the full edge list (r11:
     // ~0.5s of the 2.4M-edge build at sf0.1).
+    // mode ≡ MIN in round 1: the edge set is DISTINCT (another lpaFrom
+    // contract — coPurchaseEdges dedups), so each neighbor id appears
+    // exactly once per node, every candidate label has count 1, and the
+    // tie rule (lowest label) picks the minimum neighbor id. min() is a
+    // plain partial-aggregable scalar where mode() built a per-node
+    // count map over ~d(n) DISTINCT ids — the widest maps of any round
+    // (later rounds mode over collapsing label sets). Wall at local[32]
+    // sf0.1 is within host noise either way; the win is per-round agg
+    // state (scalar vs map — the shape that must not OOM a 100 TB
+    // partial aggregate) and ~1-2 executor-cpu-s.
     var lbl = e.groupBy(col("dst").as("node"))
-      .agg(mode(col("src"), deterministic = true).as("lbl"))
+      .agg(min(col("src")).as("lbl"))
     for (i <- 2 to iters) {
       // ONE aggregation per round, not two: deterministic mode(lbl) is
       // exactly LPA's update rule (most frequent neighbor label, ties ->
@@ -1038,6 +1048,32 @@ object CoreQueries {
         .orderBy("hour_start", "event_type")
     }),
 
+    // Streaming-shaped batch analog #2 (SURVEY.md §2.9; r10 verdict ask
+    // #7): the DETERMINISTIC batch backfill of the streaming dedup gate
+    // (graft.streaming.EventStream.dedupStream =
+    // dropDuplicatesWithinWatermark) — the first-admitted event per
+    // (user_id, event_type) key under event-time arrival order. For a
+    // feed whose event-time span is shorter than the watermark delay,
+    // the gate's state never expires, so its admitted set is exactly
+    // one row per key: the earliest by (ts_us, event_id). EventStreamSpec
+    // ("dedupStream admitted set equals the stream_dedup_admitted
+    // backfill") pins the streaming gate to THIS frame over a
+    // MemoryStream feed, and this frame is hash-checked against DuckDB —
+    // the stateful gate faces the oracle transitively. Scale shape: one
+    // groupBy with a partial-aggregable min(struct) — no window, no
+    // fact-sized state.
+    "stream_dedup_admitted" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+      ev
+        .withColumn("ts_us", graft.sources.EventTime.tsUs(ev))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("event_type"),
+          col("f.ts_us").as("ts_us"), col("f.event_id").as("event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Header↔detail reconciliation: FULL OUTER join of order headers
     // against per-order lineitem totals, bucketed into match / mismatch /
     // orphan statuses — the cross-system integrity check every finance
@@ -1751,15 +1787,18 @@ object CoreQueries {
       // the same C(d⁺,2) pairs in a JIT'd loop and emits only bloom
       // survivors; out-degrees are orientation-bounded (≈√m) so the
       // per-row loop and output array stay bounded at any SF. The bloom
-      // is CANONICAL-keyed (least, greatest) — a FIXED 8M bits (1 MB):
-      // driver and broadcast state constant at any SF, fpp ~3% at 1.2M
-      // edges, degrading gracefully on bigger graphs — and the exact
-      // confirm join below keeps the operator exact regardless of fpp
-      // or hash collisions. Broadcast HANDLE, not embedded bytes: see
-      // BloomMightContainLong.
+      // is CANONICAL-keyed (least, greatest) — FIXED 2^24 bits (2 MB,
+      // the k_truss sizing): at 4M expected items Spark picks 3 hash
+      // rounds, ~1% fpp at this edge count; the r10 2^23/1-hash config
+      // was ~14% fpp, and every false positive is a wedge row through
+      // the confirm shuffle. Driver and broadcast state stay constant
+      // at any SF, degrading gracefully on bigger graphs — and the
+      // exact confirm join below keeps the operator exact regardless of
+      // fpp or hash collisions. Broadcast HANDLE, not embedded bytes:
+      // see BloomMightContainLong.
       val edgeBloom = s.sparkContext.broadcast(
         e.select(xxhash64(col("src"), col("dst")).as("k"))
-          .stat.bloomFilter("k", 4000000L, 1L << 23))
+          .stat.bloomFilter("k", 4000000L, 1L << 24))
       // ONE adjacency pass serving BOTH consumers: the rank-sorted
       // struct array (sort by (dv, v) = the wedge rank order, so ordered
       // array positions i<j ARE the oriented wedges) and the plain v
@@ -4368,6 +4407,15 @@ object CoreQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "stream_dedup_admitted" ->
+      """SELECT user_id, event_type, ts_us, event_id
+        |FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY epoch_us(ts), event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "cube_qty" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,

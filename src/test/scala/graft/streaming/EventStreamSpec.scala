@@ -238,6 +238,55 @@ class EventStreamSpec extends SparkSpec {
     assert(sinkKeys.subsetOf(batchKeys))
   }
 
+  test("dedupStream admitted set equals the stream_dedup_admitted backfill") {
+    // The oracle bridge for the stateful gate (r10 verdict ask #7): the
+    // registered batch query `stream_dedup_admitted` is hash-checked
+    // against DuckDB by the driver; THIS test pins the streaming gate's
+    // admitted set to that exact frame, so the gate faces the oracle
+    // transitively. Feed design makes the stream deterministic: chunk 0
+    // carries each (user_id, event_type) key's EARLIEST row by
+    // (ts_us, event_id) — within one micro-batch the gate keeps an
+    // arbitrary representative, so the first batch must hold exactly
+    // one row per key — and chunk 1 carries everything else, which the
+    // now-populated state must reject (the watermark delay exceeds the
+    // feed's event-time span, so no state expires and no row is late
+    // enough to matter: either way it is a duplicate).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val rows = raw
+      .withColumn("tsz", graft.sources.EventTime.tsTimestamp(raw))
+      .withColumn("ts_us", graft.sources.EventTime.tsUs(raw))
+      .select($"event_id", $"tsz", $"user_id", $"event_type", $"ts_us")
+      .as[(Long, Timestamp, Long, String, Long)]
+      .collect().sortBy(r => (r._5, r._1))
+    val firstOfKey = rows.groupBy(r => (r._3, r._4))
+      .map { case (_, g) => g.minBy(r => (r._5, r._1)) }.toSet
+    val (chunk0, chunk1) = rows.partition(firstOfKey)
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Long)]
+    val feed = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "ts_us")
+    val q = dedupStream(feed, Seq("user_id", "event_type"),
+        watermark = "3650 days")
+      .writeStream.format("memory").queryName("dedup_admitted")
+      .outputMode(OutputMode.Append).start()
+    val admitted = try {
+      mem.addData(chunk0.toSeq); q.processAllAvailable()
+      mem.addData(chunk1.toSeq); q.processAllAvailable()
+      spark.table("dedup_admitted").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).toSet
+    } finally q.stop()
+
+    val backfill = graft.SparkEntry.queries("stream_dedup_admitted")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).toSet
+    assert(admitted === backfill)
+  }
+
   test("readEventStream processes the sf0.001 events directory end-to-end") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
     assert(stream.isStreaming)
