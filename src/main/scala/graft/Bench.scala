@@ -192,15 +192,28 @@ object Bench {
       val refs = Seq(prior.get(name), scalingRef.get(name)).flatten
       val effIters = if (sweepElapsed() > sweepBudgetS) 1 else iters
       var best = -1.0
+      var prevSec = -1.0
       var i = 0
       var stop = false
       while (i < effIters && !stop) {
         timeOnce() match {
           case Some(sec) =>
             best = if (best < 0) sec else math.min(best, sec)
-            // early-stop: agrees with a committed reference -> done
+            // early-stop (a): agrees with a committed reference -> done
             if (refs.nonEmpty && refs.exists(r => !deviates(best, r)))
               stop = true
+            // early-stop (b): two consecutive draws within 10% of each
+            // other -> the measurement is STABLE and a third draw cannot
+            // move the min materially. Matters when the whole host shifts
+            // speed between rounds (a real era on this VM: identical
+            // builds 1.8x apart hours later) — every query then deviates
+            // from its prior and, without this, the full sweep pays
+            // 3 iterations per query and risks the driver's wall budget
+            // (the BENCH_r10 rc=124 failure mode).
+            else if (prevSec > 0 &&
+              math.min(prevSec, sec) / math.max(prevSec, sec) >= 0.9)
+              stop = true
+            prevSec = sec
           case None => stop = true // error entry recorded; don't re-fail
         }
         i += 1
