@@ -289,8 +289,13 @@ object Bench {
     // replaced it (or -1 if the child pass failed/was skipped), and the
     // two references that flagged it — so a diff consumer sees exactly
     // which numbers were adjudicated and against what
+    // audit detail: "capped":true = flagged but outside the GuardMaxChild
+    // top-deviators set (kept its in-run min by design); final = -1 with
+    // no "capped" field = the child pass itself failed or was skipped
+    val flaggedNames = flagged.map(_._1).toSet
     val rerunJson = flaggedAll.map { case (k, first) =>
-      s"""\"${jsonEscape(k)}\":{"first":$first,"final":${freshTimes.getOrElse(k, -1.0)},"prior":${prior.getOrElse(k, -1.0)},"scaling":${scalingRef.getOrElse(k, -1.0)}}"""
+      val capped = if (flaggedNames(k)) "" else ""","capped":true"""
+      s"""\"${jsonEscape(k)}\":{"first":$first,"final":${freshTimes.getOrElse(k, -1.0)},"prior":${prior.getOrElse(k, -1.0)},"scaling":${scalingRef.getOrElse(k, -1.0)}$capped}"""
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"fresh_guard":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""

@@ -101,6 +101,9 @@ def main():
             if g and g.get("final", -1) >= 0:
                 note = (f"  [guard: fresh-JVM {g['first']:.2f}->{g['final']:.2f}"
                         f" -- survived isolation, real]")
+            elif g and g.get("capped"):
+                note = ("  [guard: flagged, outside the top-deviator child"
+                        " cap -- in-run min kept]")
             elif g:
                 note = "  [guard: flagged but fresh pass failed -- unadjudicated]"
             else:
