@@ -13,6 +13,24 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // ---- total-process deadline (r11 verdict ask #1) -------------------
+    // BENCH_r10 AND r11 both died rc=124: the r11 600s "budget" capped
+    // only the multi-iteration phase — a full single-shot tail is still
+    // ~one sweep, and the fresh-JVM guard child could legally block 45
+    // minutes, so on this host's documented 2x-slow eras total wall was
+    // unbounded above any driver window. One deadline measured from
+    // main() now covers EVERYTHING (warmup, sweep, guard child,
+    // streaming probes): the sweep stops and carries committed priors
+    // when it would cross the line, the child gets only the time that is
+    // left, the probes are skipped outright when the line is near, and a
+    // JVM shutdown hook prints the compact summary from in-memory state
+    // even if the driver kills us anyway. A partially-fresh record with
+    // rc=0 beats a perfect record that never lands.
+    val startNs = System.nanoTime()
+    val deadlineS = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DEADLINE_S", "870").toDouble
+    def elapsedS(): Double = (System.nanoTime() - startNs) / 1e9
+    def remainingS(): Double = deadlineS - elapsedS()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // single-shot timings on a shared machine are noise (BENCH_r02 was 3x
@@ -70,12 +88,15 @@ object Bench {
     // Cap the child's re-time set (r10 verdict #1b): the r10 run forked
     // a child that re-timed 61 queries — effectively a second sweep of
     // the slow tail — and the driver run TIMED OUT (BENCH_r10 rc=124,
-    // no parsed record). Adjudicate only the top deviators by absolute
-    // in-run seconds: those are the entries that move the total and the
-    // slowest-20 tail; a sub-second deviator left as measured costs the
-    // record at most its own magnitude.
+    // no parsed record). Cap to the top deviators; selection is by
+    // DEVIATION magnitude, not raw in-run seconds (r11 ADVICE): an
+    // UNDER-recorded deviator — the guard's original motivating failure,
+    // k_truss 5.34 recorded vs ~9s true — costs the record its hidden
+    // true time, so a small recorded number must not let it escape
+    // adjudication.
     val GuardMaxChild = 15
     val freshChild = sys.env.get("SPARK_GRAFT_FRESH_CHILD")
+    val guardEnabled = !sys.env.get("SPARK_GRAFT_FRESH_GUARD").contains("0")
     val sfName = sfDir.split("/").last // e.g. "sf0.1"
     def loadQueryMap(p: java.nio.file.Path, key: String,
                      requireSf: Option[String] = None): Map[String, Double] =
@@ -135,112 +156,248 @@ object Bench {
     def deviates(base: Double, ref: Double): Boolean =
       base >= 0 && ref > 0 && math.abs(base - ref) > GuardAbsDelta &&
         (base > ref * GuardRatio || base < ref / GuardRatio)
-    // ---- sweep wall budget (r10 verdict ask #1) -------------------------
-    // BENCH_r10 rc=124: 368 queries x min-of-3 plus the 61-query child
-    // overran the driver's window. Two cuts keep the sweep bounded:
-    // (a) EARLY-STOP — min-of-N exists to shave load spikes, so once a
-    //     query's min agrees with a committed reference (not `deviates`
-    //     in either direction) further iterations only polish noise the
-    //     guard already tolerates; stop. Queries with no reference (new
-    //     this round) and persistent deviators still run all `iters`
-    //     (a deviator's min-of-3 is what the fresh-JVM child audits).
-    // (b) HARD BUDGET — once the sweep has consumed the budget, every
-    //     remaining query runs exactly once. A single-shot record is
-    //     worse than min-of-3 but infinitely better than rc=124's
-    //     nothing; the guard child still adjudicates the deviators.
+    // ---- sweep iteration budget (r10 verdict ask #1) -------------------
+    // Once the sweep has consumed this, every remaining query runs
+    // exactly once (min-of-3 → single-shot). Distinct from the TOTAL
+    // deadline above, which stops the sweep entirely and carries priors.
     val sweepBudgetS = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+      "SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    // time the deadline logic reserves past the sweep for the final
+    // record emit + Spark teardown
+    val FinalReserveS = 90.0
     val sweepStart = System.nanoTime()
     def sweepElapsed(): Double = (System.nanoTime() - sweepStart) / 1e9
     // oracled queries + the bench-only sketch tiers (the actual 100 TB
     // path of the four buffer-heavy profiling queries — sketch-valued so
-    // never oracled, but a perf regression must show here)
-    val results = (SparkEntry.queries ++ graft.operators.ApproxTiers.benchQueries)
-      .toSeq.sortBy(_._1)
+    // never oracled, but a perf regression must show here).
+    // Sweep order is new-queries-first then cheapest-first by committed
+    // reference: if the deadline stops the sweep, (a) every query new
+    // this round was measured (nothing to carry for those), and (b) the
+    // carried tail is the expensive queries whose committed numbers were
+    // fresh-JVM-adjudicated in a prior round — stale-but-audited beats
+    // rc=124's nothing.
+    val allEntries = (SparkEntry.queries ++ graft.operators.ApproxTiers.benchQueries)
+      .toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // a failure must surface as an error entry, never as a fast
-      // "success" wall-time (the r02 harness swallowed Throwable).
-      // noop sink, NOT count(): count() lets Catalyst prune every
-      // unreferenced projection, so a query whose expensive columns
-      // are never aggregated would bench as a bare scan
-      def timeOnce(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors(name) = (e.getClass.getName + ": " +
-              Option(e.getMessage).getOrElse("")).take(200)
-            None
-        } finally {
-          // checkpoint-based queries persist RDDs they never release
-          // (rounds are read within the one action, so the operators
-          // can't unpersist eagerly themselves); without this sweep the
-          // block store accumulates every prior iteration's and query's
-          // checkpoints, and later measurements degrade — k_truss
-          // measured 5.9s min-of-3 but 7.9s min-of-6 from its own
-          // leaked rounds, and the r9 "load phantoms" (untouched
-          // queries recorded 3-7x high) were late-sweep evictions, not
-          // slow plans. Clearing makes every iteration a clean slate.
-          spark.sharedState.cacheManager.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
+      .sortBy { case (name, _) =>
+        (prior.get(name).orElse(scalingRef.get(name)).getOrElse(-1.0), name)
       }
-      val refs = Seq(prior.get(name), scalingRef.get(name)).flatten
-      val effIters = if (sweepElapsed() > sweepBudgetS) 1 else iters
-      var best = -1.0
-      var prevSec = -1.0
-      var i = 0
-      var stop = false
-      while (i < effIters && !stop) {
-        timeOnce() match {
-          case Some(sec) =>
-            best = if (best < 0) sec else math.min(best, sec)
-            // early-stop (a): agrees with a committed reference -> done
-            if (refs.nonEmpty && refs.exists(r => !deviates(best, r)))
-              stop = true
-            // early-stop (b): two consecutive draws within 10% of each
-            // other -> the measurement is STABLE and a third draw cannot
-            // move the min materially. Matters when the whole host shifts
-            // speed between rounds (a real era on this VM: identical
-            // builds 1.8x apart hours later) — every query then deviates
-            // from its prior and, without this, the full sweep pays
-            // 3 iterations per query and risks the driver's wall budget
-            // (the BENCH_r10 rc=124 failure mode).
-            else if (prevSec > 0 &&
-              math.min(prevSec, sec) / math.max(prevSec, sec) >= 0.9)
-              stop = true
-            prevSec = sec
-          case None => stop = true // error entry recorded; don't re-fail
-        }
-        i += 1
-      }
-      name -> best
+    // measured/carried state is mutable + shared with the shutdown hook,
+    // so a driver SIGKILL-after-SIGTERM still flushes a parseable tail
+    val measured = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val carriedNames = scala.collection.mutable.ListBuffer[String]()
+    val unmeasuredNames = scala.collection.mutable.ListBuffer[String]()
+    val summaryPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def compactSummary(adj: Seq[(String, Double)], rerunJson: String,
+                       partial: Boolean): String = {
+      val total = adj.collect { case (_, v) if v >= 0 => v }.sum
+      val top = adj.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      val slowest = top.map { case (k, v) =>
+        s"\"${jsonEscape(k)}\":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}"
+      }.mkString("{", ",", "}")
+      val families: Seq[(String, Set[String])] = Seq(
+        "core" -> graft.operators.CoreQueries.queries.keySet,
+        "llm" -> graft.operators.LlmQueries.queries.keySet,
+        "event" -> graft.operators.EventQueries.queries.keySet,
+        "curation" -> graft.operators.CurationQueries.queries.keySet,
+        "analytics" -> graft.operators.AnalyticsQueries.queries.keySet,
+        "approx" -> graft.operators.ApproxTiers.benchQueries.keySet)
+      val famJson = families.map { case (fam, names) =>
+        val sub = adj.collect { case (k, v) if v >= 0 && names(k) => v }.sum
+        s""""$fam":${"%.3f".formatLocal(java.util.Locale.ROOT, sub)}"""
+      }.mkString("{", ",", "}")
+      val carriedJson = carriedNames.map(n => s"\"${jsonEscape(n)}\"")
+        .mkString("[", ",", "]")
+      val partialField = if (partial) """"partial":true,""" else ""
+      // "tail_entries_omitted" = per-query entries elided from THIS
+      // compact tail print (full map in per_query_report) — NOT unbenched
+      // queries; the old "queries_omitted" name misread as the latter
+      s"""{"metric":"summary","value":$total,"unit":"sec",$partialField"n_queries":${adj.size},"n_errors":${errors.size},"n_carried":${carriedNames.size},"carried":$carriedJson,"slowest":$slowest,"family_totals":$famJson,"fresh_guard":$rerunJson,"tail_entries_omitted":${adj.size - top.size},"per_query_report":"reports/bench_per_query.json","iters":$iters,"sf":"$sfDir"}"""
     }
+    // safety net: a driver kill (SIGTERM from `timeout`) runs JVM
+    // shutdown hooks — print the summary from whatever state exists so
+    // the driver's tail capture still holds one parseable record line.
+    // Pure memory + println: never touches Spark (which is tearing down).
+    if (freshChild.isEmpty)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        if (summaryPrinted.compareAndSet(false, true)) {
+          val adj = measured.toSeq
+          println(compactSummary(adj, "{}", partial = true))
+          System.out.flush()
+        }))
+    // incremental record: after every query the COMPLETE map (measured so
+    // far + carried committed numbers for everything not yet measured)
+    // lands on disk, so a kill at any instant leaves a full, parseable
+    // per-query report rather than r11's nothing
+    def writeReport(line: String): Unit = {
+      val childOut = freshChild.map(java.nio.file.Paths.get(_))
+      if (only.isEmpty || childOut.nonEmpty) try {
+        val target = childOut.getOrElse(reportPath)
+        Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(target,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: per-query report write failed: $e")
+      }
+    }
+    def fullLineOf(adj: Seq[(String, Double)], rerunJson: String,
+                   partial: Boolean): String = {
+      val qs = adj.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
+        .mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) =>
+        s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
+      }.mkString("{", ",", "}")
+      val total = adj.collect { case (_, v) if v >= 0 => v }.sum
+      val carriedJson = carriedNames.map(n => s"\"${jsonEscape(n)}\"")
+        .mkString("[", ",", "]")
+      val partialField = if (partial) """"partial":true,""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec",$partialField"queries":$qs,"errors":$errJson,"carried":$carriedJson,"fresh_guard":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""
+    }
+    var sweepDegraded = false // budget forced single-shot iterations
+    var sweepStopped = false  // deadline stopped the sweep entirely
+    var sinceWrite = 0
+    allEntries.foreach { case (name, fn) =>
+      if (sweepStopped || remainingS() < FinalReserveS) {
+        // deadline: carry the committed number (flagged), never block
+        if (!sweepStopped) {
+          sweepStopped = true
+          System.err.println(f"bench: DEADLINE at ${elapsedS()}%.0fs — " +
+            s"carrying committed priors for the remaining queries")
+        }
+        prior.get(name).orElse(scalingRef.get(name)) match {
+          case Some(v) => measured(name) = v; carriedNames += name
+          case None    => unmeasuredNames += name
+        }
+      } else {
+        // a failure must surface as an error entry, never as a fast
+        // "success" wall-time (the r02 harness swallowed Throwable).
+        // noop sink, NOT count(): count() lets Catalyst prune every
+        // unreferenced projection, so a query whose expensive columns
+        // are never aggregated would bench as a bare scan
+        def timeOnce(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors(name) = (e.getClass.getName + ": " +
+                Option(e.getMessage).getOrElse("")).take(200)
+              None
+          } finally {
+            // checkpoint-based queries persist RDDs they never release
+            // (rounds are read within the one action, so the operators
+            // can't unpersist eagerly themselves); without this sweep the
+            // block store accumulates every prior iteration's and query's
+            // checkpoints, and later measurements degrade — k_truss
+            // measured 5.9s min-of-3 but 7.9s min-of-6 from its own
+            // leaked rounds, and the r9 "load phantoms" (untouched
+            // queries recorded 3-7x high) were late-sweep evictions, not
+            // slow plans. Clearing makes every iteration a clean slate.
+            spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
+        }
+        val refs = Seq(prior.get(name), scalingRef.get(name)).flatten
+        val effIters = if (sweepElapsed() > sweepBudgetS) {
+          if (!sweepDegraded) {
+            sweepDegraded = true
+            System.err.println(f"bench: iteration budget spent at " +
+              f"${sweepElapsed()}%.0fs — remaining queries run single-shot")
+          }
+          1
+        } else iters
+        var best = -1.0
+        var prevSec = -1.0
+        var i = 0
+        var stop = false
+        while (i < effIters && !stop) {
+          timeOnce() match {
+            case Some(sec) =>
+              best = if (best < 0) sec else math.min(best, sec)
+              // early-stop (a): agrees with a committed reference -> done
+              if (refs.nonEmpty && refs.exists(r => !deviates(best, r)))
+                stop = true
+              // early-stop (b): two consecutive draws within 10% — but
+              // ONLY for queries with no committed reference (r11
+              // ADVICE): for a query already deviating from every ref, a
+              // consistently era-inflated pair would lock the inflated
+              // number in from 2 draws; deviators get the full min-of-N
+              // noise floor (the total deadline bounds the worst case
+              // now, which is what stop (b) existed to do).
+              else if (refs.isEmpty && prevSec > 0 &&
+                math.min(prevSec, sec) / math.max(prevSec, sec) >= 0.9)
+                stop = true
+              prevSec = sec
+            case None => stop = true // error entry recorded; don't re-fail
+          }
+          i += 1
+        }
+        measured(name) = best
+      }
+      // incremental report flush: full map = measured + carry-candidates
+      // for everything not yet reached (cheap; every 5 queries)
+      sinceWrite += 1
+      if (sinceWrite >= 5 && only.isEmpty) {
+        sinceWrite = 0
+        val reached = measured.keySet ++ unmeasuredNames
+        val pending = allEntries.collect {
+          case (n, _) if !reached.contains(n) =>
+            prior.get(n).orElse(scalingRef.get(n)).map(n -> _)
+        }.flatten
+        writeReport(fullLineOf(measured.toSeq ++ pending, "{}", partial = true))
+      }
+    }
+    val results: Seq[(String, Double)] = measured.toSeq
+    val carriedSet = carriedNames.toSet
+    // ---- era canary -----------------------------------------------------
+    // median(measured/committed) over fresh measurements with a stable
+    // reference: >1.2 means this run landed in one of this host's slow
+    // eras (identical builds measure up to 2x apart for hours) — recorded
+    // in the summary, and used to gate the streaming-throughput rewrite
+    // (the committed gate record must not be clobbered by an era artifact)
+    val eraRatio: Double = {
+      val rs = results.collect {
+        case (n, v) if v > 0 && !carriedSet(n) =>
+          prior.get(n).orElse(scalingRef.get(n)).collect {
+            case r if r > 0.2 => v / r
+          }
+      }.flatten.sorted
+      if (rs.size >= 10) rs(rs.size / 2) else 1.0
+    }
+    System.err.println(f"bench: era canary ratio $eraRatio%.2f " +
+      f"(1.0 = committed-era speed), elapsed ${elapsedS()}%.0fs")
     // ---- fresh-JVM adjudication pass -----------------------------------
     // Fork a child Bench (same classpath + JVM flags as this forked run)
     // restricted to the flagged queries; it writes its per-query map to
     // SPARK_GRAFT_FRESH_CHILD and that map replaces the flagged in-run
     // numbers. Disabled inside the child itself (no recursion), under
-    // SPARK_GRAFT_BENCH_ONLY (targeted runs), or via
-    // SPARK_GRAFT_FRESH_GUARD=0.
+    // SPARK_GRAFT_BENCH_ONLY (targeted runs), via
+    // SPARK_GRAFT_FRESH_GUARD=0, or when the deadline has no room left.
+    // Carried entries never flag: they ARE the committed reference.
     val flaggedAll: Seq[(String, Double)] = results.filter { case (name, base) =>
-      prior.get(name).exists(deviates(base, _)) ||
-        scalingRef.get(name).exists(deviates(base, _))
+      !carriedSet(name) && (
+        prior.get(name).exists(deviates(base, _)) ||
+          scalingRef.get(name).exists(deviates(base, _)))
     }
-    // re-time only the biggest movers by absolute seconds (see
-    // GuardMaxChild above); the rest keep their in-run min and appear
-    // in the fresh_guard audit with final = -1 so a diff consumer can
-    // see they were flagged but not adjudicated
+    // deviation score = worst absolute gap vs any reference (r11 ADVICE:
+    // ranking by raw in-run seconds let under-recorded deviators — the
+    // guard's motivating failure — escape the capped child set)
+    def devScore(name: String, base: Double): Double =
+      Seq(prior.get(name), scalingRef.get(name)).flatten
+        .map(r => math.abs(base - r)).foldLeft(0.0)(math.max)
     val flagged: Seq[(String, Double)] =
-      flaggedAll.sortBy(-_._2).take(GuardMaxChild)
+      flaggedAll.sortBy { case (n, b) => -devScore(n, b) }.take(GuardMaxChild)
+    val childBudgetS = remainingS() - FinalReserveS
     val freshTimes: Map[String, Double] =
       if (flagged.isEmpty || only.nonEmpty || freshChild.nonEmpty ||
-          sys.env.get("SPARK_GRAFT_FRESH_GUARD").contains("0")) Map.empty
-      else try {
+          !guardEnabled) Map.empty
+      else if (childBudgetS < 90) {
+        System.err.println(f"bench: skipping fresh-JVM guard — only " +
+          f"$childBudgetS%.0fs left before the deadline")
+        Map.empty
+      } else try {
         val tmp = java.nio.file.Files.createTempFile("graft-fresh-pass", ".json")
         val javaBin = java.nio.file.Paths
           .get(System.getProperty("java.home"), "bin", "java").toString
@@ -261,15 +418,20 @@ object Bench {
         pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment.put("SPARK_GRAFT_CPUS", cpus)
         pb.environment.put("SPARK_GRAFT_BENCH_ITERS", iters.toString)
+        // the child inherits what the deadline leaves, not a fixed 45 min
+        pb.environment.put("SPARK_GRAFT_BENCH_DEADLINE_S",
+          math.max(60, childBudgetS - 30).toLong.toString)
         // child stdout must not reach this process's stdout (the driver
         // parses OUR tail); keep its log on stderr for debuggability
         pb.redirectOutput(ProcessBuilder.Redirect.to(
           java.nio.file.Files.createTempFile("graft-fresh-out", ".log").toFile))
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         System.err.println(s"bench: fresh-JVM guard re-timing ${flagged.size} " +
-          s"deviating queries: ${flagged.map(_._1).mkString(",")}")
+          s"deviating queries (${childBudgetS.toLong}s budget): " +
+          flagged.map(_._1).mkString(","))
         val proc = pb.start()
-        val done = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+        val done = proc.waitFor(childBudgetS.toLong,
+          java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { proc.destroyForcibly(); Map.empty }
         else loadQueryMap(tmp, "queries").filter(_._2 >= 0)
       } catch { case e: Throwable =>
@@ -279,12 +441,6 @@ object Bench {
     val adjudicated = results.map { case (name, base) =>
       name -> freshTimes.getOrElse(name, base)
     }
-    val qs = adjudicated.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
-    }.mkString("{", ",", "}")
-    val total = adjudicated.collect { case (_, v) if v >= 0 => v }.sum
     // the guard's audit trail: the in-run min, the fresh-JVM min that
     // replaced it (or -1 if the child pass failed/was skipped), and the
     // two references that flagged it — so a diff consumer sees exactly
@@ -297,57 +453,71 @@ object Bench {
       val capped = if (flaggedNames(k)) "" else ""","capped":true"""
       s"""\"${jsonEscape(k)}\":{"first":$first,"final":${freshTimes.getOrElse(k, -1.0)},"prior":${prior.getOrElse(k, -1.0)},"scaling":${scalingRef.getOrElse(k, -1.0)}$capped}"""
     }.mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"fresh_guard":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""
-    println(fullLine)
     // The driver's artifact keeps only a bounded TAIL of this output, so
-    // the full per-query map above is lost from the round record
+    // the full per-query map is lost from the round record
     // ("queries_omitted":154 in BENCH_r07 made a 50% total-inflation
     // question unanswerable from artifacts). Persist the complete map to
-    // a committed file, overwritten each run, so every round can diff
-    // per-query timings against the previous round's file in git.
-    // Skipped under SPARK_GRAFT_BENCH_ONLY (a targeted timing run must
-    // not clobber the committed full map) — EXCEPT in fresh-child mode,
-    // where the map goes to the parent's temp handoff path instead.
-    val childOut = freshChild.map(java.nio.file.Paths.get(_))
-    if (only.isEmpty || childOut.nonEmpty) try {
-      val target = childOut.getOrElse(reportPath)
-      Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(target,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"bench: per-query report write failed: $e")
-    }
-    // ---- propagate adjudicated finals into scaling.json (r10 ask #8) ---
+    // a committed file so every round can diff per-query timings in git.
+    val fullLine = fullLineOf(adjudicated, rerunJson,
+      partial = sweepStopped || unmeasuredNames.nonEmpty)
+    println(fullLine)
+    writeReport(fullLine)
+    // ---- propagate into scaling.json (r10 ask #8, r11 ADVICE tightened)
     // The guard flags deviation against scaling.json's leg for this SF;
     // if that leg goes stale (a query got genuinely faster and the
     // committed map moved on), every later round re-flags the same
     // queries against the stale reference and re-pays the child pass.
-    // After a full sweep, fold this run's adjudicated numbers back into
-    // the matching scaling leg and refresh the derived ratio fields.
+    // Policy (r11 ADVICE — the old fold-everything-back overwrote both
+    // guard references with era-inflated numbers in one run):
+    //   * child-VERIFIED finals REPLACE the leg (adjudication exists to
+    //     fix under-records; min-merge would keep them);
+    //   * un-flagged fresh measurements MIN-MERGE (best observed — can
+    //     only improve the leg, never poison it with era inflation), and
+    //     only when the guard was enabled and the sweep never degraded
+    //     to single-shot;
+    //   * flagged-but-unadjudicated, carried, and errored entries leave
+    //     the leg untouched.
     if (only.isEmpty && freshChild.isEmpty) try {
       val sp = java.nio.file.Paths.get("reports/scaling.json")
       if (java.nio.file.Files.exists(sp)) {
         import org.json4s._
-        import org.json4s.JsonDSL._
         val txt = new String(java.nio.file.Files.readAllBytes(sp),
           java.nio.charset.StandardCharsets.UTF_8)
         val root = org.json4s.jackson.JsonMethods.parse(txt)
-        val adjMap = adjudicated.toMap
+        val flaggedAllNames = flaggedAll.map(_._1).toSet
+        val mergeable: Map[String, Double] =
+          if (guardEnabled && !sweepDegraded && !sweepStopped)
+            results.collect { case (n, v)
+              if v >= 0 && !carriedSet(n) && !flaggedAllNames(n) => n -> v
+            }.toMap
+          else Map.empty
+        // name -> (sec, replace?) ; replace=false → min-merge
+        val propagate: Map[String, (Double, Boolean)] =
+          mergeable.map { case (n, v) => n -> (v, false) } ++
+            freshTimes.map { case (n, v) => n -> (v, true) }
+        // nothing to fold back (deadline-stopped / degraded / guard-off
+        // run) → leave the committed file byte-identical, don't reformat
+        if (propagate.isEmpty)
+          System.err.println("bench: scaling.json propagation skipped " +
+            "(no eligible fresh measurements this run)")
+        else {
         def r4(d: Double) = math.round(d * 1e4) / 1e4
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+          case _ => None
+        }
         val newPerQuery: JValue = root \ "per_query" match {
           case JObject(fields) => JObject(fields.map { case (q, entry) =>
-            adjMap.get(q).filter(_ >= 0) match {
+            propagate.get(q) match {
               case None => q -> entry
-              case Some(sec) =>
+              case Some((sec0, replace)) =>
                 val secs0 = entry \ "secs" match {
                   case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue]
                 }
+                val existing = secs0.get(sfName).flatMap(num)
+                val sec = if (replace) sec0
+                  else existing.fold(sec0)(e => math.min(e, sec0))
                 val secs = secs0 + (sfName -> JDouble(r4(sec)))
-                def num(v: JValue): Option[Double] = v match {
-                  case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
-                  case _ => None
-                }
                 val sf01 = secs.get("sf0.01").flatMap(num)
                 val sf1 = secs.get("sf0.1").flatMap(num)
                 val derived: JObject = (sf01, sf1) match {
@@ -387,7 +557,9 @@ object Bench {
             org.json4s.jackson.JsonMethods.render(merged)) + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         System.err.println(s"bench: scaling.json $sfName leg refreshed " +
-          s"(${adjMap.size} queries, total ${math.round(newTotal)}s)")
+          s"(${propagate.size} queries: ${freshTimes.size} adjudicated-replace, " +
+          s"${mergeable.size} min-merged; total ${math.round(newTotal)}s)")
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"bench: scaling.json propagation failed: $e")
@@ -395,10 +567,23 @@ object Bench {
     // ---- streaming throughput probes ----------------------------------
     // The streaming surface is correctness-specced (DedupStreamSpec /
     // EventStreamSpec) but was never timed; feed the sf corpus through a
-    // MemoryStream and report rows/s for the two stateful hot paths. A
-    // probe failure must never kill the batch bench → its own error field.
-    // Skipped under SPARK_GRAFT_BENCH_ONLY (targeted timing runs).
-    val streamLine = if (only.nonEmpty) "" else try {
+    // MemoryStream and report rows/s for the stateful hot paths. A probe
+    // failure must never kill the batch bench → its own error field.
+    // Skipped under SPARK_GRAFT_BENCH_ONLY (targeted timing runs), when
+    // the deadline is near, and — r11 verdict #4 — when the era canary
+    // says this run is load/era-inflated: the committed sf0.1 record is
+    // the throughput gate the round is judged on, and it flapped twice
+    // (r9→r11) from era-slow rewrites under-reading a previously-passed
+    // gate. An era-slow run keeps the committed record.
+    val streamBudgetS = remainingS() - FinalReserveS
+    val streamLine =
+      if (only.nonEmpty) ""
+      else if (streamBudgetS < 240 || eraRatio > 1.2) {
+        System.err.println(f"bench: skipping streaming probes " +
+          f"(budget $streamBudgetS%.0fs, era ratio $eraRatio%.2f) — " +
+          "committed record preserved")
+        s"""{"metric":"streaming_throughput","skipped":true,"era_canary":${"%.3f".formatLocal(java.util.Locale.ROOT, eraRatio)},"remaining_s":${streamBudgetS.toLong},"note":"era-slow or deadline-near run; committed record preserved","sf":"$sfDir"}"""
+      } else try {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.col
@@ -540,7 +725,7 @@ object Bench {
           (rows.size.toLong, (System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       }
-      s"""{"metric":"streaming_throughput",$dedup,$dedupRocks,$gate,$semGate,$mixGate,"sf":"$sfDir"}"""
+      s"""{"metric":"streaming_throughput",$dedup,$dedupRocks,$gate,$semGate,$mixGate,"era_canary":${"%.3f".formatLocal(java.util.Locale.ROOT, eraRatio)},"sf":"$sfDir"}"""
     } catch {
       case e: Throwable =>
         s"""{"metric":"streaming_throughput","error":"${jsonEscape(
@@ -551,8 +736,9 @@ object Bench {
       // persist the gate rates next to the per-query map: the throughput
       // history (near_dup_gate 1,412 -> 4,460 rows/s across r7 -> r8)
       // lived only in the driver's volatile tail capture and could not
-      // be diffed from artifacts once a tail truncated (r8 verdict #2)
-      try {
+      // be diffed from artifacts once a tail truncated (r8 verdict #2).
+      // A skipped probe run writes nothing — the committed record stands.
+      if (!streamLine.contains("\"skipped\":true")) try {
         // sf-clobber guard (r10 verdict #5): the committed record is the
         // sf0.1 measurement the round's throughput gates are judged on;
         // an sf0.01 smoke run once overwrote it with warmup-dominated
@@ -576,28 +762,14 @@ object Bench {
     // LAST so a bounded tail always retains a parseable headline record.
     // Named "summary", not "total", so a consumer aggregating by metric
     // key never double-counts the run (r6 advice).
-    // Slowest 20 (not 5 — r7's noise-vs-regression adjudication needed
-    // queries outside the top 5) + per-registry subtotals, so the tail
-    // alone localizes a regression to a family even when the full map
-    // file is unavailable.
-    val top = adjudicated.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    val slowest = top.map { case (k, v) => s"\"${jsonEscape(k)}\":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}" }
-      .mkString("{", ",", "}")
-    val families: Seq[(String, Set[String])] = Seq(
-      "core" -> graft.operators.CoreQueries.queries.keySet,
-      "llm" -> graft.operators.LlmQueries.queries.keySet,
-      "event" -> graft.operators.EventQueries.queries.keySet,
-      "curation" -> graft.operators.CurationQueries.queries.keySet,
-      "analytics" -> graft.operators.AnalyticsQueries.queries.keySet,
-      "approx" -> graft.operators.ApproxTiers.benchQueries.keySet)
-    val famJson = families.map { case (fam, names) =>
-      val sub = adjudicated.collect { case (k, v) if v >= 0 && names(k) => v }.sum
-      s""""$fam":${"%.3f".formatLocal(java.util.Locale.ROOT, sub)}"""
-    }.mkString("{", ",", "}")
-    // "tail_entries_omitted" = per-query entries elided from THIS compact
-    // tail print (the full map is in per_query_report) — NOT unbenched
-    // queries; the old "queries_omitted" name misread as the latter (r9 #9)
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${adjudicated.size},"n_errors":${errors.size},"slowest":$slowest,"family_totals":$famJson,"fresh_guard":$rerunJson,"tail_entries_omitted":${adjudicated.size - top.size},"per_query_report":"reports/bench_per_query.json","iters":$iters,"sf":"$sfDir"}""")
+    if (summaryPrinted.compareAndSet(false, true))
+      println(compactSummary(adjudicated, rerunJson,
+        partial = sweepStopped || unmeasuredNames.nonEmpty))
+    System.out.flush()
     spark.stop()
+    // Spark's streaming/state machinery can leave non-daemon threads on
+    // an abandoned probe; the record is printed and flushed — exit 0 NOW
+    // rather than risk the driver's timeout converting success to rc=124
+    System.exit(0)
   }
 }

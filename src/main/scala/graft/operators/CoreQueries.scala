@@ -1074,6 +1074,50 @@ object CoreQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Streaming-shaped batch analog #3 (SURVEY.md §2.9; r11 verdict ask
+    // #6): the DETERMINISTIC batch backfill of the custom-state
+    // sessionizer (graft.streaming.EventStream.sessionize =
+    // flatMapGroupsWithState with event-time timeout, 30-minute gap) —
+    // the classic gaps-and-islands spelling: a session breaks where the
+    // per-user gap between consecutive events (by (ts_us, event_id))
+    // exceeds the gap, and each island rolls up to (start, end, count,
+    // value total). On a bounded feed whose watermark has passed every
+    // session's end + gap, the stateful gate's emitted set is exactly
+    // this frame: EventStreamSpec ("sessionize emitted sessions equal
+    // the stream_session_summaries backfill") pins it over a
+    // MemoryStream feed, so flatMapGroupsWithState semantics face the
+    // DuckDB oracle transitively (the stream_dedup_admitted template).
+    // Eligibility: the boundary rule is checked free of the streaming
+    // path's ms-truncation ambiguity — no consecutive-event gap in any
+    // SF's events table lands within ±1ms of the 30-minute cut
+    // (verified over sf0.001/0.01/0.1). Scale shape: ONE user-keyed
+    // window (state bounded by per-user event counts, the same key the
+    // streaming state store shards on) + one partial-aggregable rollup;
+    // nothing fact-sized moves twice.
+    "stream_session_summaries" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gapUs = 30L * 60 * 1000000L
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .withColumn("ts_us", graft.sources.EventTime.tsUs(ev0))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev
+        .withColumn("new_s",
+          coalesce((col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs)
+            .cast("long"), lit(1L)))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          decSum(col("value"), 6).as("total_value"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Header↔detail reconciliation: FULL OUTER join of order headers
     // against per-order lineitem totals, bucketed into match / mismatch /
     // orphan statuses — the cross-system integrity check every finance
@@ -4416,6 +4460,27 @@ object CoreQueries {
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_session_summaries" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |         CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+        |              OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |       MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "cube_qty" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,

@@ -287,6 +287,73 @@ class EventStreamSpec extends SparkSpec {
     assert(admitted === backfill)
   }
 
+  test("sessionize emitted sessions equal the stream_session_summaries backfill") {
+    // Oracle bridge #2 (r11 verdict ask #6, the stream_dedup_admitted
+    // template): the registered batch query `stream_session_summaries`
+    // is hash-checked against DuckDB by the driver; THIS test pins the
+    // flatMapGroupsWithState sessionizer's emitted set to that exact
+    // frame, so custom-state streaming semantics face the oracle
+    // transitively. Feed design: the whole corpus in micro-batch 0 (the
+    // in-batch merge closes every session but each user's last), then
+    // two sentinel events for a user NOT in the corpus in successive
+    // batches — each walks the watermark (ts − 1h) forward, so by batch
+    // 2 every real session's event-time timeout (end + gap) has fired
+    // and the session emitted; the sentinel's own session stays open in
+    // state and is excluded from the compare. Start/end compare at ms
+    // (the streaming gate folds Timestamp.getTime — gap decisions can't
+    // diverge from the µs backfill: no corpus gap sits within ±1ms of
+    // the 30-min cut, verified at all SFs); totals compare to 1e-6
+    // (sequential double fold vs the backfill's exact decimal sum).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val rows = raw
+      .withColumn("tsz", graft.sources.EventTime.tsTimestamp(raw))
+      .select($"event_id", $"tsz".as("ts"), $"user_id", $"event_type", $"value")
+      .as[Event]
+      .collect()
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinelUser = -1L
+    val s1 = Event(-1L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000), sentinelUser, "x", 0.0)
+    val s2 = Event(-2L, new Timestamp(maxTs + 20L * 24 * 3600 * 1000), sentinelUser, "x", 0.0)
+
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_backfill_pin")
+      .outputMode(OutputMode.Append).start()
+    val emitted = try {
+      mem.addData(rows.toSeq); q.processAllAvailable()
+      mem.addData(s1); q.processAllAvailable()
+      mem.addData(s2); q.processAllAvailable()
+      spark.table("sess_backfill_pin").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").getTime,
+          r.getAs[Timestamp]("session_end").getTime,
+          r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+        .filter(_._1 != sentinelUser)
+    } finally q.stop()
+
+    val backfill = graft.SparkEntry.queries("stream_session_summaries")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        Math.floorDiv(r.getAs[Long]("session_start_us"), 1000L),
+        Math.floorDiv(r.getAs[Long]("session_end_us"), 1000L),
+        r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+
+    assert(emitted.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      backfill.map(t => (t._1, t._2, t._3, t._4)).toSet)
+    val eTot = emitted.map(t => ((t._1, t._2), t._5)).toMap
+    backfill.foreach { t =>
+      assert(math.abs(eTot((t._1, t._2)) - t._5) <=
+        1e-6 * math.max(1.0, math.abs(t._5)),
+        s"total_value mismatch for user ${t._1} session @${t._2}")
+    }
+  }
+
   test("readEventStream processes the sf0.001 events directory end-to-end") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
     assert(stream.isStreaming)
