@@ -176,9 +176,21 @@ object Bench {
     // carried tail is the expensive queries whose committed numbers were
     // fresh-JVM-adjudicated in a prior round — stale-but-audited beats
     // rc=124's nothing.
+    // SPARK_GRAFT_STREAM_ONLY=1: skip the batch sweep and re-measure the
+    // streaming-throughput probes alone, behind the same era canary —
+    // the committed gate record flapped twice (r9→r11) from era-slow
+    // full runs, and a full 870s sweep is too blunt an instrument for
+    // "retry the probes when the host is fast". A small canary subset
+    // still runs (min-of-iters vs committed references) so eraRatio is
+    // real; nothing from this mode touches the committed per-query map
+    // or scaling.json.
+    val streamOnly = sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")
+    val CanaryQueries = Set("pagerank", "label_propagation",
+      "table_profile", "curation_funnel", "dedup_exact")
     val allEntries = (SparkEntry.queries ++ graft.operators.ApproxTiers.benchQueries)
       .toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !streamOnly || CanaryQueries(name) }
       .sortBy { case (name, _) =>
         (prior.get(name).orElse(scalingRef.get(name)).getOrElse(-1.0), name)
       }
@@ -231,7 +243,7 @@ object Bench {
     // per-query report rather than r11's nothing
     def writeReport(line: String): Unit = {
       val childOut = freshChild.map(java.nio.file.Paths.get(_))
-      if (only.isEmpty || childOut.nonEmpty) try {
+      if ((only.isEmpty && !streamOnly) || childOut.nonEmpty) try {
         val target = childOut.getOrElse(reportPath)
         Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(target,
@@ -364,7 +376,7 @@ object Bench {
             case r if r > 0.2 => v / r
           }
       }.flatten.sorted
-      if (rs.size >= 10) rs(rs.size / 2) else 1.0
+      if (rs.size >= (if (streamOnly) 3 else 10)) rs(rs.size / 2) else 1.0
     }
     System.err.println(f"bench: era canary ratio $eraRatio%.2f " +
       f"(1.0 = committed-era speed), elapsed ${elapsedS()}%.0fs")
@@ -392,7 +404,7 @@ object Bench {
     val childBudgetS = remainingS() - FinalReserveS
     val freshTimes: Map[String, Double] =
       if (flagged.isEmpty || only.nonEmpty || freshChild.nonEmpty ||
-          !guardEnabled) Map.empty
+          streamOnly || !guardEnabled) Map.empty
       else if (childBudgetS < 90) {
         System.err.println(f"bench: skipping fresh-JVM guard — only " +
           f"$childBudgetS%.0fs left before the deadline")
@@ -477,7 +489,7 @@ object Bench {
     //     to single-shot;
     //   * flagged-but-unadjudicated, carried, and errored entries leave
     //     the leg untouched.
-    if (only.isEmpty && freshChild.isEmpty) try {
+    if (only.isEmpty && freshChild.isEmpty && !streamOnly) try {
       val sp = java.nio.file.Paths.get("reports/scaling.json")
       if (java.nio.file.Files.exists(sp)) {
         import org.json4s._

@@ -238,6 +238,60 @@ class EventStreamSpec extends SparkSpec {
     assert(sinkKeys.subsetOf(batchKeys))
   }
 
+  test("windowedAgg finalized windows equal the event_window_agg backfill") {
+    // Oracle bridge #3: `event_window_agg` (registered, DuckDB-checked)
+    // is the batch analog of the streaming tumbling-window aggregation;
+    // this test upgrades the sink spec's subset assertion to FULL
+    // equality — sentinel events for a type not in the corpus walk the
+    // watermark past every real window's end, so Append mode finalizes
+    // and emits the complete set. The sentinel's own windows are
+    // excluded by type. Totals compare to 1e-6 relative (streaming sums
+    // raw doubles in partial order; the backfill sums decimal-exactly).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val rows = raw
+      .withColumn("tsz", graft.sources.EventTime.tsTimestamp(raw))
+      .select($"event_id", $"tsz".as("ts"), $"user_id", $"event_type", $"value")
+      .as[Event]
+      .collect()
+    val maxTs = rows.map(_.ts.getTime).max
+    val s1 = Event(-1L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "sentinel", 0.0)
+    val s2 = Event(-2L, new Timestamp(maxTs + 20L * 24 * 3600 * 1000), -1L, "sentinel", 0.0)
+
+    val mem = MemoryStream[Event]
+    val q = windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_backfill_pin")
+      .outputMode(OutputMode.Append).start()
+    val emitted = try {
+      mem.addData(rows.toSeq); q.processAllAvailable()
+      mem.addData(s1); q.processAllAvailable()
+      mem.addData(s2); q.processAllAvailable()
+      spark.table("win_backfill_pin").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total_value")))
+        .filter(_._2 != "sentinel")
+    } finally q.stop()
+
+    val backfill = graft.SparkEntry.queries("event_window_agg")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("total_value")))
+
+    assert(emitted.map(t => (t._1, t._2, t._3)).toSet ===
+      backfill.map(t => (t._1, t._2, t._3)).toSet)
+    val eTot = emitted.map(t => ((t._1, t._2), t._4)).toMap
+    backfill.foreach { t =>
+      assert(math.abs(eTot((t._1, t._2)) - t._4) <=
+        1e-6 * math.max(1.0, math.abs(t._4)),
+        s"total_value mismatch for window ${t._1} type ${t._2}")
+    }
+  }
+
   test("dedupStream admitted set equals the stream_dedup_admitted backfill") {
     // The oracle bridge for the stateful gate (r10 verdict ask #7): the
     // registered batch query `stream_dedup_admitted` is hash-checked
