@@ -369,12 +369,16 @@ object Bench {
     // eras (identical builds measure up to 2x apart for hours) — recorded
     // in the summary, and used to gate the streaming-throughput rewrite
     // (the committed gate record must not be clobbered by an era artifact)
+    // reference = the BEST committed number (min of last-round map and
+    // the min-merged scaling leg): the per-query map is itself
+    // this-round-measured and may carry era inflation — an inflated
+    // prior once let a 1.5x-slow run read as canary 0.83 and clobber
+    // the throughput record it existed to protect
     val eraRatio: Double = {
       val rs = results.collect {
         case (n, v) if v > 0 && !carriedSet(n) =>
-          prior.get(n).orElse(scalingRef.get(n)).collect {
-            case r if r > 0.2 => v / r
-          }
+          (prior.get(n).toSeq ++ scalingRef.get(n)).filter(_ > 0.2)
+            .sorted.headOption.map(v / _)
       }.flatten.sorted
       if (rs.size >= (if (streamOnly) 3 else 10)) rs(rs.size / 2) else 1.0
     }
