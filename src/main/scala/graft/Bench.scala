@@ -195,11 +195,19 @@ object Bench {
         (prior.get(name).orElse(scalingRef.get(name)).getOrElse(-1.0), name)
       }
     // measured/carried state is mutable + shared with the shutdown hook,
-    // so a driver SIGKILL-after-SIGTERM still flushes a parseable tail
+    // so a driver SIGKILL-after-SIGTERM still flushes a parseable tail.
+    // stateLock guards every mutation/snapshot: shutdown hooks run
+    // CONCURRENTLY with application threads, and an unsynchronized
+    // LinkedHashMap read mid-resize could throw inside the hook — losing
+    // the very tail record the hook exists to guarantee
+    val stateLock = new Object
     val measured = scala.collection.mutable.LinkedHashMap[String, Double]()
     val carriedNames = scala.collection.mutable.ListBuffer[String]()
     val unmeasuredNames = scala.collection.mutable.ListBuffer[String]()
     val summaryPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // stream-only retries print 5-canary totals; mark both stdout records
+    // so a tail consumer can never mistake them for a full-sweep record
+    val modeField = if (streamOnly) """"mode":"stream_only",""" else ""
     def compactSummary(adj: Seq[(String, Double)], rerunJson: String,
                        partial: Boolean): String = {
       val total = adj.collect { case (_, v) if v >= 0 => v }.sum
@@ -218,13 +226,16 @@ object Bench {
         val sub = adj.collect { case (k, v) if v >= 0 && names(k) => v }.sum
         s""""$fam":${"%.3f".formatLocal(java.util.Locale.ROOT, sub)}"""
       }.mkString("{", ",", "}")
-      val carriedJson = carriedNames.map(n => s"\"${jsonEscape(n)}\"")
+      val (carriedSnap, nErr) = stateLock.synchronized {
+        (carriedNames.toList, errors.size)
+      }
+      val carriedJson = carriedSnap.map(n => s"\"${jsonEscape(n)}\"")
         .mkString("[", ",", "]")
       val partialField = if (partial) """"partial":true,""" else ""
       // "tail_entries_omitted" = per-query entries elided from THIS
       // compact tail print (full map in per_query_report) — NOT unbenched
       // queries; the old "queries_omitted" name misread as the latter
-      s"""{"metric":"summary","value":$total,"unit":"sec",$partialField"n_queries":${adj.size},"n_errors":${errors.size},"n_carried":${carriedNames.size},"carried":$carriedJson,"slowest":$slowest,"family_totals":$famJson,"fresh_guard":$rerunJson,"tail_entries_omitted":${adj.size - top.size},"per_query_report":"reports/bench_per_query.json","iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"summary","value":$total,"unit":"sec",$modeField$partialField"n_queries":${adj.size},"n_errors":$nErr,"n_carried":${carriedSnap.size},"carried":$carriedJson,"slowest":$slowest,"family_totals":$famJson,"fresh_guard":$rerunJson,"tail_entries_omitted":${adj.size - top.size},"per_query_report":"reports/bench_per_query.json","iters":$iters,"sf":"$sfDir"}"""
     }
     // safety net: a driver kill (SIGTERM from `timeout`) runs JVM
     // shutdown hooks — print the summary from whatever state exists so
@@ -233,7 +244,7 @@ object Bench {
     if (freshChild.isEmpty)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         if (summaryPrinted.compareAndSet(false, true)) {
-          val adj = measured.toSeq
+          val adj = stateLock.synchronized { measured.toSeq }
           println(compactSummary(adj, "{}", partial = true))
           System.out.flush()
         }))
@@ -256,14 +267,17 @@ object Bench {
                    partial: Boolean): String = {
       val qs = adj.map { case (k, v) => s"\"${jsonEscape(k)}\":$v" }
         .mkString("{", ",", "}")
-      val errJson = errors.map { case (k, v) =>
+      val (errSnap, carriedSnap) = stateLock.synchronized {
+        (errors.toList, carriedNames.toList)
+      }
+      val errJson = errSnap.map { case (k, v) =>
         s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
       }.mkString("{", ",", "}")
       val total = adj.collect { case (_, v) if v >= 0 => v }.sum
-      val carriedJson = carriedNames.map(n => s"\"${jsonEscape(n)}\"")
+      val carriedJson = carriedSnap.map(n => s"\"${jsonEscape(n)}\"")
         .mkString("[", ",", "]")
       val partialField = if (partial) """"partial":true,""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec",$partialField"queries":$qs,"errors":$errJson,"carried":$carriedJson,"fresh_guard":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$modeField$partialField"queries":$qs,"errors":$errJson,"carried":$carriedJson,"fresh_guard":$rerunJson,"iters":$iters,"sf":"$sfDir"}"""
     }
     var sweepDegraded = false // budget forced single-shot iterations
     var sweepStopped = false  // deadline stopped the sweep entirely
@@ -276,9 +290,14 @@ object Bench {
           System.err.println(f"bench: DEADLINE at ${elapsedS()}%.0fs — " +
             s"carrying committed priors for the remaining queries")
         }
-        prior.get(name).orElse(scalingRef.get(name)) match {
-          case Some(v) => measured(name) = v; carriedNames += name
-          case None    => unmeasuredNames += name
+        // carry the BEST committed number (min of the two references) —
+        // the last-round map may itself be era-inflated, the same
+        // rationale as the era canary below
+        (prior.get(name).toSeq ++ scalingRef.get(name)).sorted.headOption match {
+          case Some(v) => stateLock.synchronized {
+            measured(name) = v; carriedNames += name
+          }
+          case None => stateLock.synchronized { unmeasuredNames += name }
         }
       } else {
         // a failure must surface as an error entry, never as a fast
@@ -293,8 +312,10 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>
-              errors(name) = (e.getClass.getName + ": " +
-                Option(e.getMessage).getOrElse("")).take(200)
+              stateLock.synchronized {
+                errors(name) = (e.getClass.getName + ": " +
+                  Option(e.getMessage).getOrElse("")).take(200)
+              }
               None
           } finally {
             // checkpoint-based queries persist RDDs they never release
@@ -338,7 +359,13 @@ object Bench {
               // number in from 2 draws; deviators get the full min-of-N
               // noise floor (the total deadline bounds the worst case
               // now, which is what stop (b) existed to do).
-              else if (refs.isEmpty && prevSec > 0 &&
+              // ... and never in the adjudicating child: BENCH_ONLY
+              // clears prior/scalingRef there, so refs.isEmpty holds for
+              // every flagged query and two era-inflated draws would
+              // lock the inflated number in as the adjudicated final —
+              // the exact failure this guard exists to catch. The child
+              // always runs full min-of-iters.
+              else if (refs.isEmpty && freshChild.isEmpty && prevSec > 0 &&
                 math.min(prevSec, sec) / math.max(prevSec, sec) >= 0.9)
                 stop = true
               prevSec = sec
@@ -346,22 +373,25 @@ object Bench {
           }
           i += 1
         }
-        measured(name) = best
+        stateLock.synchronized { measured(name) = best }
       }
       // incremental report flush: full map = measured + carry-candidates
       // for everything not yet reached (cheap; every 5 queries)
       sinceWrite += 1
       if (sinceWrite >= 5 && only.isEmpty) {
         sinceWrite = 0
-        val reached = measured.keySet ++ unmeasuredNames
+        val (snap, reached) = stateLock.synchronized {
+          (measured.toSeq, measured.keySet ++ unmeasuredNames)
+        }
         val pending = allEntries.collect {
           case (n, _) if !reached.contains(n) =>
-            prior.get(n).orElse(scalingRef.get(n)).map(n -> _)
+            (prior.get(n).toSeq ++ scalingRef.get(n)).sorted.headOption
+              .map(n -> _)
         }.flatten
-        writeReport(fullLineOf(measured.toSeq ++ pending, "{}", partial = true))
+        writeReport(fullLineOf(snap ++ pending, "{}", partial = true))
       }
     }
-    val results: Seq[(String, Double)] = measured.toSeq
+    val results: Seq[(String, Double)] = stateLock.synchronized { measured.toSeq }
     val carriedSet = carriedNames.toSet
     // ---- era canary -----------------------------------------------------
     // median(measured/committed) over fresh measurements with a stable
@@ -409,9 +439,14 @@ object Bench {
     val freshTimes: Map[String, Double] =
       if (flagged.isEmpty || only.nonEmpty || freshChild.nonEmpty ||
           streamOnly || !guardEnabled) Map.empty
-      else if (childBudgetS < 90) {
-        System.err.println(f"bench: skipping fresh-JVM guard — only " +
-          f"$childBudgetS%.0fs left before the deadline")
+      else if (childBudgetS < 240) {
+        // below ~240s the child is guaranteed useless: it pays JVM +
+        // Spark startup + the 10-table warmup (~60-90s) and its own
+        // FinalReserveS against the deadline we pass it, leaving zero
+        // sweep time — it would burn 1.5-2 min and hand back an empty
+        // map while possibly starving the streaming probes
+        System.err.println(f"bench: skipping fresh-JVM guard — " +
+          f"$childBudgetS%.0fs left is below the useful child minimum")
         Map.empty
       } else try {
         val tmp = java.nio.file.Files.createTempFile("graft-fresh-pass", ".json")

@@ -14,12 +14,18 @@ import java.nio.file.{Files, Paths}
   *      this SF, so a kill at any point preserves the maximum number of
   *      comparable rows. Queries with no committed cost (new this round)
   *      run first — their correctness signal is the round's newest.
-  *   3. The loop runs with bounded concurrency (default 4 threads over
+  *   3. The loop runs with bounded concurrency (default 6 threads over
   *      the one shared session — queries are independent reads and the
   *      session is thread-safe; the only session conf any query touches
   *      is the idempotent nanosAsLong flag). The r11 serial wall was
   *      ~31 min at 8 cpus ≈ 5 s/query of mostly fixed per-action cost;
-  *      overlapping actions converts that fixed cost into throughput.
+  *      overlapping actions converts that fixed cost into throughput
+  *      (measured 3-9 min at par=6 / 8g, all 370 DuckDB-green).
+  *      No per-query cache clearing here, deliberately: unpersisting
+  *      localCheckpoint RDDs or clearing the shared cache would break
+  *      CONCURRENT queries mid-flight (truncated-lineage blocks cannot
+  *      be recomputed). sf0.01 blocks are small; three full concurrent
+  *      dumps ran green in 8g with everything accumulated.
   */
 object Verify {
   def main(args: Array[String]): Unit = {

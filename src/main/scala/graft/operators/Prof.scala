@@ -52,8 +52,9 @@ object Prof {
           (1 to 4).foreach { it =>
             val t0 = System.nanoTime(); val c0 = cpuNs.get; val j0 = jobs.get
             fn(s, dir).write.mode("overwrite").format("noop").save()
-            Thread.sleep(200) // listener drain
-            println(f"PROF $name%-22s [$it] ${(System.nanoTime() - t0) / 1e9}%7.3f s" +
+            val wallS = (System.nanoTime() - t0) / 1e9 // before the drain sleep
+            Thread.sleep(200) // listener drain (cpu/jobs deltas only)
+            println(f"PROF $name%-22s [$it] $wallS%7.3f s" +
               f"  cpu=${(cpuNs.get - c0) / 1e9}%7.2f s  jobs=${jobs.get - j0}")
             s.sharedState.cacheManager.clearCache()
             s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
