@@ -1118,6 +1118,45 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Streaming-shaped batch analog #4 (SURVEY.md §2.9): the
+    // DETERMINISTIC batch backfill of the watermark-bounded
+    // stream-stream join (graft.streaming.EventStream.purchaseErrorJoin)
+    // — each purchase paired with the same user's error events landing
+    // within the hour after it. Per Spark's unified semantics the
+    // streaming operator IS this batch plan plus state bookkeeping, and
+    // on a time-ordered feed the Append-mode emitted set equals this
+    // frame exactly (no row is ever late, and state eviction only drops
+    // purchases whose match window the watermark has closed — see
+    // EventStreamSpec "purchaseErrorJoin emitted pairs equal the
+    // stream_purchase_errors backfill", which pins it over a two-chunk
+    // MemoryStream feed). All comparisons are exact integer µs, so the
+    // bridge has none of the float-ordering caveats the windowed-agg
+    // bridge documents. Scale shape: one shuffle per side on user_id —
+    // the same key the streaming state store shards on — with the time
+    // range as a post-join predicate; output is match-bounded, state
+    // watermark-bounded.
+    "stream_purchase_errors" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hourUs = 3600L * 1000000L
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .withColumn("ts_us", graft.sources.EventTime.tsUs(ev0))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+          col("ts_us").as("e_ts_us"))
+      purchases.join(errors,
+        col("user_id") === col("e_user") &&
+          col("e_ts_us") >= col("p_ts_us") &&
+          col("e_ts_us") <= col("p_ts_us") + lit(hourUs))
+        .select(col("user_id"), col("purchase_id"), col("p_ts_us"),
+          col("error_id"), col("e_ts_us"))
+        .orderBy("user_id", "purchase_id", "error_id")
+    }),
+
     // Header↔detail reconciliation: FULL OUTER join of order headers
     // against per-order lineitem totals, bucketed into match / mismatch /
     // orphan statuses — the cross-system integrity check every finance
@@ -4481,6 +4520,17 @@ object CoreQueries {
         |FROM sess
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "stream_purchase_errors" ->
+      """SELECT p.user_id, p.purchase_id, p.p_ts_us, e.error_id, e.e_ts_us
+        |FROM (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_ts_us
+        |      FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.e_ts_us >= p.p_ts_us
+        | AND e.e_ts_us <= p.p_ts_us + 3600000000
+        |ORDER BY p.user_id, p.purchase_id, e.error_id""".stripMargin,
 
     "cube_qty" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,

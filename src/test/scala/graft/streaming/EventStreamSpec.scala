@@ -408,6 +408,61 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("purchaseErrorJoin emitted pairs equal the stream_purchase_errors backfill") {
+    // Oracle bridge #4 (the stream_dedup_admitted template): the
+    // registered batch query `stream_purchase_errors` is hash-checked
+    // against DuckDB by the driver; THIS test pins the watermark-bounded
+    // stream-stream join's Append-mode emitted set to that exact frame,
+    // so stream-stream join state semantics face the oracle
+    // transitively. Feed design: the corpus sorted by (ts_us, event_id)
+    // and split at the midpoint into two micro-batches. A time-ordered
+    // split keeps the compare exact: after batch 0 the watermark is
+    // max(ts₀) − 1h, every batch-1 event has ts ≥ max(ts₀) so nothing
+    // is ever late, and state eviction only drops purchases with
+    // p_ts + 1h < watermark — which no batch-1 error (ts ≥ watermark
+    // + 1h) could have matched anyway. Inner joins emit matches
+    // eagerly, so cross-batch pairs (purchase in batch 0, error in
+    // batch 1) land when the error arrives. All-integer µs compare —
+    // no float tolerance needed.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val rows = raw
+      .withColumn("tsz", graft.sources.EventTime.tsTimestamp(raw))
+      .withColumn("ts_us", graft.sources.EventTime.tsUs(raw))
+      .select($"event_id", $"tsz", $"user_id", $"event_type", $"value", $"ts_us")
+      .as[(Long, Timestamp, Long, String, Double, Long)]
+      .collect().sortBy(r => (r._6, r._1))
+    val (chunk0, chunk1) = rows.splitAt(rows.length / 2)
+
+    def usOf(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, Long)]
+    val feed = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "ts_us")
+    val q = purchaseErrorJoin(feed)
+      .writeStream.format("memory").queryName("pe_backfill_pin")
+      .outputMode(OutputMode.Append).start()
+    val emitted = try {
+      mem.addData(chunk0.toSeq); q.processAllAvailable()
+      mem.addData(chunk1.toSeq); q.processAllAvailable()
+      spark.table("pe_backfill_pin").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          usOf(r.getAs[Timestamp]("p_ts")), r.getAs[Long]("error_id"),
+          usOf(r.getAs[Timestamp]("e_ts")))).toSet
+    } finally q.stop()
+
+    val backfill = graft.SparkEntry.queries("stream_purchase_errors")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("p_ts_us"), r.getAs[Long]("error_id"),
+        r.getAs[Long]("e_ts_us"))).toSet
+    assert(emitted.nonEmpty, "feed must produce at least one joined pair")
+    assert(emitted === backfill)
+  }
+
   test("readEventStream processes the sf0.001 events directory end-to-end") {
     val stream = readEventStream(spark, "/root/testdata/sf0.001/events.parquet")
     assert(stream.isStreaming)
