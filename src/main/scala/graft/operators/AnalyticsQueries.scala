@@ -30,7 +30,7 @@ import org.apache.spark.sql.expressions.Window
 object AnalyticsQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.ScanFanout.parquet(s, s"$dir/$name.parquet")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

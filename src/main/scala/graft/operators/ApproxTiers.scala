@@ -118,14 +118,14 @@ object ApproxTiers {
   val benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
     def events(s: SparkSession, dir: String): DataFrame = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      graft.sources.ScanFanout.parquet(s, s"$dir/events.parquet")
     }
     Map(
       "table_profile_approx" -> ((s, dir) =>
-        tableProfile(s.read.parquet(s"$dir/orders.parquet"),
+        tableProfile(graft.sources.ScanFanout.parquet(s, s"$dir/orders.parquet"),
           CoreQueries.ProfileCols, rsd = 0.05)),
       "median_mode_approx" -> ((s, dir) =>
-        medianMode(s.read.parquet(s"$dir/lineitem.parquet"),
+        medianMode(graft.sources.ScanFanout.parquet(s, s"$dir/lineitem.parquet"),
           "l_returnflag", "l_quantity")),
       "equidepth_histogram_approx" -> ((s, dir) =>
         equidepthHistogram(events(s, dir), "event_type", "value", bins = 8)),

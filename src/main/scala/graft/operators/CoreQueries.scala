@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.DecimalType
 object CoreQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.ScanFanout.parquet(s, s"$dir/$name.parquet")
 
   /** Session shuffle width, for PINNED repartitions whose partitioning a
     * downstream stage must be able to reuse (an unpinned repartition is

@@ -23,16 +23,19 @@ import org.apache.spark.sql.expressions.Window
 object CurationQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.ScanFanout.parquet(s, s"$dir/documents.parquet")
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts_us", graft.sources.EventTime.tsUs(df))
+    val wide = df.withColumn("ts_us", graft.sources.EventTime.tsUs(df))
+    // fan out AFTER the ts_us projection so the schema-dependent column
+    // derivation is not re-resolved against the repartitioned child
+    graft.sources.ScanFanout.fanOut(wide, s"$dir/events.parquet")
   }
 
   private def cust(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/customer.parquet")
+    graft.sources.ScanFanout.parquet(s, s"$dir/customer.parquet")
 
   private def roundHU(c: org.apache.spark.sql.Column,
                       pow: Double): org.apache.spark.sql.Column =

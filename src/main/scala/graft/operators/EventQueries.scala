@@ -42,7 +42,8 @@ object EventQueries {
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts_us", graft.sources.EventTime.tsUs(df))
+    val wide = df.withColumn("ts_us", graft.sources.EventTime.tsUs(df))
+    graft.sources.ScanFanout.fanOut(wide, s"$dir/events.parquet")
   }
 
   private def decSum(c: org.apache.spark.sql.Column, scale: Int = 6) =

@@ -25,9 +25,9 @@ import graft.llm.TextOps._
 object LlmQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.ScanFanout.parquet(s, s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.ScanFanout.parquet(s, s"$dir/embeddings.parquet")
 
   /** Scored/labelled doc frame shared by the classifier-evaluation
     * family (`roc_auc` / `calibration_bins` / `lift_gains`): label
